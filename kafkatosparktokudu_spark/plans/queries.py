@@ -1,0 +1,413 @@
+"""The analytic query surface (SURVEY.md §2.2 coverage checklist).
+
+Each query is a function ``(spark, sf_dir) -> DataFrame`` over the fixture
+tables; ``plans.oracle.ORACLE_SQL`` holds the matching DuckDB SQL. The
+reference has no relational query layer (it is a CDC pipeline —
+/root/reference/.../KuduManager.scala), so this module supplies the standard
+operator categories via built-in Catalyst operators:
+
+- projections / filters / predicates  (reference analog: S8-S15)
+- equi / semi / anti joins            (absent in reference; §2.2)
+- grouped aggregation, distinct, rollup/cube/pivot
+- window functions (rank, lag, running aggregates)
+- sorts / limits / top-k per group
+- set operations
+- scalar string/date/math/json functions
+
+Scale notes (100 TB design stance): every query below is a declarative plan —
+filters and projections reach the parquet scan (pushdown + pruning), dimension
+tables (region/nation/supplier) are broadcast so the only shuffles left are
+the fact-table aggregations, and double aggregation goes through DECIMAL so
+results are reproducible regardless of partial-aggregation order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.exact import MONEY, RATE, davg, dec, dsum, prod_sum_double
+from ..sources.batch import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# S7/S20/S21 analog — the flagship "per-batch sync report" over events:
+# count, exact sum, distinct users per event type (the reference logs count +
+# distinct table names + rate per micro-batch, ConsumerMain.scala:113-116 +
+# LoggerManager.scala:41-57).
+# ---------------------------------------------------------------------------
+def q01_sync_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+            davg("value").alias("avg_value"),
+        )
+    )
+
+
+# TPC-H Q1 shape: scan-heavy grouped aggregation with derived measures.
+def q02_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1997-09-01")
+    disc_price = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"), RATE)
+    charge = disc_price.cast("decimal(18,8)") * dec(F.lit(1) + F.col("l_tax"), RATE)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            prod_sum_double(F.sum(disc_price)).alias("sum_disc_price"),
+            prod_sum_double(F.sum(charge)).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg(F.col("l_discount"), RATE).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# Predicate surface: BETWEEN, IN, AND/OR, computed projection.
+def q03_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_shipdate").between("1995-01-01", "1996-12-31")
+            & F.col("l_returnflag").isin("R", "A")
+            & (F.col("l_quantity") > 30)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"), RATE))
+            .cast("double")
+            .alias("net_price"),
+            F.concat_ws("/", "l_returnflag", "l_linestatus").alias("flag_status"),
+        )
+    )
+
+
+# 5-way star join: fact lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+# nation/region are tiny → broadcast (no shuffle for the dim side); the
+# orders⋈customer⋈lineitem joins shuffle on their keys and AQE coalesces.
+def q04_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    revenue = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"), RATE)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            prod_sum_double(F.sum(revenue)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# Semi join (EXISTS): order-priority count where a lineitem shipped late.
+def q05_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# Anti join (NOT EXISTS) + semi join, aggregated per nation.
+def q06_customer_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    nation = _t(spark, sf_dir, "nation")
+    with_orders = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+    without_orders = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+    return (
+        F.broadcast(nation)
+        .join(with_orders, F.col("n_nationkey") == with_orders.c_nationkey, "left")
+        .drop("c_nationkey")
+        .join(without_orders, F.col("n_nationkey") == without_orders.c_nationkey, "left")
+        .select(
+            "n_name",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+# Global sort + limit (top-k) with a deterministic tiebreak.
+def q07_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(10)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    )
+
+
+# Top-k per group via window rank.
+def q08_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# Running window aggregates: running exact sum + lag over event time.
+def q09_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(dec("value"))
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_value"),
+        F.lag("event_type").over(w).alias("prev_event_type"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+# ROLLUP: hierarchical totals region → nation (grouping labels coalesced so
+# both engines emit identical rows).
+def q10_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal").alias("sum_acctbal"))
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("r_name"),
+            F.coalesce("n_name", F.lit("(all)")).alias("n_name"),
+            "n_customers",
+            "sum_acctbal",
+        )
+    )
+
+
+# CUBE over event_type × day-of-week.
+def q11_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").alias("dow"), "value"
+    )
+    return (
+        events.cube("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("dow"), F.lit(-1)).alias("dow"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# Set operations: EXCEPT / INTERSECT / UNION, tagged into one result.
+def q12_setops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    only_building = building.exceptAll(rich).distinct().withColumn("tag", F.lit("only_building"))
+    both = building.intersect(rich).withColumn("tag", F.lit("both"))
+    only_rich = rich.exceptAll(building).distinct().withColumn("tag", F.lit("only_rich"))
+    return only_building.unionByName(both).unionByName(only_rich)
+
+
+# Distinct aggregations (exact).
+def q13_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(F.to_date("ts")).alias("n_days"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# Scalar function surface: string / date / math expressions.
+def q14_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.upper("o_orderstatus").alias("status_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.concat_ws("-", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("status_prio"),
+        (dec("o_totalprice") * F.lit("0.001").cast("decimal(4,3)"))
+        .cast("double")
+        .alias("price_k"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+        F.abs(F.col("o_totalprice") - 1000).cast("double").alias("abs_diff"),
+    )
+
+
+# JSON path extraction over events.props (reference analog S8:
+# fastjson field access, KuduManager.scala:50-56).
+def q15_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# CASE-WHEN bucketing + aggregation.
+def q16_balance_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    return (
+        cust.groupBy(bucket.alias("balance_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal").alias("sum_acctbal"))
+    )
+
+
+# Sessionization: gap > 30 min starts a new session (lag + running sum).
+def q17_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull() | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    with_sess = events.withColumn("session_idx", F.sum(new_session).over(w))
+    return (
+        with_sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+# CDC last-write-wins analog over events: latest record per key (the same
+# window-dedup the merge operator uses — reference semantics #1,
+# KuduManager.scala:72 newUpsert).
+def q18_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+# Event-time tumbling window (batch analog of the streaming hourly rollup).
+def q19_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+    )
+
+
+# Pivot (conditional aggregation on the oracle side).
+def q20_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(dec("l_quantity")).cast("double"))
+        .select(
+            "l_linestatus",
+            F.col("A").alias("qty_a"),
+            F.col("N").alias("qty_n"),
+            F.col("R").alias("qty_r"),
+        )
+    )
+
+
+# Join part ⋈ lineitem ⋈ supplier: brand-level supply stats (another join
+# shape: two broadcastable dims on one fact).
+def q21_brand_supply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_brand")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_sync_report": q01_sync_report,
+    "q02_pricing_summary": q02_pricing_summary,
+    "q03_filter_project": q03_filter_project,
+    "q04_revenue_by_nation": q04_revenue_by_nation,
+    "q05_order_priority": q05_order_priority,
+    "q06_customer_order_coverage": q06_customer_order_coverage,
+    "q07_top_customers": q07_top_customers,
+    "q08_top_orders_per_customer": q08_top_orders_per_customer,
+    "q09_running_user_totals": q09_running_user_totals,
+    "q10_rollup_region_nation": q10_rollup_region_nation,
+    "q11_cube_events": q11_cube_events,
+    "q12_setops_segments": q12_setops_segments,
+    "q13_distinct_users": q13_distinct_users,
+    "q14_scalar_functions": q14_scalar_functions,
+    "q15_json_extract": q15_json_extract,
+    "q16_balance_buckets": q16_balance_buckets,
+    "q17_sessionize": q17_sessionize,
+    "q18_latest_event_per_user": q18_latest_event_per_user,
+    "q19_hourly_event_rollup": q19_hourly_event_rollup,
+    "q20_pivot_returnflag": q20_pivot_returnflag,
+    "q21_brand_supply_stats": q21_brand_supply_stats,
+}

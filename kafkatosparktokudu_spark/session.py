@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-aware defaults.
+
+Replaces the reference's hand-rolled SparkConf / StreamingContext setup
+(ConsumerMain.scala:32-39): master, parallelism, backpressure knobs. In the
+rebuild, parallelism is ``spark.sql.shuffle.partitions`` + AQE; rate limiting
+is per-source ``maxOffsetsPerTrigger`` (see streaming.pipeline).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kafkatosparktokudu_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with settings that hold from
+    local[32] smoke tests up to a multi-executor cluster:
+
+    - AQE on (runtime coalescing, skew-join splitting) so a plan tuned at
+      sf0.01 re-plans itself at 100 TB instead of shuffling into 32
+      oversized partitions.
+    - shuffle partitions default to local core count (the 200 default is
+      wrong for tiny local data; on a real cluster, AQE coalesces upward
+      sizing from ``spark.sql.adaptive.advisoryPartitionSizeInBytes``).
+    - UTC session timezone so timestamps compare bit-for-bit with the
+      DuckDB oracle (duckdb timestamps are UTC-naive).
+    - Arrow on for every pandas_udf / applyInPandas boundary.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

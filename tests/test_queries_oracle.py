@@ -1,0 +1,33 @@
+"""Every query with an oracle must match DuckDB exactly (driver mimic)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafkatosparktokudu_spark.plans.oracle import ORACLE_SQL
+from kafkatosparktokudu_spark.plans.queries import QUERIES
+
+from .oracle_harness import compare
+from .conftest import SF_SMOKE
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_oracle_parity(spark, name):
+    assert name in QUERIES, f"oracle {name} has no query"
+    ok, msg = compare(spark, QUERIES[name], ORACLE_SQL[name], SF_SMOKE)
+    assert ok, f"{name}: {msg}"
+
+
+def test_all_queries_run(spark):
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF_SMOKE)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
