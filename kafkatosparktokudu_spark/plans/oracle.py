@@ -15,12 +15,84 @@ Rules that keep value-hashes identical between engines:
 
 from __future__ import annotations
 
+# ---------------------------------------------------------------------------
+# CDC fold oracle: replays /root/repo/fixtures/ogg_changes.jsonl with the
+# same last-write-wins sort key the Spark fold uses (current_ts # zero-padded
+# arrival pos), via arg_max ... FILTER — semantically identical to Spark's
+# max-over-(order,value)-struct aggregation.
+# ---------------------------------------------------------------------------
+_FIXTURE = "/root/repo/fixtures/ogg_changes.jsonl"
+_NOW = "2024-06-01 00:00:00"
+
+_CDC_VALID = f"""
+    raw AS (
+        SELECT * FROM read_json('{_FIXTURE}',
+            format='newline_delimited',
+            columns={{"table": 'VARCHAR', "op_type": 'VARCHAR',
+                      "current_ts": 'VARCHAR', "pos": 'BIGINT',
+                      "after": 'MAP(VARCHAR,VARCHAR)'}},
+            ignore_errors=true)
+    ),
+    valid AS (
+        SELECT lower(string_split("table", '.')[2]) AS tab_name,
+               after['ID'][1] AS id, op_type, current_ts,
+               current_ts || '#' || lpad(CAST(pos AS VARCHAR), 12, '0') AS ord,
+               after
+        FROM raw
+        WHERE "table" IS NOT NULL
+          AND after IS NOT NULL
+          AND after['ID'][1] IS NOT NULL
+    )
+"""
+
+
+def _cdc_fold_sql(table: str, cols: dict[str, str]) -> str:
+    """Final-state SQL for one target table; cols = {name: duckdb_type}
+    excluding the id/convention columns."""
+    col_exprs = ",\n               ".join(
+        f"TRY_CAST(arg_max(after['{c.upper()}'][1], ord)"
+        f" FILTER (WHERE op_type <> 'D' AND after['{c.upper()}'][1] IS NOT NULL)"
+        f" AS {t}) AS {c}"
+        for c, t in cols.items()
+    )
+    return f"""
+        WITH {_CDC_VALID}
+        SELECT id,
+               {col_exprs},
+               CASE WHEN arg_max(op_type, ord) = 'D' THEN '1' ELSE '0' END AS delete_state,
+               '{_NOW}' AS time_stamp
+        FROM valid WHERE tab_name = '{table}'
+        GROUP BY id
+    """
+
+
 # shared fragments
 _DISC_PRICE = (
     "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,6))"
 )
 
 ORACLE_SQL: dict[str, str] = {
+    "cdc_emp_state": _cdc_fold_sql(
+        "emp",
+        {
+            "name": "VARCHAR",
+            "salary": "DOUBLE",
+            "dept_id": "INTEGER",
+            "active": "BOOLEAN",
+            "hire_ts": "TIMESTAMP",
+        },
+    ),
+    "cdc_dept_state": _cdc_fold_sql("dept", {"dname": "VARCHAR", "budget": "FLOAT"}),
+    "cdc_pub_event": f"""
+        WITH {_CDC_VALID}
+        SELECT id, tab_name AS name,
+               max(replace(current_ts, 'T', ' ')) AS current_ts,
+               '0' AS delete_state,
+               '0' AS his_delete_state,
+               '{_NOW}' AS time_stamp
+        FROM valid
+        GROUP BY id, tab_name
+    """,
     "q01_sync_report": """
         SELECT event_type,
                COUNT(*) AS n_events,

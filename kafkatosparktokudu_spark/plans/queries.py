@@ -388,7 +388,31 @@ def q21_brand_supply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# CDC surface (SURVEY.md §2.1 S8-S19): replay the OGG change fixture from
+# empty state — parse → validate → normalize → fold → cast → merge. The
+# DuckDB oracle reproduces the same fold with arg_max over the identical
+# sort key, so the full CDC semantics (LWW, partial update, soft delete,
+# audit table) are hash-checked, not just row-counted.
+# ---------------------------------------------------------------------------
+def _cdc_state(table: str):
+    from ..cdc import apply_changes, read_fixture
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return apply_changes(spark, read_fixture(spark))[table]
+
+    return q
+
+
+cdc_emp_state = _cdc_state("emp")
+cdc_dept_state = _cdc_state("dept")
+cdc_pub_event = _cdc_state("pub_event")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cdc_emp_state": cdc_emp_state,
+    "cdc_dept_state": cdc_dept_state,
+    "cdc_pub_event": cdc_pub_event,
     "q01_sync_report": q01_sync_report,
     "q02_pricing_summary": q02_pricing_summary,
     "q03_filter_project": q03_filter_project,

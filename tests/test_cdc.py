@@ -1,0 +1,228 @@
+"""CDC golden + property tests (SURVEY.md §5.2).
+
+The oracle here is an independent pure-Python replay of the reference
+semantics (apply records one by one in (current_ts, arrival) order —
+upsert / partial update / soft delete / pub_event), compared against the
+Spark fold+merge pipeline.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import math
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafkatosparktokudu_spark.cdc import apply_changes, read_fixture, sync_batch
+from kafkatosparktokudu_spark.catalog import default_catalog
+from kafkatosparktokudu_spark.operators.merge import StateStore, merge_upserts
+
+FIXTURE = Path("/root/repo/fixtures/ogg_changes.jsonl")
+NOW = "2024-06-01 00:00:00"
+
+
+# ---------------------------------------------------------------------------
+# pure-Python reference replay
+# ---------------------------------------------------------------------------
+def _parse_lines(lines: list[str], pos_offset: int = 0):
+    recs = []
+    for i, line in enumerate(lines):
+        try:
+            obj = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if not isinstance(obj, dict):
+            continue
+        table, after = obj.get("table"), obj.get("after")
+        if table is None or not isinstance(after, dict) or after.get("ID") is None:
+            continue
+        pos = obj.get("pos", pos_offset + i)
+        recs.append((obj.get("current_ts"), pos, table, obj.get("op_type"), after))
+    return recs
+
+
+def python_replay(batches: list[list[str]]):
+    """Apply batches sequentially; records within a batch in (ts, pos) order
+    (the engine's LWW order). Returns ({tab: {id: row}}, pub_event)."""
+    state: dict[str, dict[str, dict]] = {}
+    pub: dict[tuple[str, str], str] = {}
+    for batch in batches:
+        recs = sorted(_parse_lines(batch), key=lambda r: (r[0], r[1]))
+        for ts, pos, table, op, after in recs:
+            tab = table.split(".")[1].lower()
+            pk = str(after["ID"])
+            prev = pub.get((pk, tab))
+            norm_ts = ts.replace("T", " ")
+            pub[(pk, tab)] = max(prev, norm_ts) if prev else norm_ts
+            row = state.setdefault(tab, {}).setdefault(pk, {})
+            if op == "D":
+                row["delete_state"] = "1"
+            else:
+                row["delete_state"] = "0"
+                for k, v in after.items():
+                    if k == "ID" or v is None:
+                        continue
+                    row[k.lower()] = v
+    return state, pub
+
+
+def _typed(row: dict, tab: str):
+    """Cast the python-oracle string row to catalog types."""
+    def g(k):
+        return row.get(k)
+
+    if tab == "emp":
+        return {
+            "name": g("name"),
+            "salary": float(g("salary")) if g("salary") else None,
+            "dept_id": int(g("dept_id")) if g("dept_id") else None,
+            "active": {"1": True, "0": False}.get(g("active")),
+            "hire_ts": dt.datetime.fromisoformat(g("hire_ts")) if g("hire_ts") else None,
+            "delete_state": g("delete_state"),
+        }
+    return {
+        "dname": g("dname"),
+        "budget": float(g("budget")) if g("budget") else None,
+        "delete_state": g("delete_state"),
+    }
+
+
+def _spark_state_to_dict(df, tab: str):
+    out = {}
+    for r in df.collect():
+        d = r.asDict()
+        d.pop("time_stamp", None)
+        pk = d.pop("id")
+        if tab == "dept" and d.get("budget") is not None:
+            # float32 → compare at float32 precision
+            d["budget"] = float(d["budget"])
+        out[pk] = d
+    return out
+
+
+def _assert_tables_match(spark_states, py_state, tabs=("emp", "dept")):
+    for tab in tabs:
+        got = _spark_state_to_dict(spark_states[tab], tab)
+        want = {pk: _typed(row, tab) for pk, row in py_state.get(tab, {}).items()}
+        assert set(got) == set(want), f"{tab}: key sets differ"
+        for pk in want:
+            for col, wv in want[pk].items():
+                gv = got[pk][col]
+                if isinstance(wv, float) and wv is not None and gv is not None:
+                    assert math.isclose(gv, wv, rel_tol=1e-6), (tab, pk, col, gv, wv)
+                else:
+                    assert gv == wv, (tab, pk, col, gv, wv)
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def fixture_lines() -> list[str]:
+    return FIXTURE.read_text().splitlines()
+
+
+def test_apply_changes_matches_python_oracle(spark, fixture_lines):
+    states = apply_changes(spark, read_fixture(spark), now_str=NOW)
+    py_state, py_pub = python_replay([fixture_lines])
+    _assert_tables_match(states, py_state)
+    # pub_event: latest normalized ts per (id, name), constants '0'
+    got = {
+        (r["id"], r["name"]): (r["current_ts"], r["delete_state"], r["his_delete_state"])
+        for r in states["pub_event"].collect()
+    }
+    want = {k: (v, "0", "0") for k, v in py_pub.items()}
+    assert got == want
+
+
+def test_soft_delete_and_resurrection(spark, fixture_lines):
+    """Deleted keys keep payload (logical delete); a later U resurrects."""
+    states = apply_changes(spark, read_fixture(spark), now_str=NOW)
+    emp = {r["id"]: r.asDict() for r in states["emp"].collect()}
+    py_state, _ = python_replay([fixture_lines])
+    deleted = [pk for pk, row in py_state["emp"].items() if row["delete_state"] == "1"]
+    assert deleted, "fixture must contain net-deleted keys"
+    for pk in deleted:
+        assert emp[pk]["delete_state"] == "1"
+    # ids 7 and 12 were deleted then updated → resurrected
+    for pk in ("7", "12"):
+        if py_state["emp"][pk]["delete_state"] == "0":
+            assert emp[pk]["delete_state"] == "0"
+            assert emp[pk]["salary"] == 9999.99
+
+
+def test_lww_stale_updates_lose(spark, fixture_lines):
+    """Out-of-order current_ts records must not win (fixture ids 1-3)."""
+    states = apply_changes(spark, read_fixture(spark), now_str=NOW)
+    emp = {r["id"]: r.asDict() for r in states["emp"].collect()}
+    for pk in ("1", "2", "3"):
+        assert emp[pk]["name"] != "stale"
+        assert emp[pk]["salary"] != 1.0
+
+
+def test_incremental_sync_matches_single_batch(spark, fixture_lines, tmp_path):
+    """Splitting the stream into two micro-batches and merging through the
+    StateStore gives the same final state as one-shot replay (the fixture's
+    cross-batch records are either disjoint or arrival-ordered)."""
+    mid = len(fixture_lines) // 2
+    b1, b2 = fixture_lines[:mid], fixture_lines[mid:]
+    wh = str(tmp_path / "wh")
+    for b in (b1, b2):
+        df = spark.createDataFrame([(line,) for line in b], "value string")
+        sync_batch(spark, df, wh, now_str=NOW, n_buckets=8)
+    py_state, py_pub = python_replay([b1, b2])
+    cat = default_catalog()
+    for tab in ("emp", "dept"):
+        store = StateStore(spark, f"{wh}/{tab}", ["id"], cat[tab].full_schema, 8)
+        got = _spark_state_to_dict(store.read(), tab)
+        want = {pk: _typed(row, tab) for pk, row in py_state.get(tab, {}).items()}
+        assert set(got) == set(want)
+        for pk in want:
+            for col, wv in want[pk].items():
+                gv = got[pk][col]
+                if isinstance(wv, float) and wv is not None and gv is not None:
+                    assert math.isclose(gv, wv, rel_tol=1e-6), (tab, pk, col, gv, wv)
+                else:
+                    assert gv == wv, (tab, pk, col, gv, wv)
+
+
+def test_replay_idempotence(spark, fixture_lines, tmp_path):
+    """At-least-once: re-syncing the same batch leaves state unchanged
+    (reference semantics #5 — upsert absorbs duplicates)."""
+    wh = str(tmp_path / "wh")
+    df = spark.createDataFrame([(line,) for line in fixture_lines], "value string")
+    sync_batch(spark, df, wh, now_str=NOW, n_buckets=8)
+    cat = default_catalog()
+    store = StateStore(spark, f"{wh}/emp", ["id"], cat["emp"].full_schema, 8)
+    before = sorted([tuple(r) for r in store.read().collect()], key=repr)
+    sync_batch(spark, df, wh, now_str=NOW, n_buckets=8)  # replay
+    after = sorted([tuple(r) for r in store.read().collect()], key=repr)
+    assert before == after
+
+
+def test_dead_letters_counted(spark, fixture_lines, tmp_path):
+    """Bad input dropped, not fatal (S10): null-table, missing ID, bad JSON."""
+    df = spark.createDataFrame([(line,) for line in fixture_lines], "value string")
+    m = sync_batch(spark, df, str(tmp_path / "wh"), now_str=NOW, n_buckets=8)
+    assert m.dead == 4  # null-table, empty-after, 2 malformed lines
+    assert m.total == len(fixture_lines) - 4
+    assert m.tables == ["dept", "emp"]
+
+
+def test_merge_upserts_partial_update(spark):
+    """Column-wise coalesce: null batch columns keep prior state."""
+    state = spark.createDataFrame(
+        [("1", "alice", 100.0, "0", "t0")],
+        "id string, name string, salary double, delete_state string, time_stamp string",
+    )
+    batch = spark.createDataFrame(
+        [("1", None, 200.0, "0", "t1"), ("2", "bob", 50.0, "0", "t1")],
+        "id string, name string, salary double, delete_state string, time_stamp string",
+    )
+    got = {r["id"]: r.asDict() for r in merge_upserts(state, batch, ["id"]).collect()}
+    assert got["1"] == {"id": "1", "name": "alice", "salary": 200.0,
+                        "delete_state": "0", "time_stamp": "t1"}
+    assert got["2"]["name"] == "bob"
