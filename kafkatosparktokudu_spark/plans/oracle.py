@@ -83,6 +83,17 @@ ORACLE_SQL: dict[str, str] = {
         },
     ),
     "cdc_dept_state": _cdc_fold_sql("dept", {"dname": "VARCHAR", "budget": "FLOAT"}),
+    # streaming path must agree with the batch fold bit-for-bit
+    "cdc_stream_emp_state": _cdc_fold_sql(
+        "emp",
+        {
+            "name": "VARCHAR",
+            "salary": "DOUBLE",
+            "dept_id": "INTEGER",
+            "active": "BOOLEAN",
+            "hire_ts": "TIMESTAMP",
+        },
+    ),
     "cdc_pub_event": f"""
         WITH {_CDC_VALID}
         SELECT id, tab_name AS name,

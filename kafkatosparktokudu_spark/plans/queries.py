@@ -409,10 +409,48 @@ cdc_dept_state = _cdc_state("dept")
 cdc_pub_event = _cdc_state("pub_event")
 
 
+def cdc_stream_emp_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME final emp state, produced by the actual Structured Streaming
+    path: file source → foreachBatch MERGE → StateStore, drained with
+    availableNow. Shares cdc_emp_state's oracle — streaming and batch must
+    agree bit-for-bit."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog import default_catalog
+    from ..cdc import DEFAULT_FIXTURE
+    from ..config import PipelineConfig
+    from ..operators.merge import StateStore
+    from ..streaming.pipeline import file_source, start_cdc_sync
+
+    tmp = tempfile.mkdtemp(prefix="cdc_stream_")
+    src_dir = f"{tmp}/in"
+    os.makedirs(src_dir)
+    shutil.copy(DEFAULT_FIXTURE, f"{src_dir}/changes.jsonl")
+    cfg = PipelineConfig(
+        warehouse_dir=f"{tmp}/wh",
+        checkpoint_dir=f"{tmp}/ckpt",
+        metrics_dir=f"{tmp}/metrics",
+    )
+    q = start_cdc_sync(
+        spark,
+        file_source(spark, src_dir),
+        cfg,
+        available_now=True,
+        now_str="2024-06-01 00:00:00",
+    )
+    q.awaitTermination(300)
+    cat = default_catalog()
+    store = StateStore(spark, f"{cfg.warehouse_dir}/emp", ["id"], cat["emp"].full_schema)
+    return store.read()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_emp_state": cdc_emp_state,
     "cdc_dept_state": cdc_dept_state,
     "cdc_pub_event": cdc_pub_event,
+    "cdc_stream_emp_state": cdc_stream_emp_state,
     "q01_sync_report": q01_sync_report,
     "q02_pricing_summary": q02_pricing_summary,
     "q03_filter_project": q03_filter_project,
