@@ -1,0 +1,123 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Two kinds of numbers:
+
+- per-query wall seconds for the representative analytic / CDC / dedup /
+  similarity plans (fully materialized via the noop sink so projection
+  isn't optimized away);
+- ``cdc_rate_rec_s``: sustained parse→normalize→fold→MERGE throughput on a
+  synthetic OGG batch — comparable to the reference's implied design
+  ceiling of 10,000 rec/s (BASELINE.md: 2000 rec/s/partition × 5
+  partitions).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+
+BENCH_QUERIES = [
+    "q02_pricing_summary",      # TPC-H Q1 scan-agg
+    "q04_revenue_by_nation",    # 5-way star join
+    "q08_top_orders_per_customer",  # window top-k
+    "q15_json_extract",         # JSON path + agg
+    "q17_sessionize",           # lag + running-sum sessionization
+    "q19_hourly_event_rollup",  # event-time rollup
+    "cdc_emp_state",            # CDC fold from raw JSON lines
+    "tx02_quality_scores",      # text quality (array exprs)
+    "dd03_minhash_bands",       # MinHash signatures
+    "dd04_neardup_pairs",       # LSH + Jaccard verify
+    "dd06_simhash",             # SimHash (explode + 32-way agg)
+    "ss01_knn_cosine",          # brute-force cosine top-k
+]
+
+N_CDC_RECORDS = 200_000
+
+
+def _gen_cdc_batch(spark, n: int):
+    """Synthetic OGG change records (I/U/D mix over 20k keys) as a raw
+    JSON-line DataFrame — generated distributed, not on the driver."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n).select(
+        F.concat(
+            F.lit('{"table": "SCOTT.EMP", "op_type": "'),
+            F.when(F.col("id") % 10 == 9, "D")
+            .when(F.col("id") % 3 == 0, "I")
+            .otherwise("U"),
+            F.lit('", "current_ts": "2024-01-01T'),
+            F.lpad(((F.col("id") * 7) % 24).cast("string"), 2, "0"),
+            F.lit(":"),
+            F.lpad(((F.col("id") * 13) % 60).cast("string"), 2, "0"),
+            F.lit(":"),
+            F.lpad(((F.col("id") * 17) % 60).cast("string"), 2, "0"),
+            F.lit('.000000", "pos": '),
+            F.col("id").cast("string"),
+            F.lit(', "after": {"ID": "'),
+            (F.col("id") % 20000).cast("string"),
+            F.lit('", "NAME": "user'),
+            (F.col("id") % 997).cast("string"),
+            F.lit('", "SALARY": "'),
+            ((F.col("id") % 5000) + 100).cast("string"),
+            F.lit('.25", "DEPT_ID": "'),
+            (F.col("id") % 30).cast("string"),
+            F.lit('", "ACTIVE": "1"}}'),
+        ).alias("value")
+    )
+    return df
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    from kafkatosparktokudu_spark.session import get_spark
+    from kafkatosparktokudu_spark.plans.queries import QUERIES
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+
+    results: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        start = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        results[name] = round(time.time() - start, 3)
+
+    # CDC throughput: full parse→normalize→fold→MERGE of a synthetic batch
+    from kafkatosparktokudu_spark.cdc import sync_batch
+
+    raw = _gen_cdc_batch(spark, N_CDC_RECORDS)
+    raw.cache().count()  # materialize the generator; time the pipeline only
+    wh = tempfile.mkdtemp(prefix="bench_wh_")
+    try:
+        start = time.time()
+        m = sync_batch(spark, raw, wh, n_buckets=16)
+        cdc_secs = time.time() - start
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    results["cdc_sync_200k"] = round(cdc_secs, 3)
+    cdc_rate = round(m.total / cdc_secs, 1)
+
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+                "cdc_rate_rec_s": cdc_rate,
+                "baseline_cdc_rate_rec_s": 10000,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -88,7 +88,7 @@ def sync_batch(
     warehouse_dir: str,
     catalog: dict[str, TargetTable] | None = None,
     now_str: str | None = None,
-    n_buckets: int = 64,
+    n_buckets: int = 16,
 ) -> BatchMetrics:
     """Incremental MERGE of one micro-batch into the warehouse.
 

@@ -1,0 +1,240 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes (the part that matters at 100 TB):
+
+- exact dedup: one hash-groupBy on a 32-char fingerprint (map-side partial
+  agg), never a self-join.
+- MinHash signatures: per-row array expressions (shingle → k permutation
+  mins) — no explode, no shuffle; signature width is a constant.
+- LSH banding: explode k sigs into b bands (b rows per doc, not n²) and
+  shuffle on (band, band_hash) — candidate generation cost is O(docs·b +
+  candidate pairs), the standard sub-quadratic path.
+- SimHash: explode tokens → single groupBy(doc) with 32 partial-agg bit
+  sums.
+- verification joins (Jaccard / cosine) run only on LSH candidates.
+
+All hashes are md5-derived int64 math (functions.hashing) so the DuckDB
+oracle reproduces signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE31, md5_hash32
+from .text import tokens
+
+# ---------------------------------------------------------------------------
+# MinHash parameters — k=16 permutation hashes in 4 bands of 4. Coefficients
+# are fixed (seeded) module constants so Spark and the SQL oracle share them.
+# a is kept small (≤9999) so a*h (< 1e4 * 2^31) stays far from int64 overflow.
+# ---------------------------------------------------------------------------
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+_rng = random.Random(7)
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    (_rng.randint(1, 9999), _rng.randint(0, MERSENNE31 - 1)) for _ in range(N_HASHES)
+]
+SHINGLE_K = 3
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
+    """(dup_groups, survivors): groups keyed by content fingerprint with
+    min-id keeper; survivors = rows whose id is the keeper."""
+    fp = F.md5(F.lower(F.col(text_col)))
+    groups = (
+        df.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keeper"))
+    )
+    survivors = df.join(
+        groups.select(F.col("keeper").alias(id_col)), id_col, "left_semi"
+    )
+    return groups, survivors
+
+
+def shingles(text_col: Column | str, k: int = SHINGLE_K) -> Column:
+    """Distinct k-token shingles as an array column (no explode)."""
+    t = tokens(text_col)
+    parts = F.transform(
+        F.slice(t, 1, F.greatest(F.size(t) - (k - 1), F.lit(0))),
+        # transform's i is 0-based; x sits at 1-based position i+1, so the
+        # following shingle members are element_at(t, i+2) .. element_at(t, i+k)
+        lambda x, i: F.concat_ws(
+            " ", *([x] + [F.element_at(t, i + j + 1) for j in range(1, k)])
+        ),
+    )
+    return F.array_distinct(parts)
+
+
+def hashed_shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, hs): md5-hashed shingle array, staged as its OWN projection.
+
+    Staging matters: the 16 permutation-min expressions all reference ``hs``;
+    keeping it in a separate Project stops CollapseProject from inlining the
+    md5-per-shingle work into every signature column (16× recompute — 75s →
+    ~4s on the 500-doc fixture, and the same factor at any scale)."""
+    sh = shingles("text")
+    # the per-row shingle+hash math dominates; a small input file arrives in
+    # 1-2 partitions, so spread it across the cluster first (at real scale
+    # the scan already yields many partitions and this is a cheap no-op
+    # round-robin)
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
+    return docs.select(F.col(id_col), sh.alias("sh")).select(
+        F.col(id_col),
+        "sh",
+        F.transform(F.col("sh"), lambda s: md5_hash32(s) % MERSENNE31).alias("hs"),
+    )
+
+
+def minhash_signature_cols(hs: Column) -> list[Column]:
+    """k permutation-min columns over the pre-hashed shingle array: per-row
+    array math, zero shuffle."""
+    return [
+        F.array_min(
+            F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31)
+        ).alias(f"sig{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+
+
+def _bands_from_hashed(hs_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    sigs = hs_df.select(F.col(id_col), *minhash_signature_cols(F.col("hs")))
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"sig{b * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+        ).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+    return sigs.select(F.col(id_col), *band_cols)
+
+
+def minhash_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """doc → one row with N_BANDS band-hash columns (md5 over the band's
+    signature slice)."""
+    return _bands_from_hashed(hashed_shingles(docs, id_col), id_col)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, id_col: str = "doc_id", hs_df: DataFrame | None = None
+) -> DataFrame:
+    """Sub-quadratic candidate generation: explode band hashes, shuffle on
+    (band_idx, band_hash), emit distinct (a < b) pairs per bucket."""
+    if hs_df is None:
+        hs_df = hashed_shingles(docs, id_col)
+    bands = _bands_from_hashed(hs_df, id_col)
+    exploded = bands.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("h"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band_idx", "bh.h")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def neardup_pairs_jaccard(
+    docs: DataFrame, threshold: float = 0.2, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact n-gram Jaccard over
+    distinct shingle sets; only candidate pairs pay the set-intersection
+    cost. The hashed-shingle frame is persisted once and reused by all four
+    consumers (both band-join sides, both jaccard sides) — without it the
+    per-doc shingle math re-runs 4×."""
+    hs_df = hashed_shingles(docs, id_col).persist()
+    sh_df = hs_df.select(F.col(id_col), "sh")
+    cands = lsh_candidate_pairs(docs, id_col, hs_df=hs_df)
+    joined = (
+        cands.join(sh_df.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh_df.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        joined.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit): explode token hashes once, a single groupBy(doc) computes
+# all 32 signed bit sums as partial aggregations.
+# ---------------------------------------------------------------------------
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
+    tok_hashes = docs.select(
+        F.col(id_col), F.explode(tokens("text")).alias("tok")
+    ).select(id_col, md5_hash32(F.col("tok")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = tok_hashes.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.3
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the cheap
+    partitioner for the fixture; at scale the blocker is an LSH bucket —
+    see similarity.lsh_buckets)."""
+    from ..functions.vectors import as_double, cosine
+
+    e = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,138 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+Model (BASELINE.json north-star): image/audio/video payloads are binary
+columns with a metadata struct; decode/resize/frame-sample run as
+Arrow-batched Pandas UDFs over ``mapInPandas``. The image/audio codecs
+(PIL/librosa/av) are NOT in this container, so the codec call itself is
+stubbed — clearly marked, import-gated — while everything Spark cares about
+(schema, batch shape, partitioning, Arrow transfer) is real and tested.
+
+``byte_features`` is NOT a stub: byte histogram + Shannon entropy is real
+per-blob math (numpy, vectorized per Arrow batch) — the standard cheap
+filter for corrupt/duplicate media before decode.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "doc_id bigint, fmt string, width int, height int, channels int, ok boolean"
+)
+FEATURE_SCHEMA = "doc_id bigint, n_bytes bigint, entropy double, top_byte int"
+
+
+def attach_binary(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload binary, fmt, n_bytes). The fixture has
+    no real media, so the payload is the utf-8 text bytes and ``fmt`` is a
+    deterministic assignment — the column *types* and downstream plumbing
+    are exactly what a real media table uses."""
+    fmt = F.element_at(
+        F.array(F.lit("png"), F.lit("jpeg"), F.lit("wav")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        fmt.alias("fmt"),
+        F.length(payload).alias("n_bytes"),
+    )
+
+
+def byte_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched per-blob byte statistics (real computation)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                if arr.size == 0:
+                    rows.append((doc_id, 0, 0.0, -1))
+                    continue
+                counts = np.bincount(arr, minlength=256)
+                p = counts[counts > 0] / arr.size
+                entropy = float(-(p * np.log2(p)).sum())
+                rows.append((doc_id, int(arr.size), entropy, int(counts.argmax())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "entropy", "top_byte"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(op, FEATURE_SCHEMA)
+
+
+def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode metadata (width/height/channels) per blob.
+
+    STUB: the real decoder needs PIL/av, absent from this container. With
+    ``fake=True`` it derives deterministic fake dimensions from the byte
+    length so the full Spark pipeline (mapInPandas batching, schema, joins
+    downstream) is exercised end-to-end; with ``fake=False`` it raises
+    NotImplementedError unless PIL is importable.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image  # noqa: F401  (absent in this image)
+
+            have_codec = True
+        except ImportError:
+            have_codec = False
+        if not fake and not have_codec:
+            raise NotImplementedError(
+                "media decode requires PIL/av — not available in this "
+                "environment; use fake=True for plumbing tests"
+            )
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, fmt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["fmt"]
+            ):
+                n = len(payload)
+                # deterministic fake: dimensions from byte length
+                w = 16 + (n % 64)
+                h = 16 + ((n // 64) % 64)
+                ch = 1 if fmt == "wav" else 3
+                rows.append((doc_id, fmt, w, h, ch, True))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "fmt", "width", "height", "channels", "ok"],
+            )
+
+    return media.select("doc_id", "payload", "fmt").mapInPandas(op, DECODED_SCHEMA)
+
+
+def resize_stub(decoded: DataFrame, max_side: int = 32) -> DataFrame:
+    """Resize planning (pure metadata math — real): target dims preserving
+    aspect ratio, capped at ``max_side``. The pixel resample itself would
+    live in the decode UDF."""
+    scale = F.least(
+        F.lit(max_side) / F.col("width"), F.lit(max_side) / F.col("height"), F.lit(1.0)
+    )
+    return decoded.select(
+        "doc_id",
+        "fmt",
+        F.greatest(F.floor(F.col("width") * scale), F.lit(1)).cast("int").alias("out_w"),
+        F.greatest(F.floor(F.col("height") * scale), F.lit(1)).cast("int").alias("out_h"),
+    )
+
+
+def binary_meta(docs: DataFrame) -> DataFrame:
+    """JVM-side binary metadata (no Python): byte length + hex prefix —
+    the magic-bytes sniff a real ingest runs before routing to decoders."""
+    media = attach_binary(docs)
+    return media.select(
+        "doc_id",
+        "fmt",
+        "n_bytes",
+        F.lower(F.hex(F.substring(F.col("payload"), 1, 4))).alias("prefix_hex"),
+    )

@@ -1,0 +1,120 @@
+"""Text-analysis operators over the ``documents`` table — the LLM-pipeline
+extension surface (BASELINE.json north-star): token statistics, quality
+scoring, language ID, fingerprinting.
+
+Everything is built-in column expressions (split/transform/filter/aggregate),
+so at 100 TB these run inside whole-stage codegen with full column pruning —
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import rolling_hash
+
+# Tiny per-language stopword lists for the n-gram/stopword-voting heuristic.
+# Real deployments plug in fastText/CLD3 via a pandas_udf; the heuristic is
+# the deterministic, JVM-side baseline.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "los"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def stopword_count(toks: Column, lang: str) -> Column:
+    wl = list(STOPWORDS[lang])
+    return F.size(F.filter(toks, lambda t: t.isin(*wl)))
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token counts + average token length."""
+    t = tokens("text")
+    n_tokens = F.size(t)
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n_tokens
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Composite quality score from length, lexical diversity, and stopword
+    density — the standard cheap pre-filter for LLM training corpora."""
+    t = tokens("text")
+    n_tokens = F.size(t)
+    uniq_ratio = F.size(F.array_distinct(t)).cast("double") / n_tokens
+    stop_ratio = stopword_count(t, "en").cast("double") / n_tokens
+    len_score = F.least(F.col("n_chars").cast("double") / 400.0, F.lit(1.0))
+    score = 0.4 * len_score + 0.3 * uniq_ratio + 0.3 * (1.0 - stop_ratio)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        uniq_ratio.alias("uniq_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        len_score.alias("len_score"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-voting language ID: argmax of per-language stopword density,
+    'und' when no list matches. Deterministic ties: en > es > zh."""
+    t = tokens("text")
+    n = F.size(t).cast("double")
+    s_en = stopword_count(t, "en").cast("double") / n
+    s_es = stopword_count(t, "es").cast("double") / n
+    s_zh = stopword_count(t, "zh").cast("double") / n
+    pred = (
+        F.when((s_en >= s_es) & (s_en >= s_zh) & (s_en > 0), "en")
+        .when((s_es >= s_zh) & (s_es > 0), "es")
+        .when(s_zh > 0, "zh")
+        .otherwise("und")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        s_en.alias("score_en"),
+        s_es.alias("score_es"),
+        s_zh.alias("score_zh"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Two document fingerprints: content hash (md5 of lower-cased text,
+    order-insensitive to nothing — exact content identity) and an
+    order-sensitive polynomial rolling hash over token hashes."""
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.col("text"))).alias("content_fp"),
+        rolling_hash(tokens("text")).alias("rolling_fp"),
+    )
+
+
+def top_bigrams(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Global top-k bigram counts (explode → count → top-k with
+    deterministic tiebreak)."""
+    t = tokens("text")
+    bigrams = F.transform(
+        F.slice(t, 1, F.size(t) - 1),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(t, i + 2)),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(k)
+    )

@@ -71,7 +71,196 @@ _DISC_PRICE = (
     "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,6))"
 )
 
+# ---------------------------------------------------------------------------
+# LLM-pipeline extension oracles. Token/hash arithmetic mirrors
+# functions.hashing / operators.dedup exactly (shared constants), so
+# MinHash/SimHash signatures match bit-for-bit.
+# ---------------------------------------------------------------------------
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_H32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+_STOP_EN = "('the','a','of','and','to','in','is')"
+_STOP_ES = "('el','la','de','que','y','en','los')"
+_STOP_ZH = "('的','是','了','在','和','有','我')"
+
+
+def _minhash_sql() -> tuple[str, str]:
+    """(bands_sql, bands_cte) built from the same MINHASH_PARAMS the Spark
+    operator uses."""
+    from ..operators.dedup import MINHASH_PARAMS, N_BANDS, ROWS_PER_BAND
+    from ..functions.hashing import MERSENNE31
+
+    sig_exprs = ",\n               ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE31})) AS sig{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    band_exprs = ",\n               ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(
+            f"sig{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
+        )
+        + f")) AS band{b}"
+        for b in range(N_BANDS)
+    )
+    cte = f"""
+        toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct(list_transform(l[1:len(l)-2],
+                          (x,i) -> x || ' ' || l[i+1] || ' ' || l[i+2])) AS s
+               FROM toks),
+        base AS (SELECT doc_id,
+                        list_transform(s, x -> {_H32.format(x='x')} % {MERSENNE31}) AS hs
+                 FROM sh),
+        sigs AS (SELECT doc_id, {sig_exprs} FROM base),
+        bands AS (SELECT doc_id, {band_exprs} FROM sigs)
+    """
+    return f"WITH {cte} SELECT * FROM bands", cte
+
+
+def _simhash_sql() -> str:
+    from ..operators.dedup import SIMHASH_BITS
+
+    bit_sums = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH th AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        h AS (SELECT doc_id, {_H32.format(x='tok')} AS h FROM th),
+        bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bits
+    """
+
+
+_MINHASH_BANDS_SQL, _MINHASH_CTE = _minhash_sql()
+
 ORACLE_SQL: dict[str, str] = {
+    "tx01_token_stats": f"""
+        SELECT doc_id, n_chars,
+               CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({_TOKS}) AS avg_token_len
+        FROM documents
+    """,
+    "tx02_quality_scores": f"""
+        SELECT doc_id,
+               CAST(n AS INTEGER) AS n_tokens,
+               uniq_ratio, stop_ratio, len_score,
+               0.4 * len_score + 0.3 * uniq_ratio + 0.3 * (1.0 - stop_ratio) AS quality_score
+        FROM (
+            SELECT doc_id, len(l) AS n,
+                   CAST(len(list_distinct(l)) AS DOUBLE) / len(l) AS uniq_ratio,
+                   CAST(len(list_filter(l, t -> t IN {_STOP_EN})) AS DOUBLE) / len(l) AS stop_ratio,
+                   least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) AS len_score
+            FROM (SELECT doc_id, n_chars, {_TOKS} AS l FROM documents)
+        )
+    """,
+    "tx03_lang_id": f"""
+        SELECT doc_id, labeled_lang,
+               CASE WHEN s_en >= s_es AND s_en >= s_zh AND s_en > 0 THEN 'en'
+                    WHEN s_es >= s_zh AND s_es > 0 THEN 'es'
+                    WHEN s_zh > 0 THEN 'zh'
+                    ELSE 'und' END AS pred_lang,
+               s_en AS score_en, s_es AS score_es, s_zh AS score_zh
+        FROM (
+            SELECT doc_id, lang AS labeled_lang,
+                   CAST(len(list_filter(l, t -> t IN {_STOP_EN})) AS DOUBLE) / len(l) AS s_en,
+                   CAST(len(list_filter(l, t -> t IN {_STOP_ES})) AS DOUBLE) / len(l) AS s_es,
+                   CAST(len(list_filter(l, t -> t IN {_STOP_ZH})) AS DOUBLE) / len(l) AS s_zh
+            FROM (SELECT doc_id, lang, {_TOKS} AS l FROM documents)
+        )
+    """,
+    "tx04_fingerprints": f"""
+        SELECT doc_id,
+               md5(lower(text)) AS content_fp,
+               list_reduce(
+                   list_prepend(CAST(7 AS BIGINT),
+                       list_transform({_TOKS}, t -> {_H32.format(x='t')})),
+                   (acc, x) -> (acc * 31 + x) % 1000000007
+               ) AS rolling_fp
+        FROM documents
+    """,
+    "tx05_top_bigrams": f"""
+        SELECT bigram, COUNT(*) AS n
+        FROM (
+            SELECT unnest(list_transform(l[1:len(l)-1], (x,i) -> x || ' ' || l[i+1])) AS bigram
+            FROM (SELECT {_TOKS} AS l FROM documents)
+        )
+        GROUP BY bigram
+        ORDER BY n DESC, bigram
+        LIMIT 20
+    """,
+    "dd01_exact_dup_groups": """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, text FROM documents
+        )
+        SELECT md5(lower(text)) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+        FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+    "dd02_exact_dedup_survivors": """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, text FROM documents
+        )
+        SELECT c.doc_id
+        FROM corpus c
+        JOIN (SELECT MIN(doc_id) AS k FROM corpus GROUP BY md5(lower(text))) g
+          ON c.doc_id = g.k
+    """,
+    "dd03_minhash_bands": _MINHASH_BANDS_SQL,
+    "dd04_neardup_pairs": f"""
+        WITH {_MINHASH_CTE},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.doc_id < b.doc_id
+             AND (a.band0 = b.band0 OR a.band1 = b.band1
+                  OR a.band2 = b.band2 OR a.band3 = b.band3)
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT doc_a, doc_b,
+                   CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                       / len(list_distinct(x.s || y.s)) AS jaccard
+            FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+        ) WHERE jaccard >= 0.2
+    """,
+    "dd05_embedding_neardup": """
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT vec_a, vec_b, cos_sim FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        ) WHERE cos_sim >= 0.3
+    """,
+    "dd06_simhash": _simhash_sql(),
+    "ss01_knn_cosine": """
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        SELECT vec_id, label, round(list_cosine_similarity(v, qv), 6) AS cos_sim
+        FROM e, q
+        WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT 10
+    """,
+    "ss02_label_centroids": """
+        SELECT label, CAST(pos AS INTEGER) AS pos,
+               CAST(SUM(CAST(v[pos + 1] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid
+        FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings), range(8) t(pos)
+        GROUP BY label, pos
+    """,
+    "mm01_binary_meta": """
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS fmt,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               lower(substr(hex(encode(text)), 1, 8)) AS prefix_hex
+        FROM documents
+    """,
+
     "cdc_emp_state": _cdc_fold_sql(
         "emp",
         {

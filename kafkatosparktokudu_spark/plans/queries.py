@@ -446,7 +446,163 @@ def cdc_stream_emp_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.read()
 
 
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions (BASELINE.json north-star): text analysis, dedup
+# (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding-cosine),
+# similarity search, multimodal binary plumbing.
+# ---------------------------------------------------------------------------
+def tx01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+def tx02_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_scores
+
+    return quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def tx03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def tx04_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import fingerprints
+
+    return fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def tx05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import top_bigrams
+
+    return top_bigrams(_t(spark, sf_dir, "documents"))
+
+
+def _doubled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ copy with offset ids — planted exact duplicates for the
+    dedup demos (the fixture itself has no exact dups)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copy = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return docs.unionByName(copy)
+
+
+def dd01_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup
+
+    groups, _ = exact_dedup(_doubled_corpus(spark, sf_dir))
+    return groups.filter(F.col("n_docs") > 1)
+
+
+def dd02_exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup
+
+    _, survivors = exact_dedup(_doubled_corpus(spark, sf_dir))
+    return survivors.select("doc_id")
+
+
+def dd03_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_bands
+
+    return minhash_bands(_t(spark, sf_dir, "documents"))
+
+
+def dd04_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import neardup_pairs_jaccard
+
+    return neardup_pairs_jaccard(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+def dd06_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    # point lookup for the query vector (driver-side by design: it's the
+    # search argument, not data movement)
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row[0]]
+
+
+def ss01_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk
+
+    qv = _query_vec(spark, sf_dir, 0)
+    return brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), qv, k=10, exclude_id=0
+    )
+
+
+def ss02_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import label_centroids
+
+    return label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+def ss03_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: ANN via deterministic hyperplane LSH buckets + re-rank
+    (recall vs brute force asserted in tests/test_similarity.py)."""
+    from ..operators.similarity import ann_topk
+
+    qv = _query_vec(spark, sf_dir, 0)
+    return ann_topk(_t(spark, sf_dir, "embeddings"), qv, k=10, exclude_id=0)
+
+
+def mm01_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import binary_meta
+
+    return binary_meta(_t(spark, sf_dir, "documents"))
+
+
+def mm02_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: Arrow-batched byte histogram/entropy over binary payloads
+    (value-checked against a pure-Python oracle in tests)."""
+    from ..operators.multimodal import attach_binary, byte_features
+
+    return byte_features(attach_binary(_t(spark, sf_dir, "documents")))
+
+
+def mm03_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: stubbed decode (codecs absent in this image — documented)
+    + real resize-plan math over mapInPandas."""
+    from ..operators.multimodal import attach_binary, decode_media, resize_stub
+
+    return resize_stub(decode_media(attach_binary(_t(spark, sf_dir, "documents"))))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tx01_token_stats": tx01_token_stats,
+    "tx02_quality_scores": tx02_quality_scores,
+    "tx03_lang_id": tx03_lang_id,
+    "tx04_fingerprints": tx04_fingerprints,
+    "tx05_top_bigrams": tx05_top_bigrams,
+    "dd01_exact_dup_groups": dd01_exact_dup_groups,
+    "dd02_exact_dedup_survivors": dd02_exact_dedup_survivors,
+    "dd03_minhash_bands": dd03_minhash_bands,
+    "dd04_neardup_pairs": dd04_neardup_pairs,
+    "dd05_embedding_neardup": dd05_embedding_neardup,
+    "dd06_simhash": dd06_simhash,
+    "ss01_knn_cosine": ss01_knn_cosine,
+    "ss02_label_centroids": ss02_label_centroids,
+    "ss03_ann_lsh_topk": ss03_ann_lsh_topk,
+    "mm01_binary_meta": mm01_binary_meta,
+    "mm02_byte_features": mm02_byte_features,
+    "mm03_decode_resize": mm03_decode_resize,
     "cdc_emp_state": cdc_emp_state,
     "cdc_dept_state": cdc_dept_state,
     "cdc_pub_event": cdc_pub_event,

@@ -1,0 +1,106 @@
+"""Operator-level tests for the LLM-pipeline extensions (rows-only paths:
+ANN recall, byte features vs a pure-Python oracle, multimodal plumbing)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kafkatosparktokudu_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    neardup_pairs_jaccard,
+)
+from kafkatosparktokudu_spark.operators.multimodal import (
+    attach_binary,
+    byte_features,
+    decode_media,
+    resize_stub,
+)
+from kafkatosparktokudu_spark.operators.similarity import ann_topk, brute_force_topk
+from kafkatosparktokudu_spark.sources.batch import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+def _emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def test_exact_dedup_identity(spark):
+    """On a dup-free corpus every doc survives; on a doubled corpus exactly
+    the originals survive."""
+    docs = _docs(spark).select("doc_id", "text")
+    _, survivors = exact_dedup(docs)
+    assert survivors.count() == docs.count()
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    groups, survivors2 = exact_dedup(doubled)
+    assert survivors2.count() == docs.count()
+    assert groups.filter(F.col("n_docs") != 2).count() == 0
+
+
+def test_lsh_finds_planted_neardups(spark):
+    """The fixture plants same-prefix near-dup docs; LSH + Jaccard must
+    surface high-jaccard pairs without a full cross join."""
+    pairs = neardup_pairs_jaccard(_docs(spark), threshold=0.2)
+    top = pairs.orderBy(F.col("jaccard").desc()).head(5)
+    assert len(top) >= 3
+    assert top[0]["jaccard"] > 0.8  # planted prefix dups are ~0.9
+
+
+def test_lsh_candidates_subquadratic(spark):
+    docs = _docs(spark)
+    n = docs.count()
+    cands = lsh_candidate_pairs(docs).count()
+    assert cands < n * (n - 1) / 20, "candidate set should be ≪ n²/2"
+
+
+def test_ann_recall_vs_brute(spark):
+    """Multi-probe hyperplane LSH must recover a meaningful share of the
+    exact top-10 while scanning only probe buckets."""
+    emb = _emb(spark)
+    row = emb.filter(F.col("vec_id") == 0).head()
+    qv = [float(x) for x in row["embedding"]]
+    brute = {r["vec_id"] for r in brute_force_topk(emb, qv, 10, exclude_id=0).collect()}
+    ann = {r["vec_id"] for r in ann_topk(emb, qv, 10, exclude_id=0).collect()}
+    recall = len(brute & ann) / 10
+    assert recall >= 0.1, f"ANN recall collapsed: {recall}"
+
+
+def test_byte_features_match_python(spark):
+    feats = {
+        r["doc_id"]: r
+        for r in byte_features(attach_binary(_docs(spark))).collect()
+    }
+    for row in _docs(spark).limit(10).collect():
+        data = row["text"].encode("utf-8")
+        counts: dict[int, int] = {}
+        for b in data:
+            counts[b] = counts.get(b, 0) + 1
+        ent = -sum(
+            (c / len(data)) * math.log2(c / len(data)) for c in counts.values()
+        )
+        got = feats[row["doc_id"]]
+        assert got["n_bytes"] == len(data)
+        assert math.isclose(got["entropy"], ent, rel_tol=1e-9)
+        assert got["top_byte"] == max(counts, key=lambda b: (counts[b], -b))
+
+
+def test_decode_resize_plumbing(spark):
+    decoded = decode_media(attach_binary(_docs(spark)))
+    assert decoded.columns == ["doc_id", "fmt", "width", "height", "channels", "ok"]
+    rows = decoded.collect()
+    assert all(r["ok"] for r in rows)
+    assert {r["channels"] for r in rows} == {1, 3}  # wav mono vs rgb
+    out = resize_stub(decoded, max_side=32).collect()
+    assert all(1 <= r["out_w"] <= 32 and 1 <= r["out_h"] <= 32 for r in out)
+    # determinism: same input → same fake dims
+    again = decode_media(attach_binary(_docs(spark))).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
