@@ -81,6 +81,12 @@ def main() -> None:
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
 
+    # Warm up JVM / codegen / parquet footer caches so the first timed query
+    # measures steady-state execution, not session cold-start.
+    QUERIES["q03_filter_project"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     results: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
@@ -91,8 +97,17 @@ def main() -> None:
     # CDC throughput: full parse→normalize→fold→MERGE of a synthetic batch
     from kafkatosparktokudu_spark.cdc import sync_batch
 
+    spark.catalog.clearCache()  # release analytic-query cache before CDC timing
     raw = _gen_cdc_batch(spark, N_CDC_RECORDS)
     raw.cache().count()  # materialize the generator; time the pipeline only
+    # Warmup sync into a throwaway warehouse: the baseline number (10k rec/s
+    # sustained) is steady-state throughput, so exclude one-time codegen /
+    # write-path initialization from the timed run.
+    warm = tempfile.mkdtemp(prefix="bench_whw_")
+    try:
+        sync_batch(spark, raw, warm, n_buckets=16)
+    finally:
+        shutil.rmtree(warm, ignore_errors=True)
     wh = tempfile.mkdtemp(prefix="bench_wh_")
     try:
         start = time.time()

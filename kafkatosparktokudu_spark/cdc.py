@@ -99,13 +99,20 @@ def sync_batch(
     cross-table transaction.
     """
     catalog = catalog or default_catalog()
-    parsed = parse_ogg(raw)
+    # Cache the parsed envelope once: every downstream job (stats, dead
+    # letters, per-table folds, pub_event) is a cheap projection over it.
+    # The batch is rate-capped (maxOffsetsPerTrigger), so it fits in memory.
+    parsed = parse_ogg(raw).cache()
     valid, dead = split_valid(parsed)
-    norm = normalize(valid).cache()
+    norm = normalize(valid)
     try:
-        total = norm.count()  # one action; reused by every fan-out branch
-        dead_n = dead.count()
-        tables = [r[0] for r in norm.select("tab_name").distinct().collect()]
+        # One job yields both the total and the table list (S7 + S20);
+        # the reference needed a per-record accumulator plus a driver-side
+        # distinct for the same report (ConsumerMain.scala:101,113-116).
+        per_table = norm.groupBy("tab_name").count().collect()
+        total = sum(r["count"] for r in per_table)
+        tables = [r["tab_name"] for r in per_table]
+        dead_n = dead.count()  # reads the cache, no re-parse
         for name, target in catalog.items():
             if name not in tables:
                 continue  # empty-batch guard per table (S5)
@@ -130,4 +137,4 @@ def sync_batch(
         ev_store.upsert_batch(derive_pub_event(norm, now_str))
         return BatchMetrics(total=total, dead=dead_n, tables=sorted(tables))
     finally:
-        norm.unpersist()
+        parsed.unpersist()

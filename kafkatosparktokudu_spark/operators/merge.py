@@ -119,8 +119,11 @@ class StateStore:
             _BUCKET, self._bucket_col()
         )
         if not self.exists():
-            merged = batch
+            merged = batch.repartition(_BUCKET)
         else:
+            # Cache the folded batch: it is read twice (affected-bucket scan
+            # + the merge itself) and folding is the expensive part.
+            batch = batch.persist()
             affected = [r[0] for r in batch.select(_BUCKET).distinct().collect()]
             base = T.StructType(
                 list(self.schema.fields)
@@ -135,12 +138,14 @@ class StateStore:
             merged = merge_upserts(
                 state.drop(_BUCKET), batch.drop(_BUCKET), self.key_cols
             ).withColumn(_BUCKET, self._bucket_col())
-            # Truncate lineage before overwriting the path we just read
-            # (Spark refuses read-overwrite cycles on the same location).
-            merged = merged.localCheckpoint(eager=True)
+            # Repartition BEFORE the checkpoint: the checkpointed blocks are
+            # already bucket-clustered, so the write below is shuffle-free
+            # (one file per touched bucket). The checkpoint truncates lineage
+            # so Spark allows overwriting the path we just read.
+            merged = merged.repartition(_BUCKET).localCheckpoint(eager=True)
+            batch.unpersist()
         (
-            merged.repartition(_BUCKET)
-            .write.mode("overwrite")
+            merged.write.mode("overwrite")
             .partitionBy(_BUCKET)
             .parquet(self.path)
         )
