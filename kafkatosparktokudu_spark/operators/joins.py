@@ -1,0 +1,105 @@
+"""Join operators Spark lacks as built-ins: as-of join and broadcast range join.
+
+The reference has no relational joins at all (SURVEY.md §2.2 — its per-record
+Kudu ``openTable`` + upsert is a point lookup, /root/reference/.../
+KuduManager.scala:70-73); these fill the standard-category gap with
+scale-first formulations.
+
+As-of join strategy (the part that matters at 100 TB): the naive plan —
+``left ⋈ right ON key AND r.ts <= l.ts`` then argmax per left row — explodes
+to O(|matches|) intermediate rows before reducing. Instead we UNION the two
+sides, sort once within each key partition by (ts, side), and carry the most
+recent right payload forward with ``last(ignorenulls=True)``. Cost: ONE
+shuffle on the key, no pair explosion, and Tungsten's in-memory sort per
+partition — the same shape Flink's interval joins and kdb's ``aj`` use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+_SIDE = "_asof_side"
+_PAYLOAD = "_asof_payload"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    right_value_cols: list[str],
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest ``ts_col``
+    <= the left row's ``ts_col`` within the same ``on`` keys (ASOF LEFT JOIN;
+    ties at equal ts match).
+
+    ``right`` must be unique per (*on, ts_col) — pre-fold duplicates with
+    ``max_by`` so the match is deterministic. Unmatched left rows keep nulls.
+    ``tolerance``: optional max lookback interval (e.g.
+    ``F.expr("INTERVAL 1 HOUR")``); matches older than ``ts - tolerance``
+    are nulled, mirroring pandas ``merge_asof(tolerance=...)``.
+    """
+    payload = F.struct(
+        F.col(ts_col).alias("_ts"), *[F.col(c) for c in right_value_cols]
+    )
+    r = right.select(
+        *on,
+        F.col(ts_col),
+        F.lit(0).alias(_SIDE),
+        payload.alias(_PAYLOAD),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns
+          if c not in on and c != ts_col],
+    )
+    l = left.select(
+        *on,
+        F.col(ts_col),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+        *[c for c in left.columns if c not in on and c != ts_col],
+    )
+    # right rows sort before left rows at equal ts → "at or before" semantics
+    w = (
+        W.partitionBy(*on)
+        .orderBy(F.col(ts_col), F.col(_SIDE))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    matched = l.unionByName(r).withColumn(
+        _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w)
+    )
+    out = matched.filter(F.col(_SIDE) == 1)
+    if tolerance is not None:
+        out = out.withColumn(
+            _PAYLOAD,
+            F.when(
+                F.col(f"{_PAYLOAD}._ts") >= F.col(ts_col) - tolerance,
+                F.col(_PAYLOAD),
+            ),
+        )
+    return out.select(
+        *on,
+        ts_col,
+        *[c for c in left.columns if c not in on and c != ts_col],
+        *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in right_value_cols],
+    )
+
+
+def broadcast_range_join(
+    fact: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Theta join of a fact column into [lo, hi) bands.
+
+    The band table is small by construction (it's a config), so broadcast
+    nested-loop is the right physical plan at any fact size — each task
+    scans its fact partition once against the in-memory band list; no
+    shuffle at all. With a large range table the scalable rewrite is binning
+    both sides to equi-join keys; not needed for band semantics.
+    """
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return fact.join(F.broadcast(ranges), cond, "left")

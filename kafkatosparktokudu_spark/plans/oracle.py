@@ -542,4 +542,98 @@ ORACLE_SQL: dict[str, str] = {
         JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY p_brand
     """,
+    # ASOF LEFT JOIN is native in DuckDB; the Spark side is the union+window
+    # operator (operators/joins.py). Right side pre-deduped per (user, ts)
+    # so ties resolve identically in both engines.
+    "q22_asof_join": """
+        WITH r AS (
+            SELECT user_id, ts,
+                   max(event_id) AS p_event_id,
+                   arg_max(value, event_id) AS p_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
+        ),
+        l AS (
+            SELECT user_id, ts, event_id AS click_id
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT l.user_id, l.ts, l.click_id, r.p_event_id, r.p_value
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "q23_range_join_tiers": """
+        WITH tiers(lo, hi, tier) AS (
+            VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'), (150.0, 1e9, 'high')
+        )
+        SELECT event_type, tier,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events LEFT JOIN tiers ON value >= lo AND value < hi
+        GROUP BY event_type, tier
+    """,
+    "q24_value_percentiles": """
+        SELECT event_type,
+               round(CAST(quantile_cont(value, 0.25) AS DOUBLE), 6) AS p25,
+               round(CAST(quantile_cont(value, 0.5)  AS DOUBLE), 6) AS p50,
+               round(CAST(quantile_cont(value, 0.75) AS DOUBLE), 6) AS p75,
+               round(CAST(quantile_cont(value, 0.95) AS DOUBLE), 6) AS p95
+        FROM events
+        GROUP BY event_type
+    """,
+    "q25_corr_stats": """
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+               round(stddev_samp(l_quantity), 6) AS qty_stddev,
+               round(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "q26_grouping_sets": """
+        SELECT COALESCE(event_type, '(all)') AS event_type,
+               COALESCE(dow, -1) AS dow,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM (SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS dow, value
+              FROM events)
+        GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow))
+    """,
+    "q27_above_nation_avg": """
+        SELECT c_custkey, n_name, c_acctbal, round(nation_avg, 6) AS nation_avg
+        FROM (
+            SELECT c_custkey, c_nationkey, c_acctbal,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) OVER w AS DOUBLE)
+                     / COUNT(c_acctbal) OVER w AS nation_avg
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey)
+        )
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > nation_avg
+    """,
+    "q28_hash_sample": f"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_sampled,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        WHERE {_H32.format(x='CAST(o_orderkey AS VARCHAR)')} % 10 = 0
+        GROUP BY o_orderstatus
+    """,
+    "q29_segment_lists": """
+        SELECT n_name,
+               array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',')
+                   AS segments,
+               COUNT(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "q30_date_arithmetic": """
+        SELECT o_orderkey,
+               CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INTEGER)
+                   AS days_since,
+               date_trunc('month', o_orderdate) AS month_start,
+               CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
+               CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+               CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+               CAST(last_day(o_orderdate) AS DATE) AS month_end
+        FROM orders
+    """,
 }

@@ -388,6 +388,160 @@ def q21_brand_supply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# As-of join (operator Spark lacks — operators/joins.py): for each click,
+# the user's most recent purchase at-or-before the click. One shuffle on
+# user_id, no pair explosion (see asof_join docstring for the scale story).
+def q22_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    # dedup right side per (user, ts) so ASOF ties are deterministic
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("p_event_id"),
+            F.max_by("value", "event_id").alias("p_value"),
+        )
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        ts_col="ts",
+        right_value_cols=["p_event_id", "p_value"],
+    )
+
+
+# Theta/range join: event values into [lo, hi) tier bands — broadcast
+# nested-loop (band table is config-sized, so zero shuffle at any scale).
+def q23_range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import broadcast_range_join
+
+    events = _t(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 1e9, "high")],
+        "lo double, hi double, tier string",
+    )
+    return (
+        broadcast_range_join(events, tiers, "value")
+        .groupBy("event_type", "tier")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+    )
+
+
+# Exact interpolated percentiles (quantile_cont parity).
+def q24_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.25), 6).alias("p25"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.75), 6).alias("p75"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95"),
+    )
+
+
+# Statistical aggregates: correlation / sample stddev / covariance.
+def q25_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# GROUPING SETS that are neither rollup nor cube: (type,dow), (type), (dow).
+def q26_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").alias("dow"), "value"
+    )
+    return (
+        events.groupingSets(
+            [["event_type", "dow"], ["event_type"], ["dow"]],
+            "event_type",
+            "dow",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("dow"), F.lit(-1)).alias("dow"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# Correlated-subquery semantics (customers above their nation's average
+# balance). Spark plan: one window avg over the nation partition — the
+# decorrelated form Catalyst itself would target; oracle keeps the
+# correlated scalar subquery shape.
+def q27_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    w = W.partitionBy("c_nationkey")
+    nation_avg = (
+        F.sum(dec("c_acctbal")).over(w).cast("double") / F.count("c_acctbal").over(w)
+    )
+    return (
+        cust.withColumn("nation_avg", nation_avg)
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "n_name", "c_acctbal", F.round("nation_avg", 6).alias("nation_avg"))
+    )
+
+
+# Deterministic hash sampling (TABLESAMPLE analog that both engines can
+# reproduce bit-for-bit: md5-derived bucket, not engine RNG).
+def q28_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_hash32
+
+    orders = _t(spark, sf_dir, "orders")
+    sampled = orders.filter(
+        md5_hash32(F.col("o_orderkey").cast("string")) % 10 == 0
+    )
+    return sampled.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+# Ordered list aggregation: deterministic collect_set → sorted CSV.
+def q29_segment_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("c_mktsegment"))).alias(
+                "segments"
+            ),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+# Date/interval arithmetic surface.
+def q30_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.add_months(F.col("o_orderdate"), 1).cast("date").alias("next_month"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.last_day("o_orderdate").alias("month_end"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # CDC surface (SURVEY.md §2.1 S8-S19): replay the OGG change fixture from
 # empty state — parse → validate → normalize → fold → cast → merge. The
@@ -628,4 +782,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_hourly_event_rollup": q19_hourly_event_rollup,
     "q20_pivot_returnflag": q20_pivot_returnflag,
     "q21_brand_supply_stats": q21_brand_supply_stats,
+    "q22_asof_join": q22_asof_join,
+    "q23_range_join_tiers": q23_range_join_tiers,
+    "q24_value_percentiles": q24_value_percentiles,
+    "q25_corr_stats": q25_corr_stats,
+    "q26_grouping_sets": q26_grouping_sets,
+    "q27_above_nation_avg": q27_above_nation_avg,
+    "q28_hash_sample": q28_hash_sample,
+    "q29_segment_lists": q29_segment_lists,
+    "q30_date_arithmetic": q30_date_arithmetic,
 }

@@ -1,0 +1,93 @@
+"""Unit semantics for operators.joins: as-of join and broadcast range join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kafkatosparktokudu_spark.operators.joins import asof_join, broadcast_range_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "l1"),
+            (1, _ts("2024-01-01 12:00:00"), "l2"),
+            (1, _ts("2024-01-01 09:00:00"), "l0"),  # before any right row
+            (2, _ts("2024-01-01 10:30:00"), "l3"),
+            (3, _ts("2024-01-01 10:00:00"), "l4"),  # key absent on right
+        ],
+        "k int, ts timestamp, lval string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:30:00"), 10.0),
+            (1, _ts("2024-01-01 11:00:00"), 20.0),
+            (2, _ts("2024-01-01 10:30:00"), 30.0),  # tie with left ts
+        ],
+        "k int, ts timestamp, rval double",
+    )
+    return left, right
+
+
+def test_asof_basic_and_ties(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on=["k"], ts_col="ts", right_value_cols=["rval"])
+    got = {r["lval"]: r["rval"] for r in out.collect()}
+    assert got == {
+        "l0": None,  # no right row at or before 09:00
+        "l1": 10.0,  # 09:30 is latest <= 10:00
+        "l2": 20.0,  # 11:00 is latest <= 12:00
+        "l3": 30.0,  # equal timestamps match (>= semantics)
+        "l4": None,  # key 3 never on right
+    }
+    assert out.count() == left.count()  # left-join cardinality preserved
+
+
+def test_asof_tolerance(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left,
+        right,
+        on=["k"],
+        ts_col="ts",
+        right_value_cols=["rval"],
+        tolerance=F.expr("INTERVAL 45 MINUTES"),
+    )
+    got = {r["lval"]: r["rval"] for r in out.collect()}
+    # l1: match at 09:30 within 45min of 10:00 → kept
+    # l2: match at 11:00 is 60min before 12:00 → nulled by tolerance
+    assert got["l1"] == 10.0
+    assert got["l2"] is None
+    assert got["l3"] == 30.0  # zero lag always within tolerance
+
+
+def test_asof_plan_single_shuffle(spark):
+    """The scale contract: one Exchange for the union+window, no join node."""
+    left, right = _frames(spark)
+    out = asof_join(left, right, on=["k"], ts_col="ts", right_value_cols=["rval"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # no pair-explosion join anywhere
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_broadcast_range_join_boundaries(spark):
+    fact = spark.createDataFrame(
+        [(1, 0.0), (2, 49.99), (3, 50.0), (4, 150.0), (5, -1.0)],
+        "id int, value double",
+    )
+    tiers = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 1e9, "high")],
+        "lo double, hi double, tier string",
+    )
+    out = broadcast_range_join(fact, tiers, "value")
+    got = {r["id"]: r["tier"] for r in out.collect()}
+    # [lo, hi): 50.0 belongs to mid, 150.0 to high, -1 matches nothing (left join)
+    assert got == {1: "low", 2: "low", 3: "mid", 4: "high", 5: None}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
