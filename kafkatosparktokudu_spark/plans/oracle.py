@@ -625,6 +625,54 @@ ORACLE_SQL: dict[str, str] = {
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
     """,
+    # Sliding window (1h / 30m): each event lands in two epoch-aligned
+    # windows — reproduce Spark's window(ts, '1 hour', '30 minutes') with a
+    # two-offset UNION ALL over time_bucket.
+    "st01_sliding_rollup": """
+        WITH e2 AS (
+            SELECT event_type, value,
+                   time_bucket(INTERVAL 30 MINUTES, ts) AS s1
+            FROM events
+        ),
+        w AS (
+            SELECT event_type, value, s1 AS win_start FROM e2
+            UNION ALL
+            SELECT event_type, value, s1 - INTERVAL 30 MINUTES FROM e2
+        )
+        SELECT win_start,
+               win_start + INTERVAL 1 HOUR AS win_end,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM w
+        GROUP BY win_start, event_type
+    """,
+    # Session windows (30m gap): Spark's session_window merges an event at
+    # EXACTLY prev+gap (probe-verified), so a new session starts only when
+    # ts > prev + gap — the same rule as the q17 lag+running-sum form.
+    "st02_session_rollup": """
+        WITH o AS (
+            SELECT user_id, ts, event_id,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_ts
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   SUM(CASE WHEN prev_ts IS NULL
+                             OR ts > prev_ts + INTERVAL 30 MINUTES
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS session_idx
+            FROM o
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               COUNT(*) AS n_events
+        FROM s
+        GROUP BY user_id, session_idx
+    """,
     "q30_date_arithmetic": """
         SELECT o_orderkey,
                CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INTEGER)

@@ -542,6 +542,21 @@ def q30_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Streaming window operators evaluated in batch mode (identical plans — the
+# stream==batch equivalence itself is asserted in tests/test_streaming.py;
+# these entries give the window semantics a DuckDB hash check too).
+def st01_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import sliding_rollup
+
+    return sliding_rollup(_t(spark, sf_dir, "events"))
+
+
+def st02_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import session_rollup
+
+    return session_rollup(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # CDC surface (SURVEY.md §2.1 S8-S19): replay the OGG change fixture from
 # empty state — parse → validate → normalize → fold → cast → merge. The
@@ -791,4 +806,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_hash_sample": q28_hash_sample,
     "q29_segment_lists": q29_segment_lists,
     "q30_date_arithmetic": q30_date_arithmetic,
+    "st01_sliding_rollup": st01_sliding_rollup,
+    "st02_session_rollup": st02_session_rollup,
 }

@@ -158,3 +158,204 @@ def test_offsets_csv_translation():
         offsets_csv_to_starting_json(csv)
         == '{"tt": {"0": 39, "1": 30, "2": 40, "3": 107, "4": 95}}'
     )
+
+
+def test_sliding_rollup_stream_equals_batch(spark, tmp_path):
+    """Sliding windows (1h / 30min slide): stream complete-mode == batch."""
+    from kafkatosparktokudu_spark.streaming.pipeline import sliding_rollup
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    want = {
+        (r["win_start"], r["win_end"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in sliding_rollup(events).collect()
+    }
+    src = str(tmp_path / "slide_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        sliding_rollup(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("slide_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win_start"], r["win_end"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.table("slide_out").collect()
+    }
+    assert got == want
+    # every event is in exactly window/slide = 2 windows
+    assert sum(n for n, _ in got.values()) == 2 * events.count()
+
+
+def test_session_rollup_stream_equals_batch(spark, tmp_path):
+    """Session windows (30min gap): stream == batch session_window agg, and
+    both agree with the window-function sessionization (q17) on counts."""
+    from kafkatosparktokudu_spark.streaming.pipeline import session_rollup
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    want = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in session_rollup(events).collect()
+    }
+    src = str(tmp_path / "sess_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        session_rollup(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in spark.table("sess_out").collect()
+    }
+    assert got == want
+    # cross-check against the batch window-function sessionization (q17)
+    from kafkatosparktokudu_spark.plans.queries import q17_sessionize
+
+    q17 = q17_sessionize(spark, "/root/testdata/sf0.001")
+    q17_sessions = {
+        (r["user_id"], r["session_start"]): r["n_events"] for r in q17.collect()
+    }
+    assert {k: v[1] for k, v in got.items()} == q17_sessions
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode tumbling window across two checkpointed runs: a record
+    older than the committed watermark is discarded, a fresh record lands."""
+    from kafkatosparktokudu_spark.streaming.pipeline import windowed_rollup
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "late_ckpt")
+    out = str(tmp_path / "late_out")
+
+    def run(name):
+        # parquet sink: append-mode + checkpoint-recoverable (memory isn't)
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            windowed_rollup(stream, window="1 hour", watermark="1 hour")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [
+            ((r["hour"], r["event_type"]), (r["n"], r["sum_value"]))
+            for r in spark.read.parquet(out).collect()
+        ]
+
+    def line(eid, ts, val):
+        return (
+            f'{{"event_id": {eid}, "ts": "{ts}", "user_id": 1, '
+            f'"event_type": "click", "value": {val}}}'
+        )
+
+    # run 1: events 10:00-13:00 → watermark commits at 13:00 - 1h = 12:00;
+    # append emits windows ending <= 12:00
+    (src / "a.jsonl").write_text(
+        "\n".join(
+            [
+                line(1, "2024-01-01 10:15:00", 1.0),
+                line(2, "2024-01-01 10:45:00", 2.0),
+                line(3, "2024-01-01 11:30:00", 4.0),
+                line(4, "2024-01-01 13:00:00", 8.0),
+            ]
+        )
+        + "\n"
+    )
+    import datetime as dt
+
+    first = dict(run("late_run1"))
+    h10 = (dt.datetime(2024, 1, 1, 10, 0), "click")
+    assert first[h10] == (2, 3.0)
+
+    # run 2 on the same checkpoint: one record at 10:50 (behind the 12:00
+    # watermark → dropped) + one at 15:00 (advances watermark → the 13:00
+    # window closes and emits WITHOUT the late record's window changing)
+    (src / "b.jsonl").write_text(
+        "\n".join(
+            [
+                line(5, "2024-01-01 10:50:00", 100.0),  # LATE → discarded
+                line(6, "2024-01-01 15:00:00", 16.0),
+            ]
+        )
+        + "\n"
+    )
+    second = run("late_run2")  # cumulative file-sink contents (run1 + run2)
+    h10_rows = [v for k, v in second if k == h10]
+    # exactly the run-1 emission — the late record neither re-emitted the
+    # window nor changed it
+    assert h10_rows == [(2, 3.0)]
+    h13 = (dt.datetime(2024, 1, 1, 13, 0), "click")
+    assert [v for k, v in second if k == h13] == [(1, 8.0)]
+
+
+def test_stateful_running_totals_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: per-user totals accumulate across two
+    checkpointed availableNow runs and match the batch aggregate."""
+    import pytest as _pytest
+
+    from kafkatosparktokudu_spark.streaming.pipeline import user_running_totals
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+    src = tmp_path / "state_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "state_ckpt")
+    out = str(tmp_path / "state_out")
+    half_a.write.parquet(str(src / "a"))
+
+    def run(name):
+        stream = spark.readStream.schema(events.schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = (
+            user_running_totals(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # cumulative sink: the row with the max running count per user is
+        # that user's latest state (totals only grow)
+        latest = (
+            spark.read.parquet(out)
+            .groupBy("user_id")
+            .agg(F.max(F.struct("n_events", "sum_value")).alias("m"))
+        )
+        return {
+            r["user_id"]: (r["m"]["n_events"], r["m"]["sum_value"])
+            for r in latest.collect()
+        }
+
+    run("state_run1")
+    half_b.write.parquet(str(src / "b"))
+    final = run("state_run2")
+
+    want = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(want)
+    for uid, (n, s) in want.items():
+        fn, fs = final[uid]
+        assert fn == n
+        assert fs == _pytest.approx(s, rel=1e-9)
