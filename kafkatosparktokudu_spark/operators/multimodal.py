@@ -126,6 +126,49 @@ def resize_stub(decoded: DataFrame, max_side: int = 32) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_offset bigint, frame_bytes binary"
+)
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4, frame_size: int = 16) -> DataFrame:
+    """Evenly-spaced frame sampling from a video-like binary payload —
+    the one-row-in / many-rows-out mapInPandas shape (UDTF-like).
+
+    STUB boundary: a real implementation hands the payload to a demuxer
+    (av/ffmpeg, absent here) and yields decoded frames at the sampled
+    timestamps; this one slices ``frame_size`` bytes at the same evenly
+    spaced offsets, so the sampling plan, the exploding batch shape, and
+    the binary round-trip through Arrow are all real.
+
+    Scale: one payload never crosses partitions (frames derive from their
+    own row), so the operator is embarrassingly parallel; output size is
+    bounded at n_frames × frame_size per blob regardless of blob size.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                if n == 0:
+                    continue
+                k = min(n_frames, n)
+                for i in range(k):
+                    # even spacing over [0, n): same rule a timestamp
+                    # sampler uses over the duration
+                    off = (i * n) // k
+                    out.append(
+                        (doc_id, i, off, bytes(payload[off : off + frame_size]))
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "frame_idx", "frame_offset", "frame_bytes"],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(op, FRAME_SCHEMA)
+
+
 def binary_meta(docs: DataFrame) -> DataFrame:
     """JVM-side binary metadata (no Python): byte length + hex prefix —
     the magic-bytes sniff a real ingest runs before routing to decoders."""

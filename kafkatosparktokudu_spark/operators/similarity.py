@@ -117,6 +117,108 @@ def ann_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: partition the space into cells around trained
+# centroids; a query probes only the nearest nprobe cells. The standard
+# large-scale layout (FAISS IVF): at 100 TB the cell id is the table's
+# partition key and training runs on a driver-side sample — exactly what
+# this does.
+# ---------------------------------------------------------------------------
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    iters: int = 5,
+    sample_mod: int = 7,
+) -> list[list[float]]:
+    """Lloyd's k-means on a deterministic hash-sample, driver-side numpy.
+
+    Sampling keeps the driver transfer O(sample), independent of table
+    size; seeds are the first n_cells sample rows by vec_id, so training
+    is fully reproducible (no RNG)."""
+    import numpy as np
+
+    sample = (
+        emb.filter(md5_hash32(F.col("vec_id").cast("string")) % sample_mod == 0)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .limit(4096)
+        .collect()
+    )
+    x = np.array([[float(v) for v in r["embedding"]] for r in sample])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cents = x[:n_cells].copy()
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(float(np.linalg.norm(m)), 1e-12)
+    return [[float(v) for v in c] for c in cents]
+
+
+def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Attach each vector's cell id (argmax centroid cosine).
+
+    Vectorized pandas_udf: the assignment is a (batch × dims) @ (dims ×
+    cells) matmul per Arrow batch — the Python-worker path is right here
+    because 16 JVM aggregate-expressions per row lose to one BLAS call.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F811
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.array(centroids)  # rows already unit-norm
+
+    # no type hints: PySpark would try to resolve the (stringified, locally
+    # imported) pd.Series annotation; the explicit returnType is enough
+    def _cell_of(col):
+        x = np.array(col.tolist(), dtype=np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series((x @ cents.T).argmax(axis=1).astype("int32"))
+
+    cell_of = pandas_udf(_cell_of, "int")
+
+    return emb.withColumn("cell", cell_of(F.col("embedding")))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    exclude_id: int | None = None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF search: nearest ``nprobe`` cells by query-centroid cosine, exact
+    cosine re-rank inside them. Expected scan fraction ≈ nprobe/n_cells;
+    with the cell as partition key the non-probed cells are pruned at the
+    file level, not just filtered."""
+    import numpy as np
+
+    cents = np.array(centroids if centroids is not None else train_ivf_centroids(emb, n_cells))
+    q = np.array(query_vec, dtype=np.float64)
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    probe = [int(c) for c in (cents @ q).argsort()[::-1][:nprobe]]
+    cand = ivf_assign(emb, [list(c) for c in cents]).filter(
+        F.col("cell").isin(probe)
+    )
+    if exclude_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_id)
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            F.round(cosine(as_double(F.col("embedding")), qcol), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def label_centroids(emb: DataFrame, n_dims: int = 8) -> DataFrame:
     """Per-label centroid components (first ``n_dims`` dims) via exact
     decimal mean — embedding aggregation with oracle-stable arithmetic."""

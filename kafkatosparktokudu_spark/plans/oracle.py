@@ -625,6 +625,24 @@ ORACLE_SQL: dict[str, str] = {
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
     """,
+    # Frame-sampling plan oracle: k = min(4, n) frames at offsets (i*n)//k,
+    # slice length min(16, n - off). Byte counts via encode() so multibyte
+    # text matches Spark's encode(text,'utf-8').
+    "mm04_frame_sample": """
+        WITH d AS (
+            SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+        ),
+        f AS (
+            SELECT doc_id, n, LEAST(4, n) AS k,
+                   unnest(range(LEAST(4, n))) AS i
+            FROM d WHERE n > 0
+        )
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS frame_idx,
+               (i * n) // k AS frame_offset,
+               CAST(LEAST(16, n - (i * n) // k) AS INTEGER) AS frame_len
+        FROM f
+    """,
     # Sliding window (1h / 30m): each event lands in two epoch-aligned
     # windows — reproduce Spark's window(ts, '1 hour', '30 minutes') with a
     # two-offset UNION ALL over time_bucket.

@@ -732,6 +732,30 @@ def ss03_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(_t(spark, sf_dir, "embeddings"), qv, k=10, exclude_id=0)
 
 
+def ss04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF ANN (sample-trained centroids + nprobe cell search);
+    recall vs brute force asserted in tests/test_extensions.py."""
+    from ..operators.similarity import ivf_topk
+
+    qv = _query_vec(spark, sf_dir, 0)
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), qv, k=10, exclude_id=0)
+
+
+def mm04_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plan (even-spacing offsets + slice lengths) — the
+    byte-slice stub stands in for a demuxer; offsets/lengths are
+    oracle-checked."""
+    from ..operators.multimodal import attach_binary, frame_sample
+
+    frames = frame_sample(attach_binary(_t(spark, sf_dir, "documents")))
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "frame_offset",
+        F.length("frame_bytes").cast("int").alias("frame_len"),
+    )
+
+
 def mm01_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import binary_meta
 
@@ -769,7 +793,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss01_knn_cosine": ss01_knn_cosine,
     "ss02_label_centroids": ss02_label_centroids,
     "ss03_ann_lsh_topk": ss03_ann_lsh_topk,
+    "ss04_ivf_topk": ss04_ivf_topk,
     "mm01_binary_meta": mm01_binary_meta,
+    "mm04_frame_sample": mm04_frame_sample,
     "mm02_byte_features": mm02_byte_features,
     "mm03_decode_resize": mm03_decode_resize,
     "cdc_emp_state": cdc_emp_state,

@@ -104,3 +104,60 @@ def test_decode_resize_plumbing(spark):
     # determinism: same input → same fake dims
     again = decode_media(attach_binary(_docs(spark))).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ivf_recall_vs_brute(spark):
+    """IVF with nprobe=4/16 cells must keep most of the exact top-10 while
+    scanning ~1/4 of the table; nprobe=n_cells degenerates to exact."""
+    from kafkatosparktokudu_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    row = emb.filter("vec_id = 0").select("embedding").head()
+    qv = [float(x) for x in row[0]]
+    cents = train_ivf_centroids(emb, n_cells=16)
+    assert len(cents) == 16 and len(cents[0]) == len(qv)
+
+    brute = {r["vec_id"] for r in brute_force_topk(emb, qv, 10, exclude_id=0).collect()}
+    ivf = {
+        r["vec_id"]
+        for r in ivf_topk(emb, qv, 10, nprobe=4, exclude_id=0, centroids=cents).collect()
+    }
+    assert len(brute & ivf) / 10 >= 0.5, f"IVF recall collapsed: {brute & ivf}"
+
+    # probing every cell == exact brute force
+    full = {
+        r["vec_id"]
+        for r in ivf_topk(emb, qv, 10, nprobe=16, exclude_id=0, centroids=cents).collect()
+    }
+    assert full == brute
+
+
+def test_frame_sample_shape_and_bytes(spark):
+    """Frame sampling: ≤4 frames per doc, offsets evenly spaced, bytes are
+    the actual payload slices (checked against a pure-Python oracle)."""
+    from kafkatosparktokudu_spark.operators.multimodal import (
+        attach_binary,
+        frame_sample,
+    )
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    media = attach_binary(docs)
+    frames = frame_sample(media, n_frames=4, frame_size=16).collect()
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert frames
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        p = payloads[doc_id]
+        k = min(4, len(p))
+        assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == list(range(k))
+        for r in rows:
+            off = (r["frame_idx"] * len(p)) // k
+            assert r["frame_offset"] == off
+            assert bytes(r["frame_bytes"]) == p[off : off + 16]
