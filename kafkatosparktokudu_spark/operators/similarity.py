@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_hash32
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double, cosine_literal
 
 N_PLANES = 8
 
@@ -59,7 +59,6 @@ def brute_force_topk(
     emb: DataFrame, query_vec: list[float], k: int = 10, exclude_id: int | None = None
 ) -> DataFrame:
     """Exact cosine top-k against a literal query vector."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     e = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
     if exclude_id is not None:
         e = e.filter(F.col("vec_id") != exclude_id)
@@ -67,7 +66,7 @@ def brute_force_topk(
         e.select(
             "vec_id",
             "label",
-            F.round(cosine(F.col("v"), q), 6).alias("cos_sim"),
+            F.round(cosine_literal(F.col("v"), query_vec), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(k)
@@ -105,12 +104,13 @@ def ann_topk(
     cand = lsh_buckets(emb, n_dims).filter(F.col("bucket").isin(list(probe)))
     if exclude_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_id)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         cand.select(
             "vec_id",
             "label",
-            F.round(cosine(as_double(F.col("embedding")), q), 6).alias("cos_sim"),
+            F.round(
+                cosine_literal(as_double(F.col("embedding")), query_vec), 6
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(k)
@@ -207,12 +207,13 @@ def ivf_topk(
     )
     if exclude_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_id)
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         cand.select(
             "vec_id",
             "label",
-            F.round(cosine(as_double(F.col("embedding")), qcol), 6).alias("cos_sim"),
+            F.round(
+                cosine_literal(as_double(F.col("embedding")), query_vec), 6
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(k)
