@@ -86,6 +86,34 @@ def asof_join(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    n_salts: int = 8,
+) -> DataFrame:
+    """Equi join with key salting for skewed left keys.
+
+    A hot key (one value carrying a large share of the left side) pins a
+    sort-merge join to one straggler task. Salting splits it: the left side
+    gets a per-row salt in [0, n_salts) (hash of the whole row, so it is
+    deterministic and spreads a hot key's rows evenly); the right side is
+    replicated once per salt via ``explode(sequence(...))``; joining on
+    (keys + salt) fans the hot key across n_salts tasks. Result is
+    row-identical to the unsalted join (tested). Right-side cost: n_salts×
+    replication — use for dimension-sized right sides; for two big skewed
+    sides prefer AQE skew-join (on in session defaults), which splits at
+    runtime without replication.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    l = left.withColumn("_salt", salt.cast("int"))
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return l.join(r, on + ["_salt"], how).drop("_salt")
+
+
 def broadcast_range_join(
     fact: DataFrame,
     ranges: DataFrame,

@@ -625,6 +625,33 @@ ORACLE_SQL: dict[str, str] = {
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
     """,
+    # TPC-H Q3 shape, near-identical SQL text in both engines.
+    "q31_sql_shipping_priority": """
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS o_orderdate,
+               o_orderpriority,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * CAST(1 - l_discount AS DECIMAL(8,6)))
+                         AS DECIMAL(27,6)) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    # The salted join must be row-identical to the plain join — the oracle
+    # IS the unsalted form.
+    "q32_salted_join_agg": """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
     # Frame-sampling plan oracle: k = min(4, n) frames at offsets (i*n)//k,
     # slice length min(16, n - off). Byte counts via encode() so multibyte
     # text matches Spark's encode(text,'utf-8').

@@ -542,6 +542,59 @@ def q30_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The SQL-string API surface: the same engine via spark.sql over registered
+# views (Catalyst compiles SQL and DataFrame code to identical plans). TPC-H
+# Q3 shape: shipping-priority top-10.
+_Q31_SQL = """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS o_orderdate,
+           o_orderpriority,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * CAST(1 - l_discount AS DECIMAL(8,6)))
+                     AS DECIMAL(27,6)) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+"""
+
+
+def q31_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q31_SQL)
+
+
+# Skew-safe join: salted equi join (operators/joins.py) — row-identical to
+# the plain join (oracle), with the hot-key fan-out plan shape.
+def q32_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return (
+        salted_join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            orders,
+            on=["o_orderkey"],
+            n_salts=8,
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
 # Streaming window operators evaluated in batch mode (identical plans — the
 # stream==batch equivalence itself is asserted in tests/test_streaming.py;
 # these entries give the window semantics a DuckDB hash check too).
@@ -832,6 +885,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_hash_sample": q28_hash_sample,
     "q29_segment_lists": q29_segment_lists,
     "q30_date_arithmetic": q30_date_arithmetic,
+    "q31_sql_shipping_priority": q31_sql_shipping_priority,
+    "q32_salted_join_agg": q32_salted_join_agg,
     "st01_sliding_rollup": st01_sliding_rollup,
     "st02_session_rollup": st02_session_rollup,
 }

@@ -1,0 +1,111 @@
+"""Hypothesis property tests: the CDC fold and the as-of join against
+independent oracles over GENERATED inputs (the golden tests pin known cases;
+these search the input space — op reorderings, ts collisions, null payloads,
+empty sides)."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kafkatosparktokudu_spark.cdc import apply_changes
+from kafkatosparktokudu_spark.operators.joins import asof_join
+
+from .test_cdc import _assert_tables_match, python_replay
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,  # Spark job latency is not a property failure
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# -- CDC fold ----------------------------------------------------------------
+# Small domains on purpose: few keys and few timestamps force the collisions
+# (same key updated twice at the same ts, delete-then-resurrect, null
+# payload members) where LWW fold bugs live.
+_change = st.fixed_dictionaries(
+    {
+        "op": st.sampled_from(["I", "U", "U", "D"]),
+        "id": st.integers(0, 4),
+        "h": st.integers(0, 3),
+        "name": st.one_of(st.none(), st.sampled_from(["ann", "bob", "chen"])),
+        "salary": st.one_of(st.none(), st.integers(100, 105)),
+    }
+)
+
+
+def _to_line(c: dict, pos: int) -> str:
+    after = {"ID": str(c["id"])}
+    if c["op"] != "D":
+        if c["name"] is not None:
+            after["NAME"] = c["name"]
+        if c["salary"] is not None:
+            after["SALARY"] = f"{c['salary']}.50"
+    return json.dumps(
+        {
+            "table": "SCOTT.EMP",
+            "op_type": c["op"],
+            "current_ts": f"2024-01-01T0{c['h']}:00:00.000000",
+            "pos": pos,
+            "after": after,
+        }
+    )
+
+
+@SETTINGS
+@given(changes=st.lists(_change, min_size=1, max_size=25))
+def test_cdc_fold_matches_python_replay(spark, changes):
+    lines = [_to_line(c, i) for i, c in enumerate(changes)]
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    states = apply_changes(spark, raw)
+    py_state, _ = python_replay([lines])
+    _assert_tables_match(states, py_state, tabs=("emp",))
+
+
+# -- as-of join --------------------------------------------------------------
+_row = st.tuples(st.integers(0, 2), st.integers(0, 50))  # (key, ts-seconds)
+
+
+@SETTINGS
+@given(
+    left=st.lists(_row, min_size=1, max_size=15),
+    right=st.lists(_row, max_size=15, unique=True),  # unique (key, ts): the
+    # operator's documented right-side contract
+)
+def test_asof_join_matches_pandas(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k int, ts int, lid int"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    rdf = spark.createDataFrame(
+        [(k, t, float(k * 1000 + t)) for k, t in right] or [],
+        "k int, ts int, rval double",
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+
+    got = {
+        r["lid"]: r["rval"]
+        for r in asof_join(
+            ldf, rdf, on=["k"], ts_col="ts", right_value_cols=["rval"]
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(k, pd.Timestamp(t, unit="s"), i) for i, (k, t) in enumerate(left)],
+        columns=["k", "ts", "lid"],
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        [(k, pd.Timestamp(t, unit="s"), float(k * 1000 + t)) for k, t in right],
+        columns=["k", "ts", "rval"],
+    ).sort_values("ts", kind="stable")
+    if len(rp):
+        m = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+        want = {
+            int(r.lid): (None if pd.isna(r.rval) else float(r.rval))
+            for r in m.itertuples()
+        }
+    else:
+        want = {int(r.lid): None for r in lp.itertuples()}
+    assert got == want
