@@ -1,0 +1,116 @@
+"""Physical-plan regression tests: the scale properties SURVEY.md §4 claims
+(pushdown, pruning, broadcast, codegen, shuffle elimination) asserted against
+the executed plans so a refactor can't silently regress them."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafkatosparktokudu_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "q02_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark):
+    """The 2-column projection query must not scan all lineitem columns."""
+    plan = _plan(spark, "q15_json_extract")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "event_type" in scan and "props" in scan
+    for unused in ["event_id", "user_id", "value", "ts"]:
+        assert f",{unused}#" not in scan and f"[{unused}#" not in scan
+
+
+def test_dims_broadcast_in_star_join(spark):
+    """nation/region (explicit hints) must broadcast; no shuffle for dims."""
+    plan = _plan(spark, "q04_revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 2
+
+
+def test_agg_is_partial_then_final(spark):
+    """Scan-agg must map-side combine (partial_ functions before the
+    exchange), not shuffle raw rows."""
+    plan = _plan(spark, "q02_pricing_summary")
+    assert "partial_" in plan  # HashAggregate(..., functions=[partial_sum...])
+
+
+def test_no_python_in_relational_paths(spark):
+    """Core relational queries stay JVM-side (no Python eval nodes); Python
+    appears only where it is the design (pandas_udf / mapInPandas ops)."""
+    for name in [
+        "q02_pricing_summary",
+        "q04_revenue_by_nation",
+        "q08_top_orders_per_customer",
+        "q17_sessionize",
+        "q22_asof_join",
+        "dd03_minhash_bands",
+        "ss01_knn_cosine",
+        "tx02_quality_scores",
+    ]:
+        plan = _plan(spark, name)
+        assert "Python" not in plan, f"{name} fell off the JVM path"
+
+
+def test_wholestage_codegen_on_hot_path(spark):
+    df = QUERIES["q02_pricing_summary"](spark, SF)
+    df.collect()  # AQE shows WholeStageCodegen only in the finalized plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # '*(n)' prefixes are the WholeStageCodegen stage markers; both the
+    # scan-side partial agg and the final agg must be inside codegen stages
+    assert "*(1) HashAggregate" in plan and "*(2) HashAggregate" in plan
+
+
+def test_cdc_fold_is_single_aggregation(spark):
+    """The LWW fold must be ONE hash aggregation (max-over-struct), not a
+    window sort: one shuffle by key, map-side partials."""
+    plan = _plan(spark, "cdc_emp_state")
+    assert "Window" not in plan
+    assert "partial_max" in plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Bucketing both sides on the join key pre-shuffles at write time: the
+    join then needs NO Exchange on either side — the co-located join layout
+    for repeated fact-fact joins at scale."""
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_orderpriority")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ shape
+    try:
+        (
+            li.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .option("path", str(tmp_path / "li_b"))
+            .saveAsTable("li_bucketed")
+        )
+        (
+            orders.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .option("path", str(tmp_path / "ord_b"))
+            .saveAsTable("ord_bucketed")
+        )
+        joined = spark.table("li_bucketed").join(
+            spark.table("ord_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # sanity: the join actually returns rows
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS ord_bucketed")
