@@ -89,6 +89,7 @@ def sync_batch(
     catalog: dict[str, TargetTable] | None = None,
     now_str: str | None = None,
     n_buckets: int = 16,
+    dead_letter_dir: str | None = None,
 ) -> BatchMetrics:
     """Incremental MERGE of one micro-batch into the warehouse.
 
@@ -112,6 +113,18 @@ def sync_batch(
         per_table = norm.groupBy("tab_name").count().collect()
         total = sum(r["count"] for r in per_table)
         tables = [r["tab_name"] for r in per_table]
+        if dead_letter_dir is not None:
+            # capture, don't just count: raw line + reason, appended as
+            # parquet so bad input is replayable after a catalog/parser fix
+            # (the reference only logs and drops, KuduManager.scala:117-122)
+            reason = (
+                F.when(F.col("table").isNull(), "null_table_or_unparseable")
+                .when(F.col("after").isNull(), "missing_after")
+                .otherwise("missing_pk")
+            )
+            dead.select(
+                F.col("_raw").alias("raw"), reason.alias("reason")
+            ).write.mode("append").parquet(dead_letter_dir)
         dead_n = dead.count()  # reads the cache, no re-parse
         for name, target in catalog.items():
             if name not in tables:

@@ -59,6 +59,10 @@ class PipelineConfig:
     # metrics log dir — LoggerManager.scala:38-60 writes ./files/tbLog{date}.log
     metrics_dir: str = "/tmp/kudusync_metrics"
 
+    # dead-letter capture (None = count-only, the reference's drop+log
+    # semantics; a path makes bad input replayable after a parser fix)
+    dead_letter_dir: str | None = None
+
     # audit table name — KuduManager.scala:137 ("pub_event")
     event_table: str = "pub_event"
 

@@ -542,6 +542,17 @@ def q30_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Approximate distinct (HyperLogLog++). Rows-only: DuckDB's HLL uses a
+# different hash so estimates differ by design; the 2% relative-error bound
+# vs exact countDistinct is asserted in tests/test_queries_oracle.py.
+def q33_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # The SQL-string API surface: the same engine via spark.sql over registered
 # views (Catalyst compiles SQL and DataFrame code to identical plans). TPC-H
 # Q3 shape: shipping-priority top-10.
@@ -887,6 +898,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30_date_arithmetic": q30_date_arithmetic,
     "q31_sql_shipping_priority": q31_sql_shipping_priority,
     "q32_salted_join_agg": q32_salted_join_agg,
+    "q33_approx_distinct": q33_approx_distinct,
     "st01_sliding_rollup": st01_sliding_rollup,
     "st02_session_rollup": st02_session_rollup,
 }

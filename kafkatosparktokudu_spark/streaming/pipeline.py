@@ -89,7 +89,14 @@ def start_cdc_sync(
             return
         seq = F.col("seq") if "seq" in batch_df.columns else None
         raw = batch_df.select("value") if seq is None else batch_df
-        m = sync_batch(spark, raw, cfg.warehouse_dir, catalog, now_str=now_str)
+        m = sync_batch(
+            spark,
+            raw,
+            cfg.warehouse_dir,
+            catalog,
+            now_str=now_str,
+            dead_letter_dir=cfg.dead_letter_dir,
+        )
         write_batch_log(cfg.metrics_dir, epoch_id, start, time.time(), m)
         if on_batch:
             on_batch(epoch_id, m)

@@ -226,3 +226,30 @@ def test_merge_upserts_partial_update(spark):
     assert got["1"] == {"id": "1", "name": "alice", "salary": 200.0,
                         "delete_state": "0", "time_stamp": "t1"}
     assert got["2"]["name"] == "bob"
+
+
+def test_dead_letter_capture(spark, tmp_path):
+    """With dead_letter_dir set, bad records land in parquet with a reason
+    and the count matches; good records are unaffected."""
+    good = [
+        '{"table": "SCOTT.EMP", "op_type": "I", "current_ts": '
+        '"2024-01-01T10:00:00.000000", "pos": 1, "after": {"ID": "1", "NAME": "a"}}',
+        '{"table": "SCOTT.EMP", "op_type": "U", "current_ts": '
+        '"2024-01-01T11:00:00.000000", "pos": 2, "after": {"ID": "1", "NAME": "b"}}',
+    ]
+    bad = [
+        "not json at all",
+        '{"op_type": "I", "after": {"ID": "9"}}',        # null table
+        '{"table": "S.T", "op_type": "I"}',               # missing after
+        '{"table": "S.T", "op_type": "I", "after": {}}',  # missing pk
+    ]
+    raw = spark.createDataFrame([(l,) for l in good + bad], "value string")
+    dl = str(tmp_path / "dead")
+    m = sync_batch(spark, raw, str(tmp_path / "wh"), dead_letter_dir=dl)
+    assert m.dead == len(bad)
+    captured = spark.read.parquet(dl)
+    assert captured.count() == len(bad)
+    reasons = {r["raw"]: r["reason"] for r in captured.collect()}
+    assert reasons["not json at all"] == "null_table_or_unparseable"
+    assert reasons['{"table": "S.T", "op_type": "I"}'] == "missing_after"
+    assert reasons['{"table": "S.T", "op_type": "I", "after": {}}'] == "missing_pk"

@@ -31,3 +31,23 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL++ estimate within 2% rsd (≈3x sigma margin) of exact distinct."""
+    from kafkatosparktokudu_spark.plans.queries import (
+        q13_distinct_users,
+        q33_approx_distinct,
+    )
+
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in q13_distinct_users(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in q33_approx_distinct(spark, SF_SMOKE).collect()
+    }
+    assert set(exact) == set(approx)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) / n <= 0.06, (et, approx[et], n)
