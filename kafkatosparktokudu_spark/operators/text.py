@@ -118,3 +118,26 @@ def top_bigrams(docs: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram"))
         .limit(k)
     )
+
+
+# GPT-2-style pre-tokenizer shape: contractions, letter runs, digit runs,
+# punctuation runs (each optionally space-prefixed). Counting these pieces
+# is the standard cheap estimate of BPE token counts without a merges table;
+# chars-per-piece is the "compression ratio" quality signal.
+BPE_PIECE_REGEX = r"'[a-zA-Z]+| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def subword_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace-token AND BPE-ish piece counts per document — pure regex
+    column expressions (JVM-side; the same \\p{L} classes exist in DuckDB's
+    RE2, so counts are oracle-checkable)."""
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_PIECE_REGEX), F.lit(0))
+    n_pieces = F.size(pieces)
+    return docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_ws_tokens"),
+        n_pieces.alias("n_pieces"),
+        F.round(
+            F.length("text") / F.greatest(n_pieces, F.lit(1)), 6
+        ).alias("chars_per_piece"),
+    )

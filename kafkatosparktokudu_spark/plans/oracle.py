@@ -625,6 +625,18 @@ ORACLE_SQL: dict[str, str] = {
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
     """,
+    # BPE-ish piece counting: same regex classes in Java regex and RE2.
+    "tx06_subword_counts": f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS INTEGER) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text,
+                   '''[a-zA-Z]+| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+'))
+                   AS INTEGER) AS n_pieces,
+               round(length(text) / greatest(len(regexp_extract_all(text,
+                   '''[a-zA-Z]+| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+')), 1), 6)
+                   AS chars_per_piece
+        FROM documents
+    """,
     # TPC-H Q3 shape, near-identical SQL text in both engines.
     "q31_sql_shipping_priority": """
         SELECT o_orderkey,

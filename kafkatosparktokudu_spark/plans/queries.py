@@ -714,6 +714,12 @@ def tx05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_bigrams(_t(spark, sf_dir, "documents"))
 
 
+def tx06_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import subword_counts
+
+    return subword_counts(_t(spark, sf_dir, "documents"))
+
+
 def _doubled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ copy with offset ids — planted exact duplicates for the
     dedup demos (the fixture itself has no exact dups)."""
@@ -848,6 +854,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx03_lang_id": tx03_lang_id,
     "tx04_fingerprints": tx04_fingerprints,
     "tx05_top_bigrams": tx05_top_bigrams,
+    "tx06_subword_counts": tx06_subword_counts,
     "dd01_exact_dup_groups": dd01_exact_dup_groups,
     "dd02_exact_dedup_survivors": dd02_exact_dedup_survivors,
     "dd03_minhash_bands": dd03_minhash_bands,
