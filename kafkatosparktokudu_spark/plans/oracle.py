@@ -625,6 +625,47 @@ ORACLE_SQL: dict[str, str] = {
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
     """,
+    "q34_full_outer_join": """
+        WITH o AS (
+            SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        ),
+        e AS (
+            SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+            FROM events GROUP BY 1
+        )
+        SELECT COALESCE(o.day, e.day) AS day,
+               COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(n_events, 0) AS n_events
+        FROM o FULL OUTER JOIN e ON o.day = e.day
+    """,
+    "q35_cross_join_grid": """
+        WITH grid AS (
+            SELECT r_name, o_orderstatus
+            FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        ),
+        per_region AS (
+            SELECT r_name AS pr_name, COUNT(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        )
+        SELECT r_name, o_orderstatus, COALESCE(n_customers, 0) AS n_customers
+        FROM grid LEFT JOIN per_region ON grid.r_name = per_region.pr_name
+    """,
+    # NOT IN with an explicitly null-filtered list — equals the anti join
+    # (the Spark side IS the anti join; this pins the equivalence).
+    "q36_not_in_semantics": """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_non_buyers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+        FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL
+        )
+        GROUP BY c_mktsegment
+    """,
     # BPE-ish piece counting: same regex classes in Java regex and RE2.
     "tx06_subword_counts": f"""
         SELECT doc_id,

@@ -542,6 +542,70 @@ def q30_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Full outer join: per-day customer-order coverage union of both sides.
+def q34_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    events = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        orders.join(events, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+# Cross join (explicit cartesian of two tiny sides) + aggregation.
+def q35_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").select("r_name")
+    status = (
+        _t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region_full = _t(spark, sf_dir, "region")
+    per_region = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region_full), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("pr_name"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    grid = region.crossJoin(status)
+    return grid.join(
+        per_region, grid.r_name == per_region.pr_name, "left"
+    ).select(
+        "r_name",
+        "o_orderstatus",
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+    )
+
+
+# NOT IN with a nullable subquery column — the classic three-valued-logic
+# trap: if the IN-list contains any NULL, NOT IN matches NOTHING. Exercised
+# with a list that is null-free after an explicit filter (the correct
+# idiom), plus the anti-join equivalence.
+def q36_not_in_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    buyers = orders.select("o_custkey").filter(F.col("o_custkey").isNotNull())
+    non_buyers = cust.join(
+        buyers, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return non_buyers.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_non_buyers"),
+        dsum("c_acctbal").alias("sum_acctbal"),
+    )
+
+
 # Approximate distinct (HyperLogLog++). Rows-only: DuckDB's HLL uses a
 # different hash so estimates differ by design; the 2% relative-error bound
 # vs exact countDistinct is asserted in tests/test_queries_oracle.py.
@@ -906,6 +970,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_sql_shipping_priority": q31_sql_shipping_priority,
     "q32_salted_join_agg": q32_salted_join_agg,
     "q33_approx_distinct": q33_approx_distinct,
+    "q34_full_outer_join": q34_full_outer_join,
+    "q35_cross_join_grid": q35_cross_join_grid,
+    "q36_not_in_semantics": q36_not_in_semantics,
     "st01_sliding_rollup": st01_sliding_rollup,
     "st02_session_rollup": st02_session_rollup,
 }
