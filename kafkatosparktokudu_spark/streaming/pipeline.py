@@ -192,6 +192,45 @@ def session_rollup(
     )
 
 
+def stream_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each click pairs with the same user's
+    purchases in the preceding ``lookback``. Both sides carry watermarks and
+    the join condition bounds event-time distance, so state for either side
+    is evicted once the watermark passes — bounded memory on unbounded
+    streams (the canonical Structured Streaming interval join)."""
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") <= F.col("click_ts"))
+        & (F.col("purchase_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return c.join(p, cond, "inner").select(
+        "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value"
+    )
+
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: enrich a stream with a (broadcast) dimension
+    table — no state at all; the dim is re-resolved per micro-batch, so a
+    slowly-changing dimension picks up updates between batches."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
 def user_running_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running (count, exact sum) maintained across micro-batches — the shape

@@ -359,3 +359,66 @@ def test_stateful_running_totals_across_restarts(spark, tmp_path):
         fn, fs = final[uid]
         assert fn == n
         assert fs == _pytest.approx(s, rel=1e-9)
+
+
+def test_stream_interval_join_equals_batch(spark, tmp_path):
+    """Stream-stream interval join (clicks ⋈ purchases within 1h lookback)
+    == the identical join run in batch."""
+    from kafkatosparktokudu_spark.streaming.pipeline import stream_interval_join
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    clicks_b = events.filter(F.col("event_type") == "click")
+    purch_b = events.filter(F.col("event_type") == "purchase")
+    want = {
+        (r["click_id"], r["purchase_id"])
+        for r in stream_interval_join(clicks_b, purch_b).collect()
+    }
+    assert want, "fixture must produce at least one interval match"
+
+    src = str(tmp_path / "ij_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    clicks_s = stream.filter(F.col("event_type") == "click")
+    purch_s = stream.filter(F.col("event_type") == "purchase")
+    q = (
+        stream_interval_join(clicks_s, purch_s)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.table("ij_out").collect()
+    }
+    assert got == want
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    """Stream-static join: every streamed order row picks up its customer's
+    segment from the static dim; no watermark/state required."""
+    from kafkatosparktokudu_spark.streaming.pipeline import stream_static_enrich
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").limit(200)
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    src = str(tmp_path / "se_src")
+    orders.write.parquet(src)
+    stream = spark.readStream.schema(orders.schema).parquet(src)
+    q = (
+        stream_static_enrich(stream, cust, "o_custkey")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("se_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("se_out")
+    assert out.count() == orders.count()  # left join keeps cardinality
+    n_hit = out.filter(F.col("c_mktsegment").isNotNull()).count()
+    want_hit = orders.join(cust, "o_custkey", "left_semi").count()
+    assert n_hit == want_hit > 0
