@@ -107,12 +107,20 @@ def sync_batch(
     valid, dead = split_valid(parsed)
     norm = normalize(valid)
     try:
-        # One job yields both the total and the table list (S7 + S20);
-        # the reference needed a per-record accumulator plus a driver-side
-        # distinct for the same report (ConsumerMain.scala:101,113-116).
-        per_table = norm.groupBy("tab_name").count().collect()
-        total = sum(r["count"] for r in per_table)
-        tables = [r["tab_name"] for r in per_table]
+        # ONE job yields the total, the table list AND the dead count
+        # (S7 + S20 + S10): group the cached envelope by (validity,
+        # table-name). The reference needed a per-record accumulator plus a
+        # driver-side distinct for the same report
+        # (ConsumerMain.scala:101,113-116).
+        from .operators.ogg import is_valid
+
+        tab_expr = F.lower(F.element_at(F.split("table", "\\."), 2))
+        stats = parsed.groupBy(
+            is_valid().alias("ok"), F.when(is_valid(), tab_expr).alias("t")
+        ).count().collect()
+        total = sum(r["count"] for r in stats if r["ok"])
+        dead_n = sum(r["count"] for r in stats if not r["ok"])
+        tables = [r["t"] for r in stats if r["ok"] and r["t"] is not None]
         if dead_letter_dir is not None:
             # capture, don't just count: raw line + reason, appended as
             # parquet so bad input is replayable after a catalog/parser fix
@@ -125,7 +133,6 @@ def sync_batch(
             dead.select(
                 F.col("_raw").alias("raw"), reason.alias("reason")
             ).write.mode("append").parquet(dead_letter_dir)
-        dead_n = dead.count()  # reads the cache, no re-parse
         for name, target in catalog.items():
             if name not in tables:
                 continue  # empty-batch guard per table (S5)
