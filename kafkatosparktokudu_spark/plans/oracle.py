@@ -625,6 +625,47 @@ ORACLE_SQL: dict[str, str] = {
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
     """,
+    "q37_bag_setops": """
+        WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+             v AS (SELECT user_id FROM events WHERE event_type = 'view'),
+             ea AS (SELECT user_id FROM c EXCEPT ALL SELECT user_id FROM v),
+             ia AS (SELECT user_id FROM c INTERSECT ALL SELECT user_id FROM v)
+        SELECT user_id, COUNT(*) AS n, 'except_all' AS tag
+        FROM ea GROUP BY user_id
+        UNION ALL
+        SELECT user_id, COUNT(*) AS n, 'intersect_all' AS tag
+        FROM ia GROUP BY user_id
+    """,
+    "q38_window_frames": """
+        SELECT o_custkey,
+               o_orderkey,
+               CAST(ntile(2) OVER w AS INTEGER) AS half,
+               first_value(o_totalprice) OVER
+                   (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS first_price,
+               last_value(o_totalprice) OVER
+                   (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS last_price,
+               nth_value(o_totalprice, 2) OVER
+                   (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS second_price,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "q39_string_functions": """
+        SELECT p_partkey,
+               regexp_replace(p_name, '[aeiou]', '*', 'g') AS starred,
+               translate(p_name, 'abc', 'xyz') AS translated,
+               lpad(p_brand, 12, '.') AS brand_lpad,
+               rpad(p_brand, 12, '.') AS brand_rpad,
+               reverse(p_type) AS type_rev,
+               CAST(strpos(p_name, 'a') AS INTEGER) AS first_a,
+               left(p_type, 5) AS type_left5,
+               repeat(p_brand, 2) AS brand_twice
+        FROM part
+    """,
     "q34_full_outer_join": """
         WITH o AS (
             SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders

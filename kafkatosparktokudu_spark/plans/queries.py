@@ -606,6 +606,66 @@ def q36_not_in_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bag-semantics set ops: EXCEPT ALL / INTERSECT ALL keep multiplicity
+# (q12 covers the distinct forms).
+def q37_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id")
+    views = events.filter(F.col("event_type") == "view").select("user_id")
+    ea = (
+        clicks.exceptAll(views)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("tag", F.lit("except_all"))
+    )
+    ia = (
+        clicks.intersectAll(views)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("tag", F.lit("intersect_all"))
+    )
+    return ea.unionByName(ia)
+
+
+# Window frame surface: ntile / first_value / last_value / nth_value with
+# explicit ROWS frames, percent_rank, cume_dist.
+def q38_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(2).over(w).alias("half"),
+        F.first("o_totalprice").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("first_price"),
+        F.last("o_totalprice").over(
+            w.rowsBetween(W.currentRow, W.unboundedFollowing)
+        ).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(
+            w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("second_price"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# Wider scalar string-function surface (q14 covers the basics).
+def q39_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("starred"),
+        F.translate("p_name", "abc", "xyz").alias("translated"),
+        F.lpad("p_brand", 12, ".").alias("brand_lpad"),
+        F.rpad("p_brand", 12, ".").alias("brand_rpad"),
+        F.reverse("p_type").alias("type_rev"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+        F.left(F.col("p_type"), F.lit(5)).alias("type_left5"),
+        F.repeat(F.col("p_brand"), 2).alias("brand_twice"),
+    )
+
+
 # Approximate distinct (HyperLogLog++). Rows-only: DuckDB's HLL uses a
 # different hash so estimates differ by design; the 2% relative-error bound
 # vs exact countDistinct is asserted in tests/test_queries_oracle.py.
@@ -973,6 +1033,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_full_outer_join": q34_full_outer_join,
     "q35_cross_join_grid": q35_cross_join_grid,
     "q36_not_in_semantics": q36_not_in_semantics,
+    "q37_bag_setops": q37_bag_setops,
+    "q38_window_frames": q38_window_frames,
+    "q39_string_functions": q39_string_functions,
     "st01_sliding_rollup": st01_sliding_rollup,
     "st02_session_rollup": st02_session_rollup,
 }
