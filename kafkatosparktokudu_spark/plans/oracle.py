@@ -666,6 +666,18 @@ ORACLE_SQL: dict[str, str] = {
                repeat(p_brand, 2) AS brand_twice
         FROM part
     """,
+    # Array HOFs: cast to DOUBLE[] first so both engines accumulate the sum
+    # in double in the same element order (bit-identical before rounding).
+    "q40_array_functions": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT vec_id,
+               CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_pos,
+               round(list_aggregate(v[1:8], 'sum'), 6) AS sum8,
+               list_max(v) AS vmax,
+               list_min(v) AS vmin,
+               v[1] AS d1
+        FROM e
+    """,
     "q34_full_outer_join": """
         WITH o AS (
             SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders

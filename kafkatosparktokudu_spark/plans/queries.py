@@ -666,6 +666,26 @@ def q39_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Array higher-order-function surface over the embeddings column:
+# filter / slice / aggregate / min / max / element_at — the JVM-side lambda
+# expressions everything in functions/vectors.py builds on.
+def q40_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import as_double
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(F.slice(v, 1, 8), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("sum8"),
+        F.array_max(v).alias("vmax"),
+        F.array_min(v).alias("vmin"),
+        F.element_at(v, 1).alias("d1"),
+    )
+
+
 # Approximate distinct (HyperLogLog++). Rows-only: DuckDB's HLL uses a
 # different hash so estimates differ by design; the 2% relative-error bound
 # vs exact countDistinct is asserted in tests/test_queries_oracle.py.
@@ -1036,6 +1056,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_bag_setops": q37_bag_setops,
     "q38_window_frames": q38_window_frames,
     "q39_string_functions": q39_string_functions,
+    "q40_array_functions": q40_array_functions,
     "st01_sliding_rollup": st01_sliding_rollup,
     "st02_session_rollup": st02_session_rollup,
 }
