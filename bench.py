@@ -99,6 +99,10 @@ def main() -> None:
         reps = []
         for _ in range(2):
             spark.catalog.clearCache()
+            # pay accumulated GC debt OUTSIDE the timed window: hash-heavy
+            # queries (md5 shingling) leave GBs of young garbage that would
+            # otherwise stall a later query's first stage for seconds
+            spark._jvm.System.gc()
             start = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             reps.append(time.time() - start)

@@ -77,7 +77,12 @@ def hashed_shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     Staging matters: the 16 permutation-min expressions all reference ``hs``;
     keeping it in a separate Project stops CollapseProject from inlining the
     md5-per-shingle work into every signature column (16× recompute — 75s →
-    ~4s on the 500-doc fixture, and the same factor at any scale)."""
+    ~4s on the 500-doc fixture, and the same factor at any scale).
+
+    Only the HASHED array survives the projection: downstream (signatures,
+    banding, Jaccard verify) works entirely on int64s, so the big shingle
+    STRING arrays are never cached or shuffled — they die inside the row
+    they were computed in."""
     sh = shingles("text")
     # the per-row shingle+hash math dominates; a small input file arrives in
     # 1-2 partitions, so spread it across the cluster first (at real scale
@@ -88,7 +93,6 @@ def hashed_shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         docs = docs.repartition(sc.defaultParallelism)
     return docs.select(F.col(id_col), sh.alias("sh")).select(
         F.col(id_col),
-        "sh",
         F.transform(F.col("sh"), lambda s: md5_hash32(s) % MERSENNE31).alias("hs"),
     )
 
@@ -165,20 +169,25 @@ def lsh_candidate_pairs(
 def neardup_pairs_jaccard(
     docs: DataFrame, threshold: float = 0.2, id_col: str = "doc_id"
 ) -> DataFrame:
-    """MinHash-LSH candidates verified with exact n-gram Jaccard over
-    distinct shingle sets; only candidate pairs pay the set-intersection
-    cost. The hashed-shingle frame is persisted once and reused by all four
-    consumers (both band-join sides, both jaccard sides) — without it the
-    per-doc shingle math re-runs 4×."""
+    """MinHash-LSH candidates verified with exact n-gram Jaccard over the
+    HASHED shingle sets; only candidate pairs pay the set-intersection
+    cost. Hashed (int64) rather than string shingles: identical result
+    absent md5 collisions — and WITH a collision both engines still agree,
+    because the oracle hashes with the same md5 — while the cached/joined
+    payload shrinks ~10× and string GC churn disappears. The hashed frame
+    is persisted once and reused by all four consumers (both band-join
+    sides, both jaccard sides)."""
     hs_df = hashed_shingles(docs, id_col).persist()
-    sh_df = hs_df.select(F.col(id_col), "sh")
+    # materialize the cache BEFORE the self-join: otherwise the band join's
+    # two sides race to populate it and the shingle+md5 work runs twice
+    hs_df.count()
     cands = lsh_candidate_pairs(docs, id_col, hs_df=hs_df)
     joined = (
-        cands.join(sh_df.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(sh_df.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        cands.join(hs_df.withColumnRenamed(id_col, "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")
+        .join(hs_df.withColumnRenamed(id_col, "doc_b").withColumnRenamed("hs", "hs_b"), "doc_b")
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
+    jac = F.size(F.array_intersect("hs_a", "hs_b")).cast("double") / F.size(
+        F.array_union("hs_a", "hs_b")
     )
     return (
         joined.select("doc_a", "doc_b", jac.alias("jaccard"))

@@ -223,9 +223,9 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT doc_a, doc_b, jaccard FROM (
             SELECT doc_a, doc_b,
-                   CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-                       / len(list_distinct(x.s || y.s)) AS jaccard
-            FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+                   CAST(len(list_distinct(list_intersect(x.hs, y.hs))) AS DOUBLE)
+                       / len(list_distinct(x.hs || y.hs)) AS jaccard
+            FROM cand JOIN base x ON x.doc_id = doc_a JOIN base y ON y.doc_id = doc_b
         ) WHERE jaccard >= 0.2
     """,
     "dd05_embedding_neardup": """
