@@ -666,6 +666,42 @@ ORACLE_SQL: dict[str, str] = {
                repeat(p_brand, 2) AS brand_twice
         FROM part
     """,
+    # Curation pipeline: doubled corpus → quality ≥ 0.5 → exact dedup
+    # (min-id keeper per md5(lower(text))) → per-source stats. Score math
+    # mirrors tx02; avg goes through DECIMAL for order-independence.
+    "px01_curation_pipeline": f"""
+        WITH corpus AS (
+            SELECT doc_id, text, n_chars, source FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, text, n_chars, source FROM documents
+        ),
+        q AS (
+            SELECT doc_id, text, source, n AS n_tokens,
+                   0.4 * len_score + 0.3 * uniq_ratio
+                       + 0.3 * (1.0 - stop_ratio) AS quality_score
+            FROM (
+                SELECT doc_id, text, source, len(l) AS n,
+                       CAST(len(list_distinct(l)) AS DOUBLE) / len(l) AS uniq_ratio,
+                       CAST(len(list_filter(l, t -> t IN {_STOP_EN})) AS DOUBLE)
+                           / len(l) AS stop_ratio,
+                       least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) AS len_score
+                FROM (SELECT doc_id, text, n_chars, source, {_TOKS} AS l
+                      FROM corpus)
+            )
+        ),
+        kept AS (SELECT * FROM q WHERE quality_score >= 0.5),
+        surv AS (
+            SELECT *, MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS keeper
+            FROM kept
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+               CAST(SUM(CAST(quality_score AS DECIMAL(18,9))) AS DOUBLE)
+                   / COUNT(*) AS avg_quality
+        FROM surv WHERE doc_id = keeper
+        GROUP BY source
+    """,
     # Array HOFs: cast to DOUBLE[] first so both engines accumulate the sum
     # in double in the same element order (bit-identical before rounding).
     "q40_array_functions": """

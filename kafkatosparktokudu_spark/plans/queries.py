@@ -872,6 +872,40 @@ def _doubled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(copy)
 
 
+def px01_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation as ONE composed plan: doubled
+    corpus → quality filter (keep score ≥ 0.5) → exact dedup (min-id
+    keeper) → per-source stats. One declarative pipeline — Catalyst fuses
+    the quality filter into the scan and the dedup is a window over the
+    content fingerprint; nothing materializes between stages."""
+    from ..operators.text import quality_scores
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars", "source"
+    )
+    corpus = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", "n_chars", "source"
+        )
+    )
+    q = quality_scores(corpus).join(
+        corpus.select("doc_id", "text", "source"), "doc_id"
+    )
+    kept = q.filter(F.col("quality_score") >= 0.5)
+    w = W.partitionBy(F.md5(F.lower(F.col("text"))))
+    survivors = kept.withColumn("keeper", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("keeper")
+    )
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens_total"),
+        (
+            F.sum(F.col("quality_score").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_quality"),
+    )
+
+
 def dd01_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import exact_dedup
 
@@ -1057,6 +1091,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_window_frames": q38_window_frames,
     "q39_string_functions": q39_string_functions,
     "q40_array_functions": q40_array_functions,
+    "px01_curation_pipeline": px01_curation_pipeline,
     "st01_sliding_rollup": st01_sliding_rollup,
     "st02_session_rollup": st02_session_rollup,
 }
