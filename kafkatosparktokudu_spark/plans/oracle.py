@@ -666,6 +666,16 @@ ORACLE_SQL: dict[str, str] = {
                repeat(p_brand, 2) AS brand_twice
         FROM part
     """,
+    # Map functions via DuckDB's JSON path (no JSON→MAP cast there):
+    # json_keys ≙ map_keys, ->> ≙ getItem.
+    "q41_map_functions": """
+        SELECT event_id,
+               CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+               array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+               CAST(props ->> 'k' AS INTEGER) AS k_val,
+               (props ->> 'k') IS NOT NULL AS has_k
+        FROM events
+    """,
     # Curation pipeline: doubled corpus → quality ≥ 0.5 → exact dedup
     # (min-id keeper per md5(lower(text))) → per-source stats. Score math
     # mirrors tx02; avg goes through DECIMAL for order-independence.

@@ -872,6 +872,21 @@ def _doubled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(copy)
 
 
+# Map-typed column surface: parse the JSON props into map<string,string>,
+# then map_keys / element access / size — the same MapType model the CDC
+# envelope uses for its payload (SURVEY §1.2).
+def q41_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return events.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        m.getItem("k").cast("int").alias("k_val"),
+        F.map_contains_key(m, "k").alias("has_k"),
+    )
+
+
 def px01_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus curation as ONE composed plan: doubled
     corpus → quality filter (keep score ≥ 0.5) → exact dedup (min-id
@@ -1091,6 +1106,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_window_frames": q38_window_frames,
     "q39_string_functions": q39_string_functions,
     "q40_array_functions": q40_array_functions,
+    "q41_map_functions": q41_map_functions,
     "px01_curation_pipeline": px01_curation_pipeline,
     "st01_sliding_rollup": st01_sliding_rollup,
     "st02_session_rollup": st02_session_rollup,
