@@ -49,9 +49,12 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
+def quality_scores(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Composite quality score from length, lexical diversity, and stopword
-    density — the standard cheap pre-filter for LLM training corpora."""
+    density — the standard cheap pre-filter for LLM training corpora.
+
+    ``keep`` carries extra input columns through, so pipeline composers
+    don't need a join-back to recover them (one scan, no shuffle)."""
     t = tokens("text")
     n_tokens = F.size(t)
     uniq_ratio = F.size(F.array_distinct(t)).cast("double") / n_tokens
@@ -60,6 +63,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     score = 0.4 * len_score + 0.3 * uniq_ratio + 0.3 * (1.0 - stop_ratio)
     return docs.select(
         "doc_id",
+        *keep,
         n_tokens.alias("n_tokens"),
         uniq_ratio.alias("uniq_ratio"),
         stop_ratio.alias("stop_ratio"),

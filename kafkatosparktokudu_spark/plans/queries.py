@@ -903,9 +903,7 @@ def px01_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 100000).alias("doc_id"), "text", "n_chars", "source"
         )
     )
-    q = quality_scores(corpus).join(
-        corpus.select("doc_id", "text", "source"), "doc_id"
-    )
+    q = quality_scores(corpus, keep=("text", "source"))
     kept = q.filter(F.col("quality_score") >= 0.5)
     w = W.partitionBy(F.md5(F.lower(F.col("text"))))
     survivors = kept.withColumn("keeper", F.min("doc_id").over(w)).filter(
