@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "ss01_knn_cosine",          # brute-force cosine top-k
     "ss04_ivf_topk",            # IVF ANN (train + nprobe search)
     "q22_asof_join",            # as-of join (union + single window pass)
+    "px01_curation_pipeline",   # quality → dedup → stats, one plan
 ]
 
 N_CDC_RECORDS = 200_000
