@@ -109,3 +109,39 @@ def test_asof_join_matches_pandas(spark, left, right):
     else:
         want = {int(r.lid): None for r in lp.itertuples()}
     assert got == want
+
+
+# -- incremental StateStore merge --------------------------------------------
+@SETTINGS
+@given(
+    changes=st.lists(_change, min_size=2, max_size=20),
+    data=st.data(),
+)
+def test_incremental_merge_matches_sequential_replay(spark, tmp_path_factory, changes, data):
+    """Splitting a change sequence at ANY point and merging through the
+    persistent StateStore equals the pure-Python sequential replay — the
+    cross-batch upsert semantics (arrival order between batches, LWW within
+    a batch) hold for arbitrary splits, not just the golden fixture's."""
+    from kafkatosparktokudu_spark.catalog import default_catalog
+    from kafkatosparktokudu_spark.cdc import sync_batch
+    from kafkatosparktokudu_spark.operators.merge import StateStore
+
+    from .test_cdc import _spark_state_to_dict, _typed
+
+    split = data.draw(st.integers(1, len(changes) - 1), label="split")
+    lines = [_to_line(c, i) for i, c in enumerate(changes)]
+    b1, b2 = lines[:split], lines[split:]
+    wh = str(tmp_path_factory.mktemp("prop_wh"))
+    for b in (b1, b2):
+        df = spark.createDataFrame([(l,) for l in b], "value string")
+        sync_batch(spark, df, wh, now_str="2024-06-01 00:00:00", n_buckets=4)
+
+    py_state, _ = python_replay([b1, b2])
+    cat = default_catalog()
+    store = StateStore(spark, f"{wh}/emp", ["id"], cat["emp"].full_schema, 4)
+    got = _spark_state_to_dict(store.read(), "emp")
+    want = {pk: _typed(row, "emp") for pk, row in py_state.get("emp", {}).items()}
+    assert set(got) == set(want)
+    for pk in want:
+        for col, wv in want[pk].items():
+            assert got[pk][col] == wv, (pk, col, got[pk][col], wv)
