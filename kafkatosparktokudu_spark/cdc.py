@@ -22,6 +22,7 @@ batch instead of once per record.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -133,6 +134,7 @@ def sync_batch(
             dead.select(
                 F.col("_raw").alias("raw"), reason.alias("reason")
             ).write.mode("append").parquet(dead_letter_dir)
+        merges: list[tuple[StateStore, DataFrame]] = []
         for name, target in catalog.items():
             if name not in tables:
                 continue  # empty-batch guard per table (S5)
@@ -146,7 +148,7 @@ def sync_batch(
                 target.full_schema,
                 n_buckets,
             )
-            store.upsert_batch(typed)
+            merges.append((store, typed))
         ev_store = StateStore(
             spark,
             f"{warehouse_dir}/{PUB_EVENT}",
@@ -154,7 +156,16 @@ def sync_batch(
             PUB_EVENT_SCHEMA,
             n_buckets,
         )
-        ev_store.upsert_batch(derive_pub_event(norm, now_str))
+        merges.append((ev_store, derive_pub_event(norm, now_str)))
+        # Each table's MERGE is an independent keyed write (the reference
+        # interleaves them per record; Kudu gives no cross-table transaction
+        # either). Submitting them from a thread pool lets Spark schedule the
+        # per-table jobs concurrently, so wall time is the max, not the sum —
+        # this is also the cluster-correct pattern (FAIR-schedulable jobs).
+        with ThreadPoolExecutor(max_workers=min(4, len(merges))) as pool:
+            futures = [pool.submit(s.upsert_batch, df) for s, df in merges]
+            for fut in futures:
+                fut.result()
         return BatchMetrics(total=total, dead=dead_n, tables=sorted(tables))
     finally:
         parsed.unpersist()

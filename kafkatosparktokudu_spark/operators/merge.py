@@ -15,8 +15,8 @@ Scale design (the reason this isn't a read-all/overwrite-all loop):
 - State is **hash-bucketed on the key** (``_bucket = pmod(xxhash64(key), N)``)
   and stored as a partitioned parquet layout. A micro-batch only reads and
   rewrites the buckets its keys hash into — partition pruning on read,
-  dynamic partition overwrite on write. At 100 TB with N=8192, a 50k-record
-  batch touches at most 50k buckets' worth of data, not the table.
+  stage-and-rename per touched bucket on write. At 100 TB with N=8192, a
+  50k-record batch touches at most 50k buckets' worth of data, not the table.
 - The merge itself joins the (small, rate-capped) folded batch against only
   the affected buckets — both sides are bounded by maxOffsetsPerTrigger,
   so the join never shuffles the full table.
@@ -24,7 +24,7 @@ Scale design (the reason this isn't a read-all/overwrite-all loop):
   whole class collapses into ``MERGE INTO``; the public API here is shaped
   so that swap is a drop-in.
 
-Crash safety: dynamic partition overwrite is atomic per partition, not
+Crash safety: the bucket-directory swap is atomic per partition, not
 across partitions; recovery relies on checkpoint replay + upsert idempotence
 (exactly the reference's model: offsets persisted after writes,
 ConsumerMain.scala:128-151, duplicates absorbed by upsert).
@@ -33,6 +33,7 @@ ConsumerMain.scala:128-151, duplicates absorbed by upsert).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -111,41 +112,59 @@ class StateStore:
     def upsert_batch(self, batch: DataFrame) -> None:
         """MERGE the (already folded, typed) batch into the store.
 
-        Reads only the buckets the batch touches, merges, and rewrites
-        exactly those partitions (dynamic partition overwrite).
+        Reads only the buckets the batch touches, merges, writes the merged
+        buckets to a staging dir in ONE job, then swaps each touched bucket
+        directory into place — the same stage-and-rename protocol dynamic
+        partition overwrite uses internally, minus the extra materialization
+        pass a self-overwrite would force (we read the old files while
+        writing the staging copy, so no checkpoint is needed). Atomicity is
+        per partition, matching the reference's non-transactional writes;
+        recovery = checkpoint replay + upsert idempotence.
         """
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         batch = batch.select([F.col(f.name) for f in self.schema.fields]).withColumn(
             _BUCKET, self._bucket_col()
         )
         if not self.exists():
-            merged = batch.repartition(_BUCKET)
-        else:
-            # Cache the folded batch: it is read twice (affected-bucket scan
-            # + the merge itself) and folding is the expensive part.
-            batch = batch.persist()
-            affected = [r[0] for r in batch.select(_BUCKET).distinct().collect()]
-            base = T.StructType(
-                list(self.schema.fields)
-                + [T.StructField(_BUCKET, T.IntegerType(), True)]
-            )
-            state = (
-                self.spark.read.schema(base)
-                .option("basePath", self.path)
+            (
+                batch.repartition(_BUCKET)
+                .write.mode("overwrite")
+                .partitionBy(_BUCKET)
                 .parquet(self.path)
-                .filter(F.col(_BUCKET).isin(affected))  # partition pruning
             )
-            merged = merge_upserts(
-                state.drop(_BUCKET), batch.drop(_BUCKET), self.key_cols
-            ).withColumn(_BUCKET, self._bucket_col())
-            # Repartition BEFORE the checkpoint: the checkpointed blocks are
-            # already bucket-clustered, so the write below is shuffle-free
-            # (one file per touched bucket). The checkpoint truncates lineage
-            # so Spark allows overwriting the path we just read.
-            merged = merged.repartition(_BUCKET).localCheckpoint(eager=True)
-            batch.unpersist()
-        (
-            merged.write.mode("overwrite")
-            .partitionBy(_BUCKET)
-            .parquet(self.path)
+            return
+        # Cache the folded batch: it is read twice (affected-bucket scan
+        # + the merge itself) and folding is the expensive part.
+        batch = batch.persist()
+        affected = [r[0] for r in batch.select(_BUCKET).distinct().collect()]
+        base = T.StructType(
+            list(self.schema.fields)
+            + [T.StructField(_BUCKET, T.IntegerType(), True)]
         )
+        state = (
+            self.spark.read.schema(base)
+            .option("basePath", self.path)
+            .parquet(self.path)
+            .filter(F.col(_BUCKET).isin(affected))  # partition pruning
+        )
+        merged = merge_upserts(
+            state.drop(_BUCKET), batch.drop(_BUCKET), self.key_cols
+        ).withColumn(_BUCKET, self._bucket_col())
+        # Repartition on the bucket so the staging write emits one file per
+        # touched bucket, then swap directories. On HDFS/object storage the
+        # os-level moves become FileSystem.rename calls.
+        staging = f"{self.path}.__staging__"
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            merged.repartition(_BUCKET)
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET)
+            .parquet(staging)
+        )
+        batch.unpersist()
+        for b in affected:
+            src = os.path.join(staging, f"{_BUCKET}={b}")
+            dst = os.path.join(self.path, f"{_BUCKET}={b}")
+            if os.path.isdir(src):
+                shutil.rmtree(dst, ignore_errors=True)
+                os.rename(src, dst)
+        shutil.rmtree(staging, ignore_errors=True)
