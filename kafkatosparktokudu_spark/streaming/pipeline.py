@@ -260,3 +260,44 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """Same running totals via ``transformWithStateInPandas`` — Spark 4's
+    successor to ``applyInPandasWithState``: state lives in named, typed
+    variables obtained from a ``StatefulProcessorHandle`` (value/list/map
+    state, optional TTL, timers) instead of one opaque tuple, and is backed
+    by the RocksDB state store.
+
+    Requires ``spark.sql.streaming.stateStore.providerClass =
+    ...state.RocksDBStateStoreProvider`` on the session (transformWithState
+    is RocksDB-only) and the ``protobuf`` package at runtime (the TWS
+    state-server protocol); callers/tests set/skip accordingly.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n bigint, s double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = self._totals.get()
+            n, s = cur if cur is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        "user_id bigint, n_events bigint, sum_value double",
+        "append",
+        "none",
+    )

@@ -361,6 +361,87 @@ def test_stateful_running_totals_across_restarts(spark, tmp_path):
         assert fs == _pytest.approx(s, rel=1e-9)
 
 
+def test_tws_running_totals_across_restarts(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 stateful API, RocksDB-backed):
+    per-user totals accumulate across two checkpointed availableNow runs and
+    match both the batch aggregate and the applyInPandasWithState twin.
+
+    Skipped when protobuf is absent: the TWS state-server protocol imports
+    google.protobuf in the Python driver worker (not in this image)."""
+    import pytest as _pytest
+
+    _pytest.importorskip(
+        "google.protobuf", reason="transformWithState state protocol needs protobuf"
+    )
+
+    from kafkatosparktokudu_spark.streaming.pipeline import user_running_totals_tws
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+    src = tmp_path / "tws_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "tws_ckpt")
+    out = str(tmp_path / "tws_out")
+    half_a.write.parquet(str(src / "a"))
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+
+        def run():
+            stream = spark.readStream.schema(events.schema).option(
+                "recursiveFileLookup", "true"
+            ).parquet(str(src))
+            q = (
+                user_running_totals_tws(stream)
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            latest = (
+                spark.read.parquet(out)
+                .groupBy("user_id")
+                .agg(F.max(F.struct("n_events", "sum_value")).alias("m"))
+            )
+            return {
+                r["user_id"]: (r["m"]["n_events"], r["m"]["sum_value"])
+                for r in latest.collect()
+            }
+
+        run()
+        half_b.write.parquet(str(src / "b"))
+        final = run()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+
+    want = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(want)
+    for uid, (n, s) in want.items():
+        fn, fs = final[uid]
+        assert fn == n
+        assert fs == _pytest.approx(s, rel=1e-9)
+
+
 def test_stream_interval_join_equals_batch(spark, tmp_path):
     """Stream-stream interval join (clicks ⋈ purchases within 1h lookback)
     == the identical join run in batch."""
