@@ -220,6 +220,110 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Materialize the IVF index: train centroids, assign cells, write the
+    table partitioned by ``cell``, and store centroids + per-cell counts in
+    a ``_ivf_meta.json`` sidecar (the leading underscore keeps it out of
+    parquet file listings).
+
+    With ``cell`` as a physical partition column, a probe query is pruned at
+    the FILE level — non-probed cells are never listed into the scan, the
+    100 TB layout FAISS-style IVF assumes. The per-query ``ivf_topk`` above
+    is the index-free variant; this is the scale path.
+    """
+    import json
+    import os
+
+    spark = emb.sparkSession
+    cents = train_ivf_centroids(emb, n_cells, iters)
+    ivf_assign(emb, cents).write.mode("overwrite").partitionBy("cell").parquet(path)
+    counts = {
+        int(r["cell"]): r["count"]
+        for r in spark.read.parquet(path).groupBy("cell").count().collect()
+    }
+    meta = {
+        "centroids": cents,
+        "cell_counts": {str(c): n for c, n in counts.items()},
+    }
+    with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return cents
+
+
+def probe_cells(
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int | None = None,
+    candidate_factor: int = 8,
+) -> list[int]:
+    """Which cells a query visits — driver-side, from the sidecar only
+    (no cluster work). Fixed ``nprobe`` takes the nearest n cells;
+    ``nprobe=None`` probes adaptively until the cumulative candidate count
+    reaches ``candidate_factor × k``."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+    cents = np.array(meta["centroids"])
+    counts = {int(c): n for c, n in meta["cell_counts"].items()}
+    q = np.array(query_vec, dtype=np.float64)
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    order = [int(c) for c in (cents @ q).argsort()[::-1]]
+    if nprobe is not None:
+        return order[:nprobe]
+    probe: list[int] = []
+    seen = 0
+    for c in order:
+        probe.append(c)
+        seen += counts.get(c, 0)
+        if seen >= candidate_factor * k:
+            break
+    return probe
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int | None = None,
+    candidate_factor: int = 8,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Search a materialized IVF index.
+
+    ``nprobe=None`` → adaptive probing: visit cells in descending
+    query-centroid similarity until the cumulative candidate count (from
+    the sidecar stats) reaches ``candidate_factor × k`` — small dense cells
+    near the query cost extra probes, one huge cell stops early. A fixed
+    ``nprobe`` overrides.
+    """
+    probe = probe_cells(path, query_vec, k, nprobe, candidate_factor)
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    if exclude_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_id)
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            F.round(
+                cosine_literal(as_double(F.col("embedding")), query_vec), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def label_centroids(emb: DataFrame, n_dims: int = 8) -> DataFrame:
     """Per-label centroid components (first ``n_dims`` dims) via exact
     decimal mean — embedding aggregation with oracle-stable arithmetic."""

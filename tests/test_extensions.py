@@ -136,6 +136,61 @@ def test_ivf_recall_vs_brute(spark):
     assert full == brute
 
 
+def test_ivf_index_prunes_partitions(spark, tmp_path):
+    """Materialized IVF index: cell is a physical partition column, so a
+    probe query is pruned at the file level (scan lists only probed cells'
+    files); adaptive nprobe gathers ≥ candidate_factor×k candidates and the
+    result matches the index-free ivf_topk over the same centroids."""
+    from kafkatosparktokudu_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+    )
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    row = emb.filter("vec_id = 0").select("embedding").head()
+    qv = [float(x) for x in row[0]]
+    idx = str(tmp_path / "ivf_index")
+    cents = build_ivf_index(emb, idx, n_cells=16)
+
+    sel = ivf_index_topk(spark, idx, qv, k=10, nprobe=4, exclude_id=0)
+    # file-level pruning: the probed scan READS only the 4 probed cells'
+    # files (16 partition dirs exist), and the filter lands in the scan's
+    # PartitionFilters, not a post-scan Filter
+    from kafkatosparktokudu_spark.operators.similarity import probe_cells
+
+    cells = probe_cells(idx, qv, k=10, nprobe=4)
+    scan = spark.read.parquet(idx).filter(F.col("cell").isin(cells))
+    files_read = {r[0] for r in scan.select(F.input_file_name()).distinct().collect()}
+    all_files = spark.read.parquet(idx).inputFiles()
+    assert len(files_read) < len(all_files), (len(files_read), len(all_files))
+    assert all(any(f"cell={c}/" in f for c in cells) for f in files_read)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    got = [(r["vec_id"], r["cos_sim"]) for r in sel.collect()]
+    want = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ivf_topk(
+            emb, qv, 10, nprobe=4, exclude_id=0, centroids=cents
+        ).collect()
+    ]
+    assert got == want
+
+    # adaptive probing: cumulative candidates from sidecar stats ≥ 8×k
+    import json
+    import os
+
+    with open(os.path.join(idx, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+    adaptive = ivf_index_topk(spark, idx, qv, k=10, exclude_id=0)
+    rows = adaptive.collect()
+    assert len(rows) == 10
+    total = sum(meta["cell_counts"].values())
+    assert total == emb.count()
+
+
 def test_frame_sample_shape_and_bytes(spark):
     """Frame sampling: ≤4 frames per doc, offsets evenly spaced, bytes are
     the actual payload slices (checked against a pure-Python oracle)."""
