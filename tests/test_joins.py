@@ -91,3 +91,51 @@ def test_broadcast_range_join_boundaries(spark):
     assert got == {1: "low", 2: "low", 3: "mid", 4: "high", 5: None}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_aqe_skew_join_splits_hot_key(spark):
+    """AQE skew-join (on in session defaults) splits a hot key's partition
+    at runtime: a 70%-of-rows key joined sort-merge (broadcast disabled)
+    must show skew=true in the final adaptive plan, with correct results —
+    the no-replication complement to salted_join for big×big skew."""
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in [
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        ]
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try:
+        n = 400_000
+        left = spark.range(n).select(
+            F.when(F.col("id") % 10 < 7, 0)
+            .otherwise(F.pmod(F.col("id"), F.lit(100)))
+            .cast("long")
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), F.upper(F.md5(F.col("id").cast("string"))).alias("dim")
+        )
+        joined = left.join(right, "k", "inner")
+        # collect() executes THIS DataFrame's queryExecution, so the
+        # adaptive plan below is the final (post-reoptimization) one
+        rows = joined.collect()
+        assert len(rows) == n  # every left row matches exactly one dim
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
