@@ -804,6 +804,72 @@ ORACLE_SQL: dict[str, str] = {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
     """,
+    # TPC-H Q7 shape: nation-pair volume flow by year.
+    "q42_volume_shipping": """
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * CAST(1 - l_discount AS DECIMAL(8,6)))
+                         AS DECIMAL(27,6)) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey  = s_suppkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1997-12-31 00:00:00'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3
+    """,
+    # TPC-H Q12 shape: conditional CASE aggregation.
+    "q43_priority_case_agg": """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                             AND TIMESTAMP '1997-12-31 00:00:00'
+        GROUP BY l_returnflag
+    """,
+    # TPC-H Q14 shape: promo share = ratio of two exact sums, divided as
+    # doubles (deterministic IEEE division in both engines).
+    "q44_promo_revenue": """
+        SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+               CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                       * CAST(1 - l_discount AS DECIMAL(8,6))
+                             END) AS DECIMAL(27,6)) AS DOUBLE)
+               * 100.0
+               / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                               * CAST(1 - l_discount AS DECIMAL(8,6)))
+                           AS DECIMAL(27,6)) AS DOUBLE) AS promo_pct,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * CAST(1 - l_discount AS DECIMAL(8,6)))
+                         AS DECIMAL(27,6)) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                             AND TIMESTAMP '1997-12-31 00:00:00'
+        GROUP BY 1
+    """,
+    # TPC-H Q19 shape: OR-of-ANDs join predicate over both sides.
+    "q45_disjunctive_join": """
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * CAST(1 - l_discount AS DECIMAL(8,6)))
+                         AS DECIMAL(27,6)) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 50)
+    """,
     # Frame-sampling plan oracle: k = min(4, n) frames at offsets (i*n)//k,
     # slice length min(16, n - off). Byte counts via encode() so multibyte
     # text matches Spark's encode(text,'utf-8').

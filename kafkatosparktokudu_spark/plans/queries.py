@@ -887,6 +887,117 @@ def q41_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H Q7 shape: two-sided nation-pair volume flow — a 6-table join where
+# only the fact tables shuffle (both nation copies broadcast), grouped by
+# derived year.
+def q42_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    vol = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"), RATE)
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(prod_sum_double(F.sum(vol)).alias("revenue"))
+    )
+
+
+# TPC-H Q12 shape: conditional CASE aggregation after a fact-fact join —
+# high/low priority line counts per return flag.
+def q43_priority_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1997-01-01", "1997-12-31")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# TPC-H Q14 shape: promo revenue share per month — a ratio of two
+# conditional sums (exact decimal sums, then one double division).
+def q44_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1997-01-01", "1997-12-31")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"), RATE)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month")
+        )
+        .agg(
+            (
+                prod_sum_double(F.sum(F.when(F.col("p_type") == "PROMO", vol)))
+                * 100.0
+                / prod_sum_double(F.sum(vol))
+            ).alias("promo_pct"),
+            prod_sum_double(F.sum(vol)).alias("revenue"),
+        )
+    )
+
+
+# TPC-H Q19 shape: disjunctive multi-attribute join predicate (OR of ANDs
+# across both sides) — Catalyst extracts the common l_partkey = p_partkey
+# equi-condition so this stays a hash join, not a nested loop.
+def q45_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    vol = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"), RATE)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return li.join(
+        F.broadcast(part), (F.col("l_partkey") == F.col("p_partkey")) & cond
+    ).agg(
+        prod_sum_double(F.sum(vol)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def px01_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus curation as ONE composed plan: doubled
     corpus → quality filter (keep score ≥ 0.5) → exact dedup (min-id
@@ -1105,6 +1216,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_string_functions": q39_string_functions,
     "q40_array_functions": q40_array_functions,
     "q41_map_functions": q41_map_functions,
+    "q42_volume_shipping": q42_volume_shipping,
+    "q43_priority_case_agg": q43_priority_case_agg,
+    "q44_promo_revenue": q44_promo_revenue,
+    "q45_disjunctive_join": q45_disjunctive_join,
     "px01_curation_pipeline": px01_curation_pipeline,
     "st01_sliding_rollup": st01_sliding_rollup,
     "st02_session_rollup": st02_session_rollup,
