@@ -223,6 +223,68 @@ def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return agg.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph → one
+    ``(doc_id, cluster_id)`` row per node, cluster_id = min node id in the
+    component. The step after pair-finding: pick one survivor per cluster
+    (``doc_id == cluster_id``) instead of per pair, so transitive
+    near-duplicates (A~B, B~C, A≁C) still collapse to a single keeper.
+
+    Min-label propagation: every node starts labeled with its own id; each
+    round a node takes the min label in its neighborhood; stop when no
+    label changes. Each round is ONE shuffle (join + groupBy on node id) and
+    rounds ≈ graph diameter — near-dup clusters are shallow (pairs share an
+    LSH bucket), so 2-4 rounds typical. ``localCheckpoint`` per round keeps
+    the plan flat instead of exponentially nested. At 100 TB this is the
+    standard iterative-join CC (Hash-to-Min); diameter, not data volume,
+    bounds the round count.
+    """
+    sym = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    edges = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), "lbl"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+            .select(F.col("src").alias("node"), "nbr_lbl")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.select("node", F.col("lbl").alias("new_lbl"))
+            .join(labels, "node")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame, threshold: float = 0.3
 ) -> DataFrame:

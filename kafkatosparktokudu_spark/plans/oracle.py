@@ -228,6 +228,41 @@ ORACLE_SQL: dict[str, str] = {
             FROM cand JOIN base x ON x.doc_id = doc_a JOIN base y ON y.doc_id = doc_b
         ) WHERE jaccard >= 0.2
     """,
+    # Connected components over the dd04 pair graph: transitive closure via
+    # recursive CTE (set-semantics UNION terminates), cluster = min
+    # reachable id — semantically identical to Spark's min-label
+    # propagation fixpoint.
+    "dd07_dup_clusters": f"""
+        WITH RECURSIVE {_MINHASH_CTE},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.doc_id < b.doc_id
+             AND (a.band0 = b.band0 OR a.band1 = b.band1
+                  OR a.band2 = b.band2 OR a.band3 = b.band3)
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b FROM (
+                SELECT doc_a, doc_b,
+                       CAST(len(list_distinct(list_intersect(x.hs, y.hs))) AS DOUBLE)
+                           / len(list_distinct(x.hs || y.hs)) AS jaccard
+                FROM cand JOIN base x ON x.doc_id = doc_a
+                          JOIN base y ON y.doc_id = doc_b
+            ) WHERE jaccard >= 0.2
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach(node, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+        )
+        SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
+    """,
     "dd05_embedding_neardup": """
         WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
         SELECT vec_a, vec_b, cos_sim FROM (

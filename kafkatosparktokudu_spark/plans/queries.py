@@ -1056,6 +1056,13 @@ def dd04_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs_jaccard(_t(spark, sf_dir, "documents"), threshold=0.2)
 
 
+def dd07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import duplicate_clusters, neardup_pairs_jaccard
+
+    pairs = neardup_pairs_jaccard(_t(spark, sf_dir, "documents"), threshold=0.2)
+    return duplicate_clusters(pairs)
+
+
 def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import embedding_neardup_pairs
 
@@ -1216,6 +1223,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_string_functions": q39_string_functions,
     "q40_array_functions": q40_array_functions,
     "q41_map_functions": q41_map_functions,
+    "dd07_dup_clusters": dd07_dup_clusters,
     "q42_volume_shipping": q42_volume_shipping,
     "q43_priority_case_agg": q43_priority_case_agg,
     "q44_promo_revenue": q44_promo_revenue,

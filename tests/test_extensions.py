@@ -216,3 +216,43 @@ def test_frame_sample_shape_and_bytes(spark):
             off = (r["frame_idx"] * len(p)) // k
             assert r["frame_offset"] == off
             assert bytes(r["frame_bytes"]) == p[off : off + 16]
+
+
+def test_duplicate_clusters_vs_union_find(spark):
+    """Min-label propagation CC vs a pure-Python union-find on a graph with
+    a chain (transitive near-dups), a triangle, an isolated pair, and a
+    star — including multi-round convergence (chain diameter > 1)."""
+    from kafkatosparktokudu_spark.operators.dedup import duplicate_clusters
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),          # chain: all → 1
+        (10, 11), (11, 12), (10, 12),            # triangle → 10
+        (20, 21),                                # pair → 20
+        (30, 31), (30, 32), (30, 33), (30, 34),  # star → 30
+        (40, 5),                                 # joins the chain late → 1
+    ]
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonicalize: min member per component
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    want = {n: min(members) for root, members in comp.items() for n in members}
+    assert got == want
