@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "ss04_ivf_topk",            # IVF ANN (train + nprobe search)
     "q22_asof_join",            # as-of join (union + single window pass)
     "px01_curation_pipeline",   # quality → dedup → stats, one plan
+    "px02_cluster_dedup_pipeline",  # LSH pairs → connected components → stats
 ]
 
 N_CDC_RECORDS = 200_000

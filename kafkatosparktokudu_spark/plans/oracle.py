@@ -136,6 +136,38 @@ def _simhash_sql() -> str:
 
 _MINHASH_BANDS_SQL, _MINHASH_CTE = _minhash_sql()
 
+# Connected components over the dd04 near-dup pair graph: transitive closure
+# via recursive CTE (set-semantics UNION terminates), cluster = min reachable
+# id — semantically identical to Spark's min-label propagation fixpoint.
+# Shared by dd07 and px02; use with WITH RECURSIVE.
+_CC_CTES = f"""{_MINHASH_CTE},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.doc_id < b.doc_id
+             AND (a.band0 = b.band0 OR a.band1 = b.band1
+                  OR a.band2 = b.band2 OR a.band3 = b.band3)
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b FROM (
+                SELECT doc_a, doc_b,
+                       CAST(len(list_distinct(list_intersect(x.hs, y.hs))) AS DOUBLE)
+                           / len(list_distinct(x.hs || y.hs)) AS jaccard
+                FROM cand JOIN base x ON x.doc_id = doc_a
+                          JOIN base y ON y.doc_id = doc_b
+            ) WHERE jaccard >= 0.2
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach(node, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+        )"""
+
 ORACLE_SQL: dict[str, str] = {
     "tx01_token_stats": f"""
         SELECT doc_id, n_chars,
@@ -228,40 +260,25 @@ ORACLE_SQL: dict[str, str] = {
             FROM cand JOIN base x ON x.doc_id = doc_a JOIN base y ON y.doc_id = doc_b
         ) WHERE jaccard >= 0.2
     """,
-    # Connected components over the dd04 pair graph: transitive closure via
-    # recursive CTE (set-semantics UNION terminates), cluster = min
-    # reachable id — semantically identical to Spark's min-label
-    # propagation fixpoint.
     "dd07_dup_clusters": f"""
-        WITH RECURSIVE {_MINHASH_CTE},
-        cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.doc_id < b.doc_id
-             AND (a.band0 = b.band0 OR a.band1 = b.band1
-                  OR a.band2 = b.band2 OR a.band3 = b.band3)
-        ),
-        pairs AS (
-            SELECT doc_a, doc_b FROM (
-                SELECT doc_a, doc_b,
-                       CAST(len(list_distinct(list_intersect(x.hs, y.hs))) AS DOUBLE)
-                           / len(list_distinct(x.hs || y.hs)) AS jaccard
-                FROM cand JOIN base x ON x.doc_id = doc_a
-                          JOIN base y ON y.doc_id = doc_b
-            ) WHERE jaccard >= 0.2
-        ),
-        edges AS (
-            SELECT doc_a AS src, doc_b AS dst FROM pairs
-            UNION
-            SELECT doc_b AS src, doc_a AS dst FROM pairs
-        ),
-        reach(node, lbl) AS (
-            SELECT src, src FROM edges
-            UNION
-            SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
-        )
+        WITH RECURSIVE {_CC_CTES}
         SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
         FROM reach GROUP BY node
+    """,
+    # Cluster-aware curation: docs whose near-dup cluster keeper is
+    # themselves (un-paired docs are their own keeper) → per-source stats.
+    "px02_cluster_dedup_pipeline": f"""
+        WITH RECURSIVE {_CC_CTES},
+        clusters AS (
+            SELECT node AS doc_id, MIN(lbl) AS cluster_id
+            FROM reach GROUP BY node
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+        FROM documents d LEFT JOIN clusters c USING (doc_id)
+        WHERE COALESCE(c.cluster_id, d.doc_id) = d.doc_id
+        GROUP BY source
     """,
     "dd05_embedding_neardup": """
         WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
@@ -904,6 +921,28 @@ ORACLE_SQL: dict[str, str] = {
                AND l_quantity BETWEEN 10 AND 30)
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
                AND l_quantity BETWEEN 20 AND 50)
+    """,
+    # Funnel: first-click cohort day → clickers and 1-day conversions.
+    "q46_conversion_funnel": """
+        WITH first_click AS (
+            SELECT user_id, MIN(ts) AS first_click
+            FROM events WHERE event_type = 'click' GROUP BY user_id
+        ),
+        converted AS (
+            SELECT f.user_id, f.first_click,
+                   MAX(CASE WHEN p.ts >= f.first_click
+                             AND p.ts <= f.first_click + INTERVAL 1 DAY
+                            THEN 1 ELSE 0 END) AS converted
+            FROM first_click f
+            LEFT JOIN (SELECT user_id, ts FROM events
+                       WHERE event_type = 'purchase') p
+              ON f.user_id = p.user_id
+            GROUP BY f.user_id, f.first_click
+        )
+        SELECT CAST(first_click AS DATE) AS cohort_day,
+               COUNT(*) AS n_clickers,
+               CAST(SUM(converted) AS BIGINT) AS n_converted
+        FROM converted GROUP BY 1
     """,
     # Frame-sampling plan oracle: k = min(4, n) frames at offsets (i*n)//k,
     # slice length min(16, n - off). Byte counts via encode() so multibyte

@@ -998,6 +998,44 @@ def q45_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sequence/funnel analytics: per-user first-click cohort and conversion
+# within 1 day — two grouped aggs + one equi join on user_id; the conversion
+# window is evaluated as a conditional max, never a per-user sort.
+def q46_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    converted = (
+        first_click.join(purchases, "user_id", "left")
+        .groupBy("user_id", "first_click")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("p_ts") >= F.col("first_click"))
+                    & (
+                        F.col("p_ts")
+                        <= F.col("first_click") + F.expr("INTERVAL 1 DAY")
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    return (
+        converted.groupBy(F.to_date("first_click").alias("cohort_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clickers"),
+            F.sum("converted").alias("n_converted"),
+        )
+    )
+
+
 def px01_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus curation as ONE composed plan: doubled
     corpus → quality filter (keep score ≥ 0.5) → exact dedup (min-id
@@ -1027,6 +1065,27 @@ def px01_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("quality_score").cast("decimal(18,9)")).cast("double")
             / F.count(F.lit(1))
         ).alias("avg_quality"),
+    )
+
+
+def px02_cluster_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware curation: near-dup pairs (MinHash-LSH + Jaccard) →
+    connected components → keep one survivor per CLUSTER (docs in no pair
+    survive as their own keeper) → per-source stats. The transitive step
+    px01's fingerprint dedup can't express: A~B, B~C, A≁C still collapses
+    to one doc."""
+    from ..operators.dedup import duplicate_clusters, neardup_pairs_jaccard
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars", "source")
+    pairs = neardup_pairs_jaccard(docs, threshold=0.2)
+    clusters = duplicate_clusters(pairs)
+    labeled = docs.join(clusters, "doc_id", "left")
+    survivors = labeled.filter(
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")) == F.col("doc_id")
+    )
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_total"),
     )
 
 
@@ -1228,7 +1287,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_priority_case_agg": q43_priority_case_agg,
     "q44_promo_revenue": q44_promo_revenue,
     "q45_disjunctive_join": q45_disjunctive_join,
+    "q46_conversion_funnel": q46_conversion_funnel,
     "px01_curation_pipeline": px01_curation_pipeline,
+    "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,
     "st01_sliding_rollup": st01_sliding_rollup,
     "st02_session_rollup": st02_session_rollup,
 }
