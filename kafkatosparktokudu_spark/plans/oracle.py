@@ -922,6 +922,82 @@ ORACLE_SQL: dict[str, str] = {
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
                AND l_quantity BETWEEN 20 AND 50)
     """,
+    # TPC-H Q13 shape: outer-join count distribution (ON-clause filter).
+    "q47_custdist": """
+        SELECT c_count, COUNT(*) AS custdist FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        ) GROUP BY c_count
+    """,
+    # TPC-H Q18 shape: HAVING-gated join fan-out from the aggregate.
+    "q48_big_orders": """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               total_qty
+        FROM (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                       AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING total_qty > 250.0
+        ) big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    # TPC-H Q17 shape: correlated per-part average decorrelated to a join.
+    # avg = exact decimal sum / count in both engines → the double 0.2*avg
+    # threshold is bit-identical, comparisons deterministic.
+    "q49_small_qty_revenue": """
+        WITH li_b AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#23'
+        ),
+        avg_qty AS (
+            SELECT l_partkey AS a_partkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                       / COUNT(l_quantity) AS avg_qty
+            FROM li_b GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                   / 7.0 AS avg_yearly
+        FROM li_b JOIN avg_qty ON l_partkey = a_partkey
+        WHERE l_quantity < 0.2 * avg_qty
+    """,
+    # TPC-H Q22 shape: global scalar subquery + NOT EXISTS anti join.
+    "q50_wealthy_inactive": """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_cust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_bal
+        FROM customer
+        WHERE c_acctbal > (
+                SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                           / COUNT(c_acctbal)
+                FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+    """,
+    # TPC-H Q15 shape: agg-over-agg, max-revenue equality on exact DECIMAL.
+    "q51_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(1 - l_discount AS DECIMAL(8,6))) AS rev_dec
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(CAST(rev_dec AS DECIMAL(27,6)) AS DOUBLE) AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+    """,
     # Funnel: first-click cohort day → clickers and 1-day conversions.
     "q46_conversion_funnel": """
         WITH first_click AS (

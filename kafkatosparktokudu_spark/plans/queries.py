@@ -998,6 +998,115 @@ def q45_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H Q13 shape: outer-join count distribution. The ON-clause filter on
+# the right side (priority != URGENT) is applied BEFORE the left join so
+# unmatched customers still appear with count 0, then a second aggregation
+# over the counts. Two shuffles, both on low-cardinality keys.
+def q47_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# TPC-H Q18 shape: HAVING over a grouped aggregate gating a join — the
+# big-quantity order keys (few) semi-drive the join against orders+customer,
+# so the heavy lineitem aggregation happens once and the join fans out from
+# the small filtered side.
+def q48_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250.0)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+# TPC-H Q17 shape: correlated scalar subquery (per-part average quantity)
+# decorrelated into a grouped agg + broadcast join back to the fact — no
+# per-row subquery execution, one pass over lineitem per side. Threshold is
+# 0.2*avg with avg computed as exact decimal sum / count in BOTH engines, so
+# the double comparison is bit-deterministic.
+def q49_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li_b = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    avg_qty = li_b.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        davg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li_b.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+# TPC-H Q22 shape: global scalar subquery (average balance of in-credit
+# customers, broadcast as a 1-row cross join) + NOT EXISTS anti join
+# (customers with no URGENT order — the fixture gives every customer at
+# least one order, so the anti side is priority-filtered).
+def q50_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count("c_acctbal")).alias("avg_bal")
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+# TPC-H Q15 shape: agg-over-agg — per-supplier revenue for one quarter,
+# then keep the supplier(s) whose revenue EQUALS the max. Revenue is kept
+# as exact DECIMAL through the max-equality (ties and comparisons are
+# exact), cast to double only in the final projection.
+def q51_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    vol = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"), RATE)
+    rev = li.groupBy("l_suppkey").agg(F.sum(vol).alias("rev_dec"))
+    mx = rev.agg(F.max("rev_dec").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("rev_dec") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            prod_sum_double(F.col("rev_dec")).alias("total_revenue"),
+        )
+    )
+
+
 # Sequence/funnel analytics: per-user first-click cohort and conversion
 # within 1 day — two grouped aggs + one equi join on user_id; the conversion
 # window is evaluated as a conditional max, never a per-user sort.
@@ -1288,6 +1397,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_promo_revenue": q44_promo_revenue,
     "q45_disjunctive_join": q45_disjunctive_join,
     "q46_conversion_funnel": q46_conversion_funnel,
+    "q47_custdist": q47_custdist,
+    "q48_big_orders": q48_big_orders,
+    "q49_small_qty_revenue": q49_small_qty_revenue,
+    "q50_wealthy_inactive": q50_wealthy_inactive,
+    "q51_top_supplier": q51_top_supplier,
     "px01_curation_pipeline": px01_curation_pipeline,
     "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,
     "st01_sliding_rollup": st01_sliding_rollup,
