@@ -998,6 +998,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM rev JOIN supplier ON l_suppkey = s_suppkey
         WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
     """,
+    # Deterministic stratified sample: per-lang rate via portable md5 hash.
+    "q52_stratified_sample": f"""
+        SELECT lang, COUNT(*) AS n_sampled,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+        FROM documents
+        WHERE {_H32.format(x='CAST(doc_id AS VARCHAR)')} % 100
+              < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+        GROUP BY lang
+    """,
     # Funnel: first-click cohort day → clickers and 1-day conversions.
     "q46_conversion_funnel": """
         WITH first_click AS (

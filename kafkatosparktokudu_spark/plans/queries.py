@@ -1107,6 +1107,34 @@ def q51_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus rebalancing: deterministic stratified sampling — per-stratum rates
+# (downsample the dominant language to 10%, keep 50% of the rest) applied as
+# a portable md5-hash filter, so the sample is reproducible across engines
+# and runs, needs no shuffle, and pushes the filter to the scan.
+def q52_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_hash32
+
+    docs = _t(spark, sf_dir, "documents")
+    rate_pct = F.when(F.col("lang") == "en", 10).otherwise(50)
+    sampled = docs.filter(
+        md5_hash32(F.col("doc_id").cast("string")) % 100 < rate_pct
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+    )
+
+
+# Count-min-sketch heavy hitters: one-pass JVM-side sketch build (fixed-size
+# partial-merge, no wide shuffle) + driver probe of exact top-k candidates.
+# Rows-only: the estimate column is sketch-specific, not SQL-expressible.
+def sk01_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(spark, ev, "user_id", k=10)
+
+
 # Sequence/funnel analytics: per-user first-click cohort and conversion
 # within 1 day — two grouped aggs + one equi join on user_id; the conversion
 # window is evaluated as a conditional max, never a per-user sort.
@@ -1402,6 +1430,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_small_qty_revenue": q49_small_qty_revenue,
     "q50_wealthy_inactive": q50_wealthy_inactive,
     "q51_top_supplier": q51_top_supplier,
+    "q52_stratified_sample": q52_stratified_sample,
+    "sk01_cms_heavy_hitters": sk01_cms_heavy_hitters,
     "px01_curation_pipeline": px01_curation_pipeline,
     "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,
     "st01_sliding_rollup": st01_sliding_rollup,

@@ -256,3 +256,28 @@ def test_duplicate_clusters_vs_union_find(spark):
         comp.setdefault(find(n), []).append(n)
     want = {n: min(members) for root, members in comp.items() for n in members}
     assert got == want
+
+
+def test_cms_heavy_hitters_error_bound(spark):
+    from kafkatosparktokudu_spark.operators.sketch import (
+        cms_estimates,
+        count_min_sketch_bytes,
+        heavy_hitters,
+    )
+
+    ev = load_table(spark, SF, "events").select("user_id")
+    n = ev.count()
+    eps = 0.001
+    sketch = count_min_sketch_bytes(ev, "user_id", eps=eps)
+    true = {r["user_id"]: r["cnt"] for r in
+            ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    est = cms_estimates(spark, sketch, list(true))
+    for uid, t in true.items():
+        assert est[uid] >= t  # CMS never under-counts
+        assert est[uid] <= t + eps * n  # w.h.p. bound; deterministic seed
+
+    hh = heavy_hitters(spark, ev, "user_id", k=5).collect()
+    assert len(hh) == 5
+    top_true = sorted(true.values(), reverse=True)[:5]
+    assert [r["true_count"] for r in hh] == top_true
+    assert all(r["est_count"] >= r["true_count"] for r in hh)

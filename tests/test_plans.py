@@ -114,3 +114,41 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime row-level filtering: a selective filter on the dimension side
+    of a shuffle join makes Catalyst inject a bloom filter onto the fact
+    scan (`might_contain(scalar-subquery, xxhash64(key))`), so fact rows
+    that cannot join are dropped BEFORE the shuffle — at 100 TB this is the
+    difference between shuffling the whole fact table and shuffling only
+    the ~matching fraction. Thresholds are lowered to exercise the rewrite
+    on test-sized data; results must match the unfiltered join."""
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = li.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        n_bloom = joined.collect()[0]["n"]
+    finally:
+        for k in confs:
+            spark.conf.unset(k)
+    n_plain = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).count()
+    assert n_bloom == n_plain > 0
