@@ -23,6 +23,7 @@ import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.hashing import MERSENNE31, md5_hash32
 from .text import tokens
@@ -223,11 +224,18 @@ def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return agg.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
 
 
+# Below this many (directed) edges the pair graph is collected and solved
+# driver-side — the same size-based plan switch AQE makes for broadcast
+# joins. 2M edges ≈ 32 MB of longs, far under driver memory.
+SMALL_GRAPH_EDGES = 2_000_000
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 20,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph → one
     ``(doc_id, cluster_id)`` row per node, cluster_id = min node id in the
@@ -243,11 +251,51 @@ def duplicate_clusters(
     the plan flat instead of exponentially nested. At 100 TB this is the
     standard iterative-join CC (Hash-to-Min); diameter, not data volume,
     bounds the round count.
+
+    Graphs under ``small_graph_edges`` skip the iteration entirely: the
+    edge list (already a vanishing fraction of the corpus after LSH +
+    Jaccard verification) is collected and solved with driver-side
+    union-find — the same runtime size-switch AQE applies to joins.
     """
     sym = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
     edges = sym.distinct().localCheckpoint(eager=True)
+
+    # Fast path: near-dup pair graphs are a vanishing fraction of the corpus
+    # (LSH + Jaccard verification already happened), so when the edge list
+    # is provably small, solve it driver-side with union-find — one collect
+    # instead of diameter-many shuffle rounds. Keeping the smaller root as
+    # parent makes find(x) return the component's min id directly, matching
+    # the distributed fixpoint exactly.
+    if edges.count() <= small_graph_edges:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        rows = edges.collect()
+        for row in rows:
+            ra, rb = find(row["src"]), find(row["dst"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        node_type = pairs.schema[id_a].dataType
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", node_type, False),
+                T.StructField("cluster_id", node_type, False),
+            ]
+        )
+        nodes = {row["src"] for row in rows}
+        return pairs.sparkSession.createDataFrame(
+            [(n, find(n)) for n in sorted(nodes)], schema
+        )
+
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

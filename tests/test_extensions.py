@@ -236,6 +236,13 @@ def test_duplicate_clusters_vs_union_find(spark):
         r["doc_id"]: r["cluster_id"]
         for r in duplicate_clusters(pairs).collect()
     }
+    # the distributed iterative path must agree with the small-graph
+    # driver-side fast path (small_graph_edges=0 forces iteration)
+    got_iter = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs, small_graph_edges=0).collect()
+    }
+    assert got == got_iter
 
     parent: dict[int, int] = {}
 
