@@ -998,6 +998,34 @@ ORACLE_SQL: dict[str, str] = {
         FROM rev JOIN supplier ON l_suppkey = s_suppkey
         WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
     """,
+    # Gap-fill: per-user hourly grid + forward fill (last_value IGNORE
+    # NULLS). avg is the exact decimal sum/count formula.
+    "q53_gapfill_hourly": """
+        WITH obs AS (
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                       / COUNT(value) AS avg_value,
+                   COUNT(*) AS n_obs
+            FROM events WHERE user_id < 20 GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+            FROM obs GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id,
+                   UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM span
+        )
+        SELECT g.user_id, g.hour,
+               LAST_VALUE(o.avg_value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_ff,
+               CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs
+        FROM grid g LEFT JOIN obs o
+          ON g.user_id = o.user_id AND g.hour = o.hour
+    """,
     # Deterministic stratified sample: per-lang rate via portable md5 hash.
     "q52_stratified_sample": f"""
         SELECT lang, COUNT(*) AS n_sampled,

@@ -1125,6 +1125,37 @@ def q52_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hypertable-style gap-fill: per-user hourly grid (sequence + explode over
+# each user's own observed span — no global calendar table), left join of
+# observed hourly averages, forward fill via last(ignorenulls) over an
+# ordered window. The grid explode is per-group and partition-parallel; at
+# scale the window shuffle partitions by user_id only once.
+def q53_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    obs = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour")).agg(
+        davg("value").alias("avg_value"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    span = obs.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return grid.join(obs, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        F.last("avg_value", ignorenulls=True).over(w).alias("value_ff"),
+        F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_obs"),
+    )
+
+
 # Count-min-sketch heavy hitters: one-pass JVM-side sketch build (fixed-size
 # partial-merge, no wide shuffle) + driver probe of exact top-k candidates.
 # Rows-only: the estimate column is sketch-specific, not SQL-expressible.
@@ -1431,6 +1462,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_wealthy_inactive": q50_wealthy_inactive,
     "q51_top_supplier": q51_top_supplier,
     "q52_stratified_sample": q52_stratified_sample,
+    "q53_gapfill_hourly": q53_gapfill_hourly,
     "sk01_cms_heavy_hitters": sk01_cms_heavy_hitters,
     "px01_curation_pipeline": px01_curation_pipeline,
     "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,
