@@ -19,6 +19,74 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def zorder_key(*cols, bits: int = 16):
+    """Z-order (Morton) key over integer-castable columns: interleave the
+    top ``bits`` bits of each column's value so rows close in EVERY
+    dimension land close in the sort order. Sorting a file (or table) by
+    this key tightens per-row-group min/max ranges on ALL participating
+    columns at once, so parquet row-group skipping prunes multi-dimensional
+    predicates — the layout trick Delta/Iceberg expose as OPTIMIZE ZORDER,
+    built here from pure Catalyst bit arithmetic (shiftleft/shiftright/
+    bitwise or), no UDF.
+
+    Columns are first rank-normalized by the caller if their domains are
+    skewed; here we take the low ``bits`` bits of the bigint cast, which is
+    right for dense ids and epoch-derived values.
+    """
+    key = F.lit(0).cast("bigint")
+    n = len(cols)
+    for dim, c in enumerate(cols):
+        v = (F.col(c) if isinstance(c, str) else c).cast("bigint")
+        for b in range(bits):
+            src_bit = F.shiftright(v, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(
+                F.shiftleft(src_bit, b * n + dim).cast("bigint")
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    mode: str = "overwrite",
+    bits: int = 16,
+    options: dict | None = None,
+) -> None:
+    """Write parquet clustered by a Z-order key: range-repartition then
+    sortWithinPartitions on the key, so both file-level and row-group-level
+    min/max stats are tight in every z-ordered dimension."""
+    # Rescale every dimension to the full [0, 2^bits) range first (one tiny
+    # min/max agg): without this, the dimension with the widest raw domain
+    # owns all the key's top bits and the curve degenerates into a plain
+    # sort on that column — ranks/ranges, not raw values, must interleave.
+    stats = df.agg(
+        *[F.min(F.col(c).cast("bigint")).alias(f"{c}_min") for c in zorder_cols],
+        *[F.max(F.col(c).cast("bigint")).alias(f"{c}_max") for c in zorder_cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    scaled = []
+    for c in zorder_cols:
+        lo, hi = stats[f"{c}_min"], stats[f"{c}_max"]
+        span = max(hi - lo, 1)
+        scaled.append(
+            ((F.col(c).cast("bigint") - F.lit(lo)) * top / F.lit(span))
+            .cast("bigint")
+        )
+    key = zorder_key(*scaled, bits=bits)
+    (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")), "__zkey"
+        )
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .options(**(options or {}))
+        .parquet(path)
+    )
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

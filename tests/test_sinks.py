@@ -47,3 +47,68 @@ def test_write_partitioned_file_splitting(spark, tmp_path):
         assert 1 < len(files) <= 3  # hot partitions split, none explode
     back = spark.read.parquet(out)
     assert back.count() == events.count()
+
+
+def _row_groups_matching(path, col_a, lo_a, hi_a, col_b, lo_b, hi_b):
+    """Count row groups whose [min,max] stats intersect BOTH ranges —
+    the row groups a stats-pruning reader must actually scan."""
+    import pyarrow.parquet as pq
+
+    n_match = n_total = 0
+    for root, _, files in os.walk(path):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, fn)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                n_total += 1
+                sa = g.column(idx[col_a]).statistics
+                sb = g.column(idx[col_b]).statistics
+                if (sa.min <= hi_a and sa.max >= lo_a
+                        and sb.min <= hi_b and sb.max >= lo_b):
+                    n_match += 1
+    return n_match, n_total
+
+
+def test_zorder_layout_tightens_two_dim_skipping(spark, tmp_path):
+    """Z-order clustering vs single-column sort: sorting by user_id alone
+    leaves every row group's hour range wide open, so an hour-selective
+    predicate can skip nothing; the z-ordered layout keeps BOTH dimensions'
+    min/max tight, so it prunes hour predicates too while still pruning
+    user predicates."""
+    from kafkatosparktokudu_spark.sources.sink import write_zordered
+
+    raw = load_table(spark, "/root/testdata/sf0.01", "events")
+    t0 = raw.agg(F.min(F.unix_timestamp("ts"))).collect()[0][0]
+    events = raw.select(
+        "user_id",
+        ((F.unix_timestamp("ts") - F.lit(t0)) / 3600).cast("bigint").alias("hour_id"),
+    )
+    rg = {"parquet.block.size": str(32 * 1024)}  # small row groups on test data
+
+    z_out = str(tmp_path / "z")
+    write_zordered(events, z_out, ["user_id", "hour_id"], options=rg)
+
+    s_out = str(tmp_path / "s")
+    (events.repartitionByRange(8, "user_id").sortWithinPartitions("user_id")
+     .write.mode("overwrite").options(**rg).parquet(s_out))
+
+    hours = events.agg(F.max("hour_id")).collect()[0][0]
+    lo_h, hi_h = 0, hours // 8  # hour-selective, user-unselective
+    lo_u, hi_u = 10, 30         # user-selective, hour-unselective
+
+    # hour-only predicate: user-sorted layout cannot skip, z-order can
+    zh, zt = _row_groups_matching(z_out, "user_id", 0, 10**9,
+                                  "hour_id", lo_h, hi_h)
+    sh, st = _row_groups_matching(s_out, "user_id", 0, 10**9,
+                                  "hour_id", lo_h, hi_h)
+    assert zt > 4 and st > 4, (zt, st)
+    assert sh == st  # every user-sorted row group spans all hours
+    assert zh / zt < sh / st, (zh, zt, sh, st)
+
+    # user-only predicate: z-order still prunes (less than a pure sort, by design)
+    zu, _ = _row_groups_matching(z_out, "user_id", lo_u, hi_u,
+                                 "hour_id", 0, 10**9)
+    assert zu < zt, (zu, zt)
