@@ -998,6 +998,50 @@ ORACLE_SQL: dict[str, str] = {
         FROM rev JOIN supplier ON l_suppkey = s_suppkey
         WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
     """,
+    # TPC-H Q8 shape: market-share ratio per order year (6-table star).
+    "q54_market_share": """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                                  THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                       * CAST(1 - l_discount AS DECIMAL(8,6))
+                             END) AS DECIMAL(27,6)) AS DOUBLE)
+               / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                               * CAST(1 - l_discount AS DECIMAL(8,6)))
+                           AS DECIMAL(27,6)) AS DOUBLE) AS mkt_share
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+          AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                              AND TIMESTAMP '1997-12-31 00:00:00'
+        GROUP BY 1
+    """,
+    # TPC-H Q10 shape: returned-item revenue, deterministic top-20.
+    "q55_returned_revenue": """
+        SELECT c_custkey, c_name,
+               CAST(CAST(rev_dec AS DECIMAL(27,6)) AS DOUBLE) AS revenue,
+               c_acctbal, n_name
+        FROM (
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(1 - l_discount AS DECIMAL(8,6))) AS rev_dec
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+        )
+        ORDER BY rev_dec DESC, c_custkey
+        LIMIT 20
+    """,
     # Gap-fill: per-user hourly grid + forward fill (last_value IGNORE
     # NULLS). avg is the exact decimal sum/count formula.
     "q53_gapfill_hourly": """

@@ -1125,6 +1125,79 @@ def q52_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H Q8 shape: national market share — a 6-table star join (lineitem at
+# the center; part/supplier/customer/nation/region all broadcast) with a
+# conditional-sum ratio per order year. One shuffle join (lineitem-orders);
+# every dimension is broadcast so the fact table is scanned exactly once.
+def q54_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    nat_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    vol = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"), RATE)
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat_s), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                prod_sum_double(
+                    F.sum(F.when(F.col("supp_nation") == "NATION_3", vol))
+                )
+                / prod_sum_double(F.sum(vol))
+            ).alias("mkt_share")
+        )
+    )
+
+
+# TPC-H Q10 shape: returned-item revenue top-k — fact filter (returnflag)
+# + date-windowed orders, broadcast customer/nation, deterministic top-20
+# by (exact-decimal revenue DESC, custkey).
+def q55_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    vol = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"), RATE)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(vol).alias("rev_dec"))
+        .orderBy(F.desc("rev_dec"), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            prod_sum_double(F.col("rev_dec")).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
 # Hypertable-style gap-fill: per-user hourly grid (sequence + explode over
 # each user's own observed span — no global calendar table), left join of
 # observed hourly averages, forward fill via last(ignorenulls) over an
@@ -1463,6 +1536,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_top_supplier": q51_top_supplier,
     "q52_stratified_sample": q52_stratified_sample,
     "q53_gapfill_hourly": q53_gapfill_hourly,
+    "q54_market_share": q54_market_share,
+    "q55_returned_revenue": q55_returned_revenue,
     "sk01_cms_heavy_hitters": sk01_cms_heavy_hitters,
     "px01_curation_pipeline": px01_curation_pipeline,
     "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,
