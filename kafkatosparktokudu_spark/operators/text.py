@@ -145,3 +145,34 @@ def subword_counts(docs: DataFrame) -> DataFrame:
             F.length("text") / F.greatest(n_pieces, F.lit(1)), 6
         ).alias("chars_per_piece"),
     )
+
+
+def keyterms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document key terms: TF-IDF-style ranking with exact integer
+    arithmetic. Term frequency and document frequency are both counts; the
+    ranking score tf/df is evaluated as ``tf * 1e9 DIV df`` (integer
+    division) so it is bit-identical across engines — for a fixed document
+    the ordering is the classic tf-idf ordering (idf is monotone in 1/df).
+
+    Scale shape: two hash aggregations (term counts per doc, doc freq per
+    term) + one shuffle join on term + one per-doc window for top-k —
+    vocabulary never touches the driver.
+    """
+    from pyspark.sql import Window
+
+    t = tokens("text")
+    tf = (
+        docs.select("doc_id", F.explode(t).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df, "term").withColumn(
+        "score", F.expr("tf * CAST(1000000000 AS BIGINT) div df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df", "score")
+    )

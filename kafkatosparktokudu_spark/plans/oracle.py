@@ -998,6 +998,39 @@ ORACLE_SQL: dict[str, str] = {
         FROM rev JOIN supplier ON l_suppkey = s_suppkey
         WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
     """,
+    # Per-doc key terms: tf-idf ordering via exact integer tf*1e9 DIV df.
+    "tx07_keyterms": f"""
+        WITH tfs AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM (
+                SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            ) GROUP BY doc_id, term
+        ),
+        dfc AS (SELECT term AS d_term, COUNT(*) AS df FROM tfs GROUP BY 1),
+        scored AS (
+            SELECT doc_id, term, tf, df, tf * 1000000000 // df AS score
+            FROM tfs JOIN dfc ON term = d_term
+        )
+        SELECT doc_id, term, tf, df, score FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+            FROM scored
+        ) WHERE rk <= 3
+    """,
+    # Unpivot/melt: wide grouped agg → long (metric, value) rows.
+    "q56_unpivot_metrics": """
+        SELECT o_orderstatus, 'sum_price' AS metric,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS value
+        FROM orders GROUP BY o_orderstatus
+        UNION ALL
+        SELECT o_orderstatus, 'n_orders',
+               CAST(COUNT(*) AS DOUBLE)
+        FROM orders GROUP BY o_orderstatus
+        UNION ALL
+        SELECT o_orderstatus, 'avg_price',
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(o_totalprice)
+        FROM orders GROUP BY o_orderstatus
+    """,
     # TPC-H Q8 shape: market-share ratio per order year (6-table star).
     "q54_market_share": """
         SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,

@@ -864,6 +864,30 @@ def tx06_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return subword_counts(_t(spark, sf_dir, "documents"))
 
 
+def tx07_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import keyterms
+
+    return keyterms(_t(spark, sf_dir, "documents"))
+
+
+# Unpivot/melt: the wide→long reshape (Spark DataFrame.unpivot; oracle is
+# the equivalent UNION ALL). Wide side is a grouped agg so the unpivot runs
+# over a few rows — the reshape itself is shuffle-free.
+def q56_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        dsum("o_totalprice").alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        davg("o_totalprice").alias("avg_price"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"],
+        ["sum_price", "n_orders", "avg_price"],
+        "metric",
+        "value",
+    )
+
+
 def _doubled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ copy with offset ids — planted exact duplicates for the
     dedup demos (the fixture itself has no exact dups)."""
@@ -1538,6 +1562,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_gapfill_hourly": q53_gapfill_hourly,
     "q54_market_share": q54_market_share,
     "q55_returned_revenue": q55_returned_revenue,
+    "q56_unpivot_metrics": q56_unpivot_metrics,
+    "tx07_keyterms": tx07_keyterms,
     "sk01_cms_heavy_hitters": sk01_cms_heavy_hitters,
     "px01_curation_pipeline": px01_curation_pipeline,
     "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,
