@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "ss01_knn_cosine",          # brute-force cosine top-k
     "ss04_ivf_topk",            # IVF ANN (train + nprobe search)
     "q22_asof_join",            # as-of join (union + single window pass)
+    "q54_market_share",         # TPC-H Q8 6-table star (all dims broadcast)
+    "tx07_keyterms",            # tf-idf keyterms (explode + 2 aggs + window)
     "px01_curation_pipeline",   # quality → dedup → stats, one plan
     "px02_cluster_dedup_pipeline",  # LSH pairs → connected components → stats
 ]

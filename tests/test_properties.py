@@ -145,3 +145,33 @@ def test_incremental_merge_matches_sequential_replay(spark, tmp_path_factory, ch
     for pk in want:
         for col, wv in want[pk].items():
             assert got[pk][col] == wv, (pk, col, got[pk][col], wv)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, (1 << 16) - 1), st.integers(0, (1 << 16) - 1)),
+        min_size=1, max_size=50,
+    )
+)
+def test_zorder_key_matches_python_interleave(spark, pairs):
+    """zorder_key must equal a reference Python bit-interleave for arbitrary
+    16-bit (x, y) pairs — the layout contract row-group skipping rests on."""
+    from kafkatosparktokudu_spark.sources.sink import zorder_key
+
+    def interleave(x, y):
+        key = 0
+        for b in range(16):
+            key |= ((x >> b) & 1) << (2 * b)
+            key |= ((y >> b) & 1) << (2 * b + 1)
+        return key
+
+    df = spark.createDataFrame(pairs, "x bigint, y bigint")
+    got = [
+        r["k"]
+        for r in df.select(zorder_key("x", "y").alias("k"))
+        .orderBy("k").collect()
+    ]
+    want = sorted(interleave(x, y) for x, y in pairs)
+    assert got == want
