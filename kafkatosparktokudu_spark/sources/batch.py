@@ -54,3 +54,24 @@ def register_views(
     """
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_file(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | str | None = None,
+    **options,
+):
+    """Format-agnostic batch scan (parquet / csv / json / orc).
+
+    Parquet and ORC carry their own types; CSV and JSON must be given an
+    explicit ``schema`` for type fidelity (schema inference costs an extra
+    pass over the data and guesses — never infer at 100 TB). Filters and
+    projections push into every one of these readers via the DataSource V2
+    scan, same as the parquet fixture path.
+    """
+    reader = spark.read.format(fmt).options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

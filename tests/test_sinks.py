@@ -112,3 +112,22 @@ def test_zorder_layout_tightens_two_dim_skipping(spark, tmp_path):
     zu, _ = _row_groups_matching(z_out, "user_id", lo_u, hi_u,
                                  "hour_id", 0, 10**9)
     assert zu < zt, (zu, zt)
+
+
+def test_file_format_round_trip(spark, tmp_path):
+    """CSV / JSON / ORC round-trip with explicit schema: every format-
+    specific writer+reader must reproduce the parquet fixture exactly
+    (types included) — the multi-format scan surface of SURVEY §2.2."""
+    from kafkatosparktokudu_spark.sources.batch import load_file
+
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer")
+    want = sorted(map(tuple, cust.collect()))
+    for fmt, opts in [
+        ("csv", {"header": "true"}),
+        ("json", {}),
+        ("orc", {}),
+    ]:
+        out = str(tmp_path / fmt)
+        cust.write.mode("overwrite").options(**opts).format(fmt).save(out)
+        back = load_file(spark, out, fmt, schema=cust.schema, **opts)
+        assert sorted(map(tuple, back.collect())) == want, fmt
