@@ -176,3 +176,54 @@ def keyterms(docs: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rk") <= k)
         .select("doc_id", "term", "tf", "df", "score")
     )
+
+
+def denylist_scrub(
+    docs: DataFrame, terms: tuple[str, ...] = ("customer", "merge"), mask: str = "[MASKED]"
+) -> DataFrame:
+    """Denylist scrubbing — the PII-removal shape of a curation pipeline
+    (same plan for emails/phones/ids: swap the pattern). Pure JVM regex
+    (regexp_extract_all + regexp_replace), no UDF; returns per-doc match
+    count and post-scrub length so the redaction rate is auditable."""
+    pat = r"\b(" + "|".join(terms) + r")\b"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).alias("n_masked"),
+        F.length(F.regexp_replace("text", pat, mask)).alias("scrubbed_len"),
+    )
+
+
+def packing_index(
+    docs: DataFrame, budget: int = 512, part_col: str = "source"
+) -> DataFrame:
+    """Sequence-packing index: concatenate every document's tokens in
+    (partition, doc_id) order and slice the stream into fixed ``budget``-
+    token context windows — each doc's placement is its token-offset range
+    expressed in pack coordinates (first_pack..last_pack; docs straddle
+    boundaries, exactly like pretraining concat-and-chunk).
+
+    One window aggregation per partition column value: packing is
+    embarrassingly parallel across ``part_col`` (source/shard), never a
+    global sort.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens("text"))
+    w = Window.partitionBy(part_col).orderBy("doc_id")
+    cum = F.sum(n_tok).over(w)
+    return (
+        docs.select(
+            "doc_id",
+            F.col(part_col),
+            n_tok.alias("n_tok"),
+            cum.alias("cum"),
+        )
+        .select(
+            "doc_id",
+            part_col,
+            "n_tok",
+            (F.col("cum") - F.col("n_tok")).alias("start_off"),
+            F.expr(f"(cum - n_tok) div {budget}").alias("first_pack"),
+            F.expr(f"(cum - 1) div {budget}").alias("last_pack"),
+        )
+    )

@@ -1016,6 +1016,30 @@ ORACLE_SQL: dict[str, str] = {
             FROM scored
         ) WHERE rk <= 3
     """,
+    # Denylist scrub: JVM/RE2 word-boundary regex agree on this pattern.
+    "tx08_denylist_scrub": r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\b(customer|merge)\b'))
+                    AS INTEGER) AS n_masked,
+               CAST(length(regexp_replace(text, '\b(customer|merge)\b',
+                                          '[MASKED]', 'g')) AS INTEGER)
+                   AS scrubbed_len
+        FROM documents
+    """,
+    # Sequence packing: per-source token cumsum sliced into 512-token packs.
+    "tx09_packing_index": f"""
+        SELECT doc_id, source, n_tok,
+               CAST(cum - n_tok AS BIGINT) AS start_off,
+               CAST((cum - n_tok) // 512 AS BIGINT) AS first_pack,
+               CAST((cum - 1) // 512 AS BIGINT) AS last_pack
+        FROM (
+            SELECT doc_id, source, n_tok,
+                   SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+            FROM (SELECT doc_id, source,
+                         CAST(len({_TOKS}) AS INTEGER) AS n_tok
+                  FROM documents)
+        )
+    """,
     # Unpivot/melt: wide grouped agg → long (metric, value) rows.
     "q56_unpivot_metrics": """
         SELECT o_orderstatus, 'sum_price' AS metric,

@@ -888,6 +888,18 @@ def q56_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx08_denylist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import denylist_scrub
+
+    return denylist_scrub(_t(spark, sf_dir, "documents"))
+
+
+def tx09_packing_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import packing_index
+
+    return packing_index(_t(spark, sf_dir, "documents"))
+
+
 def _doubled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ copy with offset ids — planted exact duplicates for the
     dedup demos (the fixture itself has no exact dups)."""
@@ -1564,6 +1576,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_returned_revenue": q55_returned_revenue,
     "q56_unpivot_metrics": q56_unpivot_metrics,
     "tx07_keyterms": tx07_keyterms,
+    "tx08_denylist_scrub": tx08_denylist_scrub,
+    "tx09_packing_index": tx09_packing_index,
     "sk01_cms_heavy_hitters": sk01_cms_heavy_hitters,
     "px01_curation_pipeline": px01_curation_pipeline,
     "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,
