@@ -288,6 +288,38 @@ ORACLE_SQL: dict[str, str] = {
             FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         ) WHERE cos_sim >= 0.3
     """,
+    # Semantic dedup: dd05 pair graph → transitive closure → one survivor
+    # per cluster (unpaired vectors survive as their own keeper).
+    "px03_semantic_dedup_pipeline": """
+        WITH RECURSIVE e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        vpairs AS (
+            SELECT vec_a, vec_b FROM (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+                FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            ) WHERE cos_sim >= 0.3
+        ),
+        vedges AS (
+            SELECT vec_a AS src, vec_b AS dst FROM vpairs
+            UNION
+            SELECT vec_b AS src, vec_a AS dst FROM vpairs
+        ),
+        vreach(node, lbl) AS (
+            SELECT src, src FROM vedges
+            UNION
+            SELECT ve.src, r.lbl FROM vedges ve JOIN vreach r ON ve.dst = r.node
+        ),
+        vclusters AS (
+            SELECT node AS vec_id, MIN(lbl) AS cluster_id
+            FROM vreach GROUP BY node
+        )
+        SELECT label, COUNT(*) AS n_vecs
+        FROM embeddings LEFT JOIN vclusters USING (vec_id)
+        WHERE COALESCE(cluster_id, vec_id) = vec_id
+        GROUP BY label
+    """,
     "dd06_simhash": _simhash_sql(),
     "ss01_knn_cosine": """
         WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

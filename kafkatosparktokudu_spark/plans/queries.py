@@ -1366,6 +1366,26 @@ def px02_cluster_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def px03_semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup end-to-end: cosine near-dup pairs
+    (label-blocked, threshold 0.3) → connected components → one survivor
+    per semantic cluster → per-label survivor counts. The embedding twin
+    of px02's lexical pipeline — at scale the label blocker swaps for LSH
+    buckets and everything downstream is unchanged."""
+    from ..operators.dedup import duplicate_clusters, embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(emb, threshold=0.3)
+    clusters = duplicate_clusters(pairs, id_a="vec_a", id_b="vec_b")
+    labeled = emb.select("vec_id", "label").join(
+        clusters.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left"
+    )
+    survivors = labeled.filter(
+        F.coalesce(F.col("cluster_id"), F.col("vec_id")) == F.col("vec_id")
+    )
+    return survivors.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
 def dd01_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import exact_dedup
 
@@ -1581,6 +1601,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sk01_cms_heavy_hitters": sk01_cms_heavy_hitters,
     "px01_curation_pipeline": px01_curation_pipeline,
     "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,
+    "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,
     "st01_sliding_rollup": st01_sliding_rollup,
     "st02_session_rollup": st02_session_rollup,
 }
