@@ -1159,6 +1159,21 @@ ORACLE_SQL: dict[str, str] = {
         FROM grid g LEFT JOIN obs o
           ON g.user_id = o.user_id AND g.hour = o.hour
     """,
+    # Time-RANGE frame: rolling 7-day revenue (RANGE over day interval).
+    "q57_rolling_7day": """
+        WITH daily AS (
+            SELECT o_orderstatus, date_trunc('day', o_orderdate) AS d,
+                   SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT o_orderstatus, CAST(d AS DATE) AS day,
+               CAST(rev_dec AS DOUBLE) AS day_rev,
+               CAST(SUM(rev_dec) OVER (
+                   PARTITION BY o_orderstatus ORDER BY d
+                   RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS rev_7d
+        FROM daily
+    """,
     # Deterministic stratified sample: per-lang rate via portable md5 hash.
     "q52_stratified_sample": f"""
         SELECT lang, COUNT(*) AS n_sampled,

@@ -1143,6 +1143,29 @@ def q51_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Time-RANGE window frame: rolling 7-day revenue per order status — the
+# frame is a value range over epoch seconds (RANGE, not ROWS), so days with
+# no neighbors inside the window naturally shrink the frame. One shuffle on
+# the partition key; the frame scan is a single ordered pass per partition.
+def q57_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderstatus",
+        F.date_trunc("day", "o_orderdate").alias("day"),
+    ).agg(F.sum(dec("o_totalprice")).alias("rev_dec"))
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy(F.col("day").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "o_orderstatus",
+        F.col("day").cast("date").alias("day"),
+        F.col("rev_dec").cast("double").alias("day_rev"),
+        F.sum("rev_dec").over(w).cast("double").alias("rev_7d"),
+    )
+
+
 # Corpus rebalancing: deterministic stratified sampling — per-stratum rates
 # (downsample the dominant language to 10%, keep 50% of the rest) applied as
 # a portable md5-hash filter, so the sample is reproducible across engines
@@ -1595,6 +1618,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_market_share": q54_market_share,
     "q55_returned_revenue": q55_returned_revenue,
     "q56_unpivot_metrics": q56_unpivot_metrics,
+    "q57_rolling_7day": q57_rolling_7day,
     "tx07_keyterms": tx07_keyterms,
     "tx08_denylist_scrub": tx08_denylist_scrub,
     "tx09_packing_index": tx09_packing_index,
