@@ -288,3 +288,25 @@ def test_cms_heavy_hitters_error_bound(spark):
     top_true = sorted(true.values(), reverse=True)[:5]
     assert [r["true_count"] for r in hh] == top_true
     assert all(r["est_count"] >= r["true_count"] for r in hh)
+
+
+def test_cms_sketches_merge_associatively(spark):
+    """Sketch mergeability — the property that makes the CMS scale out:
+    sketches built independently on disjoint halves, merged, must estimate
+    identically to one sketch built over the whole (same depth/width/seed
+    arrays, merge = element-wise add)."""
+    from kafkatosparktokudu_spark.operators.sketch import count_min_sketch_bytes
+
+    ev = load_table(spark, SF, "events").select("user_id")
+    half_a = ev.filter(F.col("user_id") % 2 == 0)
+    half_b = ev.filter(F.col("user_id") % 2 == 1)
+    jvm = spark.sparkContext._jvm
+    read = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom
+    sa = read(count_min_sketch_bytes(half_a, "user_id"))
+    sb = read(count_min_sketch_bytes(half_b, "user_id"))
+    full = read(count_min_sketch_bytes(ev, "user_id"))
+    sa.mergeInPlace(sb)
+    assert sa.totalCount() == full.totalCount()
+    for r in ev.select("user_id").distinct().collect():
+        uid = r["user_id"]
+        assert sa.estimateCount(uid) == full.estimateCount(uid)
