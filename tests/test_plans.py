@@ -52,9 +52,24 @@ def test_no_python_in_relational_paths(spark):
         "q08_top_orders_per_customer",
         "q17_sessionize",
         "q22_asof_join",
+        "q46_conversion_funnel",
+        "q47_custdist",
+        "q48_big_orders",
+        "q49_small_qty_revenue",
+        "q50_wealthy_inactive",
+        "q51_top_supplier",
+        "q52_stratified_sample",
+        "q53_gapfill_hourly",
+        "q54_market_share",
+        "q55_returned_revenue",
+        "q56_unpivot_metrics",
+        "q57_rolling_7day",
         "dd03_minhash_bands",
         "ss01_knn_cosine",
         "tx02_quality_scores",
+        "tx07_keyterms",
+        "tx08_denylist_scrub",
+        "tx09_packing_index",
     ]:
         plan = _plan(spark, name)
         assert "Python" not in plan, f"{name} fell off the JVM path"
