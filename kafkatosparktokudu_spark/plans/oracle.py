@@ -1174,6 +1174,20 @@ ORACLE_SQL: dict[str, str] = {
                ) AS DOUBLE) AS rev_7d
         FROM daily
     """,
+    # Markov transition counts over per-user event sequences.
+    "q58_event_transitions": """
+        SELECT prev_type, next_type, COUNT(*) AS n_transitions
+        FROM (
+            SELECT user_id,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type,
+                   event_type AS next_type
+            FROM events
+        )
+        WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    """,
     # Deterministic stratified sample: per-lang rate via portable md5 hash.
     "q52_stratified_sample": f"""
         SELECT lang, COUNT(*) AS n_sampled,

@@ -1166,6 +1166,25 @@ def q57_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Event-transition matrix (user-journey Markov counts): lag over each
+# user's event sequence (ts, event_id tiebreak for determinism) → global
+# (prev → next) transition counts. One shuffle on user_id for the window,
+# one low-cardinality aggregation on the 5x5 transition space.
+def q58_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
 # Corpus rebalancing: deterministic stratified sampling — per-stratum rates
 # (downsample the dominant language to 10%, keep 50% of the rest) applied as
 # a portable md5-hash filter, so the sample is reproducible across engines
@@ -1619,6 +1638,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_returned_revenue": q55_returned_revenue,
     "q56_unpivot_metrics": q56_unpivot_metrics,
     "q57_rolling_7day": q57_rolling_7day,
+    "q58_event_transitions": q58_event_transitions,
     "tx07_keyterms": tx07_keyterms,
     "tx08_denylist_scrub": tx08_denylist_scrub,
     "tx09_packing_index": tx09_packing_index,
