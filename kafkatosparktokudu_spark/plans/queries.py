@@ -1428,6 +1428,24 @@ def px03_semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
 
 
+# PageRank over the near-dup pair graph (symmetrized): rank ~ how central a
+# document is in its duplicate cluster — a centrality-based survivor-pick
+# alternative to min-id. Rows-only: float ranks depend on partial-agg
+# order; the Python power-iteration oracle test pins the math instead.
+def gr01_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import neardup_pairs_jaccard
+    from ..operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = neardup_pairs_jaccard(docs, threshold=0.2)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    return pagerank(edges, n_iter=5).orderBy(F.desc("rank"), "node").limit(10)
+
+
 def dd01_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import exact_dedup
 
@@ -1646,6 +1664,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "px01_curation_pipeline": px01_curation_pipeline,
     "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,
     "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,
+    "gr01_pagerank_neardup": gr01_pagerank_neardup,
     "st01_sliding_rollup": st01_sliding_rollup,
     "st02_session_rollup": st02_session_rollup,
 }

@@ -310,3 +310,48 @@ def test_cms_sketches_merge_associatively(spark):
     for r in ev.select("user_id").distinct().collect():
         uid = r["user_id"]
         assert sa.estimateCount(uid) == full.estimateCount(uid)
+
+
+def test_pagerank_matches_python_power_iteration(spark):
+    """Distributed PageRank vs a dense pure-Python power iteration on a
+    graph with a hub, a chain, a dangling node, and a 2-cycle."""
+    from kafkatosparktokudu_spark.operators.graph import pagerank
+
+    edges = [
+        (1, 2), (1, 3), (1, 4),   # hub 1 → 2,3,4
+        (2, 1), (3, 1),           # back-links
+        (4, 5), (5, 6),           # chain into dangling 6
+        (7, 8), (8, 7),           # isolated 2-cycle
+    ]
+    d, it = 0.85, 10
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            spark.createDataFrame(edges, "src bigint, dst bigint"),
+            damping=d, n_iter=it,
+        ).collect()
+    }
+
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(it):
+        dangling = sum(rank[v] for v in nodes if v not in out)
+        base = (1 - d) / n + d * dangling / n
+        new = {v: 0.0 for v in nodes}
+        for s, ts in out.items():
+            for t in ts:
+                new[t] += rank[s] / len(ts)
+        rank = {v: base + d * new[v] for v in nodes}
+
+    assert set(got) == set(rank)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in nodes:
+        assert math.isclose(got[v], rank[v], rel_tol=1e-9), (v, got[v], rank[v])
+    # structure: the 2-cycle is a spider trap (equal, highest ranks);
+    # hub 1 out-ranks the leaves it links to
+    assert math.isclose(got[7], got[8], rel_tol=1e-12)
+    assert got[1] > got[2] and got[1] > got[3] and got[1] > got[4]
