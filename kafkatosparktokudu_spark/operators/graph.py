@@ -43,6 +43,14 @@ def pagerank(
         .join(out_deg, "node")
         .localCheckpoint(eager=True)
     )
+    # the dangling-node SET is loop-invariant (only its rank mass changes):
+    # compute it once; when it's empty (e.g. any symmetrized graph) the
+    # per-iteration dangling aggregation job disappears entirely
+    dangling_nodes = nodes.join(out_deg, "node", "left_anti").localCheckpoint(
+        eager=True
+    )
+    has_dangling = dangling_nodes.count() > 0
+
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
         contribs = (
@@ -50,11 +58,12 @@ def pagerank(
             .groupBy(F.col("to").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
         )
-        # dangling mass: rank held by nodes with no out-edges
         dangling = (
-            ranks.join(out_deg, "node", "left_anti")
+            dangling_nodes.join(ranks, "node")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .collect()[0][0]
+            if has_dangling
+            else 0.0
         )
         base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
