@@ -1166,6 +1166,21 @@ def q57_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Approximate percentiles (KLL-style mergeable quantile summary): fixed-
+# size per-partition sketches merged at the driver side of the agg — the
+# scale path when exact percentile's full sort-per-group is too expensive.
+# Rows-only: sketch output is engine-specific; the rank-error bound vs the
+# exact percentiles is pinned in test_extensions.
+def q59_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
+        ).alias("approx_pcts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # Event-transition matrix (user-journey Markov counts): lag over each
 # user's event sequence (ts, event_id tiebreak for determinism) → global
 # (prev → next) transition counts. One shuffle on user_id for the window,
@@ -1657,6 +1672,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q56_unpivot_metrics": q56_unpivot_metrics,
     "q57_rolling_7day": q57_rolling_7day,
     "q58_event_transitions": q58_event_transitions,
+    "q59_approx_percentiles": q59_approx_percentiles,
     "tx07_keyterms": tx07_keyterms,
     "tx08_denylist_scrub": tx08_denylist_scrub,
     "tx09_packing_index": tx09_packing_index,

@@ -355,3 +355,33 @@ def test_pagerank_matches_python_power_iteration(spark):
     # hub 1 out-ranks the leaves it links to
     assert math.isclose(got[7], got[8], rel_tol=1e-12)
     assert got[1] > got[2] and got[1] > got[3] and got[1] > got[4]
+
+
+def test_approx_percentiles_rank_error_bound(spark):
+    """percentile_approx(accuracy=A) guarantees rank error <= n/A: every
+    approximate percentile value must lie between the exact values at
+    ranks floor(p*n) - n/A and ceil(p*n) + n/A."""
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    acc = 10000
+    approx = {
+        r["l_returnflag"]: (r["approx_pcts"], r["n"])
+        for r in li.groupBy("l_returnflag").agg(
+            F.percentile_approx(
+                "l_extendedprice",
+                F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+                acc,
+            ).alias("approx_pcts"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+    }
+    for flag, (pcts, n) in approx.items():
+        vals = sorted(
+            r["l_extendedprice"]
+            for r in li.filter(F.col("l_returnflag") == flag)
+            .select("l_extendedprice").collect()
+        )
+        eps = 1.0 / acc
+        for p, got in zip([0.25, 0.5, 0.75], pcts):
+            lo = vals[max(0, math.floor((p - eps) * n) - 1)]
+            hi = vals[min(n - 1, math.ceil((p + eps) * n))]
+            assert lo <= got <= hi, (flag, p, got, lo, hi)
