@@ -69,7 +69,8 @@ def load_file(
     explicit ``schema`` for type fidelity (schema inference costs an extra
     pass over the data and guesses — never infer at 100 TB). Filters and
     projections push into every one of these readers via the DataSource V2
-    scan, same as the parquet fixture path.
+    scan, same as the parquet fixture path. ``fmt="avro"`` works as-is on a
+    cluster with the external spark-avro module deployed (absent here).
     """
     reader = spark.read.format(fmt).options(**options)
     if schema is not None:
