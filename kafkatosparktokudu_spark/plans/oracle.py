@@ -1174,6 +1174,24 @@ ORACLE_SQL: dict[str, str] = {
                ) AS DOUBLE) AS rev_7d
         FROM daily
     """,
+    # Window-over-aggregate: per-nation revenue share within its region.
+    "q60_revenue_share": """
+        WITH per_nation AS (
+            SELECT r_name, n_name,
+                   SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        )
+        SELECT r_name, n_name,
+               CAST(rev_dec AS DOUBLE) AS revenue,
+               CAST(rev_dec AS DOUBLE)
+                   / CAST(SUM(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE)
+                   AS region_share
+        FROM per_nation
+    """,
     # Markov transition counts over per-user event sequences.
     "q58_event_transitions": """
         SELECT prev_type, next_type, COUNT(*) AS n_transitions

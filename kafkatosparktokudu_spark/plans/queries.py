@@ -1166,6 +1166,34 @@ def q57_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Window-over-aggregate composition: per-nation revenue and its share of
+# the region total — the share is a window sum OVER the grouped aggregate
+# (25 rows), so the second pass costs nothing; ratios divide two exact
+# decimal sums, keeping the doubles bit-deterministic.
+def q60_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    per_nation = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(dec("o_totalprice")).alias("rev_dec"))
+    )
+    w = W.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(w).cast("double")
+        ).alias("region_share"),
+    )
+
+
 # Approximate percentiles (KLL-style mergeable quantile summary): fixed-
 # size per-partition sketches merged at the driver side of the agg — the
 # scale path when exact percentile's full sort-per-group is too expensive.
@@ -1673,6 +1701,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_rolling_7day": q57_rolling_7day,
     "q58_event_transitions": q58_event_transitions,
     "q59_approx_percentiles": q59_approx_percentiles,
+    "q60_revenue_share": q60_revenue_share,
     "tx07_keyterms": tx07_keyterms,
     "tx08_denylist_scrub": tx08_denylist_scrub,
     "tx09_packing_index": tx09_packing_index,
