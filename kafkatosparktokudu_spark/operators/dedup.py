@@ -72,7 +72,26 @@ def shingles(text_col: Column | str, k: int = SHINGLE_K) -> Column:
     return F.array_distinct(parts)
 
 
-def hashed_shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+CHAR_SHINGLE_K = 8
+
+
+def char_shingles(text_col: Column | str, k: int = CHAR_SHINGLE_K) -> Column:
+    """Distinct k-CHARACTER shingles — the tokenizer-free dedup signal
+    (catches near-dups word shingles miss: no-whitespace scripts, small
+    in-word edits). Guarded so short texts yield an empty array — Spark's
+    ``sequence(1, 0)`` would otherwise DESCEND, not return empty."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    t = F.trim(c)
+    n = F.length(t)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(F.transform(idx, lambda i: F.substr(t, i, F.lit(k))))
+
+
+def hashed_shingles(
+    docs: DataFrame, id_col: str = "doc_id", shingle_col: Column | None = None
+) -> DataFrame:
     """(id, hs): md5-hashed shingle array, staged as its OWN projection.
 
     Staging matters: the 16 permutation-min expressions all reference ``hs``;
@@ -84,7 +103,7 @@ def hashed_shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     banding, Jaccard verify) works entirely on int64s, so the big shingle
     STRING arrays are never cached or shuffled — they die inside the row
     they were computed in."""
-    sh = shingles("text")
+    sh = shingles("text") if shingle_col is None else shingle_col
     # the per-row shingle+hash math dominates; a small input file arrives in
     # 1-2 partitions, so spread it across the cluster first (at real scale
     # the scan already yields many partitions and this is a cheap no-op
@@ -168,7 +187,10 @@ def lsh_candidate_pairs(
 
 
 def neardup_pairs_jaccard(
-    docs: DataFrame, threshold: float = 0.2, id_col: str = "doc_id"
+    docs: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    shingle_col: Column | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact n-gram Jaccard over the
     HASHED shingle sets; only candidate pairs pay the set-intersection
@@ -178,7 +200,7 @@ def neardup_pairs_jaccard(
     payload shrinks ~10× and string GC churn disappears. The hashed frame
     is persisted once and reused by all four consumers (both band-join
     sides, both jaccard sides)."""
-    hs_df = hashed_shingles(docs, id_col).persist()
+    hs_df = hashed_shingles(docs, id_col, shingle_col=shingle_col).persist()
     # materialize the cache BEFORE the self-join: otherwise the band join's
     # two sides race to populate it and the shingle+md5 work runs twice
     hs_df.count()

@@ -83,9 +83,7 @@ _STOP_ES = "('el','la','de','que','y','en','los')"
 _STOP_ZH = "('的','是','了','在','和','有','我')"
 
 
-def _minhash_sql() -> tuple[str, str]:
-    """(bands_sql, bands_cte) built from the same MINHASH_PARAMS the Spark
-    operator uses."""
+def _sig_band_exprs() -> tuple[str, str]:
     from ..operators.dedup import MINHASH_PARAMS, N_BANDS, ROWS_PER_BAND
     from ..functions.hashing import MERSENNE31
 
@@ -101,6 +99,15 @@ def _minhash_sql() -> tuple[str, str]:
         + f")) AS band{b}"
         for b in range(N_BANDS)
     )
+    return sig_exprs, band_exprs
+
+
+def _minhash_sql() -> tuple[str, str]:
+    """(bands_sql, bands_cte) built from the same MINHASH_PARAMS the Spark
+    operator uses."""
+    from ..functions.hashing import MERSENNE31
+
+    sig_exprs, band_exprs = _sig_band_exprs()
     cte = f"""
         toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
         sh AS (SELECT doc_id,
@@ -114,6 +121,30 @@ def _minhash_sql() -> tuple[str, str]:
         bands AS (SELECT doc_id, {band_exprs} FROM sigs)
     """
     return f"WITH {cte} SELECT * FROM bands", cte
+
+
+def _char_minhash_cte() -> str:
+    """Char-8-gram twin of the word-shingle CTE (same hashes/permutations/
+    banding; only the shingle expression differs — mirrors
+    dedup.char_shingles)."""
+    from ..operators.dedup import CHAR_SHINGLE_K
+    from ..functions.hashing import MERSENNE31
+
+    k = CHAR_SHINGLE_K
+    sig_exprs, band_exprs = _sig_band_exprs()
+    return f"""
+        ctxt AS (SELECT doc_id, trim(text) AS t FROM documents),
+        csh AS (SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(length(t) - {k - 1}, 0)),
+                           i -> substr(t, i, {k}))) AS s
+                FROM ctxt),
+        base AS (SELECT doc_id,
+                        list_transform(s, x -> {_H32.format(x='x')} % {MERSENNE31}) AS hs
+                 FROM csh),
+        sigs AS (SELECT doc_id, {sig_exprs} FROM base),
+        bands AS (SELECT doc_id, {band_exprs} FROM sigs)
+    """
 
 
 def _simhash_sql() -> str:
@@ -279,6 +310,24 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents d LEFT JOIN clusters c USING (doc_id)
         WHERE COALESCE(c.cluster_id, d.doc_id) = d.doc_id
         GROUP BY source
+    """,
+    # Char-8-gram MinHash-LSH near-dups (tokenizer-free signal).
+    "dd08_char_neardup_pairs": f"""
+        WITH {_char_minhash_cte()},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.doc_id < b.doc_id
+             AND (a.band0 = b.band0 OR a.band1 = b.band1
+                  OR a.band2 = b.band2 OR a.band3 = b.band3)
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT doc_a, doc_b,
+                   CAST(len(list_distinct(list_intersect(x.hs, y.hs))) AS DOUBLE)
+                       / len(list_distinct(x.hs || y.hs)) AS jaccard
+            FROM cand JOIN base x ON x.doc_id = doc_a
+                      JOIN base y ON y.doc_id = doc_b
+        ) WHERE jaccard >= 0.5
     """,
     "dd05_embedding_neardup": """
         WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
@@ -1173,6 +1222,18 @@ ORACLE_SQL: dict[str, str] = {
                    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
                ) AS DOUBLE) AS rev_7d
         FROM daily
+    """,
+    # HAVING over COUNT(DISTINCT): suppliers reaching >= 20 nations.
+    "q61_global_suppliers": """
+        SELECT s_suppkey, s_name, n_nations FROM (
+            SELECT l_suppkey, COUNT(DISTINCT c_nationkey) AS n_nations
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY l_suppkey
+            HAVING n_nations >= 20
+        )
+        JOIN supplier ON l_suppkey = s_suppkey
     """,
     # Window-over-aggregate: per-nation revenue share within its region.
     "q60_revenue_share": """

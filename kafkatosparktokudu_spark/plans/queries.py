@@ -1166,6 +1166,26 @@ def q57_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HAVING over COUNT(DISTINCT): suppliers whose buyers span many nations —
+# the distinct agg expands to a two-phase (partial-distinct, final) plan,
+# then the filter gates a broadcast join for names.
+def q61_global_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    reach = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("c_nationkey").alias("n_nations"))
+        .filter(F.col("n_nations") >= 20)
+    )
+    return reach.join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", "n_nations")
+
+
 # Window-over-aggregate composition: per-nation revenue and its share of
 # the region total — the share is a window sum OVER the grouped aggregate
 # (25 rows), so the second pass costs nothing; ratios divide two exact
@@ -1528,6 +1548,18 @@ def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+def dd08_char_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-free near-dup pairs: same MinHash-LSH + Jaccard pipeline
+    as dd04 but over char-8-gram shingles — catches in-word edits and
+    whitespace-free scripts that word shingles miss."""
+    from ..operators.dedup import char_shingles, neardup_pairs_jaccard
+
+    docs = _t(spark, sf_dir, "documents")
+    return neardup_pairs_jaccard(
+        docs, threshold=0.5, shingle_col=char_shingles("text")
+    )
+
+
 def dd06_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash
 
@@ -1702,12 +1734,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_event_transitions": q58_event_transitions,
     "q59_approx_percentiles": q59_approx_percentiles,
     "q60_revenue_share": q60_revenue_share,
+    "q61_global_suppliers": q61_global_suppliers,
     "tx07_keyterms": tx07_keyterms,
     "tx08_denylist_scrub": tx08_denylist_scrub,
     "tx09_packing_index": tx09_packing_index,
     "sk01_cms_heavy_hitters": sk01_cms_heavy_hitters,
     "px01_curation_pipeline": px01_curation_pipeline,
     "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,
+    "dd08_char_neardup_pairs": dd08_char_neardup_pairs,
     "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,
     "gr01_pagerank_neardup": gr01_pagerank_neardup,
     "st01_sliding_rollup": st01_sliding_rollup,
