@@ -61,7 +61,8 @@ def apply_changes(
     ``now_str`` pins the processing-time audit column for determinism.
     """
     catalog = catalog or default_catalog()
-    parsed = parse_ogg(raw)
+    seq = F.col("seq") if "seq" in raw.columns else None
+    parsed = parse_ogg(raw, seq_col=seq)
     valid, _dead = split_valid(parsed)
     norm = normalize(valid)
     out: dict[str, DataFrame] = {}
@@ -76,11 +77,18 @@ def apply_changes(
 @dataclass
 class BatchMetrics:
     """Per-batch report (S7/S20/S21 parity: total count, distinct tables,
-    dead letters — ConsumerMain.scala:113-116)."""
+    dead letters — ConsumerMain.scala:113-116). ``total`` counts every
+    consumed record (valid + dead), matching the reference's per-record
+    accumulator which increments before validity checks; ``valid`` is the
+    subset that reached a table merge."""
 
     total: int
     dead: int
     tables: list[str]
+
+    @property
+    def valid(self) -> int:
+        return self.total - self.dead
 
 
 def sync_batch(
@@ -101,10 +109,15 @@ def sync_batch(
     cross-table transaction.
     """
     catalog = catalog or default_catalog()
+    # Preserve the source's arrival-order column (the Kafka offset the
+    # streaming wrapper exposes as 'seq') — real OGG Kafka records lack the
+    # fixture's 'pos' field, so without this the last-write-wins tie-break
+    # on equal current_ts would be nondeterministic on the production path.
+    seq = F.col("seq") if "seq" in raw.columns else None
     # Cache the parsed envelope once: every downstream job (stats, dead
     # letters, per-table folds, pub_event) is a cheap projection over it.
     # The batch is rate-capped (maxOffsetsPerTrigger), so it fits in memory.
-    parsed = parse_ogg(raw).cache()
+    parsed = parse_ogg(raw, seq_col=seq).cache()
     valid, dead = split_valid(parsed)
     norm = normalize(valid)
     try:
@@ -119,7 +132,7 @@ def sync_batch(
         stats = parsed.groupBy(
             is_valid().alias("ok"), F.when(is_valid(), tab_expr).alias("t")
         ).count().collect()
-        total = sum(r["count"] for r in stats if r["ok"])
+        total = sum(r["count"] for r in stats)
         dead_n = sum(r["count"] for r in stats if not r["ok"])
         tables = [r["t"] for r in stats if r["ok"] and r["t"] is not None]
         if dead_letter_dir is not None:

@@ -58,23 +58,23 @@ def pagerank(
             .groupBy(F.col("to").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
         )
-        dangling = (
-            dangling_nodes.join(ranks, "node")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
-            if has_dangling
-            else 0.0
+        updated = nodes.join(contribs, "node", "left")
+        new_rank = F.lit((1.0 - damping) / n) + F.lit(damping) * F.coalesce(
+            "contrib", F.lit(0.0)
         )
-        base = (1.0 - damping) / n + damping * dangling / n
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
-                ).alias("rank"),
+        if has_dangling:
+            # Dangling rank mass stays ON-CLUSTER: the 1-row aggregate is
+            # broadcast into the rank update via crossJoin instead of a
+            # per-iteration driver collect — the loop issues no driver
+            # round-trips, so iterations pipeline as pure Spark jobs.
+            dmass = dangling_nodes.join(ranks, "node").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dmass")
             )
-            .localCheckpoint(eager=True)
+            updated = updated.crossJoin(F.broadcast(dmass))
+            new_rank = new_rank + F.lit(damping) * F.col("_dmass") / F.lit(
+                float(n)
+            )
+        ranks = updated.select("node", new_rank.alias("rank")).localCheckpoint(
+            eager=True
         )
     return ranks

@@ -105,7 +105,19 @@ def salted_join(
     replication — use for dimension-sized right sides; for two big skewed
     sides prefer AQE skew-join (on in session defaults), which splits at
     runtime without replication.
+
+    Only left-preserving join types are allowed: the right side is
+    replicated n_salts times, so 'right'/'full' would emit each unmatched
+    right row once per salt — silently wrong results, hence the hard error.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only {sorted(allowed)}, "
+            f"got {how!r}: the replicated right side would duplicate unmatched "
+            "right rows under 'right'/'full' semantics"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     l = left.withColumn("_salt", salt.cast("int"))
     r = right.withColumn(

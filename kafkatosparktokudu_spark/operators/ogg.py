@@ -96,8 +96,10 @@ def normalize(df: DataFrame) -> DataFrame:
 def _sort_key() -> Column:
     """Total order for last-write-wins: current_ts (fixed-width ISO strings →
     lexicographic == chronological) then arrival seq. Same key the DuckDB
-    oracle uses, so folds agree exactly."""
-    return F.concat_ws("#", F.col("current_ts"), F.lpad(F.col("seq").cast("string"), 12, "0"))
+    oracle uses, so folds agree exactly. Pad width 20 > max int64 digits (19):
+    Spark's lpad TRUNCATES longer inputs, so a narrower pad would silently
+    cut low digits off Kafka offsets >= 10^12 and break the tie-break order."""
+    return F.concat_ws("#", F.col("current_ts"), F.lpad(F.col("seq").cast("string"), 20, "0"))
 
 
 def _last_nonnull(value: Column, order: Column) -> Column:

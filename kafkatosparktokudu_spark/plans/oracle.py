@@ -36,7 +36,7 @@ _CDC_VALID = f"""
     valid AS (
         SELECT lower(string_split("table", '.')[2]) AS tab_name,
                after['ID'][1] AS id, op_type, current_ts,
-               current_ts || '#' || lpad(CAST(pos AS VARCHAR), 12, '0') AS ord,
+               current_ts || '#' || lpad(CAST(pos AS VARCHAR), 20, '0') AS ord,
                after
         FROM raw
         WHERE "table" IS NOT NULL

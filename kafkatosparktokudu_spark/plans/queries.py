@@ -370,15 +370,17 @@ def q20_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Join part ⋈ lineitem ⋈ supplier: brand-level supply stats (another join
-# shape: two broadcastable dims on one fact).
+# Join part ⋈ lineitem ⋈ supplier: brand-level supply stats. part/supplier
+# are UNFILTERED full tables (20M/1M rows at sf100) — no forced broadcast
+# hint; autoBroadcastJoinThreshold + AQE pick broadcast at small SFs and
+# fall back to shuffle join when the dims outgrow executor memory.
 def q21_brand_supply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     supp = _t(spark, sf_dir, "supplier")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("p_brand")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
@@ -984,10 +986,11 @@ def q44_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").between("1997-01-01", "1997-12-31")
     )
+    # part is unfiltered (20M rows at sf100) — no broadcast hint, AQE decides
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     vol = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"), RATE)
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(
             F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month")
         )
@@ -1026,8 +1029,10 @@ def q45_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(20, 50)
         )
     )
+    # unfiltered part side (the disjunctive cond lives in the ON clause, so
+    # it can't prune the build side) — let AQE pick the join strategy
     return li.join(
-        F.broadcast(part), (F.col("l_partkey") == F.col("p_partkey")) & cond
+        part, (F.col("l_partkey") == F.col("p_partkey")) & cond
     ).agg(
         prod_sum_double(F.sum(vol)).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
@@ -1070,7 +1075,9 @@ def q48_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # customer is 15M rows at sf100 — a forced broadcast would OOM where
+        # an unhinted plan falls back to shuffle; AQE broadcasts when small
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
     )
 
@@ -1134,7 +1141,9 @@ def q51_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(mx), F.col("rev_dec") == F.col("mx"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # after the max-equality filter the LEFT side is ~1 row; broadcasting
+        # full supplier would be backwards — AQE broadcasts the filtered side
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -1174,15 +1183,17 @@ def q61_global_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # customer/supplier are fact-scale at sf100 — no forced broadcast; the
+    # HAVING-filtered `reach` side is tiny, so AQE broadcasts THAT side.
     reach = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_suppkey")
         .agg(F.countDistinct("c_nationkey").alias("n_nations"))
         .filter(F.col("n_nations") >= 20)
     )
     return reach.join(
-        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        supp, F.col("l_suppkey") == F.col("s_suppkey")
     ).select("s_suppkey", "s_name", "n_nations")
 
 
@@ -1196,7 +1207,8 @@ def q60_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
     per_nation = (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # customer unhinted (15M rows at sf100); nation/region stay hinted
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
@@ -1267,9 +1279,9 @@ def q52_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # TPC-H Q8 shape: national market share — a 6-table star join (lineitem at
-# the center; part/supplier/customer/nation/region all broadcast) with a
-# conditional-sum ratio per order year. One shuffle join (lineitem-orders);
-# every dimension is broadcast so the fact table is scanned exactly once.
+# the center) with a conditional-sum ratio per order year. Filtered part,
+# nation and region carry broadcast hints; customer/supplier are left to
+# AQE so the plan degrades to shuffle joins instead of OOM at sf100+.
 def q54_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(
@@ -1287,12 +1299,15 @@ def q54_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select("r_regionkey")
     vol = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"), RATE)
     joined = (
+        # hints only on genuinely small sides: type-filtered part, nation,
+        # region. customer/supplier are unhinted (15M/1M rows at sf100) —
+        # AQE broadcasts them at small SFs, shuffles at scale.
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nat_c), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat_s), F.col("s_nationkey") == F.col("sn_key"))
     )
     return (
@@ -1309,8 +1324,8 @@ def q54_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # TPC-H Q10 shape: returned-item revenue top-k — fact filter (returnflag)
-# + date-windowed orders, broadcast customer/nation, deterministic top-20
-# by (exact-decimal revenue DESC, custkey).
+# + date-windowed orders, nation broadcast (customer unhinted), deterministic
+# top-20 by (exact-decimal revenue DESC, custkey).
 def q55_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = _t(spark, sf_dir, "orders").filter(
@@ -1323,7 +1338,8 @@ def q55_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"), RATE)
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # customer unhinted (fact-scale at sf100); nation stays hinted
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(vol).alias("rev_dec"))
@@ -1648,57 +1664,14 @@ def mm03_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_stub(decode_media(attach_binary(_t(spark, sf_dir, "documents"))))
 
 
+# Ordering contract: the driver's correctness sweep covers a bounded prefix of
+# this dict (round 1 recorded rows for exactly the first 50 keys).  Queries
+# that have NOT yet earned a green CORRECTNESS_r*.json row are listed FIRST so
+# each round's sweep retires the remaining unverified set; the 50 entries that
+# hash-matched in round 1 follow (they stay covered by the in-repo oracle sweep
+# in tests/test_queries_oracle.py).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "tx01_token_stats": tx01_token_stats,
-    "tx02_quality_scores": tx02_quality_scores,
-    "tx03_lang_id": tx03_lang_id,
-    "tx04_fingerprints": tx04_fingerprints,
-    "tx05_top_bigrams": tx05_top_bigrams,
-    "tx06_subword_counts": tx06_subword_counts,
-    "dd01_exact_dup_groups": dd01_exact_dup_groups,
-    "dd02_exact_dedup_survivors": dd02_exact_dedup_survivors,
-    "dd03_minhash_bands": dd03_minhash_bands,
-    "dd04_neardup_pairs": dd04_neardup_pairs,
-    "dd05_embedding_neardup": dd05_embedding_neardup,
-    "dd06_simhash": dd06_simhash,
-    "ss01_knn_cosine": ss01_knn_cosine,
-    "ss02_label_centroids": ss02_label_centroids,
-    "ss03_ann_lsh_topk": ss03_ann_lsh_topk,
-    "ss04_ivf_topk": ss04_ivf_topk,
-    "mm01_binary_meta": mm01_binary_meta,
-    "mm04_frame_sample": mm04_frame_sample,
-    "mm02_byte_features": mm02_byte_features,
-    "mm03_decode_resize": mm03_decode_resize,
-    "cdc_emp_state": cdc_emp_state,
-    "cdc_dept_state": cdc_dept_state,
-    "cdc_pub_event": cdc_pub_event,
-    "cdc_stream_emp_state": cdc_stream_emp_state,
-    "q01_sync_report": q01_sync_report,
-    "q02_pricing_summary": q02_pricing_summary,
-    "q03_filter_project": q03_filter_project,
-    "q04_revenue_by_nation": q04_revenue_by_nation,
-    "q05_order_priority": q05_order_priority,
-    "q06_customer_order_coverage": q06_customer_order_coverage,
-    "q07_top_customers": q07_top_customers,
-    "q08_top_orders_per_customer": q08_top_orders_per_customer,
-    "q09_running_user_totals": q09_running_user_totals,
-    "q10_rollup_region_nation": q10_rollup_region_nation,
-    "q11_cube_events": q11_cube_events,
-    "q12_setops_segments": q12_setops_segments,
-    "q13_distinct_users": q13_distinct_users,
-    "q14_scalar_functions": q14_scalar_functions,
-    "q15_json_extract": q15_json_extract,
-    "q16_balance_buckets": q16_balance_buckets,
-    "q17_sessionize": q17_sessionize,
-    "q18_latest_event_per_user": q18_latest_event_per_user,
-    "q19_hourly_event_rollup": q19_hourly_event_rollup,
-    "q20_pivot_returnflag": q20_pivot_returnflag,
-    "q21_brand_supply_stats": q21_brand_supply_stats,
-    "q22_asof_join": q22_asof_join,
-    "q23_range_join_tiers": q23_range_join_tiers,
-    "q24_value_percentiles": q24_value_percentiles,
-    "q25_corr_stats": q25_corr_stats,
-    "q26_grouping_sets": q26_grouping_sets,
+    # --- driver-unverified as of round 1 (VERDICT.md "Next round" #1) ---
     "q27_above_nation_avg": q27_above_nation_avg,
     "q28_hash_sample": q28_hash_sample,
     "q29_segment_lists": q29_segment_lists,
@@ -1746,4 +1719,55 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr01_pagerank_neardup": gr01_pagerank_neardup,
     "st01_sliding_rollup": st01_sliding_rollup,
     "st02_session_rollup": st02_session_rollup,
+    # --- green driver rows in CORRECTNESS_r01.json ---
+    "cdc_emp_state": cdc_emp_state,
+    "cdc_dept_state": cdc_dept_state,
+    "cdc_pub_event": cdc_pub_event,
+    "cdc_stream_emp_state": cdc_stream_emp_state,
+    "tx01_token_stats": tx01_token_stats,
+    "tx02_quality_scores": tx02_quality_scores,
+    "tx03_lang_id": tx03_lang_id,
+    "tx04_fingerprints": tx04_fingerprints,
+    "tx05_top_bigrams": tx05_top_bigrams,
+    "tx06_subword_counts": tx06_subword_counts,
+    "dd01_exact_dup_groups": dd01_exact_dup_groups,
+    "dd02_exact_dedup_survivors": dd02_exact_dedup_survivors,
+    "dd03_minhash_bands": dd03_minhash_bands,
+    "dd04_neardup_pairs": dd04_neardup_pairs,
+    "dd05_embedding_neardup": dd05_embedding_neardup,
+    "dd06_simhash": dd06_simhash,
+    "ss01_knn_cosine": ss01_knn_cosine,
+    "ss02_label_centroids": ss02_label_centroids,
+    "ss03_ann_lsh_topk": ss03_ann_lsh_topk,
+    "ss04_ivf_topk": ss04_ivf_topk,
+    "mm01_binary_meta": mm01_binary_meta,
+    "mm04_frame_sample": mm04_frame_sample,
+    "mm02_byte_features": mm02_byte_features,
+    "mm03_decode_resize": mm03_decode_resize,
+    "q01_sync_report": q01_sync_report,
+    "q02_pricing_summary": q02_pricing_summary,
+    "q03_filter_project": q03_filter_project,
+    "q04_revenue_by_nation": q04_revenue_by_nation,
+    "q05_order_priority": q05_order_priority,
+    "q06_customer_order_coverage": q06_customer_order_coverage,
+    "q07_top_customers": q07_top_customers,
+    "q08_top_orders_per_customer": q08_top_orders_per_customer,
+    "q09_running_user_totals": q09_running_user_totals,
+    "q10_rollup_region_nation": q10_rollup_region_nation,
+    "q11_cube_events": q11_cube_events,
+    "q12_setops_segments": q12_setops_segments,
+    "q13_distinct_users": q13_distinct_users,
+    "q14_scalar_functions": q14_scalar_functions,
+    "q15_json_extract": q15_json_extract,
+    "q16_balance_buckets": q16_balance_buckets,
+    "q17_sessionize": q17_sessionize,
+    "q18_latest_event_per_user": q18_latest_event_per_user,
+    "q19_hourly_event_rollup": q19_hourly_event_rollup,
+    "q20_pivot_returnflag": q20_pivot_returnflag,
+    "q21_brand_supply_stats": q21_brand_supply_stats,
+    "q22_asof_join": q22_asof_join,
+    "q23_range_join_tiers": q23_range_join_tiers,
+    "q24_value_percentiles": q24_value_percentiles,
+    "q25_corr_stats": q25_corr_stats,
+    "q26_grouping_sets": q26_grouping_sets,
 }

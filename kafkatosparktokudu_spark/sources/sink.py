@@ -32,9 +32,15 @@ def zorder_key(*cols, bits: int = 16):
     Columns are first rank-normalized by the caller if their domains are
     skewed; here we take the low ``bits`` bits of the bigint cast, which is
     right for dense ids and epoch-derived values.
+
+    ``bits`` is clamped to ``63 // len(cols)`` so the highest interleaved bit
+    position (bits*n - 1) stays below the int64 sign bit: JVM shiftleft wraps
+    the shift amount mod 64, so an unclamped 4-column x 16-bit key would
+    silently fold high bits onto low positions and destroy the clustering.
     """
     key = F.lit(0).cast("bigint")
     n = len(cols)
+    bits = min(bits, 63 // n)
     for dim, c in enumerate(cols):
         v = (F.col(c) if isinstance(c, str) else c).cast("bigint")
         for b in range(bits):
@@ -64,6 +70,7 @@ def write_zordered(
         *[F.min(F.col(c).cast("bigint")).alias(f"{c}_min") for c in zorder_cols],
         *[F.max(F.col(c).cast("bigint")).alias(f"{c}_max") for c in zorder_cols],
     ).collect()[0]
+    bits = min(bits, 63 // len(zorder_cols))  # same clamp as zorder_key
     top = (1 << bits) - 1
     scaled = []
     for c in zorder_cols:

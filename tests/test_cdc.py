@@ -208,7 +208,8 @@ def test_dead_letters_counted(spark, fixture_lines, tmp_path):
     df = spark.createDataFrame([(line,) for line in fixture_lines], "value string")
     m = sync_batch(spark, df, str(tmp_path / "wh"), now_str=NOW, n_buckets=8)
     assert m.dead == 4  # null-table, empty-after, 2 malformed lines
-    assert m.total == len(fixture_lines) - 4
+    assert m.total == len(fixture_lines)  # every consumed record, like the reference
+    assert m.valid == len(fixture_lines) - 4
     assert m.tables == ["dept", "emp"]
 
 

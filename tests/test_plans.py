@@ -36,6 +36,37 @@ def test_dims_broadcast_in_star_join(spark):
     assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 2
 
 
+def test_no_forced_broadcast_on_fact_scale_tables(spark):
+    """Broadcast hints are reserved for genuinely small sides (nation /
+    region / filtered part / 1-row aggs). With autoBroadcastJoinThreshold=-1
+    the ONLY BroadcastHashJoins left in the initial plan are forced hints, so
+    the count pins exactly which sides are hinted — proving customer /
+    supplier / unfiltered-part joins degrade to shuffle joins at sf100+
+    instead of OOMing on a forced 15M-row broadcast."""
+    expected = {
+        "q21_brand_supply_stats": 0,   # unfiltered part+supplier: unhinted
+        "q44_promo_revenue": 0,        # unfiltered part: unhinted
+        "q45_disjunctive_join": 0,     # ON-clause cond can't prune part
+        "q48_big_orders": 0,           # customer: unhinted
+        "q51_top_supplier": 1,         # 1-row max-equality agg only
+        "q54_market_share": 4,         # filtered part, region, nation x2
+        "q55_returned_revenue": 1,     # nation only
+        "q60_revenue_share": 2,        # nation, region
+        "q61_global_suppliers": 0,     # customer/supplier: unhinted
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, want in expected.items():
+            plan = _plan(spark, name)
+            got = plan.count("BroadcastHashJoin")
+            assert got == want, (
+                f"{name}: {got} BroadcastHashJoin(s), want {want} "
+                f"(broadcast hints must stay dims-only)"
+            )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_agg_is_partial_then_final(spark):
     """Scan-agg must map-side combine (partial_ functions before the
     exchange), not shuffle raw rows."""
