@@ -356,31 +356,46 @@ def duplicate_clusters(
 
 
 def embedding_neardup_pairs(
-    emb: DataFrame, threshold: float = 0.3
+    emb: DataFrame,
+    threshold: float = 0.3,
+    n_cells: int = 32,
+    nprobe: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label (the cheap
-    partitioner for the fixture; at scale the blocker is an LSH bucket —
-    see similarity.lsh_buckets)."""
+    """Embedding-cosine near-dup pairs, blocked by IVF-style seed cells
+    (SemDeDup's cluster-then-pairwise shape): candidates are pairs sharing
+    at least one of their ``nprobe`` nearest cells, verified with exact
+    cosine. Pair generation is O(n²·nprobe²/n_cells) instead of all-pairs;
+    with n_cells grown ~√n the join stays sub-quadratic at any scale —
+    unlike the fixed-cardinality ``label`` blocker this replaces, whose
+    n²/|labels| pair join was the 100 TB scale-killer. Two genuinely
+    near-identical vectors have near-identical seed cosines, so they share
+    their top cell with probability → 1 as similarity → 1."""
     from ..functions.vectors import as_double, dot, norm
+    from .similarity import seed_cell_assign
 
-    # norms precomputed once per VECTOR (n rows) instead of per PAIR
-    # (~n²/labels rows) — same expression tree as cosine(a,b), so results
-    # stay bit-identical, but 2 of the 3 per-pair array folds disappear
-    e = emb.select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("v")
-    ).withColumn("nrm", norm(F.col("v")))
-    a, b = e.alias("a"), e.alias("b")
-    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
+    cells = seed_cell_assign(emb, n_cells=n_cells, nprobe=nprobe)
+    a, b = cells.alias("ca"), cells.alias("cb")
+    cand = (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            (F.col("ca.cell") == F.col("cb.cell"))
+            & (F.col("ca.vec_id") < F.col("cb.vec_id")),
         )
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(sim, 6).alias("cos_sim"),
+            F.col("ca.vec_id").alias("vec_a"), F.col("cb.vec_id").alias("vec_b")
         )
+        .distinct()
+    )
+    # norms precomputed once per VECTOR (n rows) instead of per PAIR —
+    # same expression tree as cosine(a,b), so results stay bit-identical,
+    # but 2 of the 3 per-pair array folds disappear
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("v")).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+    sim = dot(F.col("x.v"), F.col("y.v")) / (F.col("x.nrm") * F.col("y.nrm"))
+    return (
+        cand.join(e.alias("x"), F.col("vec_a") == F.col("x.vec_id"))
+        .join(e.alias("y"), F.col("vec_b") == F.col("y.vec_id"))
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )

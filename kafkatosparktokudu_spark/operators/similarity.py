@@ -220,6 +220,46 @@ def ivf_topk(
     )
 
 
+def seed_cell_assign(
+    emb: DataFrame, n_cells: int = 32, nprobe: int = 4
+) -> DataFrame:
+    """(vec_id, cell): oracle-reproducible IVF-style multiprobe assignment.
+
+    Cells are anchored on FIXED seed vectors — the ``n_cells`` lowest
+    ``vec_id`` rows — instead of trained k-means centroids, so a SQL engine
+    can recompute the exact same assignment (deterministic seeds + rounded
+    cosine + cell-id tie-break; k-means centroids would not be expressible
+    in the DuckDB oracle). Each vector lands in its ``nprobe``
+    highest-cosine cells (IVF multiprobe), which is what bounds near-dup
+    pair recall.
+
+    Scale shape: the seed collect is O(n_cells) rows; assignment is a
+    per-row expression over broadcast literals (no shuffle, no Python);
+    output is n·nprobe rows. At 100 TB, n_cells grows ~√n (SemDeDup-style
+    cluster blocking) and the assignment cost stays one scan.
+    """
+    seeds = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(n_cells).collect()
+    )
+    v = as_double(F.col("embedding"))
+    # (-rounded_sim, cell) structs: array_sort's lexicographic ascending
+    # order == (sim DESC, cell ASC) — the same total order the oracle's
+    # row_number() OVER (ORDER BY sim DESC, cell) produces.
+    scored = F.array(
+        *[
+            F.struct(
+                (-F.round(cosine_literal(v, [float(x) for x in r["embedding"]]), 6)).alias("ns"),
+                F.lit(c).alias("cell"),
+            )
+            for c, r in enumerate(seeds)
+        ]
+    )
+    top = F.slice(F.array_sort(scored), 1, nprobe)
+    return emb.select(
+        "vec_id", F.explode(F.transform(top, lambda s: s["cell"])).alias("cell")
+    )
+
+
 def build_ivf_index(
     emb: DataFrame,
     path: str,
