@@ -329,12 +329,38 @@ ORACLE_SQL: dict[str, str] = {
                       JOIN base y ON y.doc_id = doc_b
         ) WHERE jaccard >= 0.5
     """,
+    # Mirrors seed_cell_assign (operators/similarity.py): seeds = 32
+    # lowest-vec_id vectors (cells 0..31 in vec_id order), each vector lands
+    # in its 4 highest-cosine cells (rounded 6, tie-break cell ASC — the
+    # same total order Spark's array_sort on (-sim, cell) structs gives),
+    # candidates share >=1 cell, verified with exact rounded cosine.
     "dd05_embedding_neardup": """
-        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS sv
+            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 32)
+        ),
+        assigned AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, s.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(list_cosine_similarity(e.v, s.sv), 6) DESC,
+                                    s.cell
+                       ) AS rn
+                FROM e CROSS JOIN seeds s
+            ) WHERE rn <= 4
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+        )
         SELECT vec_a, vec_b, cos_sim FROM (
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
-            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            SELECT vec_a, vec_b,
+                   round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
+            FROM cand JOIN e x ON x.vec_id = vec_a
+                      JOIN e y ON y.vec_id = vec_b
         ) WHERE cos_sim >= 0.3
     """,
     # Semantic dedup: dd05 pair graph → transitive closure → one survivor
@@ -343,11 +369,32 @@ ORACLE_SQL: dict[str, str] = {
         WITH RECURSIVE e AS (
             SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
         ),
+        seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS sv
+            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 32)
+        ),
+        assigned AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, s.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(list_cosine_similarity(e.v, s.sv), 6) DESC,
+                                    s.cell
+                       ) AS rn
+                FROM e CROSS JOIN seeds s
+            ) WHERE rn <= 4
+        ),
+        vcand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+        ),
         vpairs AS (
             SELECT vec_a, vec_b FROM (
-                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
-                FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+                SELECT vec_a, vec_b,
+                       round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
+                FROM vcand JOIN e x ON x.vec_id = vec_a
+                           JOIN e y ON y.vec_id = vec_b
             ) WHERE cos_sim >= 0.3
         ),
         vedges AS (

@@ -1489,10 +1489,10 @@ def px02_cluster_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def px03_semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-space) dedup end-to-end: cosine near-dup pairs
-    (label-blocked, threshold 0.3) → connected components → one survivor
-    per semantic cluster → per-label survivor counts. The embedding twin
-    of px02's lexical pipeline — at scale the label blocker swaps for LSH
-    buckets and everything downstream is unchanged."""
+    (seed-cell / IVF-style blocked, threshold 0.3) → connected components →
+    one survivor per semantic cluster → per-label survivor counts. The
+    embedding twin of px02's lexical pipeline — at scale n_cells grows ~√n
+    (SemDeDup-style) and everything downstream is unchanged."""
     from ..operators.dedup import duplicate_clusters, embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
