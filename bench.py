@@ -96,12 +96,14 @@ def main() -> None:
     results: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        # best of 2: report the steady-state plan cost, not first-run JIT
-        # compile or GC noise (several-second swings on seconds-long local
-        # queries). clearCache isolates runs: a prior query's persisted
+        # One explicit untimed warmup rep (codegen compile, parquet footer
+        # cache, JIT), then median of 3 timed reps: the round-over-round
+        # drift seen in earlier rounds (r1 19.9s → r2 36.6s on unchanged
+        # code) was first-run compile/GC noise that best-of-2 didn't fully
+        # suppress. clearCache isolates runs: a prior query's persisted
         # frames (e.g. the LSH shingle cache) must not skew the next.
         reps = []
-        for _ in range(2):
+        for rep in range(4):
             spark.catalog.clearCache()
             # pay accumulated GC debt OUTSIDE the timed window: hash-heavy
             # queries (md5 shingling) leave GBs of young garbage that would
@@ -109,8 +111,9 @@ def main() -> None:
             spark._jvm.System.gc()
             start = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            reps.append(time.time() - start)
-        results[name] = round(min(reps), 3)
+            if rep > 0:  # rep 0 is the warmup
+                reps.append(time.time() - start)
+        results[name] = round(sorted(reps)[1], 3)
 
     # CDC throughput: full parse→normalize→fold→MERGE of a synthetic batch
     from kafkatosparktokudu_spark.cdc import sync_batch
@@ -121,18 +124,18 @@ def main() -> None:
     # The baseline number (10k rec/s) is SUSTAINED throughput, so measure the
     # steady state: one untimed initial sync populates the warehouse (codegen
     # + write-path warmup), then each timed rep re-syncs the same batch into
-    # the existing state — the real per-micro-batch MERGE cost. Best of 2,
+    # the existing state — the real per-micro-batch MERGE cost. Median of 3,
     # same rationale as the query loop above.
     wh = tempfile.mkdtemp(prefix="bench_wh_")
     try:
         m = sync_batch(spark, raw, wh, n_buckets=16)
         reps = []
-        for _ in range(2):
+        for _ in range(3):
             spark._jvm.System.gc()
             start = time.time()
             m = sync_batch(spark, raw, wh, n_buckets=16)
             reps.append(time.time() - start)
-        cdc_secs = min(reps)
+        cdc_secs = sorted(reps)[1]
     finally:
         shutil.rmtree(wh, ignore_errors=True)
     results["cdc_sync_200k"] = round(cdc_secs, 3)

@@ -1230,14 +1230,28 @@ def q60_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # size per-partition sketches merged at the driver side of the agg — the
 # scale path when exact percentile's full sort-per-group is too expensive.
 # Rows-only: sketch output is engine-specific; the rank-error bound vs the
-# exact percentiles is pinned in test_extensions.
+# exact percentiles is pinned in test_extensions. The 3-element sketch
+# output is posexploded to scalar (l_returnflag, pct, approx_value, n)
+# rows so downstream tools (and the driver's canonicalizer) never see an
+# array cell.
 def q59_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    pcts = [0.25, 0.5, 0.75]
+    agg = li.groupBy("l_returnflag").agg(
         F.percentile_approx(
-            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
+            "l_extendedprice", F.array(*[F.lit(p) for p in pcts]), 10000
         ).alias("approx_pcts"),
         F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.posexplode("approx_pcts").alias("pos", "approx_value"),
+        "n",
+    ).select(
+        "l_returnflag",
+        F.element_at(F.array(*[F.lit(p) for p in pcts]), F.col("pos") + 1).alias("pct"),
+        "approx_value",
+        "n",
     )
 
 
@@ -1671,6 +1685,10 @@ def mm03_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash-matched in round 1 follow (they stay covered by the in-repo oracle sweep
 # in tests/test_queries_oracle.py).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- round-4 front section: queries whose code or oracle changed since
+    # their last green driver row (VERDICT.md r3 "Next round" #2/#3) ---
+    "dd05_embedding_neardup": dd05_embedding_neardup,
+    "q59_approx_percentiles": q59_approx_percentiles,
     # --- driver-unverified as of round 1 (VERDICT.md "Next round" #1) ---
     "q27_above_nation_avg": q27_above_nation_avg,
     "q28_hash_sample": q28_hash_sample,
@@ -1705,7 +1723,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q56_unpivot_metrics": q56_unpivot_metrics,
     "q57_rolling_7day": q57_rolling_7day,
     "q58_event_transitions": q58_event_transitions,
-    "q59_approx_percentiles": q59_approx_percentiles,
     "q60_revenue_share": q60_revenue_share,
     "q61_global_suppliers": q61_global_suppliers,
     "tx07_keyterms": tx07_keyterms,
@@ -1734,7 +1751,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd02_exact_dedup_survivors": dd02_exact_dedup_survivors,
     "dd03_minhash_bands": dd03_minhash_bands,
     "dd04_neardup_pairs": dd04_neardup_pairs,
-    "dd05_embedding_neardup": dd05_embedding_neardup,
     "dd06_simhash": dd06_simhash,
     "ss01_knn_cosine": ss01_knn_cosine,
     "ss02_label_centroids": ss02_label_centroids,

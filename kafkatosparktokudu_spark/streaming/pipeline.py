@@ -118,12 +118,26 @@ def start_cdc_sync(
 # processing-time, SURVEY.md §2.2 "Streaming-only"; these are the Structured
 # Streaming idioms the rebuilt engine adds).
 # ---------------------------------------------------------------------------
+def _event_time(df: DataFrame, col: str) -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (with local time zone).
+
+    The streaming parquet reader can surface the column as TIMESTAMP_NTZ
+    (depending on how the file was written), and ``withWatermark`` rejects
+    NTZ with EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE. The cast is a no-op when
+    the column is already TIMESTAMP, and reinterprets NTZ in the session
+    time zone — identical to what the batch reader does, so stream and
+    batch twins stay value-equal.
+    """
+    return df.withColumn(col, F.col(col).cast("timestamp"))
+
+
 def windowed_rollup(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
     """Tumbling event-time window with watermark for late data."""
     return (
-        events.withWatermark("ts", watermark)
+        _event_time(events, "ts")
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -141,8 +155,10 @@ def windowed_rollup(
 def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Stateful streaming dedup by event_id within the watermark — the
     streaming analog of exact dedup (S20 / dropDuplicatesWithinWatermark)."""
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
-        ["event_id"]
+    return (
+        _event_time(events, "ts")
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
     )
 
 
@@ -157,7 +173,8 @@ def sliding_rollup(
     evicted, so memory is O(open windows × groups) regardless of stream
     length."""
     return (
-        events.withWatermark("ts", watermark)
+        _event_time(events, "ts")
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -181,7 +198,8 @@ def session_rollup(
     state — the streaming twin of the batch q17_sessionize (lag + running
     sum), with identical gap semantics."""
     return (
-        events.withWatermark("ts", watermark)
+        _event_time(events, "ts")
+        .withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -206,12 +224,12 @@ def stream_interval_join(
     c = clicks.select(
         F.col("user_id"),
         F.col("event_id").alias("click_id"),
-        F.col("ts").alias("click_ts"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
     ).withWatermark("click_ts", watermark)
     p = purchases.select(
         F.col("user_id").alias("p_user_id"),
         F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("purchase_ts"),
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
         F.col("value").alias("purchase_value"),
     ).withWatermark("purchase_ts", watermark)
     cond = (
