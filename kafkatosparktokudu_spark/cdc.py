@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import PUB_EVENT, PUB_EVENT_SCHEMA, TargetTable, default_catalog
-from .operators.merge import StateStore
+from .operators.merge import StateStore, upsert_many
 from .operators.ogg import (
     cast_payload,
     derive_pub_event,
@@ -71,6 +71,49 @@ def apply_changes(
         folded = fold_table_changes(changes, target)
         out[name] = with_time_stamp(cast_payload(folded, target), now_str)
     out[PUB_EVENT] = derive_pub_event(norm, now_str)
+    return out
+
+
+def affected_buckets(
+    norm: DataFrame,
+    catalog: dict[str, TargetTable],
+    n_buckets: int,
+) -> dict[str, list[int]]:
+    """Affected (table → bucket) sets from the PRE-fold keys: the fold
+    groups by the key, so the folded batch's bucket set equals the bucket
+    set of the distinct raw keys — one cheap distinct over the cached
+    envelope instead of materializing every fold twice. The bucket
+    expression must mirror StateStore._bucket_col exactly (cast to the
+    catalog key type first, so e.g. an int key '007' and '7' land in the
+    same bucket the typed batch hashes to) — pinned by
+    test_affected_buckets_match_store; an under-approximation here would
+    make upsert_many replace an unread state bucket and lose history.
+    """
+    parts = []
+    for name, target in catalog.items():
+        ktype = next(
+            f.dataType for f in target.payload.fields if f.name == target.key
+        )
+        key = F.concat_ws("\x1f", F.col("id").cast(ktype))
+        parts.append(
+            norm.filter(F.col("tab_name") == name).select(
+                F.lit(name).alias("t"),
+                F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int").alias("b"),
+            )
+        )
+    ev_key = F.concat_ws("\x1f", F.col("id"), F.col("tab_name"))
+    parts.append(
+        norm.select(
+            F.lit(PUB_EVENT).alias("t"),
+            F.pmod(F.xxhash64(ev_key), F.lit(n_buckets)).cast("int").alias("b"),
+        )
+    )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.union(p)
+    out: dict[str, list[int]] = {}
+    for r in df.distinct().collect():
+        out.setdefault(r["t"], []).append(r["b"])
     return out
 
 
@@ -125,60 +168,74 @@ def sync_batch(
         # (S7 + S20 + S10): group the cached envelope by (validity,
         # table-name). The reference needed a per-record accumulator plus a
         # driver-side distinct for the same report
-        # (ConsumerMain.scala:101,113-116).
+        # (ConsumerMain.scala:101,113-116). The stats job is independent of
+        # the merge pipeline (folds are built for every catalog table;
+        # upsert_many skips tables with no rows), so it runs on a thread
+        # CONCURRENTLY with the fold+merge jobs — micro-batch wall time is
+        # max(stats, merge), not the sum.
         from .operators.ogg import is_valid
 
         tab_expr = F.lower(F.element_at(F.split("table", "\\."), 2))
-        stats = parsed.groupBy(
-            is_valid().alias("ok"), F.when(is_valid(), tab_expr).alias("t")
-        ).count().collect()
+
+        def _stats():
+            rows = parsed.groupBy(
+                is_valid().alias("ok"), F.when(is_valid(), tab_expr).alias("t")
+            ).count().collect()
+            if dead_letter_dir is not None:
+                # capture, don't just count: raw line + reason, appended as
+                # parquet so bad input is replayable after a catalog/parser
+                # fix (the reference only logs and drops,
+                # KuduManager.scala:117-122)
+                reason = (
+                    F.when(F.col("table").isNull(), "null_table_or_unparseable")
+                    .when(F.col("after").isNull(), "missing_after")
+                    .otherwise("missing_pk")
+                )
+                dead.select(
+                    F.col("_raw").alias("raw"), reason.alias("reason")
+                ).write.mode("append").parquet(dead_letter_dir)
+            return rows
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            stats_fut = pool.submit(_stats)
+            affected_fut = pool.submit(
+                affected_buckets, norm, catalog, n_buckets
+            )
+            merges: list[tuple[StateStore, DataFrame]] = []
+            for name, target in catalog.items():
+                changes = norm.filter(F.col("tab_name") == name)
+                folded = fold_table_changes(changes, target)
+                typed = with_time_stamp(cast_payload(folded, target), now_str)
+                store = StateStore(
+                    spark,
+                    f"{warehouse_dir}/{name}",
+                    [target.key],
+                    target.full_schema,
+                    n_buckets,
+                )
+                merges.append((store, typed))
+            ev_store = StateStore(
+                spark,
+                f"{warehouse_dir}/{PUB_EVENT}",
+                ["id", "name"],
+                PUB_EVENT_SCHEMA,
+                n_buckets,
+            )
+            merges.append((ev_store, derive_pub_event(norm, now_str)))
+            # All tables' MERGEs land in ONE combined staged write: with
+            # the affected sets precomputed above, upsert_many fuses every
+            # fold, merge join and the partitioned write into a single
+            # Spark job (vs two jobs PER table) — micro-batch latency is
+            # job-count-bound at a rate-capped batch size. The reference
+            # interleaves tables per record; Kudu gives no cross-table
+            # transaction either, so per-table swap atomicity is unchanged.
+            # upsert_many falls back to per-table writes if the catalog has
+            # conflicting column types across tables.
+            upsert_many(spark, merges, affected=affected_fut.result())
+            stats = stats_fut.result()
         total = sum(r["count"] for r in stats)
         dead_n = sum(r["count"] for r in stats if not r["ok"])
         tables = [r["t"] for r in stats if r["ok"] and r["t"] is not None]
-        if dead_letter_dir is not None:
-            # capture, don't just count: raw line + reason, appended as
-            # parquet so bad input is replayable after a catalog/parser fix
-            # (the reference only logs and drops, KuduManager.scala:117-122)
-            reason = (
-                F.when(F.col("table").isNull(), "null_table_or_unparseable")
-                .when(F.col("after").isNull(), "missing_after")
-                .otherwise("missing_pk")
-            )
-            dead.select(
-                F.col("_raw").alias("raw"), reason.alias("reason")
-            ).write.mode("append").parquet(dead_letter_dir)
-        merges: list[tuple[StateStore, DataFrame]] = []
-        for name, target in catalog.items():
-            if name not in tables:
-                continue  # empty-batch guard per table (S5)
-            changes = norm.filter(F.col("tab_name") == name)
-            folded = fold_table_changes(changes, target)
-            typed = with_time_stamp(cast_payload(folded, target), now_str)
-            store = StateStore(
-                spark,
-                f"{warehouse_dir}/{name}",
-                [target.key],
-                target.full_schema,
-                n_buckets,
-            )
-            merges.append((store, typed))
-        ev_store = StateStore(
-            spark,
-            f"{warehouse_dir}/{PUB_EVENT}",
-            ["id", "name"],
-            PUB_EVENT_SCHEMA,
-            n_buckets,
-        )
-        merges.append((ev_store, derive_pub_event(norm, now_str)))
-        # Each table's MERGE is an independent keyed write (the reference
-        # interleaves them per record; Kudu gives no cross-table transaction
-        # either). Submitting them from a thread pool lets Spark schedule the
-        # per-table jobs concurrently, so wall time is the max, not the sum —
-        # this is also the cluster-correct pattern (FAIR-schedulable jobs).
-        with ThreadPoolExecutor(max_workers=min(4, len(merges))) as pool:
-            futures = [pool.submit(s.upsert_batch, df) for s, df in merges]
-            for fut in futures:
-                fut.result()
         return BatchMetrics(total=total, dead=dead_n, tables=sorted(tables))
     finally:
         parsed.unpersist()

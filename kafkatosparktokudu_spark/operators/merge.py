@@ -168,3 +168,144 @@ class StateStore:
                 shutil.rmtree(dst, ignore_errors=True)
                 os.rename(src, dst)
         shutil.rmtree(staging, ignore_errors=True)
+
+
+_TABLE = "_table"
+
+
+def _schemas_compatible(stores: list[StateStore]) -> bool:
+    """unionByName requires any column name shared across tables to carry
+    one type. Real catalogs can violate that (emp.id int vs audit.id
+    string), so the combined write guards and falls back to per-table."""
+    seen: dict[str, T.DataType] = {}
+    for s in stores:
+        for f in s.schema.fields:
+            if f.name in seen and seen[f.name] != f.dataType:
+                return False
+            seen[f.name] = f.dataType
+    return True
+
+
+def upsert_many(
+    spark: SparkSession,
+    merges: list[tuple[StateStore, DataFrame]],
+    affected: dict[str, list[int]] | None = None,
+) -> None:
+    """MERGE several tables' batches in at most TWO Spark jobs total,
+    instead of two jobs per table.
+
+    The per-table ``upsert_batch`` costs one job to materialize the fold
+    (persist + affected-bucket collect) and one to write the merged
+    buckets; with T tables that is 2T jobs whose fixed scheduling cost
+    dominates a rate-capped micro-batch on a big cluster. Here:
+
+    1. the affected (table → buckets) set is either supplied by the caller
+       (``affected`` — cdc.sync_batch derives it from the pre-fold keys,
+       one cheap distinct, overlapped with its stats job) or computed by
+       tagging + unioning + persisting all batches (one job);
+    2. each table's batch full-outer-merges against its bucket-pruned
+       state, the merged outputs are unioned by name, and ONE staged write
+       partitioned by (_table, _bucket) lands everything — when
+       ``affected`` was supplied, the folds, merges and write all fuse
+       into this single job; the bucket directories are then swapped per
+       table exactly like upsert_batch.
+
+    CALLER CONTRACT for ``affected``: it must be a superset of the buckets
+    each batch actually touches (under-approximation would replace an
+    unread state bucket with batch-only rows and lose history — pinned by
+    test_upsert_many_affected_matches_bucket_col).
+
+    The staged files carry the union-by-name schema (absent columns are
+    null-RLE, ~free in parquet); reads stay correct because StateStore.read
+    prunes to each table's declared schema. If two tables declare the same
+    column name with different types the union is ill-typed, so we fall
+    back to per-table upserts (same semantics, more jobs).
+    """
+    merges = [(s, b) for s, b in merges if b is not None]
+    if not merges:
+        return
+    if not _schemas_compatible([s for s, _ in merges]):
+        for store, batch in merges:
+            store.upsert_batch(batch)
+        return
+
+    union = None
+    if affected is None:
+        tagged = []
+        for store, batch in merges:
+            tagged.append(
+                batch.select([F.col(f.name) for f in store.schema.fields])
+                .withColumn(_BUCKET, store._bucket_col())
+                .withColumn(_TABLE, F.lit(os.path.basename(store.path)))
+            )
+        union = tagged[0]
+        for t in tagged[1:]:
+            union = union.unionByName(t, allowMissingColumns=True)
+        union = union.persist()
+    try:
+        if union is not None:
+            affected = {}
+            for r in union.select(_TABLE, _BUCKET).distinct().collect():
+                affected.setdefault(r[_TABLE], []).append(r[_BUCKET])
+
+        merged_parts = []
+        for store, batch in merges:
+            name = os.path.basename(store.path)
+            if not affected.get(name):
+                continue  # no rows for this table in the batch (S5 per table)
+            if union is not None:
+                part = union.filter(F.col(_TABLE) == name).select(
+                    [F.col(f.name) for f in store.schema.fields]
+                )
+            else:
+                part = batch.select(
+                    [F.col(f.name) for f in store.schema.fields]
+                )
+            if store.exists():
+                base = T.StructType(
+                    list(store.schema.fields)
+                    + [T.StructField(_BUCKET, T.IntegerType(), True)]
+                )
+                state = (
+                    spark.read.schema(base)
+                    .option("basePath", store.path)
+                    .parquet(store.path)
+                    .filter(F.col(_BUCKET).isin(affected[name]))
+                )
+                part = merge_upserts(state.drop(_BUCKET), part, store.key_cols)
+            merged_parts.append(
+                part.withColumn(_BUCKET, store._bucket_col()).withColumn(
+                    _TABLE, F.lit(name)
+                )
+            )
+        if not merged_parts:
+            return
+        out = merged_parts[0]
+        for p in merged_parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+
+        staging_root = os.path.dirname(merges[0][0].path.rstrip("/"))
+        staging = os.path.join(staging_root, "__staging_many__")
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            out.repartition(F.col(_TABLE), F.col(_BUCKET))
+            .write.mode("overwrite")
+            .partitionBy(_TABLE, _BUCKET)
+            .parquet(staging)
+        )
+    finally:
+        if union is not None:
+            union.unpersist()
+    for store, _ in merges:
+        name = os.path.basename(store.path)
+        src_tab = os.path.join(staging, f"{_TABLE}={name}")
+        if not os.path.isdir(src_tab):
+            continue
+        os.makedirs(store.path, exist_ok=True)
+        for entry in os.listdir(src_tab):
+            if not entry.startswith(f"{_BUCKET}="):
+                continue
+            dst = os.path.join(store.path, entry)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(os.path.join(src_tab, entry), dst)
+    shutil.rmtree(staging, ignore_errors=True)

@@ -254,3 +254,79 @@ def test_dead_letter_capture(spark, tmp_path):
     assert reasons["not json at all"] == "null_table_or_unparseable"
     assert reasons['{"table": "S.T", "op_type": "I"}'] == "missing_after"
     assert reasons['{"table": "S.T", "op_type": "I", "after": {}}'] == "missing_pk"
+
+
+def test_affected_buckets_match_store(spark, fixture_lines):
+    """affected_buckets (computed from PRE-fold keys, no fold job) must
+    equal the bucket set StateStore._bucket_col assigns to the TYPED folded
+    batch — an under-approximation would make upsert_many swap in a bucket
+    whose prior state was never read (silent history loss)."""
+    from pyspark.sql import types as T
+
+    from kafkatosparktokudu_spark.catalog import PUB_EVENT_SCHEMA, TargetTable
+    from kafkatosparktokudu_spark.cdc import affected_buckets
+    from kafkatosparktokudu_spark.operators.ogg import (
+        cast_payload,
+        derive_pub_event,
+        fold_table_changes,
+        normalize,
+        parse_ogg,
+        split_valid,
+        with_time_stamp,
+    )
+
+    # int-typed key with leading zeros: '007' and '7' must hash to ONE
+    # bucket (the typed batch casts before hashing; affected_buckets must
+    # do the same cast or it would predict two buckets for one key — an
+    # over-approximation is safe, but the key-set equality below is strict
+    # so the test pins exact agreement)
+    acct_lines = [
+        '{"table": "S.ACCT", "op_type": "I", "current_ts": '
+        '"2024-01-01T10:00:00.000000", "pos": 900, "after": {"ID": "007", "BAL": "1"}}',
+        '{"table": "S.ACCT", "op_type": "U", "current_ts": '
+        '"2024-01-01T11:00:00.000000", "pos": 901, "after": {"ID": "7", "BAL": "2"}}',
+    ]
+    acct = TargetTable(
+        "acct",
+        "id",
+        T.StructType(
+            [
+                T.StructField("id", T.IntegerType(), False),
+                T.StructField("bal", T.DoubleType(), True),
+            ]
+        ),
+    )
+    catalog = dict(default_catalog(), acct=acct)
+    raw = spark.createDataFrame(
+        [(l,) for l in fixture_lines + acct_lines], "value string"
+    )
+    valid, _ = split_valid(parse_ogg(raw))
+    norm = normalize(valid)
+    n_buckets = 7
+    aff = affected_buckets(norm, catalog, n_buckets)
+
+    for name, target in catalog.items():
+        typed = with_time_stamp(
+            cast_payload(
+                fold_table_changes(norm.filter(F.col("tab_name") == name), target),
+                target,
+            ),
+            NOW,
+        )
+        store = StateStore(
+            spark, f"/tmp/unused/{name}", [target.key], target.full_schema, n_buckets
+        )
+        actual = {
+            r[0]
+            for r in typed.select(store._bucket_col().alias("b")).distinct().collect()
+        }
+        assert actual == set(aff.get(name, [])), name
+    ev_store = StateStore(
+        spark, "/tmp/unused/pub_event", ["id", "name"], PUB_EVENT_SCHEMA, n_buckets
+    )
+    ev = derive_pub_event(norm, NOW)
+    actual = {
+        r[0] for r in ev.select(ev_store._bucket_col().alias("b")).distinct().collect()
+    }
+    assert actual == set(aff["pub_event"])
+    assert len(aff["acct"]) == 1  # '007' and '7' folded into one int key
