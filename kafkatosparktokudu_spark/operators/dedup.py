@@ -360,20 +360,43 @@ def embedding_neardup_pairs(
     threshold: float = 0.3,
     n_cells: int = 32,
     nprobe: int = 4,
+    blocking: str = "seeds",
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by IVF-style seed cells
+    """Embedding-cosine near-dup pairs, blocked by IVF-style cells
     (SemDeDup's cluster-then-pairwise shape): candidates are pairs sharing
     at least one of their ``nprobe`` nearest cells, verified with exact
     cosine. Pair generation is O(n²·nprobe²/n_cells) instead of all-pairs;
     with n_cells grown ~√n the join stays sub-quadratic at any scale —
     unlike the fixed-cardinality ``label`` blocker this replaces, whose
     n²/|labels| pair join was the 100 TB scale-killer. Two genuinely
-    near-identical vectors have near-identical seed cosines, so they share
-    their top cell with probability → 1 as similarity → 1."""
-    from ..functions.vectors import as_double, dot, norm
-    from .similarity import seed_cell_assign
+    near-identical vectors have near-identical cell cosines, so they share
+    their top cell with probability → 1 as similarity → 1.
 
-    cells = seed_cell_assign(emb, n_cells=n_cells, nprobe=nprobe)
+    ``blocking`` picks the cell anchors:
+
+    - ``"seeds"`` (default): fixed seed vectors (lowest ``n_cells``
+      vec_ids) — SQL-reproducible, so the DuckDB oracle recomputes the
+      identical assignment. Seeds are arbitrary points, not density
+      centers, so recall needs a generous nprobe.
+    - ``"centroids"``: Lloyd's k-means centroids (train_ivf_centroids,
+      driver-side on a bounded hash-sample) + multiprobe assignment — the
+      real-scale path (anchors follow the data distribution; recall at
+      the same nprobe is strictly better on clustered data). Not
+      SQL-expressible, so the oracle keeps the seed variant; recall vs
+      brute force is pinned by test_centroid_blocked_neardup_recall.
+    """
+    from ..functions.vectors import as_double, dot, norm
+    from .similarity import (
+        ivf_assign_multiprobe,
+        seed_cell_assign,
+        train_ivf_centroids,
+    )
+
+    if blocking == "centroids":
+        cents = train_ivf_centroids(emb, n_cells=n_cells)
+        cells = ivf_assign_multiprobe(emb, cents, nprobe=nprobe)
+    else:
+        cells = seed_cell_assign(emb, n_cells=n_cells, nprobe=nprobe)
     a, b = cells.alias("ca"), cells.alias("cb")
     cand = (
         a.join(

@@ -50,12 +50,19 @@ def merge_upserts(
     ``batch`` must already be folded to one row per key (fold_table_changes).
     Column set of both sides must match. Partial updates ride on coalesce:
     a folded column is null iff no record in the batch set it.
+
+    CONTRACT: key columns are primary keys and must be non-null on both
+    sides (the CDC path guarantees this — is_valid drops null-ID records
+    and the catalog declares keys non-nullable). Plain ``==`` instead of
+    eqNullSafe matters for the plan: a null-safe join hashes on
+    ``(coalesce(k,''), isnull(k))``, which can NOT reuse the fold's
+    groupBy(key) exchange, so the batch side would be shuffled twice.
     """
     value_cols = [c for c in state.columns if c not in key_cols]
     b = batch.select(
         *[F.col(c).alias(f"_b_{c}") for c in batch.columns]
     )
-    cond = [state[k].eqNullSafe(b[f"_b_{k}"]) for k in key_cols]
+    cond = [state[k] == b[f"_b_{k}"] for k in key_cols]
     joined = state.join(b, cond, "full_outer")
     out_cols = [
         F.coalesce(b[f"_b_{k}"], state[k]).alias(k) for k in key_cols

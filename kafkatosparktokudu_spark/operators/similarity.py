@@ -183,6 +183,33 @@ def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     return emb.withColumn("cell", cell_of(F.col("embedding")))
 
 
+def ivf_assign_multiprobe(
+    emb: DataFrame, centroids: list[list[float]], nprobe: int = 4
+) -> DataFrame:
+    """(vec_id, cell) for each vector's ``nprobe`` highest-cosine centroids
+    — the multiprobe twin of ``ivf_assign`` (argmax only). One Arrow-batched
+    matmul + argsort per batch; ties break to the lowest cell id (numpy
+    argsort is stable), so assignment is deterministic. Output is n·nprobe
+    rows with the cell as the blocking/partition key."""
+    import numpy as np
+    import pandas as pd  # noqa: F811
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.array(centroids)  # rows already unit-norm
+    k = min(nprobe, len(centroids))
+
+    def _cells_of(col):
+        x = np.array(col.tolist(), dtype=np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        top = np.argsort(-(x @ cents.T), kind="stable", axis=1)[:, :k]
+        return pd.Series([row.astype("int32") for row in top])
+
+    cells_of = pandas_udf(_cells_of, "array<int>")
+    return emb.select(
+        "vec_id", F.explode(cells_of(F.col("embedding"))).alias("cell")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list[float],
