@@ -227,3 +227,227 @@ def packing_index(
             F.expr(f"(cum - 1) div {budget}").alias("last_pack"),
         )
     )
+
+
+def _bigrams(t: Column) -> Column:
+    """Adjacent-token bigram array (shared by top_bigrams / repetition)."""
+    return F.transform(
+        F.slice(t, 1, F.size(t) - 1),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(t, i + 2)),
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1: documents dominated by repeated lines/n-grams are boilerplate):
+
+    - ``dup_token_frac``  — 1 − distinct/total tokens
+    - ``top_bigram_frac`` — share of bigram instances taken by the single
+      most frequent bigram
+    - ``dup_bigram_frac`` — share of bigram instances whose bigram occurs
+      more than once
+
+    Scale shape: token stats are pure array expressions in the scan; the
+    bigram shares are one explode + two hash aggregations keyed by
+    (doc_id, bigram) then doc_id — per-document keys, so partial aggs
+    combine map-side and no key is ever hot. All ratios are exact-integer
+    divisions evaluated in double (no float-sum drift to pin)."""
+    t = tokens("text")
+    per = docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.round(
+            1.0 - F.size(F.array_distinct(t)).cast("double") / F.size(t), 6
+        ).alias("dup_token_frac"),
+    )
+    counts = (
+        docs.select("doc_id", F.explode(_bigrams(t)).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    shares = counts.groupBy("doc_id").agg(
+        F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("top_bigram_frac"),
+        F.round(
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.sum("n"),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+    return per.join(shares, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        F.coalesce("dup_bigram_frac", F.lit(0.0)).alias("dup_bigram_frac"),
+    )
+
+
+# PII patterns: deliberately simple shapes every regex engine (Java regex
+# here, RE2 in the DuckDB oracle) interprets identically. Real deployments
+# extend the list; the plan shape (chained regexp_replace in one scan)
+# doesn't change.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+def with_synthetic_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically append a synthetic contact line per document.
+
+    The fixture corpus contains no PII (by construction), so a scrub over
+    the raw text would trivially match on all-zero counts; this enrichment
+    makes the scrub operator's regexes and replacement order actually
+    load-bearing while staying exactly reproducible in the SQL oracle."""
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1-555-"),
+            F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1"),
+        ),
+    )
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII masking in one scan: count then mask emails, IPv4 addresses and
+    phone numbers (replacement order matters — emails contain dots/digits,
+    so they are masked before IPs and phones). Returns per-doc category
+    counts and an md5 of the scrubbed text (proves exact output equality
+    without hauling full text through the comparator).
+
+    Pure JVM regexp_count/regexp_replace — whole-stage codegen, no Python,
+    trivially parallel at any scale."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_IPV4)).alias("n_ips"),
+        F.regexp_count("text", F.lit(PII_PHONE)).alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_fp"),
+    )
+
+
+def _token_shingles(t: Column, k: int) -> Column:
+    """Adjacent k-token shingles as space-joined strings."""
+    return F.transform(
+        F.slice(t, 1, F.greatest(F.size(t) - (k - 1), F.lit(0))),
+        lambda x, i: F.concat_ws(
+            " ", F.array(*[F.element_at(t, i + j + 1) for j in range(k)])
+        ),
+    )
+
+
+def contamination_check(
+    docs: DataFrame, bench_mod: int = 97, k: int = 3
+) -> DataFrame:
+    """Benchmark-contamination scan: which training documents contain
+    verbatim k-token shingles from a held-out benchmark set? (The standard
+    train/test leakage check run before any pretraining job; real corpora
+    use k≈8–13 — the fixture's tiny vocabulary needs k=3 to have signal.)
+
+    Benchmark = docs with ``doc_id % bench_mod == 0`` (a stand-in for the
+    external eval set). Returns per contaminated doc: its shingle count,
+    how many distinct shingles hit the benchmark, and the hit rate.
+
+    Scale shape: the benchmark shingle set is small by construction →
+    broadcast hash join against the exploded corpus shingles; the corpus
+    side is one explode + distinct + per-doc agg, never a shuffle keyed on
+    anything hotter than doc_id."""
+    t = tokens("text")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(_token_shingles(t, k))).alias("g")
+    )
+    bench = (
+        sh.filter((F.col("doc_id") % bench_mod) == 0).select("g").distinct()
+    )
+    corpus = sh.filter((F.col("doc_id") % bench_mod) != 0)
+    n_sh = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        n_sh.join(hits, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double") / F.col("n_shingles"), 6
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+def domain_mixture_sample(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    n_target: int = 200,
+) -> DataFrame:
+    """Temperature-weighted domain mixture (the multilingual/multi-source
+    sampling rule: w_s ∝ n_s^α, α<1 upsamples small sources relative to
+    their natural share): compute per-source quotas for an ``n_target``-doc
+    sample and take each source's quota deterministically by md5-hash rank
+    (reproducible across engines and runs, unlike rand()).
+
+    Returns the per-source audit row: natural count, mixture weight, quota
+    and kept count. One aggregation for counts, one broadcast-joined
+    window rank for the take — no global sort.
+
+    At 100 TB the same plan holds: source cardinality is tiny (the weight
+    table is driver-size), and the per-source rank is a partitioned window
+    over the source key."""
+    from pyspark.sql import Window
+
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    wsum = counts.agg(
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))).alias("z")
+    )
+    weights = counts.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        "n_docs",
+        F.round(F.pow(F.col("n_docs").cast("double"), F.lit(alpha)) / F.col("z"), 6).alias(
+            "weight"
+        ),
+        F.least(
+            F.ceil(
+                F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+                / F.col("z")
+                * n_target
+            ).cast("int"),
+            F.col("n_docs").cast("int"),
+        ).alias("quota"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+    kept = (
+        ranked.join(F.broadcast(weights.select("source", "quota")), "source")
+        .filter(F.col("rk") <= F.col("quota"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return weights.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "weight",
+        "quota",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )

@@ -1168,6 +1168,117 @@ ORACLE_SQL: dict[str, str] = {
                   FROM documents)
         )
     """,
+    # Gopher-style repetition signals: per-doc token dup fraction + bigram
+    # concentration (explode → per-(doc,bigram) counts → per-doc shares).
+    # All ratios are exact-integer divisions in double.
+    "tx10_repetition_stats": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+        per AS (
+            SELECT doc_id, CAST(len(l) AS INTEGER) AS n_tokens,
+                   round(1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6)
+                       AS dup_token_frac
+            FROM toks
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(l[1:len(l)-1], (x,i) -> x || ' ' || l[i+1]))
+                       AS bigram
+            FROM toks
+        ),
+        counts AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+        shares AS (
+            SELECT doc_id,
+                   round(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_bigram_frac,
+                   round(CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE)
+                         / SUM(n), 6) AS dup_bigram_frac
+            FROM counts GROUP BY 1
+        )
+        SELECT p.doc_id, n_tokens, dup_token_frac,
+               COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac,
+               COALESCE(dup_bigram_frac, 0.0) AS dup_bigram_frac
+        FROM per p LEFT JOIN shares s ON p.doc_id = s.doc_id
+    """,
+    # PII scrub over the deterministic synthetic-contact enrichment (the raw
+    # fixture has no PII); same patterns + replacement order as
+    # operators.text (Java regex and RE2 agree on these shapes).
+    "tx11_pii_scrub": """
+        WITH enr AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail.example.com or +1-555-'
+                        || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                        || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                       AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(text,
+                   '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+                   AS INTEGER) AS n_ips,
+               CAST(len(regexp_extract_all(text,
+                   '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+                   '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrub_fp
+        FROM enr
+    """,
+    # Benchmark contamination: distinct 3-token shingles of the pseudo-eval
+    # set (doc_id % 97 = 0) joined against the rest of the corpus.
+    "tx12_contamination": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(l) - 1),
+                       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
+            FROM toks
+        ),
+        bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+        corp AS (SELECT doc_id, g FROM sh WHERE doc_id % 97 <> 0),
+        n_sh AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corp GROUP BY 1),
+        hits AS (
+            SELECT doc_id, COUNT(*) AS n_contaminated
+            FROM corp JOIN bench USING (g) GROUP BY 1
+        )
+        SELECT doc_id,
+               CAST(n_shingles AS BIGINT) AS n_shingles,
+               CAST(n_contaminated AS BIGINT) AS n_contaminated,
+               round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6)
+                   AS contamination_rate
+        FROM n_sh JOIN hits USING (doc_id)
+    """,
+    # Temperature-weighted domain mixture: w_s ∝ n_s^0.5, md5-rank take.
+    "tx13_domain_mixture": """
+        WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        z AS (SELECT SUM(pow(CAST(n_docs AS DOUBLE), 0.5)) AS z FROM counts),
+        weights AS (
+            SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                   round(pow(CAST(n_docs AS DOUBLE), 0.5) / z, 6) AS weight,
+                   LEAST(CAST(ceil(pow(CAST(n_docs AS DOUBLE), 0.5) / z * 200)
+                              AS INTEGER),
+                         CAST(n_docs AS INTEGER)) AS quota
+            FROM counts CROSS JOIN z
+        ),
+        ranked AS (
+            SELECT source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM documents
+        ),
+        kept AS (
+            SELECT r.source, COUNT(*) AS n_kept
+            FROM ranked r JOIN weights w ON r.source = w.source AND r.rk <= w.quota
+            GROUP BY 1
+        )
+        SELECT w.source, w.n_docs, w.weight, w.quota,
+               CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+        FROM weights w LEFT JOIN kept k ON w.source = k.source
+    """,
     # Unpivot/melt: wide grouped agg → long (metric, value) rows.
     "q56_unpivot_metrics": """
         SELECT o_orderstatus, 'sum_price' AS metric,

@@ -902,6 +902,30 @@ def tx09_packing_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing_index(_t(spark, sf_dir, "documents"))
 
 
+def tx10_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def tx11_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import pii_scrub, with_synthetic_pii
+
+    return pii_scrub(with_synthetic_pii(_t(spark, sf_dir, "documents")))
+
+
+def tx12_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import contamination_check
+
+    return contamination_check(_t(spark, sf_dir, "documents"))
+
+
+def tx13_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import domain_mixture_sample
+
+    return domain_mixture_sample(_t(spark, sf_dir, "documents"))
+
+
 def _doubled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ copy with offset ids — planted exact duplicates for the
     dedup demos (the fixture itself has no exact dups)."""
@@ -1686,9 +1710,14 @@ def mm03_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in tests/test_queries_oracle.py).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front section: queries whose code or oracle changed since
-    # their last green driver row (VERDICT.md r3 "Next round" #2/#3) ---
+    # their last green driver row (VERDICT.md r3 "Next round" #2/#3), plus
+    # queries new this round ---
     "dd05_embedding_neardup": dd05_embedding_neardup,
     "q59_approx_percentiles": q59_approx_percentiles,
+    "tx10_repetition_stats": tx10_repetition_stats,
+    "tx11_pii_scrub": tx11_pii_scrub,
+    "tx12_contamination": tx12_contamination,
+    "tx13_domain_mixture": tx13_domain_mixture,
     # --- driver-unverified as of round 1 (VERDICT.md "Next round" #1) ---
     "q27_above_nation_avg": q27_above_nation_avg,
     "q28_hash_sample": q28_hash_sample,
