@@ -892,6 +892,73 @@ ORACLE_SQL: dict[str, str] = {
         FROM surv WHERE doc_id = keeper
         GROUP BY source
     """,
+    # Literal correlated NOT EXISTS (the Spark side is the aggregation
+    # rewrite — distinct pairs, HAVING count=1 — same result set).
+    "q62_exclusive_parts": """
+        SELECT s_suppkey, s_name, COUNT(*) AS n_exclusive_parts
+        FROM (
+            SELECT DISTINCT l1.l_partkey, l1.l_suppkey
+            FROM lineitem l1
+            WHERE NOT EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_partkey = l1.l_partkey
+                  AND l2.l_suppkey <> l1.l_suppkey
+            )
+        ) e JOIN supplier ON e.l_suppkey = s_suppkey
+        GROUP BY s_suppkey, s_name
+        ORDER BY n_exclusive_parts DESC, s_suppkey
+        LIMIT 20
+    """,
+    # Full pretraining-curation funnel: quality + Gopher repetition filter
+    # + exact dedup + per-source packing budget, mirrored stage for stage.
+    "px04_pretraining_curation": f"""
+        WITH corpus AS (
+            SELECT doc_id, text, n_chars, source FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, text, n_chars, source FROM documents
+        ),
+        q AS (
+            SELECT doc_id, text, source, n AS n_tokens,
+                   0.4 * len_score + 0.3 * uniq_ratio
+                       + 0.3 * (1.0 - stop_ratio) AS quality_score
+            FROM (
+                SELECT doc_id, text, source, len(l) AS n,
+                       CAST(len(list_distinct(l)) AS DOUBLE) / len(l) AS uniq_ratio,
+                       CAST(len(list_filter(l, t -> t IN {_STOP_EN})) AS DOUBLE)
+                           / len(l) AS stop_ratio,
+                       least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) AS len_score
+                FROM (SELECT doc_id, text, n_chars, source, {_TOKS} AS l
+                      FROM corpus)
+            )
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(l[1:len(l)-1], (x,i) -> x || ' ' || l[i+1]))
+                       AS bigram
+            FROM (SELECT doc_id, {_TOKS} AS l FROM corpus)
+        ),
+        bgc AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+        rep AS (
+            SELECT doc_id,
+                   round(CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE)
+                         / SUM(n), 6) AS dup_bigram_frac
+            FROM bgc GROUP BY 1
+        ),
+        kept AS (
+            SELECT q.* FROM q JOIN rep USING (doc_id)
+            WHERE quality_score >= 0.65 AND dup_bigram_frac <= 0.1
+        ),
+        surv AS (
+            SELECT *, MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS keeper
+            FROM kept
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+               CAST(ceil(CAST(SUM(n_tokens) AS DOUBLE) / 512) AS BIGINT) AS n_packs
+        FROM surv WHERE doc_id = keeper
+        GROUP BY source
+    """,
     # Array HOFs: cast to DOUBLE[] first so both engines accumulate the sum
     # in double in the same element order (bit-identical before rounding).
     "q40_array_functions": """

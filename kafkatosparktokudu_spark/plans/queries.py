@@ -1221,6 +1221,32 @@ def q61_global_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "s_name", "n_nations")
 
 
+# Correlated NOT EXISTS via aggregation rewrite: "parts only ONE supplier
+# ever shipped, per supplier". The oracle keeps the literal correlated
+# NOT-EXISTS subquery; the Spark plan is the scale-correct set rewrite —
+# distinct (part, supp) pairs → having count(*)=1 → join. A per-row
+# correlated probe would be O(n) subquery executions; the rewrite is two
+# hash aggs and one join, identical results.
+def q62_exclusive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    excl = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.max("l_suppkey").alias("only_supp"),
+        )
+        .filter(F.col("n_supp") == 1)
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        excl.join(supp, F.col("only_supp") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_exclusive_parts"))
+        .orderBy(F.desc("n_exclusive_parts"), "s_suppkey")
+        .limit(20)
+    )
+
+
 # Window-over-aggregate composition: per-nation revenue and its share of
 # the region total — the share is a window sum OVER the grouped aggregate
 # (25 rows), so the second pass costs nothing; ratios divide two exact
@@ -1545,6 +1571,42 @@ def px03_semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
 
 
+def px04_pretraining_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-curation funnel as ONE composed plan: doubled
+    corpus → quality filter (score ≥ 0.65) → repetition filter (Gopher
+    dup-bigram fraction ≤ 0.1) → exact dedup (min-id keeper) → per-source
+    packing budget (total kept tokens, 512-token pack count). Composes
+    tx02 + tx10 + dd01 + tx09's shapes end-to-end; every stage is a column
+    expression or per-doc-keyed hash agg, so the funnel is one declarative
+    DAG with no materialization between stages — at 100 TB the only
+    shuffles are the bigram agg (doc-keyed), the dedup fingerprint window,
+    and the final per-source rollup."""
+    from ..operators.text import quality_scores, repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars", "source"
+    )
+    corpus = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", "n_chars", "source"
+        )
+    )
+    q = quality_scores(corpus, keep=("text", "source")).filter(
+        F.col("quality_score") >= 0.65
+    )
+    rep = repetition_stats(corpus).select("doc_id", "dup_bigram_frac")
+    kept = q.join(rep, "doc_id").filter(F.col("dup_bigram_frac") <= 0.1)
+    w = W.partitionBy(F.md5(F.lower(F.col("text"))))
+    survivors = kept.withColumn("keeper", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("keeper")
+    )
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens_total"),
+        F.ceil(F.sum("n_tokens") / 512).cast("bigint").alias("n_packs"),
+    )
+
+
 # PageRank over the near-dup pair graph (symmetrized): rank ~ how central a
 # document is in its duplicate cluster — a centrality-based survivor-pick
 # alternative to min-id. Rows-only: float ranks depend on partial-agg
@@ -1718,6 +1780,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx11_pii_scrub": tx11_pii_scrub,
     "tx12_contamination": tx12_contamination,
     "tx13_domain_mixture": tx13_domain_mixture,
+    "px04_pretraining_curation": px04_pretraining_curation,
+    "q62_exclusive_parts": q62_exclusive_parts,
     # --- driver-unverified as of round 1 (VERDICT.md "Next round" #1) ---
     "q27_above_nation_avg": q27_above_nation_avg,
     "q28_hash_sample": q28_hash_sample,
