@@ -175,3 +175,87 @@ def test_zorder_key_matches_python_interleave(spark, pairs):
     ]
     want = sorted(interleave(x, y) for x, y in pairs)
     assert got == want
+
+
+# -- combined multi-table upsert --------------------------------------------
+# upsert_many (one staged write for all tables) must be indistinguishable
+# from sequential per-table upsert_batch across any batch sequence —
+# including empty per-table batches, partial updates (null columns keep
+# prior values) and keys colliding into the same bucket.
+_urow = st.fixed_dictionaries(
+    {
+        "tab": st.sampled_from(["ta", "tb"]),
+        "id": st.integers(0, 4),
+        "v": st.one_of(st.none(), st.sampled_from(["x", "y", "z"])),
+        "w": st.one_of(st.none(), st.sampled_from(["p", "q"])),
+    }
+)
+
+
+@SETTINGS
+@given(batches=st.lists(st.lists(_urow, max_size=12), min_size=1, max_size=3))
+def test_upsert_many_equals_sequential(spark, batches):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from kafkatosparktokudu_spark.operators.merge import (
+        StateStore,
+        upsert_many,
+    )
+
+    schema_a = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("v", T.StringType(), True),
+            T.StructField("w", T.StringType(), True),
+        ]
+    )
+    schema_b = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    wh_many = tempfile.mkdtemp(prefix="prop_many_")
+    wh_seq = tempfile.mkdtemp(prefix="prop_seq_")
+    try:
+        for batch in batches:
+            # fold to one row per (tab, id): last write in list order wins
+            folded: dict[tuple[str, int], dict] = {}
+            for r in batch:
+                folded[(r["tab"], r["id"])] = r
+            per_tab: dict[str, list] = {"ta": [], "tb": []}
+            for (tab, _id), r in sorted(folded.items()):
+                per_tab[tab].append(r)
+            for wh, combined in ((wh_many, True), (wh_seq, False)):
+                merges = []
+                for tab, schema in (("ta", schema_a), ("tb", schema_b)):
+                    rows = per_tab[tab]
+                    if not rows:
+                        continue
+                    data = [
+                        tuple(
+                            [str(r["id"]), r["v"]]
+                            + ([r["w"]] if tab == "ta" else [])
+                        )
+                        for r in rows
+                    ]
+                    df = spark.createDataFrame(data, schema)
+                    store = StateStore(spark, f"{wh}/{tab}", ["id"], schema, 4)
+                    merges.append((store, df))
+                if combined:
+                    upsert_many(spark, merges)
+                else:
+                    for store, df in merges:
+                        store.upsert_batch(df)
+        for tab, schema in (("ta", schema_a), ("tb", schema_b)):
+            a = StateStore(spark, f"{wh_many}/{tab}", ["id"], schema, 4).read()
+            b = StateStore(spark, f"{wh_seq}/{tab}", ["id"], schema, 4).read()
+            rows_a = sorted(tuple(r) for r in a.collect())
+            rows_b = sorted(tuple(r) for r in b.collect())
+            assert rows_a == rows_b, (tab, rows_a, rows_b)
+    finally:
+        shutil.rmtree(wh_many, ignore_errors=True)
+        shutil.rmtree(wh_seq, ignore_errors=True)
