@@ -198,3 +198,49 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
         orders, F.col("l_orderkey") == F.col("o_orderkey")
     ).count()
     assert n_bloom == n_plain > 0
+
+
+def test_contamination_benchmark_broadcasts(spark):
+    """tx12: the benchmark shingle set is small by construction and must
+    broadcast — a shuffle join keyed on raw shingle strings would move the
+    whole exploded corpus at scale."""
+    plan = _plan(spark, "tx12_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exclusive_parts_rewrite_stays_aggregation(spark):
+    """q62: the correlated NOT-EXISTS rewrite must stay two hash aggs + one
+    join — no nested-loop/cartesian shape may sneak in."""
+    plan = _plan(spark, "q62_exclusive_parts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for both aggs
+
+
+def test_merge_join_reuses_fold_partitioning(spark, tmp_path):
+    """The MERGE's full-outer join must not re-shuffle the folded batch: the
+    fold's groupBy(key) exchange satisfies the join's distribution when the
+    keys join with plain equality (eqNullSafe would hash on
+    (coalesce(k,''), isnull(k)) and force a second exchange)."""
+    from pyspark.sql import types as T
+
+    from kafkatosparktokudu_spark.operators.merge import merge_upserts
+
+    schema = "id string, v string"
+    state = spark.createDataFrame([("1", "a")], schema)
+    batch = (
+        spark.createDataFrame([("1", "b"), ("2", "c")], schema)
+        .groupBy("id")
+        .agg(F.max("v").alias("v"))
+    )
+    plan = (
+        merge_upserts(state, batch, ["id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exactly two exchanges: one per join input; the batch side's is the
+    # fold's own groupBy exchange (a third would mean re-shuffling)
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "coalesce(id" not in plan
