@@ -330,3 +330,30 @@ def test_affected_buckets_match_store(spark, fixture_lines):
     }
     assert actual == set(aff["pub_event"])
     assert len(aff["acct"]) == 1  # '007' and '7' folded into one int key
+
+
+def test_state_store_schema_evolution(spark, tmp_path):
+    """Adding a column to a target's catalog schema must be a no-op for
+    existing state: old files lack the column (parquet reads it as null),
+    the next merge writes it for touched rows, untouched rows keep null —
+    the add-column path a live CDC target actually goes through."""
+    from pyspark.sql import types as T
+
+    v1 = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    v2 = T.StructType(list(v1.fields) + [T.StructField("extra", T.StringType(), True)])
+    path = str(tmp_path / "tab")
+    s1 = StateStore(spark, path, ["id"], v1, 4)
+    s1.upsert_batch(spark.createDataFrame([("1", "a"), ("2", "b")], v1))
+
+    s2 = StateStore(spark, path, ["id"], v2, 4)
+    # read-before-write: old files surface the new column as null
+    pre = {r["id"]: r["extra"] for r in s2.read().collect()}
+    assert pre == {"1": None, "2": None}
+    s2.upsert_batch(spark.createDataFrame([("2", "b2", "x"), ("3", "c", "y")], v2))
+    got = {r["id"]: (r["v"], r["extra"]) for r in s2.read().collect()}
+    assert got == {"1": ("a", None), "2": ("b2", "x"), "3": ("c", "y")}
