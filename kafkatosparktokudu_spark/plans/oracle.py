@@ -473,6 +473,32 @@ ORACLE_SQL: dict[str, str] = {
         FROM valid
         GROUP BY id, tab_name
     """,
+    # Incrementally-maintained dept rollup vs from-scratch aggregation of
+    # the final fold state — equality proves delta maintenance is exact.
+    "cdc_dept_rollup": f"""
+        WITH {_CDC_VALID},
+        emp_state AS (
+            SELECT id,
+                   TRY_CAST(arg_max(after['DEPT_ID'][1], ord)
+                       FILTER (WHERE op_type <> 'D'
+                               AND after['DEPT_ID'][1] IS NOT NULL)
+                       AS INTEGER) AS dept_id,
+                   TRY_CAST(arg_max(after['SALARY'][1], ord)
+                       FILTER (WHERE op_type <> 'D'
+                               AND after['SALARY'][1] IS NOT NULL)
+                       AS DOUBLE) AS salary,
+                   CASE WHEN arg_max(op_type, ord) = 'D' THEN '1' ELSE '0' END
+                       AS delete_state
+            FROM valid WHERE tab_name = 'emp'
+            GROUP BY id
+        )
+        SELECT dept_id,
+               CAST(COUNT(*) AS BIGINT) AS n_alive,
+               CAST(SUM(CAST(salary AS DECIMAL(12,2))) AS DOUBLE) AS sum_salary
+        FROM emp_state
+        WHERE delete_state = '0' AND dept_id IS NOT NULL
+        GROUP BY dept_id
+    """,
     "q01_sync_report": """
         SELECT event_type,
                COUNT(*) AS n_events,

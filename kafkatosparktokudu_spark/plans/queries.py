@@ -788,6 +788,91 @@ cdc_dept_state = _cdc_state("dept")
 cdc_pub_event = _cdc_state("pub_event")
 
 
+def cdc_dept_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained per-dept rollup (operators/rollup.py): the
+    fixture is replayed in TWO micro-batches, each MERGEing into the emp
+    StateStore and updating the (dept_id → n_alive, salary sum) view by
+    deltas only. The DuckDB oracle aggregates the FINAL state from scratch
+    — hash equality proves incremental maintenance ≡ full re-aggregation
+    (soft deletes, partial updates and dept moves included). Sums
+    accumulate in DECIMAL, so the equivalence is exact, not approximate."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..catalog import default_catalog
+    from ..cdc import DEFAULT_FIXTURE
+    from ..operators.merge import StateStore
+    from ..operators.ogg import (
+        cast_payload,
+        fold_table_changes,
+        normalize,
+        parse_ogg,
+        split_valid,
+        with_time_stamp,
+    )
+    from ..operators.rollup import rollup_schema, sync_with_rollup
+
+    import json as _json
+
+    lines = open(DEFAULT_FIXTURE).read().splitlines()
+
+    # Split by EVENT TIME, not line position: the merge's cross-batch rule
+    # is "later batch wins" (coalesce), which equals the global LWW fold
+    # only when arrival order respects event time across batches — the
+    # same per-key ordering Kafka's partitioning guarantees in production.
+    # A positional split would let an out-of-order late record in batch 2
+    # clobber batch 1's newer value, which is a different (at-least-once,
+    # unordered) semantics than the oracle's single fold.
+    def _ts(line: str) -> str:
+        try:
+            return _json.loads(line).get("current_ts") or ""
+        except ValueError:
+            return ""
+
+    all_ts = sorted({_ts(l) for l in lines if _ts(l)})
+    cut = all_ts[len(all_ts) // 2]
+    halves = (
+        [l for l in lines if _ts(l) < cut],
+        [l for l in lines if _ts(l) >= cut],
+    )
+    target = default_catalog()["emp"]
+    tmp = tempfile.mkdtemp(prefix="cdc_rollup_")
+    try:
+        state = StateStore(
+            spark, f"{tmp}/emp", ["id"], target.full_schema, 8
+        )
+        rollup = StateStore(
+            spark,
+            f"{tmp}/dept_rollup",
+            ["dept_id"],
+            rollup_schema(T.StructField("dept_id", T.IntegerType(), False)),
+            8,
+        )
+        for chunk in halves:
+            raw = spark.createDataFrame([(l,) for l in chunk], "value string")
+            valid, _ = split_valid(parse_ogg(raw))
+            folded = fold_table_changes(
+                normalize(valid).filter(F.col("tab_name") == "emp"), target
+            )
+            typed = with_time_stamp(cast_payload(folded, target), "2024-06-01 00:00:00")
+            sync_with_rollup(spark, state, typed, rollup, "dept_id", "salary")
+        out = (
+            rollup.read()
+            .filter(F.col("n_alive") > 0)
+            .select(
+                "dept_id",
+                "n_alive",
+                F.col("sum_dec").cast("double").alias("sum_salary"),
+            )
+        )
+        rows = out.collect()  # materialize before the temp dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def cdc_stream_emp_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME final emp state, produced by the actual Structured Streaming
     path: file source → foreachBatch MERGE → StateStore, drained with
@@ -1782,6 +1867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx13_domain_mixture": tx13_domain_mixture,
     "px04_pretraining_curation": px04_pretraining_curation,
     "q62_exclusive_parts": q62_exclusive_parts,
+    "cdc_dept_rollup": cdc_dept_rollup,
     # --- driver-unverified as of round 1 (VERDICT.md "Next round" #1) ---
     "q27_above_nation_avg": q27_above_nation_avg,
     "q28_hash_sample": q28_hash_sample,

@@ -357,3 +357,59 @@ def test_state_store_schema_evolution(spark, tmp_path):
     s2.upsert_batch(spark.createDataFrame([("2", "b2", "x"), ("3", "c", "y")], v2))
     got = {r["id"]: (r["v"], r["extra"]) for r in s2.read().collect()}
     assert got == {"1": ("a", None), "2": ("b2", "x"), "3": ("c", "y")}
+
+
+def test_incremental_rollup_moves_deletes_partials(spark, tmp_path):
+    """Delta maintenance must handle the three IVM subtleties: a key moving
+    groups (old group loses, new group gains), a soft delete (contribution
+    withdrawn), and a partial update (unchanged values keep contributing)."""
+    from pyspark.sql import types as T
+
+    from kafkatosparktokudu_spark.operators.rollup import (
+        rollup_schema,
+        sync_with_rollup,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("dept_id", T.IntegerType(), True),
+            T.StructField("salary", T.DoubleType(), True),
+            T.StructField("delete_state", T.StringType(), True),
+            T.StructField("time_stamp", T.StringType(), True),
+        ]
+    )
+    state = StateStore(spark, str(tmp_path / "emp"), ["id"], schema, 4)
+    rollup = StateStore(
+        spark,
+        str(tmp_path / "roll"),
+        ["dept_id"],
+        __import__(
+            "kafkatosparktokudu_spark.operators.rollup", fromlist=["rollup_schema"]
+        ).rollup_schema(T.StructField("dept_id", T.IntegerType(), False)),
+        4,
+    )
+    b1 = spark.createDataFrame(
+        [
+            ("1", 10, 100.0, "0", "t"),
+            ("2", 10, 200.0, "0", "t"),
+            ("3", 20, 300.0, "0", "t"),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            ("1", 20, None, "0", "t"),   # moves dept 10 → 20, salary kept
+            ("2", None, None, "1", "t"),  # soft delete
+            ("4", 10, 50.0, "0", "t"),    # new hire
+            ("3", None, None, "0", "t"),  # partial no-op update
+        ],
+        schema,
+    )
+    for b in (b1, b2):
+        sync_with_rollup(spark, state, b, rollup, "dept_id", "salary")
+    got = {
+        r["dept_id"]: (r["n_alive"], float(r["sum_dec"]))
+        for r in rollup.read().filter(F.col("n_alive") > 0).collect()
+    }
+    assert got == {10: (1, 50.0), 20: (2, 400.0)}
