@@ -118,6 +118,38 @@ def affected_buckets(
 
 
 @dataclass
+class RollupSpec:
+    """A continuously-maintained aggregate view over one CDC target table:
+    ``(group_col → n_alive, sum(sum_col))`` kept exact by per-batch deltas
+    (operators/rollup.py). The view lives in the warehouse next to its base
+    table as ``{table}__rollup_{group_col}``."""
+
+    table: str
+    group_col: str
+    sum_col: str
+    group_type: "T.DataType" = None  # default IntegerType, set in __post_init__
+
+    def __post_init__(self) -> None:
+        from pyspark.sql import types as T
+
+        if self.group_type is None:
+            self.group_type = T.IntegerType()
+
+    def store(self, spark: SparkSession, warehouse_dir: str, n_buckets: int):
+        from pyspark.sql import types as T
+
+        from .operators.rollup import rollup_schema
+
+        return StateStore(
+            spark,
+            f"{warehouse_dir}/{self.table}__rollup_{self.group_col}",
+            [self.group_col],
+            rollup_schema(T.StructField(self.group_col, self.group_type, False)),
+            n_buckets,
+        )
+
+
+@dataclass
 class BatchMetrics:
     """Per-batch report (S7/S20/S21 parity: total count, distinct tables,
     dead letters — ConsumerMain.scala:113-116). ``total`` counts every
@@ -142,6 +174,7 @@ def sync_batch(
     now_str: str | None = None,
     n_buckets: int = 16,
     dead_letter_dir: str | None = None,
+    rollups: list[RollupSpec] | None = None,
 ) -> BatchMetrics:
     """Incremental MERGE of one micro-batch into the warehouse.
 
@@ -150,6 +183,12 @@ def sync_batch(
     pub_event in the same epoch mirrors the reference's non-transactional
     dual write (KuduManager.scala:68 before :114) — documented, no
     cross-table transaction.
+
+    ``rollups``: aggregate views maintained in the same epoch by deltas
+    (operators/rollup.py). The pre/post snapshots read only the batch's
+    AFFECTED BUCKETS — a superset of the touched keys, which is exact
+    because untouched rows appear identically on both sides of the delta
+    and cancel (DECIMAL arithmetic, so the cancellation is bit-exact).
     """
     catalog = catalog or default_catalog()
     # Preserve the source's arrival-order column (the Kafka offset the
@@ -231,7 +270,61 @@ def sync_batch(
             # transaction either, so per-table swap atomicity is unchanged.
             # upsert_many falls back to per-table writes if the catalog has
             # conflicting column types across tables.
-            upsert_many(spark, merges, affected=affected_fut.result())
+            affected = affected_fut.result()
+            pre_snaps: list[tuple[RollupSpec, StateStore, DataFrame]] = []
+            if rollups:
+                from pyspark.sql import types as T2
+
+                for spec in rollups:
+                    tstore = next(
+                        s for s, _ in merges
+                        if s.path.endswith(f"/{spec.table}")
+                    )
+                    buckets = affected.get(spec.table, [])
+                    if not buckets or not tstore.exists():
+                        pre = tstore.read().limit(0)
+                    else:
+                        base = T2.StructType(
+                            list(tstore.schema.fields)
+                            + [T2.StructField("_bucket", T2.IntegerType(), True)]
+                        )
+                        pre = (
+                            spark.read.schema(base)
+                            .option("basePath", tstore.path)
+                            .parquet(tstore.path)
+                            .filter(F.col("_bucket").isin(buckets))
+                            .drop("_bucket")
+                        )
+                    # pin BEFORE the merge rewrites the files in place
+                    pre_snaps.append((spec, tstore, pre.localCheckpoint()))
+            upsert_many(spark, merges, affected=affected)
+            if rollups:
+                from .operators.rollup import maintain_rollup, rollup_delta
+
+                from pyspark.sql import types as T2
+
+                for spec, tstore, pre in pre_snaps:
+                    buckets = affected.get(spec.table, [])
+                    if not buckets:
+                        continue  # no rows for this table this batch
+                    base = T2.StructType(
+                        list(tstore.schema.fields)
+                        + [T2.StructField("_bucket", T2.IntegerType(), True)]
+                    )
+                    post = (
+                        spark.read.schema(base)
+                        .option("basePath", tstore.path)
+                        .parquet(tstore.path)
+                        .filter(F.col("_bucket").isin(buckets))
+                        .drop("_bucket")
+                    )
+                    delta = rollup_delta(pre, post, spec.group_col, spec.sum_col)
+                    maintain_rollup(
+                        spark,
+                        spec.store(spark, warehouse_dir, n_buckets),
+                        delta,
+                        spec.group_col,
+                    )
             stats = stats_fut.result()
         total = sum(r["count"] for r in stats)
         dead_n = sum(r["count"] for r in stats if not r["ok"])

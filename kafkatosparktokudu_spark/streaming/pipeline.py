@@ -75,12 +75,15 @@ def start_cdc_sync(
     available_now: bool = False,
     on_batch: Callable[[int, BatchMetrics], None] | None = None,
     now_str: str | None = None,
+    rollups: list | None = None,
 ) -> StreamingQuery:
     """Wire source → foreachBatch(sync) → trigger + checkpoint and start.
 
     ``available_now=True`` drains everything currently in the source and
     stops — the deterministic test/backfill mode; the default is the
-    reference's 5-second processing-time cadence.
+    reference's 5-second processing-time cadence. ``rollups``
+    (cdc.RollupSpec list) adds continuously-maintained aggregate views,
+    updated by deltas inside the same foreachBatch epoch.
     """
 
     def _sync(batch_df: DataFrame, epoch_id: int) -> None:
@@ -96,6 +99,7 @@ def start_cdc_sync(
             catalog,
             now_str=now_str,
             dead_letter_dir=cfg.dead_letter_dir,
+            rollups=rollups,
         )
         write_batch_log(cfg.metrics_dir, epoch_id, start, time.time(), m)
         if on_batch:

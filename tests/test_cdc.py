@@ -413,3 +413,39 @@ def test_incremental_rollup_moves_deletes_partials(spark, tmp_path):
         for r in rollup.read().filter(F.col("n_alive") > 0).collect()
     }
     assert got == {10: (1, 50.0), 20: (2, 400.0)}
+
+
+def test_sync_batch_maintains_rollup_view(spark, fixture_lines, tmp_path):
+    """sync_batch(rollups=[...]) must keep the dept view equal to a direct
+    aggregation of the final state after every batch — exercised with the
+    bucket-superset delta path (pre/post snapshots are whole affected
+    buckets; untouched rows cancel exactly)."""
+    from kafkatosparktokudu_spark.cdc import RollupSpec
+
+    wh = str(tmp_path / "wh")
+    spec = RollupSpec(table="emp", group_col="dept_id", sum_col="salary")
+    mid = len(fixture_lines) // 2
+    cat = default_catalog()
+    for b in (fixture_lines[:mid], fixture_lines[mid:]):
+        df = spark.createDataFrame([(line,) for line in b], "value string")
+        sync_batch(spark, df, wh, now_str=NOW, n_buckets=8, rollups=[spec])
+        view = {
+            r["dept_id"]: (r["n_alive"], float(r["sum_dec"]))
+            for r in spec.store(spark, wh, 8)
+            .read()
+            .filter(F.col("n_alive") > 0)
+            .collect()
+        }
+        state = StateStore(spark, f"{wh}/emp", ["id"], cat["emp"].full_schema, 8)
+        direct = {
+            r["dept_id"]: (r["n"], float(r["s"]))
+            for r in state.read()
+            .filter((F.col("delete_state") != "1") & F.col("dept_id").isNotNull())
+            .groupBy("dept_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("salary").cast("decimal(22,2)")).alias("s"),
+            )
+            .collect()
+        }
+        assert view == direct
