@@ -31,24 +31,36 @@ def asof_join(
     ts_col: str,
     right_value_cols: list[str],
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest ``ts_col``
-    <= the left row's ``ts_col`` within the same ``on`` keys (ASOF LEFT JOIN;
-    ties at equal ts match).
+    <= the left row's ``ts_col`` (``direction="backward"``, the default) or
+    the smallest ``ts_col`` >= it (``direction="forward"``) within the same
+    ``on`` keys (ASOF LEFT JOIN; ties at equal ts match in both directions).
 
     ``right`` must be unique per (*on, ts_col) — pre-fold duplicates with
     ``max_by`` so the match is deterministic. Unmatched left rows keep nulls.
-    ``tolerance``: optional max lookback interval (e.g.
-    ``F.expr("INTERVAL 1 HOUR")``); matches older than ``ts - tolerance``
-    are nulled, mirroring pandas ``merge_asof(tolerance=...)``.
+    ``tolerance``: optional max lookback/lookahead interval (e.g.
+    ``F.expr("INTERVAL 1 HOUR")``); matches outside it are nulled,
+    mirroring pandas ``merge_asof(tolerance=...)``.
+
+    Plan shape (both directions): union + ONE window pass — never a pair
+    join, so no O(left×right) blowup per key at scale.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    backward = direction == "backward"
     payload = F.struct(
         F.col(ts_col).alias("_ts"), *[F.col(c) for c in right_value_cols]
     )
+    # side ordering makes equal-ts right rows land INSIDE the frame:
+    # backward scans (-∞, current] so right sorts before left; forward
+    # scans [current, +∞) so right sorts after left.
+    r_side, l_side = (0, 1) if backward else (1, 0)
     r = right.select(
         *on,
         F.col(ts_col),
-        F.lit(0).alias(_SIDE),
+        F.lit(r_side).alias(_SIDE),
         payload.alias(_PAYLOAD),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns
           if c not in on and c != ts_col],
@@ -56,28 +68,33 @@ def asof_join(
     l = left.select(
         *on,
         F.col(ts_col),
-        F.lit(1).alias(_SIDE),
+        F.lit(l_side).alias(_SIDE),
         F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
         *[c for c in left.columns if c not in on and c != ts_col],
     )
-    # right rows sort before left rows at equal ts → "at or before" semantics
-    w = (
-        W.partitionBy(*on)
-        .orderBy(F.col(ts_col), F.col(_SIDE))
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    matched = l.unionByName(r).withColumn(
-        _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w)
-    )
-    out = matched.filter(F.col(_SIDE) == 1)
-    if tolerance is not None:
-        out = out.withColumn(
-            _PAYLOAD,
-            F.when(
-                F.col(f"{_PAYLOAD}._ts") >= F.col(ts_col) - tolerance,
-                F.col(_PAYLOAD),
-            ),
+    if backward:
+        w = (
+            W.partitionBy(*on)
+            .orderBy(F.col(ts_col), F.col(_SIDE))
+            .rowsBetween(W.unboundedPreceding, 0)
         )
+        pick = F.last(_PAYLOAD, ignorenulls=True)
+    else:
+        w = (
+            W.partitionBy(*on)
+            .orderBy(F.col(ts_col), F.col(_SIDE))
+            .rowsBetween(0, W.unboundedFollowing)
+        )
+        pick = F.first(_PAYLOAD, ignorenulls=True)
+    matched = l.unionByName(r).withColumn(_PAYLOAD, pick.over(w))
+    out = matched.filter(F.col(_SIDE) == l_side)
+    if tolerance is not None:
+        in_range = (
+            F.col(f"{_PAYLOAD}._ts") >= F.col(ts_col) - tolerance
+            if backward
+            else F.col(f"{_PAYLOAD}._ts") <= F.col(ts_col) + tolerance
+        )
+        out = out.withColumn(_PAYLOAD, F.when(in_range, F.col(_PAYLOAD)))
     return out.select(
         *on,
         ts_col,

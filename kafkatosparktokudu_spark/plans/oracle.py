@@ -918,6 +918,21 @@ ORACLE_SQL: dict[str, str] = {
         FROM surv WHERE doc_id = keeper
         GROUP BY source
     """,
+    # Forward as-of: earliest purchase at-or-after each click, as the
+    # equivalent correlated MIN (the Spark side is union + one window).
+    "q63_next_purchase_asof": """
+        WITH c AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+            SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.event_id, c.user_id, c.ts AS click_ts,
+               (SELECT MIN(p.ts) FROM p
+                WHERE p.user_id = c.user_id AND p.ts >= c.ts)
+                   AS next_purchase_ts
+        FROM c
+    """,
     # Literal correlated NOT EXISTS (the Spark side is the aggregation
     # rewrite — distinct pairs, HAVING count=1 — same result set).
     "q62_exclusive_parts": """

@@ -1306,6 +1306,37 @@ def q61_global_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "s_name", "n_nations")
 
 
+# Forward as-of join: each click attaches the EARLIEST purchase at or
+# after it (time-to-convert shape) — union + one window pass, no pair
+# join. The oracle is the equivalent correlated MIN subquery.
+def q63_next_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .distinct()  # unique per (user_id, ts): the as-of right-side contract
+        .withColumn("p_ts", F.col("ts"))
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        ts_col="ts",
+        right_value_cols=["p_ts"],
+        direction="forward",
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("p_ts").alias("next_purchase_ts"),
+    )
+
+
 # Correlated NOT EXISTS via aggregation rewrite: "parts only ONE supplier
 # ever shipped, per supplier". The oracle keeps the literal correlated
 # NOT-EXISTS subquery; the Spark plan is the scale-correct set rewrite —
@@ -1868,6 +1899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "px04_pretraining_curation": px04_pretraining_curation,
     "q62_exclusive_parts": q62_exclusive_parts,
     "cdc_dept_rollup": cdc_dept_rollup,
+    "q63_next_purchase_asof": q63_next_purchase_asof,
     # --- driver-unverified as of round 1 (VERDICT.md "Next round" #1) ---
     "q27_above_nation_avg": q27_above_nation_avg,
     "q28_hash_sample": q28_hash_sample,

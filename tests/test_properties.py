@@ -259,3 +259,46 @@ def test_upsert_many_equals_sequential(spark, batches):
     finally:
         shutil.rmtree(wh_many, ignore_errors=True)
         shutil.rmtree(wh_seq, ignore_errors=True)
+
+
+@SETTINGS
+@given(
+    left=st.lists(_row, min_size=1, max_size=15),
+    right=st.lists(_row, max_size=15, unique=True),
+)
+def test_asof_join_forward_matches_pandas(spark, left, right):
+    """direction='forward' (earliest right at-or-after each left ts) must
+    agree with pandas merge_asof(direction='forward') on generated inputs."""
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k int, ts int, lid int"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    rdf = spark.createDataFrame(
+        [(k, t, float(k * 1000 + t)) for k, t in right] or [],
+        "k int, ts int, rval double",
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+
+    got = {
+        r["lid"]: r["rval"]
+        for r in asof_join(
+            ldf, rdf, on=["k"], ts_col="ts", right_value_cols=["rval"],
+            direction="forward",
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(k, pd.Timestamp(t, unit="s"), i) for i, (k, t) in enumerate(left)],
+        columns=["k", "ts", "lid"],
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        [(k, pd.Timestamp(t, unit="s"), float(k * 1000 + t)) for k, t in right],
+        columns=["k", "ts", "rval"],
+    ).sort_values("ts", kind="stable")
+    if len(rp):
+        m = pd.merge_asof(lp, rp, on="ts", by="k", direction="forward")
+        want = {
+            int(r.lid): (None if pd.isna(r.rval) else float(r.rval))
+            for r in m.itertuples()
+        }
+    else:
+        want = {int(r.lid): None for r in lp.itertuples()}
+    assert got == want
