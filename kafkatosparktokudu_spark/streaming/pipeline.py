@@ -219,12 +219,19 @@ def stream_interval_join(
     purchases: DataFrame,
     lookback: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each click pairs with the same user's
-    purchases in the preceding ``lookback``. Both sides carry watermarks and
-    the join condition bounds event-time distance, so state for either side
-    is evicted once the watermark passes — bounded memory on unbounded
-    streams (the canonical Structured Streaming interval join)."""
+    """Stream-stream join: each click pairs with the same user's purchases
+    in the preceding ``lookback``. Both sides carry watermarks and the join
+    condition bounds event-time distance, so state for either side is
+    evicted once the watermark passes — bounded memory on unbounded
+    streams (the canonical Structured Streaming interval join).
+
+    ``how="left_outer"`` additionally emits unmatched clicks with null
+    purchase columns — but only once the watermark proves no matching
+    purchase can still arrive (Spark emits outer-join nulls on state
+    eviction, NOT immediately; an availableNow drain therefore needs a
+    final empty batch or the unmatched rows stay pending)."""
     c = clicks.select(
         F.col("user_id"),
         F.col("event_id").alias("click_id"),
@@ -241,7 +248,7 @@ def stream_interval_join(
         & (F.col("purchase_ts") <= F.col("click_ts"))
         & (F.col("purchase_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {lookback}"))
     )
-    return c.join(p, cond, "inner").select(
+    return c.join(p, cond, how).select(
         "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value"
     )
 

@@ -432,3 +432,26 @@ def test_centroid_blocked_neardup_recall(spark):
     recall_cent4 = len(pairs_of("centroids", 4) & truth) / len(truth)
     recall_seed4 = len(pairs_of("seeds", 4) & truth) / len(truth)
     assert recall_cent4 >= recall_seed4 - 1e-9, (recall_cent4, recall_seed4)
+
+
+def test_embeddings_have_positive_norm(spark):
+    """Pins the no-zero-vector fixture assumption the dd05 oracle's cell
+    ranking relies on (ADVICE r3): a zero-norm embedding would make the
+    cosine NaN, which DuckDB sorts greatest while Spark's negated
+    array_sort ranks last — silent oracle divergence. Fail loudly here
+    instead if a future datagen change introduces one."""
+    import math
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = load_table(spark, sf, "embeddings")
+        min_norm = emb.select(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("embedding"), lambda x: x.cast("double") * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ).alias("n")
+        ).agg(F.min("n")).head()[0]
+        assert min_norm is not None and min_norm > 0.5, (sf, min_norm)
+        assert math.isfinite(min_norm)

@@ -503,3 +503,92 @@ def test_stream_static_enrich(spark, tmp_path):
     n_hit = out.filter(F.col("c_mktsegment").isNotNull()).count()
     want_hit = orders.join(cust, "o_custkey", "left_semi").count()
     assert n_hit == want_hit > 0
+
+
+def test_stream_interval_left_outer_join(spark, tmp_path):
+    """left_outer interval join: matched pairs equal the batch twin; clicks
+    the final watermark has PROVEN unmatched are emitted with null purchase
+    columns (outer rows emit on state eviction — clicks younger than the
+    watermark stay pending by design, so the assertion is bounded by it)."""
+    import datetime as dt
+
+    from kafkatosparktokudu_spark.streaming.pipeline import stream_interval_join
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    clicks_b = events.filter(F.col("event_type") == "click")
+    purch_b = events.filter(F.col("event_type") == "purchase")
+    batch = stream_interval_join(clicks_b, purch_b, how="left_outer").collect()
+    want_matched = {
+        (r["click_id"], r["purchase_id"]) for r in batch if r["purchase_id"] is not None
+    }
+    want_null = {r["click_id"]: r["click_ts"] for r in batch if r["purchase_id"] is None}
+    assert want_matched and want_null, "fixture must have both outcomes"
+
+    src = str(tmp_path / "loj_src")
+    ckpt = str(tmp_path / "loj_ckpt")
+    out = str(tmp_path / "loj_out")
+    # ONE source file ⇒ one ingest batch: availableNow processes multiple
+    # files in multiple batches, and a click file ingested after a
+    # newer-purchase file would be dropped as LATE DATA once the watermark
+    # advanced past it (legitimate streaming semantics, but it would make
+    # this equivalence test arrival-order-dependent).
+    events.coalesce(1).write.parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            stream_interval_join(
+                stream.filter(F.col("event_type") == "click"),
+                stream.filter(F.col("event_type") == "purchase"),
+                how="left_outer",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out).collect()
+
+    run1 = drain()
+    got_matched = {
+        (r["click_id"], r["purchase_id"]) for r in run1 if r["purchase_id"] is not None
+    }
+    assert got_matched == want_matched
+
+    # Outer nulls emit on state EVICTION, gated by the GLOBAL watermark =
+    # min of BOTH inputs' watermarks — so the newest clicks stay pending
+    # until the CLICK side also sees later data (a purchase-only sentinel
+    # would advance only one side and the last click would never emit).
+    # Sentinels on both sides push the global watermark past every real
+    # click's eviction threshold; the second drain (same checkpoint) must
+    # then have emitted EXACTLY the unmatched clicks.
+    max_ts = events.agg(F.max(F.col("ts").cast("timestamp"))).head()[0]
+    one = events.limit(1)
+    sentinels = one.select(
+        F.lit(10**9).alias("event_id"),
+        F.lit(max_ts + dt.timedelta(days=2)).alias("ts"),
+        F.lit(-1).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).unionByName(
+        one.select(
+            F.lit(10**9 + 1).alias("event_id"),
+            F.lit(max_ts + dt.timedelta(days=2)).alias("ts"),
+            F.lit(-2).alias("user_id"),
+            F.lit("purchase").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )
+    sentinels.coalesce(1).write.mode("append").parquet(src)
+    run2 = drain()  # file sink accumulates; checkpoint resumes state
+    got_null = {
+        r["click_id"]
+        for r in run2
+        if r["purchase_id"] is None and r["click_id"] < 10**9
+    }
+    assert got_null == set(want_null)
