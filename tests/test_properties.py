@@ -302,3 +302,52 @@ def test_asof_join_forward_matches_pandas(spark, left, right):
     else:
         want = {int(r.lid): None for r in lp.itertuples()}
     assert got == want
+
+
+# -- fused sync path (upsert_many + precomputed affected buckets) ------------
+# Random change sequences split into two micro-batches through the REAL
+# sync_batch (fold + affected-bucket precompute + single staged write) must
+# equal the pure-Python sequential replay. Catches bucket-prediction or
+# merge-fusion bugs the fixture's fixed shape can't reach.
+@SETTINGS
+@given(
+    changes=st.lists(_change, min_size=1, max_size=20),
+    split=st.integers(0, 20),
+)
+def test_sync_batch_matches_python_replay(spark, changes, split):
+    import shutil
+    import tempfile
+
+    from kafkatosparktokudu_spark.catalog import default_catalog
+    from kafkatosparktokudu_spark.cdc import sync_batch
+    from kafkatosparktokudu_spark.operators.merge import StateStore
+
+    from .test_cdc import _spark_state_to_dict, _typed, python_replay
+
+    # keep cross-batch arrival order consistent with event time (the
+    # engine's documented in-order delivery contract): sort by (ts, pos)
+    # before splitting
+    ordered = sorted(enumerate(changes), key=lambda ip: (ip[1]["h"], ip[0]))
+    lines = [_to_line(c, i) for i, c in ordered]
+    cut = min(split, len(lines))
+    batches = [b for b in (lines[:cut], lines[cut:]) if b]
+    wh = tempfile.mkdtemp(prefix="prop_sync_")
+    try:
+        for b in batches:
+            df = spark.createDataFrame([(l,) for l in b], "value string")
+            sync_batch(spark, df, wh, now_str="2024-06-01 00:00:00", n_buckets=4)
+        py_state, _ = python_replay(batches)
+        cat = default_catalog()
+        store = StateStore(spark, f"{wh}/emp", ["id"], cat["emp"].full_schema, 4)
+        got = _spark_state_to_dict(store.read(), "emp")
+        want = {pk: _typed(row, "emp") for pk, row in py_state.get("emp", {}).items()}
+        assert set(got) == set(want)
+        for pk in want:
+            for col, wv in want[pk].items():
+                assert got[pk][col] == wv or (
+                    isinstance(wv, float)
+                    and got[pk][col] is not None
+                    and abs(got[pk][col] - wv) < 1e-6
+                ), (pk, col, got[pk][col], wv)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
