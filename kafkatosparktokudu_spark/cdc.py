@@ -27,6 +27,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .catalog import PUB_EVENT, PUB_EVENT_SCHEMA, TargetTable, default_catalog
 from .operators.merge import StateStore, upsert_many
@@ -127,17 +128,13 @@ class RollupSpec:
     table: str
     group_col: str
     sum_col: str
-    group_type: "T.DataType" = None  # default IntegerType, set in __post_init__
+    group_type: T.DataType | None = None  # default IntegerType
 
     def __post_init__(self) -> None:
-        from pyspark.sql import types as T
-
         if self.group_type is None:
             self.group_type = T.IntegerType()
 
     def store(self, spark: SparkSession, warehouse_dir: str, n_buckets: int):
-        from pyspark.sql import types as T
-
         from .operators.rollup import rollup_schema
 
         return StateStore(
@@ -227,6 +224,10 @@ def sync_batch(
                 # KuduManager.scala:117-122)
                 reason = (
                     F.when(F.col("table").isNull(), "null_table_or_unparseable")
+                    .when(
+                        F.size(F.split("table", "\\.")) < 2,
+                        "malformed_table_name",
+                    )
                     .when(F.col("after").isNull(), "missing_after")
                     .otherwise("missing_pk")
                 )
@@ -273,51 +274,23 @@ def sync_batch(
             affected = affected_fut.result()
             pre_snaps: list[tuple[RollupSpec, StateStore, DataFrame]] = []
             if rollups:
-                from pyspark.sql import types as T2
-
                 for spec in rollups:
                     tstore = next(
                         s for s, _ in merges
                         if s.path.endswith(f"/{spec.table}")
                     )
-                    buckets = affected.get(spec.table, [])
-                    if not buckets or not tstore.exists():
-                        pre = tstore.read().limit(0)
-                    else:
-                        base = T2.StructType(
-                            list(tstore.schema.fields)
-                            + [T2.StructField("_bucket", T2.IntegerType(), True)]
-                        )
-                        pre = (
-                            spark.read.schema(base)
-                            .option("basePath", tstore.path)
-                            .parquet(tstore.path)
-                            .filter(F.col("_bucket").isin(buckets))
-                            .drop("_bucket")
-                        )
+                    pre = tstore.read_buckets(affected.get(spec.table, []))
                     # pin BEFORE the merge rewrites the files in place
                     pre_snaps.append((spec, tstore, pre.localCheckpoint()))
             upsert_many(spark, merges, affected=affected)
             if rollups:
                 from .operators.rollup import maintain_rollup, rollup_delta
 
-                from pyspark.sql import types as T2
-
                 for spec, tstore, pre in pre_snaps:
                     buckets = affected.get(spec.table, [])
                     if not buckets:
                         continue  # no rows for this table this batch
-                    base = T2.StructType(
-                        list(tstore.schema.fields)
-                        + [T2.StructField("_bucket", T2.IntegerType(), True)]
-                    )
-                    post = (
-                        spark.read.schema(base)
-                        .option("basePath", tstore.path)
-                        .parquet(tstore.path)
-                        .filter(F.col("_bucket").isin(buckets))
-                        .drop("_bucket")
-                    )
+                    post = tstore.read_buckets(buckets)
                     delta = rollup_delta(pre, post, spec.group_col, spec.sum_col)
                     maintain_rollup(
                         spark,

@@ -392,6 +392,8 @@ def embedding_neardup_pairs(
         train_ivf_centroids,
     )
 
+    if blocking not in ("seeds", "centroids"):
+        raise ValueError(f"blocking must be seeds|centroids, got {blocking!r}")
     if blocking == "centroids":
         cents = train_ivf_centroids(emb, n_cells=n_cells)
         cells = ivf_assign_multiprobe(emb, cents, nprobe=nprobe)

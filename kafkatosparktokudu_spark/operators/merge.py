@@ -33,6 +33,7 @@ ConsumerMain.scala:128-151, duplicates absorbed by upsert).
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -103,6 +104,9 @@ class StateStore:
         """Current state (without the bucket column)."""
         if not self.exists():
             return self.spark.createDataFrame([], self.schema)
+        return self._read_with_bucket().drop(_BUCKET)
+
+    def _read_with_bucket(self) -> DataFrame:
         return (
             self.spark.read.schema(
                 T.StructType(
@@ -112,6 +116,17 @@ class StateStore:
             )
             .option("basePath", self.path)
             .parquet(self.path)
+        )
+
+    def read_buckets(self, buckets: list[int]) -> DataFrame:
+        """State rows of the given buckets only (partition-pruned scan,
+        bucket column dropped) — the shared read recipe of the merge path
+        and the rollup pre/post snapshots."""
+        if not buckets or not self.exists():
+            return self.spark.createDataFrame([], self.schema)
+        return (
+            self._read_with_bucket()
+            .filter(F.col(_BUCKET).isin(buckets))
             .drop(_BUCKET)
         )
 
@@ -143,18 +158,9 @@ class StateStore:
         # + the merge itself) and folding is the expensive part.
         batch = batch.persist()
         affected = [r[0] for r in batch.select(_BUCKET).distinct().collect()]
-        base = T.StructType(
-            list(self.schema.fields)
-            + [T.StructField(_BUCKET, T.IntegerType(), True)]
-        )
-        state = (
-            self.spark.read.schema(base)
-            .option("basePath", self.path)
-            .parquet(self.path)
-            .filter(F.col(_BUCKET).isin(affected))  # partition pruning
-        )
+        state = self.read_buckets(affected)  # partition-pruned scan
         merged = merge_upserts(
-            state.drop(_BUCKET), batch.drop(_BUCKET), self.key_cols
+            state, batch.drop(_BUCKET), self.key_cols
         ).withColumn(_BUCKET, self._bucket_col())
         # Repartition on the bucket so the staging write emits one file per
         # touched bucket, then swap directories. On HDFS/object storage the
@@ -178,6 +184,9 @@ class StateStore:
 
 
 _TABLE = "_table"
+
+# names safe to round-trip through a Spark partition directory unescaped
+_SAFE_NAME = re.compile(r"^[A-Za-z0-9_.\-]+$")
 
 
 def _schemas_compatible(stores: list[StateStore]) -> bool:
@@ -231,7 +240,15 @@ def upsert_many(
     merges = [(s, b) for s, b in merges if b is not None]
     if not merges:
         return
-    if not _schemas_compatible([s for s, _ in merges]):
+    # Fall back to per-table upserts when the combined write can't be
+    # trusted: conflicting column types break the unionByName, and a table
+    # name Spark would percent-escape in a partition path (space, ':',
+    # '%', …) would break the literal f"_table={name}" directory lookup in
+    # the swap loop — the batch would be written to staging and then
+    # silently discarded.
+    if not _schemas_compatible([s for s, _ in merges]) or not all(
+        _SAFE_NAME.match(os.path.basename(s.path)) for s, _ in merges
+    ):
         for store, batch in merges:
             store.upsert_batch(batch)
         return
@@ -269,17 +286,8 @@ def upsert_many(
                     [F.col(f.name) for f in store.schema.fields]
                 )
             if store.exists():
-                base = T.StructType(
-                    list(store.schema.fields)
-                    + [T.StructField(_BUCKET, T.IntegerType(), True)]
-                )
-                state = (
-                    spark.read.schema(base)
-                    .option("basePath", store.path)
-                    .parquet(store.path)
-                    .filter(F.col(_BUCKET).isin(affected[name]))
-                )
-                part = merge_upserts(state.drop(_BUCKET), part, store.key_cols)
+                state = store.read_buckets(affected[name])
+                part = merge_upserts(state, part, store.key_cols)
             merged_parts.append(
                 part.withColumn(_BUCKET, store._bucket_col()).withColumn(
                     _TABLE, F.lit(name)

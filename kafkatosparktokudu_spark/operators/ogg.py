@@ -65,9 +65,14 @@ def parse_ogg(df: DataFrame, value_col: str = "value", seq_col: Column | None = 
 def is_valid() -> Column:
     """Validity predicate: drop null-table control rows (S9), records whose
     ``after``/``after.ID`` is missing (reference NPE at KuduManager.scala:55),
-    and unparseable lines (null envelope)."""
+    unparseable lines (null envelope), and table names without a
+    ``SCHEMA.TAB`` qualifier — the reference's ``split("\\\\.")(1)`` throws
+    on those (KuduManager.scala:66), and downstream they would produce a
+    NULL tab_name, violating the merge path's non-null-key contract for
+    pub_event (merge_upserts joins with plain ``==``)."""
     return (
         F.col("table").isNotNull()
+        & (F.size(F.split("table", "\\.")) >= 2)
         & F.col("after").isNotNull()
         & F.col("after").getItem("ID").isNotNull()
     )

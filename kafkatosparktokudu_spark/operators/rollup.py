@@ -27,6 +27,16 @@ Scale shape: contributions are two hash aggs over the batch's keyed rows
 (already in memory from the merge's own read), the delta is group-keyed
 (tiny), and the rollup update is one StateStore upsert over the touched
 groups' buckets.
+
+CRASH-SAFETY CAVEAT (weaker than the base merge): the base-table MERGE is
+idempotent under checkpoint replay, but the rollup delta is NOT — if the
+process dies after the base merge and before the rollup write, the replayed
+batch sees pre == post and contributes a zero delta, so that batch's rollup
+contribution is lost. The base tables stay correct; recover the view by
+re-deriving it from the base table (one groupBy — the same query the
+``cdc_dept_rollup`` oracle runs). A transactional sink (Delta/Iceberg
+MERGE with txn ids) would close this gap; on plain parquet, periodic
+re-derivation is the honest answer.
 """
 
 from __future__ import annotations
@@ -55,14 +65,26 @@ def rollup_schema(group_field: T.StructField) -> T.StructType:
 
 
 def _contrib(rows: DataFrame, group_col: str, sum_col: str, sign: int) -> DataFrame:
-    """Signed (count, sum) contribution of alive rows, per group."""
+    """Signed (count, sum) contribution of alive rows, per group.
+
+    The sum is coalesced to 0: a group whose only rows carry a null
+    ``sum_col`` must contribute d_sum=0, not NULL — a NULL delta would
+    propagate through maintain_rollup's addition and clobber the group's
+    accumulated sum."""
     alive = rows.filter(
         (F.col(DELETE_STATE).isNull() | (F.col(DELETE_STATE) != "1"))
         & F.col(group_col).isNotNull()
     )
     return alive.groupBy(group_col).agg(
         (F.lit(sign) * F.count(F.lit(1))).alias("d_n"),
-        (F.lit(sign) * F.sum(F.col(sum_col).cast(_SUM_DEC))).cast(_SUM_DEC).alias("d_sum"),
+        (
+            F.lit(sign)
+            * F.coalesce(
+                F.sum(F.col(sum_col).cast(_SUM_DEC)), F.lit(0).cast(_SUM_DEC)
+            )
+        )
+        .cast(_SUM_DEC)
+        .alias("d_sum"),
     )
 
 

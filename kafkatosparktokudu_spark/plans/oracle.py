@@ -40,6 +40,7 @@ _CDC_VALID = f"""
                after
         FROM raw
         WHERE "table" IS NOT NULL
+          AND len(string_split("table", '.')) >= 2
           AND after IS NOT NULL
           AND after['ID'][1] IS NOT NULL
     )
@@ -986,8 +987,12 @@ ORACLE_SQL: dict[str, str] = {
             FROM bgc GROUP BY 1
         ),
         kept AS (
-            SELECT q.* FROM q JOIN rep USING (doc_id)
-            WHERE quality_score >= 0.65 AND dup_bigram_frac <= 0.1
+            -- LEFT join + coalesce mirrors repetition_stats: a doc with
+            -- fewer than 2 tokens has no bigrams and counts as 0.0
+            -- repetition, not as dropped
+            SELECT q.* FROM q LEFT JOIN rep USING (doc_id)
+            WHERE quality_score >= 0.65
+              AND COALESCE(dup_bigram_frac, 0.0) <= 0.1
         ),
         surv AS (
             SELECT *, MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS keeper

@@ -37,7 +37,12 @@ def _parse_lines(lines: list[str], pos_offset: int = 0):
         if not isinstance(obj, dict):
             continue
         table, after = obj.get("table"), obj.get("after")
-        if table is None or not isinstance(after, dict) or after.get("ID") is None:
+        if (
+            table is None
+            or "." not in table
+            or not isinstance(after, dict)
+            or after.get("ID") is None
+        ):
             continue
         pos = obj.get("pos", pos_offset + i)
         recs.append((obj.get("current_ts"), pos, table, obj.get("op_type"), after))
@@ -241,6 +246,7 @@ def test_dead_letter_capture(spark, tmp_path):
     bad = [
         "not json at all",
         '{"op_type": "I", "after": {"ID": "9"}}',        # null table
+        '{"table": "NODOTS", "op_type": "I", "after": {"ID": "9"}}',  # no qualifier
         '{"table": "S.T", "op_type": "I"}',               # missing after
         '{"table": "S.T", "op_type": "I", "after": {}}',  # missing pk
     ]
@@ -252,6 +258,10 @@ def test_dead_letter_capture(spark, tmp_path):
     assert captured.count() == len(bad)
     reasons = {r["raw"]: r["reason"] for r in captured.collect()}
     assert reasons["not json at all"] == "null_table_or_unparseable"
+    assert (
+        reasons['{"table": "NODOTS", "op_type": "I", "after": {"ID": "9"}}']
+        == "malformed_table_name"
+    )
     assert reasons['{"table": "S.T", "op_type": "I"}'] == "missing_after"
     assert reasons['{"table": "S.T", "op_type": "I", "after": {}}'] == "missing_pk"
 
@@ -449,3 +459,45 @@ def test_sync_batch_maintains_rollup_view(spark, fixture_lines, tmp_path):
             .collect()
         }
         assert view == direct
+
+
+def test_incremental_rollup_null_sum_does_not_clobber(spark, tmp_path):
+    """A batch whose only contribution to a group carries a NULL sum column
+    must produce d_sum = 0, not NULL — a NULL delta would wipe the group's
+    accumulated sum on addition (regression from review)."""
+    from pyspark.sql import types as T
+
+    from kafkatosparktokudu_spark.operators.rollup import (
+        rollup_schema,
+        sync_with_rollup,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("dept_id", T.IntegerType(), True),
+            T.StructField("salary", T.DoubleType(), True),
+            T.StructField("delete_state", T.StringType(), True),
+            T.StructField("time_stamp", T.StringType(), True),
+        ]
+    )
+    state = StateStore(spark, str(tmp_path / "emp"), ["id"], schema, 4)
+    rollup = StateStore(
+        spark,
+        str(tmp_path / "roll"),
+        ["dept_id"],
+        __import__(
+            "kafkatosparktokudu_spark.operators.rollup", fromlist=["rollup_schema"]
+        ).rollup_schema(T.StructField("dept_id", T.IntegerType(), False)),
+        4,
+    )
+    b1 = spark.createDataFrame([("1", 30, 500.0, "0", "t")], schema)
+    # new hire in dept 30 with salary never set
+    b2 = spark.createDataFrame([("2", 30, None, "0", "t")], schema)
+    for b in (b1, b2):
+        sync_with_rollup(spark, state, b, rollup, "dept_id", "salary")
+    got = {
+        r["dept_id"]: (r["n_alive"], float(r["sum_dec"]))
+        for r in rollup.read().collect()
+    }
+    assert got == {30: (2, 500.0)}
