@@ -501,3 +501,24 @@ def test_incremental_rollup_null_sum_does_not_clobber(spark, tmp_path):
         for r in rollup.read().collect()
     }
     assert got == {30: (2, 500.0)}
+
+
+def test_upsert_many_unsafe_table_name_falls_back(spark, tmp_path):
+    """A table name Spark would percent-escape in a partition path must
+    route through per-table upserts (the combined staged write's literal
+    directory lookup would silently drop the batch)."""
+    from pyspark.sql import types as T
+
+    from kafkatosparktokudu_spark.operators.merge import upsert_many
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    store = StateStore(spark, str(tmp_path / "na:me"), ["id"], schema, 4)
+    upsert_many(spark, [(store, spark.createDataFrame([("1", "a")], schema))])
+    upsert_many(spark, [(store, spark.createDataFrame([("1", "b"), ("2", "c")], schema))])
+    got = {r["id"]: r["v"] for r in store.read().collect()}
+    assert got == {"1": "b", "2": "c"}
