@@ -172,6 +172,7 @@ def sync_batch(
     n_buckets: int = 16,
     dead_letter_dir: str | None = None,
     rollups: list[RollupSpec] | None = None,
+    epoch_id: int | None = None,
 ) -> BatchMetrics:
     """Incremental MERGE of one micro-batch into the warehouse.
 
@@ -186,8 +187,19 @@ def sync_batch(
     AFFECTED BUCKETS — a superset of the touched keys, which is exact
     because untouched rows appear identically on both sides of the delta
     and cancel (DECIMAL arithmetic, so the cancellation is bit-exact).
+    With ``epoch_id`` (the foreachBatch batch id, wired by the streaming
+    wrapper) the views are exactly-once under checkpoint replay: each
+    delta is computed pre-merge and staged durably (write-ahead pending,
+    operators/rollup.py module docstring), then applied with a per-group
+    epoch guard.
     """
     catalog = catalog or default_catalog()
+    for spec in rollups or []:
+        if spec.table not in catalog:
+            raise ValueError(
+                f"RollupSpec.table {spec.table!r} not in catalog "
+                f"(known tables: {sorted(catalog)})"
+            )
     # Preserve the source's arrival-order column (the Kafka offset the
     # streaming wrapper exposes as 'seq') — real OGG Kafka records lack the
     # fixture's 'pos' field, so without this the last-write-wins tie-break
@@ -272,32 +284,85 @@ def sync_batch(
             # upsert_many falls back to per-table writes if the catalog has
             # conflicting column types across tables.
             affected = affected_fut.result()
-            pre_snaps: list[tuple[RollupSpec, StateStore, DataFrame]] = []
+            # (spec, base store, view store, pre-merge snapshot | None when
+            # the epoch's write-ahead delta is already on disk)
+            pre_snaps: list[
+                tuple[RollupSpec, StateStore, StateStore, DataFrame | None]
+            ] = []
             if rollups:
+                from .operators.rollup import (
+                    read_pending,
+                    rollup_delta,
+                    write_pending,
+                )
+
+                by_table = {
+                    s.path.rsplit("/", 1)[-1]: (s, b) for s, b in merges
+                }
                 for spec in rollups:
-                    tstore = next(
-                        s for s, _ in merges
-                        if s.path.endswith(f"/{spec.table}")
+                    tstore, typed = by_table[spec.table]
+                    vstore = spec.store(spark, warehouse_dir, n_buckets)
+                    gf = next(
+                        f for f in vstore.schema.fields
+                        if f.name == spec.group_col
                     )
-                    pre = tstore.read_buckets(affected.get(spec.table, []))
-                    # pin BEFORE the merge rewrites the files in place
-                    pre_snaps.append((spec, tstore, pre.localCheckpoint()))
+                    if epoch_id is not None and read_pending(
+                        spark, vstore, epoch_id, gf
+                    ) is not None:
+                        # replayed epoch: the durable pre-merge delta
+                        # stands in (recomputing now would see pre == post)
+                        pre_snaps.append((spec, tstore, vstore, None))
+                        continue
+                    if not affected.get(spec.table):
+                        continue  # no rows for this table this batch (S5)
+                    pre = tstore.read_buckets(
+                        affected.get(spec.table, [])
+                    ).localCheckpoint()  # pin BEFORE the in-place rewrite
+                    if epoch_id is not None:
+                        # write-ahead: post rows are derivable without the
+                        # base write, so the delta survives a crash between
+                        # base merge and rollup apply
+                        from .operators.merge import merge_upserts
+
+                        post_est = merge_upserts(pre, typed, tstore.key_cols)
+                        write_pending(
+                            rollup_delta(
+                                pre, post_est, spec.group_col, spec.sum_col
+                            ),
+                            vstore,
+                            epoch_id,
+                        )
+                    pre_snaps.append((spec, tstore, vstore, pre))
             upsert_many(spark, merges, affected=affected)
             if rollups:
-                from .operators.rollup import maintain_rollup, rollup_delta
+                from .operators.rollup import (
+                    clear_pending,
+                    maintain_rollup,
+                    read_pending,
+                    rollup_delta,
+                )
 
-                for spec, tstore, pre in pre_snaps:
+                for spec, tstore, vstore, pre in pre_snaps:
+                    gf = next(
+                        f for f in vstore.schema.fields
+                        if f.name == spec.group_col
+                    )
+                    if epoch_id is not None:
+                        delta = read_pending(spark, vstore, epoch_id, gf)
+                        if delta is None:
+                            continue  # no rows for this table this batch
+                        maintain_rollup(
+                            spark, vstore, delta, spec.group_col,
+                            epoch=epoch_id,
+                        )
+                        clear_pending(vstore, epoch_id)
+                        continue
                     buckets = affected.get(spec.table, [])
                     if not buckets:
                         continue  # no rows for this table this batch
                     post = tstore.read_buckets(buckets)
                     delta = rollup_delta(pre, post, spec.group_col, spec.sum_col)
-                    maintain_rollup(
-                        spark,
-                        spec.store(spark, warehouse_dir, n_buckets),
-                        delta,
-                        spec.group_col,
-                    )
+                    maintain_rollup(spark, vstore, delta, spec.group_col)
             stats = stats_fut.result()
         total = sum(r["count"] for r in stats)
         dead_n = sum(r["count"] for r in stats if not r["ok"])

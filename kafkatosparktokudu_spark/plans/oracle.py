@@ -941,10 +941,12 @@ ORACLE_SQL: dict[str, str] = {
         FROM (
             SELECT DISTINCT l1.l_partkey, l1.l_suppkey
             FROM lineitem l1
-            WHERE NOT EXISTS (
+            WHERE l1.l_quantity >= 48
+              AND NOT EXISTS (
                 SELECT 1 FROM lineitem l2
                 WHERE l2.l_partkey = l1.l_partkey
                   AND l2.l_suppkey <> l1.l_suppkey
+                  AND l2.l_quantity >= 48
             )
         ) e JOIN supplier ON e.l_suppkey = s_suppkey
         GROUP BY s_suppkey, s_name

@@ -1344,7 +1344,16 @@ def q63_next_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correlated probe would be O(n) subquery executions; the rewrite is two
 # hash aggs and one join, identical results.
 def q62_exclusive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    # Exclusivity is scoped to high-quantity shipments (>= 48): on the full
+    # table every part has >= 13 suppliers at sf0.01, so the unrestricted
+    # NOT-EXISTS set is structurally empty and a 0=0 oracle match proves
+    # nothing (VERDICT r4 #4).  The filter is pushed to the parquet scan.
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
     excl = (
         li.groupBy("l_partkey")
         .agg(
@@ -1887,9 +1896,22 @@ def mm03_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash-matched in round 1 follow (they stay covered by the in-repo oracle sweep
 # in tests/test_queries_oracle.py).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-4 front section: queries whose code or oracle changed since
-    # their last green driver row (VERDICT.md r3 "Next round" #2/#3), plus
-    # queries new this round ---
+    # --- round-5 front section (VERDICT.md r4 "Next round" #1/#4): queries
+    # whose implementing code was rewritten in round 4 (cdc.py/merge.py/
+    # ogg.py fused merge; streaming/pipeline.py event-time cast) but whose
+    # last green driver rows predate the rewrite, plus px03 (module changed
+    # additively), plus q62 (was hash-green on an EMPTY result — predicate
+    # loosened this round so the driver verifies actual aggregation rows),
+    # plus queries new in round 5 ---
+    "cdc_emp_state": cdc_emp_state,
+    "cdc_dept_state": cdc_dept_state,
+    "cdc_pub_event": cdc_pub_event,
+    "cdc_stream_emp_state": cdc_stream_emp_state,
+    "st01_sliding_rollup": st01_sliding_rollup,
+    "st02_session_rollup": st02_session_rollup,
+    "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,
+    "q62_exclusive_parts": q62_exclusive_parts,
+    # --- round-4 front section: fresh green driver rows in r04 ---
     "dd05_embedding_neardup": dd05_embedding_neardup,
     "q59_approx_percentiles": q59_approx_percentiles,
     "tx10_repetition_stats": tx10_repetition_stats,
@@ -1897,7 +1919,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx12_contamination": tx12_contamination,
     "tx13_domain_mixture": tx13_domain_mixture,
     "px04_pretraining_curation": px04_pretraining_curation,
-    "q62_exclusive_parts": q62_exclusive_parts,
     "cdc_dept_rollup": cdc_dept_rollup,
     "q63_next_purchase_asof": q63_next_purchase_asof,
     # --- driver-unverified as of round 1 (VERDICT.md "Next round" #1) ---
@@ -1943,15 +1964,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "px01_curation_pipeline": px01_curation_pipeline,
     "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,
     "dd08_char_neardup_pairs": dd08_char_neardup_pairs,
-    "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,
     "gr01_pagerank_neardup": gr01_pagerank_neardup,
-    "st01_sliding_rollup": st01_sliding_rollup,
-    "st02_session_rollup": st02_session_rollup,
     # --- green driver rows in CORRECTNESS_r01.json ---
-    "cdc_emp_state": cdc_emp_state,
-    "cdc_dept_state": cdc_dept_state,
-    "cdc_pub_event": cdc_pub_event,
-    "cdc_stream_emp_state": cdc_stream_emp_state,
     "tx01_token_stats": tx01_token_stats,
     "tx02_quality_scores": tx02_quality_scores,
     "tx03_lang_id": tx03_lang_id,

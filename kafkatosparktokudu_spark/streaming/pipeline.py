@@ -83,7 +83,9 @@ def start_cdc_sync(
     stops — the deterministic test/backfill mode; the default is the
     reference's 5-second processing-time cadence. ``rollups``
     (cdc.RollupSpec list) adds continuously-maintained aggregate views,
-    updated by deltas inside the same foreachBatch epoch.
+    updated by deltas inside the same foreachBatch epoch — exactly-once
+    under checkpoint replay (write-ahead pending delta + per-group epoch
+    stamp, operators/rollup.py).
     """
 
     def _sync(batch_df: DataFrame, epoch_id: int) -> None:
@@ -100,6 +102,9 @@ def start_cdc_sync(
             now_str=now_str,
             dead_letter_dir=cfg.dead_letter_dir,
             rollups=rollups,
+            # the batch id makes rollup-view maintenance exactly-once
+            # under checkpoint replay (operators/rollup.py docstring)
+            epoch_id=epoch_id,
         )
         write_batch_log(cfg.metrics_dir, epoch_id, start, time.time(), m)
         if on_batch:

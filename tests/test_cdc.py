@@ -461,6 +461,178 @@ def test_sync_batch_maintains_rollup_view(spark, fixture_lines, tmp_path):
         assert view == direct
 
 
+def _emp_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("dept_id", T.IntegerType(), True),
+            T.StructField("salary", T.DoubleType(), True),
+            T.StructField("delete_state", T.StringType(), True),
+            T.StructField("time_stamp", T.StringType(), True),
+        ]
+    )
+
+
+def _dept_rollup_store(spark, path):
+    from pyspark.sql import types as T
+
+    from kafkatosparktokudu_spark.operators.rollup import rollup_schema
+
+    return StateStore(
+        spark,
+        path,
+        ["dept_id"],
+        rollup_schema(T.StructField("dept_id", T.IntegerType(), False)),
+        4,
+    )
+
+
+def _view_vs_direct(state, rollup):
+    view = {
+        r["dept_id"]: (r["n_alive"], float(r["sum_dec"]))
+        for r in rollup.read().filter(F.col("n_alive") > 0).collect()
+    }
+    direct = {
+        r["dept_id"]: (r["n"], float(r["s"]))
+        for r in state.read()
+        .filter(
+            (F.col("delete_state").isNull() | (F.col("delete_state") != "1"))
+            & F.col("dept_id").isNotNull()
+        )
+        .groupBy("dept_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("salary").cast("decimal(22,2)")).alias("s"),
+        )
+        .collect()
+    }
+    return view, direct
+
+
+def test_rollup_replay_crash_between_merge_and_apply(spark, tmp_path):
+    """The exact failure VERDICT r4 #2 named: die AFTER the base merge,
+    BEFORE the rollup write. The write-ahead pending delta (staged durably
+    pre-merge) must make the replayed epoch converge — without it the
+    replay recomputes pre == post and the batch's contribution is lost."""
+    from kafkatosparktokudu_spark.operators.rollup import (
+        maintain_rollup,
+        read_pending,
+        rollup_delta,
+        sync_with_rollup,
+        write_pending,
+    )
+    from kafkatosparktokudu_spark.operators.merge import merge_upserts
+
+    schema = _emp_schema()
+    state = StateStore(spark, str(tmp_path / "emp"), ["id"], schema, 4)
+    rollup = _dept_rollup_store(spark, str(tmp_path / "roll"))
+    b1 = spark.createDataFrame(
+        [("1", 10, 100.0, "0", "t"), ("2", 20, 200.0, "0", "t")], schema
+    )
+    sync_with_rollup(spark, state, b1, rollup, "dept_id", "salary", epoch=0)
+
+    # epoch 1, first attempt: replicate sync_with_rollup's epoch path up to
+    # and including the base merge, then "crash" (no rollup apply).
+    b2 = spark.createDataFrame(
+        [("1", 20, None, "0", "t"), ("3", 10, 50.0, "0", "t")], schema
+    )
+    keys = b2.select(state.key_cols).distinct()
+    pre = state.read().join(keys, state.key_cols).localCheckpoint()
+    post_est = merge_upserts(pre, b2, state.key_cols)
+    write_pending(rollup_delta(pre, post_est, "dept_id", "salary"), rollup, 1)
+    state.upsert_batch(b2)
+    # -- crash here --
+
+    # replay of epoch 1 (checkpoint re-delivers the same batch)
+    sync_with_rollup(spark, state, b2, rollup, "dept_id", "salary", epoch=1)
+    view, direct = _view_vs_direct(state, rollup)
+    # id1 moved 10 → 20 keeping its 100 salary (partial update), id3 joined
+    # dept 10 — the replayed epoch recovered BOTH sides of the move.
+    assert view == direct == {10: (1, 50.0), 20: (2, 300.0)}
+
+
+def test_rollup_replay_does_not_double_apply(spark, tmp_path):
+    """Crash AFTER the rollup apply but BEFORE the pending cleanup: the
+    per-group last_epoch stamp must make the re-applied stored delta a
+    no-op (each group is in exactly one atomically-swapped bucket, so the
+    stamp and the values move together)."""
+    from kafkatosparktokudu_spark.operators.rollup import (
+        rollup_delta,
+        sync_with_rollup,
+        write_pending,
+    )
+    from kafkatosparktokudu_spark.operators.merge import merge_upserts
+
+    schema = _emp_schema()
+    state = StateStore(spark, str(tmp_path / "emp"), ["id"], schema, 4)
+    rollup = _dept_rollup_store(spark, str(tmp_path / "roll"))
+    b1 = spark.createDataFrame(
+        [("1", 10, 100.0, "0", "t"), ("2", 20, 200.0, "0", "t")], schema
+    )
+    sync_with_rollup(spark, state, b1, rollup, "dept_id", "salary", epoch=0)
+    b2 = spark.createDataFrame([("3", 10, 50.0, "0", "t")], schema)
+    # keep a copy of what epoch 1's write-ahead delta was, then run the
+    # epoch to full commit (apply + cleanup)
+    pre = state.read().join(
+        b2.select(state.key_cols).distinct(), state.key_cols
+    ).localCheckpoint()
+    delta_rows = rollup_delta(
+        pre, merge_upserts(pre, b2, state.key_cols), "dept_id", "salary"
+    )
+    sync_with_rollup(spark, state, b2, rollup, "dept_id", "salary", epoch=1)
+    # "crash before clear_pending": restore the pending dir and replay
+    write_pending(delta_rows, rollup, 1)
+    sync_with_rollup(spark, state, b2, rollup, "dept_id", "salary", epoch=1)
+    view, direct = _view_vs_direct(state, rollup)
+    assert view == direct == {10: (2, 150.0), 20: (1, 200.0)}
+
+
+def test_sync_batch_epoch_replay_converges(spark, fixture_lines, tmp_path):
+    """Full fused path: replaying an epoch through sync_batch (same batch,
+    same epoch_id — Structured Streaming's replay contract) must leave the
+    base tables AND the maintained view exactly where one delivery would."""
+    from kafkatosparktokudu_spark.cdc import RollupSpec
+
+    wh = str(tmp_path / "wh")
+    spec = RollupSpec(table="emp", group_col="dept_id", sum_col="salary")
+    cat = default_catalog()
+    mid = len(fixture_lines) // 2
+    for epoch, b in enumerate((fixture_lines[:mid], fixture_lines[mid:])):
+        df = spark.createDataFrame([(line,) for line in b], "value string")
+        sync_batch(
+            spark, df, wh, now_str=NOW, n_buckets=8, rollups=[spec],
+            epoch_id=epoch,
+        )
+        if epoch == 1:  # replay the final epoch end-to-end
+            sync_batch(
+                spark, df, wh, now_str=NOW, n_buckets=8, rollups=[spec],
+                epoch_id=epoch,
+            )
+    state = StateStore(spark, f"{wh}/emp", ["id"], cat["emp"].full_schema, 8)
+    view, direct = _view_vs_direct(state, spec.store(spark, wh, 8))
+    assert view == direct and view
+
+
+def test_sync_batch_rejects_unknown_rollup_table(spark, fixture_lines, tmp_path):
+    """A RollupSpec naming a table absent from the catalog must raise a
+    clear ValueError up front, not an opaque StopIteration mid-merge."""
+    import pytest
+
+    from kafkatosparktokudu_spark.cdc import RollupSpec
+
+    df = spark.createDataFrame([(fixture_lines[0],)], "value string")
+    with pytest.raises(ValueError, match="nope"):
+        sync_batch(
+            spark,
+            df,
+            str(tmp_path / "wh"),
+            now_str=NOW,
+            rollups=[RollupSpec(table="nope", group_col="x", sum_col="y")],
+        )
+
+
 def test_incremental_rollup_null_sum_does_not_clobber(spark, tmp_path):
     """A batch whose only contribution to a group carries a NULL sum column
     must produce d_sum = 0, not NULL — a NULL delta would wipe the group's
@@ -522,3 +694,40 @@ def test_upsert_many_unsafe_table_name_falls_back(spark, tmp_path):
     upsert_many(spark, [(store, spark.createDataFrame([("1", "b"), ("2", "c")], schema))])
     got = {r["id"]: r["v"] for r in store.read().collect()}
     assert got == {"1": "b", "2": "c"}
+
+
+def test_upsert_many_same_basename_distinct_dirs(spark, tmp_path):
+    """Two stores from DIFFERENT parent dirs with the SAME basename must
+    keep distinct state (VERDICT r4 #5): the combined staged write tags
+    rows by basename only, so such a pair falls back to per-table upserts
+    instead of cross-merging on the shared ``_table=`` tag."""
+    from pyspark.sql import types as T
+
+    from kafkatosparktokudu_spark.operators.merge import upsert_many
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    s1 = StateStore(spark, str(tmp_path / "wh1" / "emp"), ["id"], schema, 4)
+    s2 = StateStore(spark, str(tmp_path / "wh2" / "emp"), ["id"], schema, 4)
+    upsert_many(
+        spark,
+        [
+            (s1, spark.createDataFrame([("1", "a1"), ("2", "a2")], schema)),
+            (s2, spark.createDataFrame([("1", "b1")], schema)),
+        ],
+    )
+    upsert_many(
+        spark,
+        [
+            (s1, spark.createDataFrame([("2", "a2x")], schema)),
+            (s2, spark.createDataFrame([("3", "b3")], schema)),
+        ],
+    )
+    got1 = {r["id"]: r["v"] for r in s1.read().collect()}
+    got2 = {r["id"]: r["v"] for r in s2.read().collect()}
+    assert got1 == {"1": "a1", "2": "a2x"}
+    assert got2 == {"1": "b1", "3": "b3"}
