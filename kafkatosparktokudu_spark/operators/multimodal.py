@@ -179,3 +179,119 @@ def binary_meta(docs: DataFrame) -> DataFrame:
         "n_bytes",
         F.lower(F.hex(F.substring(F.col("payload"), 1, 4))).alias("prefix_hex"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WebDataset-style sharded tar export — the layout multimodal training
+# loaders stream (shard tars of {key}.{ext} members, read sequentially).
+# ---------------------------------------------------------------------------
+
+MANIFEST_SCHEMA = (
+    "doc_id bigint, shard_id int, member_idx int, n_bytes bigint, "
+    "data_offset bigint"
+)
+
+
+def shard_manifest(media: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Deterministic shard assignment + exact tar byte offsets, computed
+    declaratively BEFORE any file is written — the index a streaming
+    loader uses for random access into sequential shards.
+
+    Assignment is md5(doc_id) mod n_shards (engine-portable, stable under
+    re-runs; a range partitioner would skew under non-uniform ids).
+    Offsets are USTAR math: each member costs a 512-byte header plus data
+    padded to the next 512 boundary; ``data_offset`` is where the payload
+    bytes start, verified byte-for-byte against Python's tarfile by
+    test_shard_export_offsets_match_tarfile.
+
+    Scale shape: one narrow projection + one window per shard (the sort
+    key is (shard, doc_id) — each shard's members are independent, so the
+    window parallelizes across shards; n_shards at real scale is chosen so
+    one shard ~ 1-10 GB, i.e. thousands of shards, ample parallelism)."""
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import md5_hash32
+
+    m = media.select(
+        "doc_id",
+        (md5_hash32(F.col("doc_id").cast("string")) % n_shards)
+        .cast("int")
+        .alias("shard_id"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+    )
+    entry = F.lit(512) + F.expr("(n_bytes + 511) div 512") * 512
+    w = W.partitionBy("shard_id").orderBy("doc_id")
+    cum = F.sum(entry).over(w) - entry  # bytes before this member
+    return m.select(
+        "doc_id",
+        "shard_id",
+        (F.row_number().over(w) - 1).alias("member_idx"),
+        "n_bytes",
+        (cum + 512).alias("data_offset"),
+    )
+
+
+def write_webdataset(
+    media: DataFrame, out_dir: str, n_shards: int = 8
+) -> DataFrame:
+    """Write the shards as real USTAR tars (one ``shard-{i:05d}.tar`` per
+    shard, members ``{doc_id}.bin`` in manifest order) and return the
+    manifest. Grouping with ``applyInPandas`` puts each shard's rows in
+    exactly one task, which streams its tar sequentially — the write
+    parallelism IS the shard count. ``out_dir`` must be storage all
+    executors can reach (shared FS / object store mount), the same
+    contract as any file sink."""
+    import io
+    import os
+    import tarfile
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        shard = int(pdf["shard_id"].iloc[0])
+        rows = []
+        with tarfile.open(
+            os.path.join(out_dir, f"shard-{shard:05d}.tar"),
+            "w",
+            format=tarfile.USTAR_FORMAT,
+        ) as tf:
+            for idx, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                info = tarfile.TarInfo(name=f"{int(r['doc_id'])}.bin")
+                info.size = len(payload)
+                info.mtime = 0  # deterministic archives
+                tf.addfile(info, io.BytesIO(payload))
+                rows.append(
+                    (
+                        int(r["doc_id"]),
+                        shard,
+                        int(idx),
+                        len(payload),
+                        int(tf.fileobj.tell()) - _padded(len(payload)),
+                    )
+                )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "shard_id", "member_idx", "n_bytes", "data_offset",
+            ],
+        )
+
+    def _padded(n: int) -> int:
+        return ((n + 511) // 512) * 512
+
+    from ..functions.hashing import md5_hash32
+
+    tagged = media.select(
+        "doc_id",
+        "payload",
+        (md5_hash32(F.col("doc_id").cast("string")) % n_shards)
+        .cast("int")
+        .alias("shard_id"),
+    )
+    return tagged.groupBy("shard_id").applyInPandas(
+        write_shard, MANIFEST_SCHEMA
+    )

@@ -73,3 +73,80 @@ def heavy_hitters(
         [(r[col], int(r["true_count"]), int(est[r[col]])) for r in cand],
         f"{col} bigint, true_count bigint, est_count bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning — the explicit, declarative form of the
+# runtime filter a warehouse injects for selective star joins: build a tiny
+# bitmap over the SELECTIVE side's join keys, broadcast it, and prune the
+# fact scan BEFORE the shuffle. The bloom can false-positive (rate set by
+# m/n), never false-negative, so following it with the exact join keeps the
+# result exact while the shuffle moves only candidate rows. At 100 TB this
+# is the difference between shuffling the whole fact table and shuffling
+# ~the matching fraction; m_bits scales with the build side's distinct keys
+# (~16 bits/key for ~0.1% fpr at k=3), and the bitmap build itself is one
+# partial-agg groupBy over 64-bit words — no driver round-trip.
+# All hashes are md5-based (functions/hashing.py rationale).
+# ---------------------------------------------------------------------------
+
+
+def _bloom_pos_sql(key_sql: str, i: int, m_bits: int) -> str:
+    """SQL for the i-th hash position of a key: md5('bloom{i}:' || key)
+    folded to [0, m_bits)."""
+    return (
+        f"pmod(CAST(conv(substring(md5(concat('bloom{i}:', "
+        f"CAST({key_sql} AS STRING))), 1, 8), 16, 10) AS BIGINT), {m_bits})"
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 4096, k_hashes: int = 3
+) -> DataFrame:
+    """ONE-row DataFrame holding the bitmap as ``_bm array<bigint>``
+    (m_bits/64 packed words). Kept as a DataFrame (not collected) so the
+    probe side attaches it with a broadcast cross join — the bitmap never
+    visits the driver."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    pos = [F.expr(_bloom_pos_sql(key_col, i, m_bits)) for i in range(k_hashes)]
+    bits = df.select(F.explode(F.array(*pos)).alias("p")).select(
+        F.expr("CAST(p div 64 AS INT)").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("bit"),
+    )
+    words = bits.groupBy("word").agg(F.expr("bit_or(bit)").alias("w"))
+    n_words = m_bits // 64
+    return words.agg(
+        F.map_from_arrays(F.collect_list("word"), F.collect_list("w")).alias("wm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("wm"), i), F.lit(0).cast("bigint")
+            ),
+        ).alias("_bm")
+    )
+
+
+def bloom_prune(
+    fact: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Rows of ``fact`` whose key MIGHT be in the bloom (superset of the
+    true matches; no false negatives by construction — pinned by
+    test_bloom_no_false_negatives). Pure column expressions over the
+    broadcast 1-row bitmap: evaluated inside the scan stage, before any
+    shuffle."""
+    tests = [
+        f"(element_at(_bm, CAST({_bloom_pos_sql(key_col, i, m_bits)} div 64 "
+        f"AS INT) + 1) & shiftleft(CAST(1 AS BIGINT), "
+        f"CAST({_bloom_pos_sql(key_col, i, m_bits)} % 64 AS INT))) <> 0"
+        for i in range(k_hashes)
+    ]
+    return (
+        fact.crossJoin(F.broadcast(bloom))
+        .filter(F.expr(" AND ".join(tests)))
+        .drop("_bm")
+    )

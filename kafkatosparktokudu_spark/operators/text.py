@@ -451,3 +451,54 @@ def domain_mixture_sample(
         "quota",
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
     )
+
+
+def token_freq_scores(docs: DataFrame, common_ppm: int = 1000) -> DataFrame:
+    """Corpus-frequency language-model score — the CCNet/Gopher-style
+    "does this document look like normal text" filter, with the unigram
+    model trained ON the corpus itself (one aggregation) instead of an
+    external LM. Per document:
+
+    - ``avg_freq_ppm``: mean corpus frequency of the doc's tokens in parts
+      per million — low values mean rare/garbage vocabulary (the
+      perplexity-filter signal, monotone in avg unigram log-prob for a
+      fixed doc length distribution);
+    - ``min_freq_ppm``: the rarest token's frequency — a single OOV-ish
+      token flags extraction noise;
+    - ``pct_common``: fraction of tokens whose corpus frequency is
+      ≥ ``common_ppm`` (Gopher §A1 "80% of words in a common-word list"
+      rule, with the list derived from the corpus; the fixture's tiny
+      vocabulary saturates the 1000-ppm web-corpus default, so the query
+      entry probes at 33000).
+
+    All arithmetic is exact integers/decimals (tf-idf precedent in
+    ``keyterms``): frequencies are ``count * 1e6 div total`` bigints, the
+    mean divides two exact sums — no transcendental functions, so the
+    DuckDB oracle matches bit-for-bit.
+
+    Scale shape: one explode (O(total tokens)), one vocabulary groupBy
+    (partial-agg), a scalar total via a 1-row cross join (broadcast), one
+    token→vocab shuffle join, one per-doc groupBy. The vocabulary never
+    touches the driver — at 100 TB it is a distributed table like any
+    other."""
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    freq = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.expr("cnt * CAST(1000000 AS BIGINT) div total").alias("freq_ppm"),
+    )
+    return (
+        toks.join(freq, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr("sum(freq_ppm) div count(1)").alias("avg_freq_ppm"),
+            F.min("freq_ppm").alias("min_freq_ppm"),
+            F.round(
+                F.sum(F.when(F.col("freq_ppm") >= common_ppm, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pct_common"),
+        )
+    )

@@ -1648,4 +1648,138 @@ ORACLE_SQL: dict[str, str] = {
                CAST(last_day(o_orderdate) AS DATE) AS month_end
         FROM orders
     """,
+    # ExactSubstr spans (Lee et al.): raw window strings here — the Spark
+    # side groups 60-bit md5 window hashes instead (same dup set, int64
+    # shuffle); positions are 1-based in both.
+    "dd09_dup_spans": """
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, l,
+                   unnest(generate_series(1, greatest(len(l) - 14, 0))) AS pos
+            FROM t
+        ),
+        w AS (
+            SELECT doc_id, pos, array_to_string(l[pos:pos+14], ' ') AS win
+            FROM p
+        ),
+        dup AS (
+            SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        d AS (SELECT doc_id, pos FROM w WHERE win IN (SELECT win FROM dup)),
+        g AS (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS grp
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS INTEGER) AS span_start,
+               CAST(MAX(pos) + 14 AS INTEGER) AS span_end,
+               CAST(MAX(pos) + 14 - MIN(pos) + 1 AS INTEGER) AS span_tokens
+        FROM g GROUP BY doc_id, grp
+    """,
+    "tx14_token_freq": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS term
+            FROM documents
+        ),
+        vocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+        tot AS (SELECT SUM(cnt) AS total FROM vocab),
+        freq AS (
+            SELECT term,
+                   CAST(cnt * CAST(1000000 AS BIGINT) // total AS BIGINT)
+                       AS freq_ppm
+            FROM vocab, tot
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(freq_ppm) // COUNT(*) AS BIGINT) AS avg_freq_ppm,
+               MIN(freq_ppm) AS min_freq_ppm,
+               ROUND(SUM(CASE WHEN freq_ppm >= 33000 THEN 1 ELSE 0 END)
+                     / COUNT(*), 6) AS pct_common
+        FROM toks JOIN freq USING (term)
+        GROUP BY doc_id
+    """,
+    # The bloom is a pre-shuffle pruning filter with no false negatives, so
+    # the exact-join result equals the plain semi join.
+    "sk02_bloom_semijoin": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_acctbal > 9900)
+        GROUP BY o_orderpriority
+    """,
+    # USTAR offset math: header 512 + data padded to 512 per member,
+    # members ordered by doc_id within a shard.
+    "mm05_shard_manifest": """
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            ::BIGINT % 8 AS INTEGER) AS shard_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        ),
+        w AS (
+            SELECT doc_id, shard_id, n_bytes,
+                   512 + ((n_bytes + 511) // 512) * 512 AS entry,
+                   ROW_NUMBER() OVER
+                       (PARTITION BY shard_id ORDER BY doc_id) - 1
+                       AS member_idx,
+                   SUM(512 + ((n_bytes + 511) // 512) * 512) OVER
+                       (PARTITION BY shard_id ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cume
+            FROM m
+        )
+        SELECT doc_id, shard_id,
+               CAST(member_idx AS INTEGER) AS member_idx,
+               n_bytes,
+               CAST(cume - entry + 512 AS BIGINT) AS data_offset
+        FROM w
+    """,
+    "q64_lateral_topk": """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) o
+        WHERE c.c_acctbal > 9000
+    """,
+    "q65_median_stats": """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(median(o_totalprice), 4) AS median_price,
+               ROUND(MIN(o_totalprice), 4) AS min_price,
+               ROUND(MAX(o_totalprice), 4) AS max_price
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "q66_recursive_month_spine": """
+        WITH RECURSIVE months(m) AS (
+            SELECT date_trunc('month', MIN(o_orderdate)) FROM orders
+            UNION ALL
+            SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+            WHERE m < (SELECT date_trunc('month', MAX(o_orderdate))
+                       FROM orders)
+        ),
+        rev AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(months.m AS DATE) AS month,
+               COALESCE(rev.revenue, 0.0) AS revenue,
+               COALESCE(rev.n_orders, 0) AS n_orders
+        FROM months LEFT JOIN rev ON months.m = rev.m
+    """,
 }

@@ -1889,6 +1889,123 @@ def mm03_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_stub(decode_media(attach_binary(_t(spark, sf_dir, "documents"))))
 
 
+def dd09_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2021 ExactSubstr):
+    maximal runs of >= 15 tokens appearing verbatim in >= 2 documents,
+    found by hashed-window groupBy + island merge — never a pairwise
+    comparison (operators/dedup.py::duplicated_spans)."""
+    from ..operators.dedup import duplicated_spans
+
+    return duplicated_spans(_t(spark, sf_dir, "documents"))
+
+
+def tx14_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality scores (CCNet/Gopher-style common-word
+    filter) with the unigram model trained on the corpus itself — exact
+    integer/decimal arithmetic, no transcendentals
+    (operators/text.py::token_freq_scores)."""
+    from ..operators.text import token_freq_scores
+
+    return token_freq_scores(
+        _t(spark, sf_dir, "documents"), common_ppm=33000
+    )
+
+
+def sk02_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning: bitmap over high-balance customers'
+    keys (built distributed, broadcast as ONE row), probe pruning the
+    orders scan BEFORE the shuffle, exact semi join after — result is
+    exact, the bloom only cuts shuffle volume (the explicit form of a
+    runtime filter). Oracle: the plain semi join."""
+    from ..operators.sketch import bloom_build, bloom_prune
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    keys = cust.filter(F.col("c_acctbal") > 9900).select("c_custkey")
+    bm = bloom_build(keys, "c_custkey")
+    candidates = bloom_prune(orders, "o_custkey", bm)
+    exact = candidates.join(
+        keys.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", "left_semi"
+    )
+    return exact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+def mm05_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest: md5 shard assignment + exact USTAR
+    tar offsets computed declaratively (operators/multimodal.py). The
+    actual tar write (write_webdataset) produces byte-identical offsets —
+    pinned by test_shard_export_offsets_match_tarfile."""
+    from ..operators.multimodal import attach_binary, shard_manifest
+
+    return shard_manifest(attach_binary(_t(spark, sf_dir, "documents")))
+
+
+def q64_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL LATERAL correlated subquery (top-2 orders per high-balance
+    customer) — the de-correlated plan is the same window top-k Catalyst
+    produces for q08, here exercised through the SQL-string API surface."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) o
+        WHERE c.c_acctbal > 9000
+        """
+    )
+
+
+def q65_median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (sort-based percentile) per group plus spread stats —
+    rounded so Spark's a+(b-a)*0.5 interpolation and DuckDB's (a+b)/2
+    agree bit-for-bit on the hash."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.median("o_totalprice"), 4).alias("median_price"),
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+    )
+
+
+def q66_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE month spine (new in Spark 4): generate the contiguous
+    month series between the first and last order month by recursion, left
+    join monthly revenue — gap-filling without sequence()/explode, the
+    classic recursive-CTE shape both engines now share."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT date_trunc('month', MIN(o_orderdate)) FROM orders
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM months
+            WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)
+        ),
+        rev AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(months.m AS DATE) AS month,
+               COALESCE(rev.revenue, 0.0) AS revenue,
+               COALESCE(rev.n_orders, 0) AS n_orders
+        FROM months LEFT JOIN rev ON months.m = rev.m
+        """
+    )
+
+
 # Ordering contract: the driver's correctness sweep covers a bounded prefix of
 # this dict (round 1 recorded rows for exactly the first 50 keys).  Queries
 # that have NOT yet earned a green CORRECTNESS_r*.json row are listed FIRST so
@@ -1911,6 +2028,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st02_session_rollup": st02_session_rollup,
     "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,
     "q62_exclusive_parts": q62_exclusive_parts,
+    # --- new in round 5 ---
+    "dd09_dup_spans": dd09_dup_spans,
+    "tx14_token_freq": tx14_token_freq,
+    "sk02_bloom_semijoin": sk02_bloom_semijoin,
+    "mm05_shard_manifest": mm05_shard_manifest,
+    "q64_lateral_topk": q64_lateral_topk,
+    "q65_median_stats": q65_median_stats,
+    "q66_recursive_month_spine": q66_recursive_month_spine,
     # --- round-4 front section: fresh green driver rows in r04 ---
     "dd05_embedding_neardup": dd05_embedding_neardup,
     "q59_approx_percentiles": q59_approx_percentiles,

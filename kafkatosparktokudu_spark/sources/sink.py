@@ -117,3 +117,34 @@ def write_partitioned(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist a table hash-bucketed (and sorted) on its join key, so every
+    future equi-join or aggregation on that key runs WITHOUT an Exchange:
+    Spark records the bucketing in the catalog and matching scans arrive
+    pre-partitioned (and pre-sorted, eliding the sort of a sort-merge
+    join). This is the 100 TB answer for a fact table joined repeatedly on
+    one key — pay the shuffle once at write time, never again; two tables
+    bucketed the same way co-locate and join shuffle-free
+    (test_bucketed_join_has_no_exchange plan-asserts both properties).
+
+    Uses ``saveAsTable`` because bucket metadata lives in the session
+    catalog — path-based parquet has nowhere to record it. ``path`` makes
+    the table external (data at that location, metadata in the catalog)."""
+    w = (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

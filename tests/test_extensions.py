@@ -455,3 +455,106 @@ def test_embeddings_have_positive_norm(spark):
         ).agg(F.min("n")).head()[0]
         assert min_norm is not None and min_norm > 0.5, (sf, min_norm)
         assert math.isfinite(min_norm)
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    """Every true match must pass the bloom (no false negatives — exactness
+    of the downstream join depends on it), and the pruned set must be a
+    small superset of the matches (the filter actually filters)."""
+    from kafkatosparktokudu_spark.operators.sketch import bloom_build, bloom_prune
+
+    cust = load_table(spark, SF, "customer")
+    orders = load_table(spark, SF, "orders")
+    keys = cust.filter(F.col("c_acctbal") > 8000).select("c_custkey")
+    bm = bloom_build(keys, "c_custkey")
+    pruned = bloom_prune(orders, "o_custkey", bm).select("o_orderkey")
+    exact = orders.join(
+        keys.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", "left_semi"
+    ).select("o_orderkey")
+    missed = exact.join(pruned, "o_orderkey", "left_anti").count()
+    assert missed == 0  # superset: no false negatives ever
+    n_orders, n_pruned, n_exact = orders.count(), pruned.count(), exact.count()
+    assert n_exact <= n_pruned < n_orders
+    # fpr bound sanity: with m=4096/k=3 and this few keys the candidate set
+    # should stay well under half the fact table
+    assert n_pruned < n_orders / 2
+
+
+def test_bloom_prune_happens_before_shuffle(spark):
+    """The bloom probe must evaluate in the scan stage: the plan's Filter
+    sits under the Exchange, so only candidates shuffle."""
+    from kafkatosparktokudu_spark.operators.sketch import bloom_build, bloom_prune
+
+    cust = load_table(spark, SF, "customer")
+    orders = load_table(spark, SF, "orders")
+    keys = cust.filter(F.col("c_acctbal") > 9900).select("c_custkey")
+    pruned = bloom_prune(orders, "o_custkey", bloom_build(keys, "c_custkey"))
+    agg = pruned.groupBy("o_orderpriority").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    # BroadcastNestedLoopJoin (the 1-row bitmap attach) must appear below
+    # the exchange feeding the aggregate, not above it
+    ex = plan.find("Exchange hashpartitioning")
+    bj = plan.find("BroadcastNestedLoopJoin")
+    assert ex != -1 and bj != -1 and bj > ex, plan
+
+
+def test_duplicated_spans_maximal_merge(spark):
+    """A planted long duplicated span must come back as ONE maximal span
+    with exact boundaries, not a run of window-sized fragments."""
+    from kafkatosparktokudu_spark.operators.dedup import duplicated_spans
+
+    common = " ".join(f"w{i}" for i in range(30))  # 30 shared tokens
+    rows = [
+        (1, "a b c " + common + " x y z"),        # span at tokens 4..33
+        (2, common + " p q"),                     # span at tokens 1..30
+        (3, "totally different words only here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicated_spans(docs, l_tokens=15).collect()
+    }
+    assert got == {1: (4, 33, 30), 2: (1, 30, 30)}
+
+
+def test_shard_export_offsets_match_tarfile(spark, tmp_path):
+    """write_webdataset's tars must be readable by stdlib tarfile with
+    byte-identical member payloads, and the DECLARATIVE manifest
+    (shard_manifest) must predict tarfile's actual data offsets exactly."""
+    import tarfile
+
+    from kafkatosparktokudu_spark.operators.multimodal import (
+        attach_binary,
+        shard_manifest,
+        write_webdataset,
+    )
+
+    media = attach_binary(_docs(spark))
+    out = str(tmp_path / "wds")
+    written = {
+        (r["doc_id"]): (r["shard_id"], r["member_idx"], r["n_bytes"], r["data_offset"])
+        for r in write_webdataset(media, out, n_shards=4).collect()
+    }
+    predicted = {
+        (r["doc_id"]): (r["shard_id"], r["member_idx"], r["n_bytes"], r["data_offset"])
+        for r in shard_manifest(media, n_shards=4).collect()
+    }
+    assert written == predicted and written
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in media.select("doc_id", "payload").collect()
+    }
+    seen = 0
+    import os
+
+    for fn in sorted(os.listdir(out)):
+        shard = int(fn.split("-")[1].split(".")[0])
+        with tarfile.open(os.path.join(out, fn)) as tf:
+            for m in tf.getmembers():
+                doc_id = int(m.name.split(".")[0])
+                data = tf.extractfile(m).read()
+                assert data == payloads[doc_id]
+                assert written[doc_id][0] == shard
+                assert written[doc_id][3] == m.offset_data, (doc_id, m.name)
+                seen += 1
+    assert seen == len(payloads)

@@ -131,3 +131,44 @@ def test_file_format_round_trip(spark, tmp_path):
         cust.write.mode("overwrite").options(**opts).format(fmt).save(out)
         back = load_file(spark, out, fmt, schema=cust.schema, **opts)
         assert sorted(map(tuple, back.collect())) == want, fmt
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed identically on the join key must sort-merge
+    join with NO Exchange on either side (co-located join: the shuffle was
+    paid once at write time) and no per-query Sort either (bucket files are
+    pre-sorted). The 100 TB rationale for write_bucketed."""
+    from kafkatosparktokudu_spark.sources.sink import write_bucketed
+
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    try:
+        write_bucketed(
+            cust, "bt_cust", "c_custkey", 8, path=str(tmp_path / "bt_cust")
+        )
+        write_bucketed(
+            orders.withColumnRenamed("o_custkey", "c_custkey"),
+            "bt_orders", "c_custkey", 8, path=str(tmp_path / "bt_orders"),
+        )
+        j = spark.table("bt_orders").join(
+            spark.table("bt_cust").select("c_custkey", "c_name"), "c_custkey"
+        )
+        # disable broadcast so the plan would NEED a shuffle if buckets
+        # didn't line up
+        with_conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan, plan
+            # correctness too, not just the plan
+            want = orders.join(
+                cust.select("c_custkey", "c_name"),
+                orders.o_custkey == cust.c_custkey,
+            ).count()
+            assert j.count() == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_conf)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_cust")
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
