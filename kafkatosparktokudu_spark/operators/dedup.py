@@ -472,14 +472,21 @@ def duplicated_spans(
             lambda i: md5_hash60(F.concat_ws(" ", F.slice(F.col("l"), i, l_tokens))),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    # stage tokens, then hash windows, then drop the strings before the
-    # shuffle (same staging rationale as hashed_shingles)
+    # spread the tokenize+hash work across the cluster (small files arrive
+    # in 1-2 partitions — same rationale as hashed_shingles) and stage
+    # tokens → hashed windows so only int64s survive past the explode
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
     w = (
         docs.select(F.col(id_col), t.alias("l"))
         .select(F.col(id_col), win_hashes.alias("wa"))
         .select(F.col(id_col), F.posexplode("wa").alias("pos0", "wh"))
         .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "wh")
     )
+    # persisted: both the dup-detection agg and the probe-back semi join
+    # consume it — without the pin the window hashing runs twice
+    w = w.persist()
     dup = (
         w.groupBy("wh")
         .agg(F.countDistinct(id_col).alias("nd"))
@@ -503,4 +510,65 @@ def duplicated_spans(
         .withColumn(
             "span_tokens", F.col("span_end") - F.col("span_start") + 1
         )
+    )
+
+
+def scrub_duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    l_tokens: int = DUP_SPAN_L,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The removal half of ExactSubstr dedup (Lee et al. 2021): rewrite
+    every document with its duplicated spans cut out (the conservative
+    remove-all-copies variant — duplicated boilerplate is junk in every
+    copy). Returns per doc: original token count, clean token count,
+    removed count, and the md5 of the reconstructed clean text (the full
+    rewritten string is one ``concat_ws`` away; the hash keeps result
+    rows narrow for the oracle compare).
+
+    Scale shape: the span table is tiny relative to the corpus; the
+    positions-to-spans anti join keys on the document id (one shuffle
+    co-partitioned with the token explode), with the range containment as
+    a join residual — never a cross join. Reconstruction is one per-doc
+    aggregation (array_sort over (pos, token) structs, no global sort).
+    """
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
+    spans = duplicated_spans(docs, id_col, l_tokens, min_docs).alias("sp")
+    toks = (
+        docs.select(F.col(id_col), F.posexplode(tokens("text")).alias("pos0", "tok"))
+        .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "tok")
+        .alias("tk")
+    )
+    kept = toks.join(
+        spans,
+        (F.col(f"tk.{id_col}") == F.col(f"sp.{id_col}"))
+        & F.col("tk.pos").between(F.col("sp.span_start"), F.col("sp.span_end")),
+        "left_anti",
+    )
+    clean = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_clean"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    base = docs.select(
+        F.col(id_col), F.size(tokens("text")).alias("n_tokens")
+    )
+    return base.join(clean, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        F.coalesce("n_clean", F.lit(0)).cast("int").alias("n_clean"),
+        (F.col("n_tokens") - F.coalesce("n_clean", F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+        F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
     )

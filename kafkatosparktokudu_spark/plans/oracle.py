@@ -1681,6 +1681,61 @@ ORACLE_SQL: dict[str, str] = {
                CAST(MAX(pos) + 14 - MIN(pos) + 1 AS INTEGER) AS span_tokens
         FROM g GROUP BY doc_id, grp
     """,
+    # Span removal (the dd09 span CTE inlined): clean text = tokens outside
+    # every duplicated span, rejoined with single spaces, md5-hashed.
+    "px05_exactsubstr_scrub": """
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, l,
+                   unnest(generate_series(1, greatest(len(l) - 14, 0))) AS pos
+            FROM t
+        ),
+        w AS (
+            SELECT doc_id, pos, array_to_string(l[pos:pos+14], ' ') AS win
+            FROM p
+        ),
+        dup AS (
+            SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        d AS (SELECT doc_id, pos FROM w WHERE win IN (SELECT win FROM dup)),
+        g AS (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS grp
+            FROM d
+        ),
+        spans AS (
+            SELECT doc_id, MIN(pos) AS s, MAX(pos) + 14 AS e
+            FROM g GROUP BY doc_id, grp
+        ),
+        toks AS (
+            SELECT doc_id, unnest(generate_series(1, len(l))) AS pos, l
+            FROM t
+        ),
+        kept AS (
+            SELECT tk.doc_id, tk.pos, tk.l[tk.pos] AS tok
+            FROM toks tk
+            WHERE NOT EXISTS (
+                SELECT 1 FROM spans sp
+                WHERE sp.doc_id = tk.doc_id
+                  AND tk.pos BETWEEN sp.s AND sp.e)
+        ),
+        clean AS (
+            SELECT doc_id, COUNT(*) AS n_clean,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.l) AS INTEGER) AS n_tokens,
+               CAST(COALESCE(c.n_clean, 0) AS INTEGER) AS n_clean,
+               CAST(len(t.l) - COALESCE(c.n_clean, 0) AS INTEGER)
+                   AS n_removed,
+               COALESCE(c.clean_md5, md5('')) AS clean_md5
+        FROM t LEFT JOIN clean c ON t.doc_id = c.doc_id
+    """,
     "tx14_token_freq": """
         WITH toks AS (
             SELECT doc_id,
@@ -1763,12 +1818,13 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders GROUP BY o_orderpriority
     """,
     "q66_recursive_month_spine": """
-        WITH RECURSIVE months(m) AS (
-            SELECT date_trunc('month', MIN(o_orderdate)) FROM orders
+        WITH RECURSIVE months(m, mx) AS (
+            SELECT date_trunc('month', MIN(o_orderdate)),
+                   date_trunc('month', MAX(o_orderdate))
+            FROM orders
             UNION ALL
-            SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
-            WHERE m < (SELECT date_trunc('month', MAX(o_orderdate))
-                       FROM orders)
+            SELECT CAST(m + INTERVAL 1 MONTH AS DATE), mx FROM months
+            WHERE m < mx
         ),
         rev AS (
             SELECT date_trunc('month', o_orderdate) AS m,

@@ -1943,6 +1943,15 @@ def mm05_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(attach_binary(_t(spark, sf_dir, "documents")))
 
 
+def px05_exactsubstr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of ExactSubstr dedup: every duplicated >= 15-token
+    span cut from every document, reconstruction verified by md5 of the
+    rewritten text (operators/dedup.py::scrub_duplicated_spans)."""
+    from ..operators.dedup import scrub_duplicated_spans
+
+    return scrub_duplicated_spans(_t(spark, sf_dir, "documents"))
+
+
 def q64_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL LATERAL correlated subquery (top-2 orders per high-balance
     customer) — the de-correlated plan is the same window top-k Catalyst
@@ -1983,13 +1992,18 @@ def q66_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     join monthly revenue — gap-filling without sequence()/explode, the
     classic recursive-CTE shape both engines now share."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    # the max bound rides along as recursion state — a scalar subquery in
+    # the recursive step would re-scan orders on EVERY iteration (~80
+    # table scans for an 80-month spine; measured 14.6s → ~2s at sf0.1)
     return spark.sql(
         """
-        WITH RECURSIVE months(m) AS (
-            SELECT date_trunc('month', MIN(o_orderdate)) FROM orders
+        WITH RECURSIVE months(m, mx) AS (
+            SELECT date_trunc('month', MIN(o_orderdate)),
+                   date_trunc('month', MAX(o_orderdate))
+            FROM orders
             UNION ALL
-            SELECT m + INTERVAL 1 MONTH FROM months
-            WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)
+            SELECT m + INTERVAL 1 MONTH, mx FROM months
+            WHERE m < mx
         ),
         rev AS (
             SELECT date_trunc('month', o_orderdate) AS m,
@@ -2030,6 +2044,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_exclusive_parts": q62_exclusive_parts,
     # --- new in round 5 ---
     "dd09_dup_spans": dd09_dup_spans,
+    "px05_exactsubstr_scrub": px05_exactsubstr_scrub,
     "tx14_token_freq": tx14_token_freq,
     "sk02_bloom_semijoin": sk02_bloom_semijoin,
     "mm05_shard_manifest": mm05_shard_manifest,
