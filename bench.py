@@ -130,12 +130,18 @@ def main() -> None:
     try:
         m = sync_batch(spark, raw, wh, n_buckets=16)
         reps = []
-        for _ in range(3):
+        for _ in range(5):
+            # the CDC loop runs AFTER the analytic queries chewed the heap;
+            # two gc passes + a short settle keep accumulated GC debt out
+            # of the timed window (median-of-5 absorbs what remains — the
+            # box-load envelope on this metric is the widest of the suite)
+            spark._jvm.System.gc()
+            time.sleep(0.3)
             spark._jvm.System.gc()
             start = time.time()
             m = sync_batch(spark, raw, wh, n_buckets=16)
             reps.append(time.time() - start)
-        cdc_secs = sorted(reps)[1]
+        cdc_secs = sorted(reps)[2]
     finally:
         shutil.rmtree(wh, ignore_errors=True)
     results["cdc_sync_200k"] = round(cdc_secs, 3)
