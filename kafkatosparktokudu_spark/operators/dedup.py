@@ -191,6 +191,7 @@ def neardup_pairs_jaccard(
     threshold: float = 0.2,
     id_col: str = "doc_id",
     shingle_col: Column | None = None,
+    hs_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact n-gram Jaccard over the
     HASHED shingle sets; only candidate pairs pay the set-intersection
@@ -199,11 +200,14 @@ def neardup_pairs_jaccard(
     because the oracle hashes with the same md5 — while the cached/joined
     payload shrinks ~10× and string GC churn disappears. The hashed frame
     is persisted once and reused by all four consumers (both band-join
-    sides, both jaccard sides)."""
-    hs_df = hashed_shingles(docs, id_col, shingle_col=shingle_col).persist()
-    # materialize the cache BEFORE the self-join: otherwise the band join's
-    # two sides race to populate it and the shingle+md5 work runs twice
-    hs_df.count()
+    sides, both jaccard sides); callers that already hold a persisted
+    hashed frame pass it via ``hs_df``."""
+    if hs_df is None:
+        hs_df = hashed_shingles(docs, id_col, shingle_col=shingle_col).persist()
+        # materialize the cache BEFORE the self-join: otherwise the band
+        # join's two sides race to populate it and the shingle+md5 work
+        # runs twice
+        hs_df.count()
     cands = lsh_candidate_pairs(docs, id_col, hs_df=hs_df)
     joined = (
         cands.join(hs_df.withColumnRenamed(id_col, "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")
@@ -216,6 +220,133 @@ def neardup_pairs_jaccard(
         joined.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def _explode_bands(sig: DataFrame, id_col: str) -> DataFrame:
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("h")
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band_idx", "bh.h")
+
+
+def incremental_neardup_ingest(
+    batch: DataFrame,
+    store_dir: str,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest-time near-dup gate over a PERSISTENT signature store — the
+    continuously-fed corpus shape: each arriving batch is (1) deduplicated
+    within itself (LSH pairs → connected components → min-id keeper, the
+    px02 recipe), then (2) its keepers are checked against the signatures
+    of every previously-ACCEPTED document; only novel keepers' signatures
+    are appended to the store. Returns one row per batch doc:
+    ``(doc_id, is_dup, matched_id)`` where matched_id is the in-batch
+    cluster keeper or the smallest matching stored id.
+
+    Store = plain parquet of (doc_id, hs, band0..bandN): bands are the
+    blocking key (candidate generation joins band hashes — sub-quadratic
+    against the whole history), hs the verification payload. State grows
+    with ACCEPTED docs only — the bounded-state trade every incremental
+    dedup makes: a duplicate's signature is discarded, so a later doc
+    matching only that discarded duplicate (not its kept cluster-mate) is
+    admitted, where a global batch job (px02) would chain them. Documented
+    semantics, pinned by test_incremental_ingest_*.
+
+    Scale shape: per batch — one shingle+hash pass over the batch, one
+    in-batch LSH (sub-quadratic), one band join against the store
+    (shuffle keyed on band hash, the store side is bucketable), a
+    candidates-only Jaccard verify, one append. Nothing rescans the
+    accepted corpus' text."""
+    spark = batch.sparkSession
+    hs_new = hashed_shingles(batch, id_col).persist()
+    hs_new.count()  # pin before the self-join (same rationale as dd04)
+    # (1) within-batch: pairs → clusters → min-id keeper
+    pairs = neardup_pairs_jaccard(batch, threshold, id_col, hs_df=hs_new)
+    clusters = duplicate_clusters(pairs)  # (doc_id, cluster_id = min label)
+    in_dup = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(
+        F.col(id_col), F.col("cluster_id").alias("matched_in")
+    )
+    keepers = hs_new.join(in_dup.select(id_col), id_col, "left_anti")
+    bands_new = _bands_from_hashed(keepers, id_col)
+    # (2) keepers vs the accepted history
+    import os
+
+    store_exists = os.path.isdir(store_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(store_dir)
+    )
+    if store_exists:
+        old = spark.read.parquet(store_dir)
+        cand = (
+            _explode_bands(bands_new.alias("n"), id_col)
+            .withColumnRenamed(id_col, "new_id")
+            .join(
+                _explode_bands(old, id_col).withColumnRenamed(id_col, "old_id"),
+                ["band_idx", "h"],
+            )
+            .select("new_id", "old_id")
+            .distinct()
+        )
+        jac = F.size(F.array_intersect("hs_n", "hs_o")).cast("double") / F.size(
+            F.array_union("hs_n", "hs_o")
+        )
+        old_matches = (
+            cand.join(
+                keepers.select(
+                    F.col(id_col).alias("new_id"), F.col("hs").alias("hs_n")
+                ),
+                "new_id",
+            )
+            .join(
+                old.select(
+                    F.col(id_col).alias("old_id"), F.col("hs").alias("hs_o")
+                ),
+                "old_id",
+            )
+            .filter(jac >= threshold)
+            .groupBy("new_id")
+            .agg(F.min("old_id").alias("matched_old"))
+        )
+    else:
+        old_matches = spark.createDataFrame(
+            [], "new_id bigint, matched_old bigint"
+        )
+    flags = (
+        hs_new.select(id_col)
+        .join(in_dup, id_col, "left")
+        .join(
+            old_matches.withColumnRenamed("new_id", id_col), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            (F.col("matched_in").isNotNull() | F.col("matched_old").isNotNull())
+            .alias("is_dup"),
+            F.coalesce("matched_in", "matched_old").alias("matched_id"),
+        )
+        # localCheckpoint, not persist: it CUTS lineage, so the result can
+        # neither be invalidated by hs_new.unpersist() below (cache drops
+        # cascade to dependents) nor silently recomputed against the store
+        # AFTER the append — a lazy flags re-scanning the store would see
+        # the batch's own rows and flag every accepted doc as its own dup
+        .localCheckpoint()
+    )
+    accepted = bands_new.join(
+        keepers.select(id_col, "hs"), id_col
+    ).join(
+        flags.filter(F.col("is_dup")).select(id_col), id_col, "left_anti"
+    )
+    accepted.write.mode("append").parquet(store_dir)
+    hs_new.unpersist()
+    return flags
 
 
 # ---------------------------------------------------------------------------

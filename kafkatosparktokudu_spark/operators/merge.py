@@ -44,13 +44,19 @@ _BUCKET = "_bucket"
 
 
 def merge_upserts(
-    state: DataFrame, batch: DataFrame, key_cols: list[str]
+    state: DataFrame, batch: DataFrame, key_cols: list[str],
+    replace_rows: bool = False,
 ) -> DataFrame:
     """Pure merge: one row per key, column-wise ``coalesce(new, old)``.
 
     ``batch`` must already be folded to one row per key (fold_table_changes).
     Column set of both sides must match. Partial updates ride on coalesce:
     a folded column is null iff no record in the batch set it.
+
+    ``replace_rows=True`` switches to whole-row semantics: a key present in
+    the batch takes the batch row VERBATIM, nulls included — what a
+    recomputed aggregate view needs (a re-aggregated min of NULL must
+    overwrite the stale extreme, not coalesce with it).
 
     CONTRACT: key columns are primary keys and must be non-null on both
     sides (the CDC path guarantees this — is_valid drops null-ID records
@@ -65,10 +71,16 @@ def merge_upserts(
     )
     cond = [state[k] == b[f"_b_{k}"] for k in key_cols]
     joined = state.join(b, cond, "full_outer")
+    in_batch = b[f"_b_{key_cols[0]}"].isNotNull()
     out_cols = [
         F.coalesce(b[f"_b_{k}"], state[k]).alias(k) for k in key_cols
     ] + [
-        F.coalesce(b[f"_b_{c}"], state[c]).alias(c) for c in value_cols
+        (
+            F.when(in_batch, b[f"_b_{c}"]).otherwise(state[c])
+            if replace_rows
+            else F.coalesce(b[f"_b_{c}"], state[c])
+        ).alias(c)
+        for c in value_cols
     ]
     return joined.select(*out_cols)
 
@@ -131,7 +143,7 @@ class StateStore:
         )
 
     # -- the merge ----------------------------------------------------------
-    def upsert_batch(self, batch: DataFrame) -> None:
+    def upsert_batch(self, batch: DataFrame, replace_rows: bool = False) -> None:
         """MERGE the (already folded, typed) batch into the store.
 
         Reads only the buckets the batch touches, merges, writes the merged
@@ -160,7 +172,7 @@ class StateStore:
         affected = [r[0] for r in batch.select(_BUCKET).distinct().collect()]
         state = self.read_buckets(affected)  # partition-pruned scan
         merged = merge_upserts(
-            state, batch.drop(_BUCKET), self.key_cols
+            state, batch.drop(_BUCKET), self.key_cols, replace_rows=replace_rows
         ).withColumn(_BUCKET, self._bucket_col())
         # Repartition on the bucket so the staging write emits one file per
         # touched bucket, then swap directories. On HDFS/object storage the

@@ -17,8 +17,10 @@ classic subtleties of incremental view maintenance:
   coalesced current values, so contributions are always whole-row.
 
 Only invertible aggregates (count, sum — and anything derived from them:
-avg, ratios) can be maintained this way; min/max need re-aggregation of the
-touched groups. Sums accumulate in DECIMAL so incremental and from-scratch
+avg, ratios) can be maintained by deltas; for min/max this module provides
+``maintain_minmax`` / ``sync_with_minmax`` instead — touched-group
+re-aggregation, the honest cost floor for non-invertible aggregates.
+Sums accumulate in DECIMAL so incremental and from-scratch
 aggregation agree bit-for-bit (float addition is not associative; decimal
 addition is) — the ``cdc_dept_rollup`` query hash-checks exactly that
 equivalence against a from-scratch DuckDB fold.
@@ -296,3 +298,95 @@ def sync_with_rollup(
     post = state.read().join(keys, state.key_cols)
     delta = rollup_delta(pre, post, group_col, sum_col)
     maintain_rollup(spark, rollup, delta, group_col)
+
+
+# -- non-invertible aggregates (min/max): re-aggregate touched groups -------
+
+
+def minmax_schema(group_field: T.StructField, val_type: T.DataType) -> T.StructType:
+    """Schema of a maintained min/max view: (group, min_val, max_val,
+    n_alive)."""
+    return T.StructType(
+        [
+            group_field,
+            T.StructField("min_val", val_type, True),
+            T.StructField("max_val", val_type, True),
+            T.StructField("n_alive", T.LongType(), True),
+        ]
+    )
+
+
+def maintain_minmax(
+    spark: SparkSession,
+    state: StateStore,
+    view: StateStore,
+    touched: DataFrame,
+    group_col: str,
+    val_col: str,
+) -> None:
+    """Refresh min/max (non-invertible — a delete can retire the current
+    extreme, so no delta formula exists) for exactly the groups the batch
+    TOUCHED: one scan of the base table filtered to those groups, one
+    upsert of the recomputed rows. Unlike the sum/count delta path this
+    re-reads base rows, but only the touched groups' — the honest lower
+    bound for min/max maintenance without an auxiliary per-group heap.
+    Re-aggregation is naturally idempotent (recomputing from the merged
+    base gives the same rows), so no epoch machinery is needed.
+
+    ``touched``: one-column DataFrame of group values (pre ∪ post groups —
+    include the PRE-merge groups of moved keys or their old group keeps a
+    stale extreme).
+
+    At 100 TB: the filter on the group column prunes via parquet min/max
+    row-group stats when base files are clustered by group (write_zordered
+    or a group-partitioned layout); worst case it is one full column scan
+    per batch — if that dominates, keep a sum/count delta view and accept
+    eventual min/max refresh instead.
+    """
+    t = touched.select(F.col(group_col)).distinct().localCheckpoint()
+    alive = state.read().join(t, group_col).filter(
+        (F.col(DELETE_STATE).isNull() | (F.col(DELETE_STATE) != "1"))
+        & F.col(group_col).isNotNull()
+    )
+    recomputed = alive.groupBy(group_col).agg(
+        F.min(val_col).alias("min_val"),
+        F.max(val_col).alias("max_val"),
+        F.count(F.lit(1)).alias("n_alive"),
+    )
+    # groups whose last alive row vanished need an explicit zero row (the
+    # aggregate above simply has no row for them)
+    gone = t.join(recomputed.select(group_col), group_col, "left_anti").select(
+        F.col(group_col),
+        F.lit(None).cast(
+            next(f.dataType for f in view.schema.fields if f.name == "min_val")
+        ).alias("min_val"),
+        F.lit(None).cast(
+            next(f.dataType for f in view.schema.fields if f.name == "max_val")
+        ).alias("max_val"),
+        F.lit(0).cast("long").alias("n_alive"),
+    )
+    # replace_rows: a re-aggregated NULL extreme must OVERWRITE the stale
+    # stored value, not coalesce with it
+    view.upsert_batch(recomputed.unionByName(gone), replace_rows=True)
+
+
+def sync_with_minmax(
+    spark: SparkSession,
+    state: StateStore,
+    typed_batch: DataFrame,
+    view: StateStore,
+    group_col: str,
+    val_col: str,
+) -> None:
+    """One micro-batch: MERGE into ``state`` and refresh the min/max view
+    for the touched groups (pre-merge groups of the batch's keys ∪ the
+    batch's own groups, so group moves retire the old group's extremes)."""
+    keys = typed_batch.select(state.key_cols).distinct()
+    pre_groups = (
+        state.read().join(keys, state.key_cols).select(group_col)
+    )
+    touched = pre_groups.unionByName(
+        typed_batch.select(group_col)
+    ).filter(F.col(group_col).isNotNull()).distinct().localCheckpoint()
+    state.upsert_batch(typed_batch)
+    maintain_minmax(spark, state, view, touched, group_col, val_col)

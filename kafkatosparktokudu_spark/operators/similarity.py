@@ -248,7 +248,10 @@ def ivf_topk(
 
 
 def seed_cell_assign(
-    emb: DataFrame, n_cells: int = 32, nprobe: int = 4
+    emb: DataFrame,
+    n_cells: int = 32,
+    nprobe: int = 4,
+    seeds_from: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, cell): oracle-reproducible IVF-style multiprobe assignment.
 
@@ -264,9 +267,17 @@ def seed_cell_assign(
     per-row expression over broadcast literals (no shuffle, no Python);
     output is n·nprobe rows. At 100 TB, n_cells grows ~√n (SemDeDup-style
     cluster blocking) and the assignment cost stays one scan.
+
+    ``seeds_from`` lets a second frame (e.g. a query batch in knn_join)
+    share the corpus' anchors — assignments are only comparable across
+    frames when their cells are.
     """
     seeds = (
-        emb.select("vec_id", "embedding").orderBy("vec_id").limit(n_cells).collect()
+        (seeds_from if seeds_from is not None else emb)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(n_cells)
+        .collect()
     )
     v = as_double(F.col("embedding"))
     # (-rounded_sim, cell) structs: array_sort's lexicographic ascending
@@ -388,6 +399,63 @@ def ivf_index_topk(
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(k)
+    )
+
+
+def knn_join(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 32,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Batch kNN JOIN: top-``k`` corpus neighbors for EVERY query vector at
+    once — the set-at-a-time form of ANN (one query at a time is
+    ``ann_topk``; a training pipeline labeling millions of rows needs the
+    join form). Both sides take IVF-style multiprobe cell assignments
+    (``seed_cell_assign`` — deterministic seed anchors, so the DuckDB
+    oracle reproduces the exact candidate set); candidates are pairs
+    sharing a cell, verified with exact cosine, ranked per query.
+
+    Scale shape: candidates ≈ n_q·n_c·nprobe²/n_cells instead of n_q·n_c —
+    the same sub-quadratic blocking dd05 uses, and the per-query top-k is
+    a window over only that query's candidates (partial TakeOrdered per
+    partition, no global sort). n_cells grows ~√n at scale; swap the seed
+    anchors for trained centroids (ivf_assign_multiprobe) off the oracle
+    path exactly as embedding_neardup_pairs does."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import dot, norm
+
+    qc = seed_cell_assign(
+        queries.select("vec_id", "embedding"),
+        n_cells=n_cells,
+        nprobe=nprobe,
+        seeds_from=emb,  # anchors MUST come from the corpus side
+    ).withColumnRenamed("vec_id", "q_id")
+    cc = seed_cell_assign(emb, n_cells=n_cells, nprobe=nprobe).withColumnRenamed(
+        "vec_id", "n_id"
+    )
+    cand = (
+        qc.join(cc, "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("v")).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+    sim = dot(F.col("x.v"), F.col("y.v")) / (F.col("x.nrm") * F.col("y.nrm"))
+    scored = (
+        cand.join(e.alias("x"), F.col("q_id") == F.col("x.vec_id"))
+        .join(e.alias("y"), F.col("n_id") == F.col("y.vec_id"))
+        .select("q_id", "n_id", F.round(sim, 6).alias("cos_sim"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", "cos_sim")
     )
 
 

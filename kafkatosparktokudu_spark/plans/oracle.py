@@ -1681,6 +1681,95 @@ ORACLE_SQL: dict[str, str] = {
                CAST(MAX(pos) + 14 - MIN(pos) + 1 AS INTEGER) AS span_tokens
         FROM g GROUP BY doc_id, grp
     """,
+    # Incremental ingest dedup recomputed from scratch: per-half clusters
+    # (transitive closure, min reachable id) + cross-half screen of the
+    # second half's keepers against the first half's accepted signatures.
+    "px06_incremental_ingest": f"""
+        WITH RECURSIVE {_MINHASH_CTE},
+        cut AS (
+            SELECT MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) // 2 AS c
+            FROM documents
+        ),
+        half AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id < (SELECT c FROM cut) THEN 1 ELSE 2 END
+                       AS h
+            FROM documents
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.doc_id < b.doc_id
+             AND (a.band0 = b.band0 OR a.band1 = b.band1
+                  OR a.band2 = b.band2 OR a.band3 = b.band3)
+            JOIN half ha ON ha.doc_id = a.doc_id
+            JOIN half hb ON hb.doc_id = b.doc_id
+            WHERE ha.h = hb.h
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b FROM (
+                SELECT doc_a, doc_b,
+                       CAST(len(list_distinct(list_intersect(x.hs, y.hs)))
+                            AS DOUBLE)
+                           / len(list_distinct(x.hs || y.hs)) AS jaccard
+                FROM cand JOIN base x ON x.doc_id = doc_a
+                          JOIN base y ON y.doc_id = doc_b
+            ) WHERE jaccard >= 0.2
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach(node, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+        ),
+        cluster AS (
+            SELECT node AS doc_id, MIN(lbl) AS cluster_id
+            FROM reach GROUP BY node
+        ),
+        in_dup AS (
+            SELECT doc_id, cluster_id AS matched_in
+            FROM cluster WHERE doc_id <> cluster_id
+        ),
+        keepers AS (
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM in_dup)
+        ),
+        acc1 AS (
+            SELECT k.doc_id FROM keepers k
+            JOIN half h ON h.doc_id = k.doc_id AND h.h = 1
+        ),
+        cand2 AS (
+            SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+            FROM bands n
+            JOIN half hn ON hn.doc_id = n.doc_id AND hn.h = 2
+            JOIN keepers kn ON kn.doc_id = n.doc_id
+            JOIN acc1 a ON TRUE
+            JOIN bands o ON o.doc_id = a.doc_id
+            WHERE n.band0 = o.band0 OR n.band1 = o.band1
+               OR n.band2 = o.band2 OR n.band3 = o.band3
+        ),
+        old_match AS (
+            SELECT new_id, MIN(old_id) AS matched_old FROM (
+                SELECT new_id, old_id,
+                       CAST(len(list_distinct(list_intersect(x.hs, y.hs)))
+                            AS DOUBLE)
+                           / len(list_distinct(x.hs || y.hs)) AS j
+                FROM cand2 JOIN base x ON x.doc_id = new_id
+                           JOIN base y ON y.doc_id = old_id
+            ) WHERE j >= 0.2 GROUP BY new_id
+        )
+        SELECT d.doc_id,
+               (i.matched_in IS NOT NULL OR om.matched_old IS NOT NULL)
+                   AS is_dup,
+               COALESCE(i.matched_in, om.matched_old) AS matched_id
+        FROM documents d
+        LEFT JOIN in_dup i ON i.doc_id = d.doc_id
+        LEFT JOIN old_match om ON om.new_id = d.doc_id
+    """,
     # Span removal (the dd09 span CTE inlined): clean text = tokens outside
     # every duplicated span, rejoined with single spaces, md5-hashed.
     "px05_exactsubstr_scrub": """
@@ -1758,6 +1847,44 @@ ORACLE_SQL: dict[str, str] = {
                      / COUNT(*), 6) AS pct_common
         FROM toks JOIN freq USING (term)
         GROUP BY doc_id
+    """,
+    # Batch kNN join: same seed-cell assignment as dd05, queries probe the
+    # corpus cells, exact-cosine rank per query.
+    "ss05_knn_join": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS sv
+            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 32)
+        ),
+        assigned AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, s.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(list_cosine_similarity(e.v, s.sv), 6) DESC,
+                                    s.cell
+                       ) AS rn
+                FROM e CROSS JOIN seeds s
+            ) WHERE rn <= 4
+        ),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+            FROM assigned q JOIN assigned c ON q.cell = c.cell
+            WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+        ),
+        scored AS (
+            SELECT q_id, n_id,
+                   round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
+            FROM cand JOIN e x ON x.vec_id = q_id
+                      JOIN e y ON y.vec_id = n_id
+        )
+        SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, cos_sim FROM (
+            SELECT q_id, n_id, cos_sim,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY cos_sim DESC, n_id
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= 5
     """,
     # The bloom is a pre-shuffle pruning filter with no false negatives, so
     # the exact-join result equals the plain semi join.

@@ -1933,6 +1933,17 @@ def sk02_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ss05_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN join: top-5 cell-blocked neighbors for every query vector
+    (vec_id < 20) at once — the set-at-a-time ANN a labeling pipeline
+    needs (operators/similarity.py::knn_join; seed-cell anchors keep the
+    candidate set SQL-reproducible)."""
+    from ..operators.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
 def mm05_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset-style shard manifest: md5 shard assignment + exact USTAR
     tar offsets computed declaratively (operators/multimodal.py). The
@@ -1950,6 +1961,33 @@ def px05_exactsubstr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import scrub_duplicated_spans
 
     return scrub_duplicated_spans(_t(spark, sf_dir, "documents"))
+
+
+def px06_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time incremental near-dup gate: the corpus arrives in two
+    doc_id-ordered batches; each batch is cluster-deduped within itself,
+    then its keepers are screened against the signature store of every
+    previously accepted doc (operators/dedup.py::incremental_neardup_ingest).
+    The oracle recomputes both phases from scratch in SQL — per-half
+    transitive-closure clusters plus the cross-half signature screen."""
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import incremental_neardup_ingest
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = lo + (hi - lo) // 2
+    tmp = tempfile.mkdtemp(prefix="ingest_")
+    try:
+        store = f"{tmp}/sigs"
+        f1 = incremental_neardup_ingest(docs.filter(F.col("doc_id") < cut), store)
+        f2 = incremental_neardup_ingest(docs.filter(F.col("doc_id") >= cut), store)
+        out = f1.unionByName(f2)
+        rows = out.collect()  # materialize before the temp store vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q64_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2045,8 +2083,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 5 ---
     "dd09_dup_spans": dd09_dup_spans,
     "px05_exactsubstr_scrub": px05_exactsubstr_scrub,
+    "px06_incremental_ingest": px06_incremental_ingest,
     "tx14_token_freq": tx14_token_freq,
     "sk02_bloom_semijoin": sk02_bloom_semijoin,
+    "ss05_knn_join": ss05_knn_join,
     "mm05_shard_manifest": mm05_shard_manifest,
     "q64_lateral_topk": q64_lateral_topk,
     "q65_median_stats": q65_median_stats,

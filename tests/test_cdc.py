@@ -731,3 +731,69 @@ def test_upsert_many_same_basename_distinct_dirs(spark, tmp_path):
     got2 = {r["id"]: r["v"] for r in s2.read().collect()}
     assert got1 == {"1": "a1", "2": "a2x"}
     assert got2 == {"1": "b1", "3": "b3"}
+
+
+def test_minmax_rollup_moves_deletes_partials(spark, tmp_path):
+    """Min/max is non-invertible, so the view must be refreshed by
+    re-aggregating TOUCHED groups — deleting the current max, moving a key
+    out of its group, and partial updates must all land exactly."""
+    from pyspark.sql import types as T
+
+    from kafkatosparktokudu_spark.operators.rollup import (
+        minmax_schema,
+        sync_with_minmax,
+    )
+
+    schema = _emp_schema()
+    state = StateStore(spark, str(tmp_path / "emp"), ["id"], schema, 4)
+    view = StateStore(
+        spark,
+        str(tmp_path / "mm"),
+        ["dept_id"],
+        minmax_schema(
+            T.StructField("dept_id", T.IntegerType(), False), T.DoubleType()
+        ),
+        4,
+    )
+    b1 = spark.createDataFrame(
+        [
+            ("1", 10, 100.0, "0", "t"),
+            ("2", 10, 900.0, "0", "t"),  # dept 10 max
+            ("3", 20, 300.0, "0", "t"),
+        ],
+        schema,
+    )
+    sync_with_minmax(spark, state, b1, view, "dept_id", "salary")
+    got = {
+        r["dept_id"]: (r["min_val"], r["max_val"], r["n_alive"])
+        for r in view.read().collect()
+    }
+    assert got == {10: (100.0, 900.0, 2), 20: (300.0, 300.0, 1)}
+
+    b2 = spark.createDataFrame(
+        [
+            ("2", None, None, "1", "t"),   # delete the dept-10 max
+            ("3", 10, None, "0", "t"),     # move 20 → 10, salary 300 kept
+            ("4", 30, 50.0, "0", "t"),     # new dept
+        ],
+        schema,
+    )
+    sync_with_minmax(spark, state, b2, view, "dept_id", "salary")
+    got = {
+        r["dept_id"]: (r["min_val"], r["max_val"], r["n_alive"])
+        for r in view.read().collect()
+    }
+    # dept 10: max 900 retired by the delete; 300 arrived with key 3
+    # dept 20: emptied by the move — explicit zero row, not a stale extreme
+    assert got == {
+        10: (100.0, 300.0, 2),
+        20: (None, None, 0),
+        30: (50.0, 50.0, 1),
+    }
+    # idempotent: replaying the same batch converges to the same view
+    sync_with_minmax(spark, state, b2, view, "dept_id", "salary")
+    again = {
+        r["dept_id"]: (r["min_val"], r["max_val"], r["n_alive"])
+        for r in view.read().collect()
+    }
+    assert again == got

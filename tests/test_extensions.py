@@ -558,3 +558,48 @@ def test_shard_export_offsets_match_tarfile(spark, tmp_path):
                 assert written[doc_id][3] == m.offset_data, (doc_id, m.name)
                 seen += 1
     assert seen == len(payloads)
+
+
+def test_incremental_ingest_flags_and_store(spark, tmp_path):
+    """Ingest-time near-dup gate semantics: in-batch clusters keep the min
+    id; keepers are checked against previously-ACCEPTED signatures only;
+    only novel keepers enter the store."""
+    from kafkatosparktokudu_spark.operators.dedup import (
+        incremental_neardup_ingest,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lam mu nu xi omicron pi rho sigma tau upsilon"
+    uniq1 = "one two three four five six seven eight nine ten " \
+            "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    uniq2 = "red orange yellow green blue indigo violet black white gray " \
+            "pink brown cyan magenta olive navy teal maroon silver gold"
+    store = str(tmp_path / "sigs")
+    b1 = spark.createDataFrame(
+        [(1, base), (2, base + " extra tail"), (3, uniq1)],
+        "doc_id bigint, text string",
+    )
+    f1 = {r["doc_id"]: (r["is_dup"], r["matched_id"])
+          for r in incremental_neardup_ingest(b1, store).collect()}
+    assert f1 == {1: (False, None), 2: (True, 1), 3: (False, None)}
+
+    b2 = spark.createDataFrame(
+        [(4, base + " tiny change"),   # near-dup of stored 1
+         (5, uniq2),                    # novel
+         (6, uniq2 + " small tweak")],  # in-batch dup of 5
+        "doc_id bigint, text string",
+    )
+    f2 = {r["doc_id"]: (r["is_dup"], r["matched_id"])
+          for r in incremental_neardup_ingest(b2, store).collect()}
+    assert f2 == {4: (True, 1), 5: (False, None), 6: (True, 5)}
+
+    stored = {r["doc_id"] for r in spark.read.parquet(store).collect()}
+    assert stored == {1, 3, 5}
+
+    # re-ingesting an accepted doc's twin still dedups against the store
+    b3 = spark.createDataFrame(
+        [(7, uniq2 + " later copy")], "doc_id bigint, text string"
+    )
+    f3 = {r["doc_id"]: (r["is_dup"], r["matched_id"])
+          for r in incremental_neardup_ingest(b3, store).collect()}
+    assert f3 == {7: (True, 5)}
