@@ -592,3 +592,43 @@ def test_stream_interval_left_outer_join(spark, tmp_path):
         if r["purchase_id"] is None and r["click_id"] < 10**9
     }
     assert got_null == set(want_null)
+
+
+def test_stream_dedup_with_rocksdb_state_store(spark, tmp_path):
+    """The same stateful dedup runs on the RocksDB state-store provider —
+    the 100 TB configuration (state spills to local disk instead of
+    executor heap; incremental checkpointing). Result must equal the
+    default-provider run exactly: provider choice is storage, not
+    semantics."""
+    from kafkatosparktokudu_spark.streaming.pipeline import stream_dedup
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    doubled = events.union(events)
+    src = str(tmp_path / "rdb_src")
+    doubled.write.parquet(src)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            stream_dedup(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("rdb_dedup_out")
+            .option("checkpointLocation", str(tmp_path / "rdb_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert spark.table("rdb_dedup_out").count() == events.count()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
