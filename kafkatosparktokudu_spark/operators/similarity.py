@@ -408,6 +408,7 @@ def knn_join(
     k: int = 5,
     n_cells: int = 32,
     nprobe: int = 4,
+    queries_are_subset: bool = False,
 ) -> DataFrame:
     """Batch kNN JOIN: top-``k`` corpus neighbors for EVERY query vector at
     once — the set-at-a-time form of ANN (one query at a time is
@@ -422,20 +423,31 @@ def knn_join(
     a window over only that query's candidates (partial TakeOrdered per
     partition, no global sort). n_cells grows ~√n at scale; swap the seed
     anchors for trained centroids (ivf_assign_multiprobe) off the oracle
-    path exactly as embedding_neardup_pairs does."""
+    path exactly as embedding_neardup_pairs does.
+
+    ``queries_are_subset=True`` declares queries ⊆ emb (same vec_ids): the
+    query assignment is then sliced out of the corpus assignment instead
+    of re-scoring against the seed literals — the seed scoring is one
+    n_cells×dims-term codegen expression per row, much more expensive
+    than the candidate join it feeds, so self-join style callers should
+    always set it."""
     from pyspark.sql import Window as W
 
     from ..functions.vectors import dot, norm
 
-    qc = seed_cell_assign(
-        queries.select("vec_id", "embedding"),
-        n_cells=n_cells,
-        nprobe=nprobe,
-        seeds_from=emb,  # anchors MUST come from the corpus side
-    ).withColumnRenamed("vec_id", "q_id")
-    cc = seed_cell_assign(emb, n_cells=n_cells, nprobe=nprobe).withColumnRenamed(
-        "vec_id", "n_id"
-    )
+    cells = seed_cell_assign(emb, n_cells=n_cells, nprobe=nprobe).persist()
+    cc = cells.withColumnRenamed("vec_id", "n_id")
+    if queries_are_subset:
+        qc = cells.join(
+            queries.select("vec_id"), "vec_id", "left_semi"
+        ).withColumnRenamed("vec_id", "q_id")
+    else:
+        qc = seed_cell_assign(
+            queries.select("vec_id", "embedding"),
+            n_cells=n_cells,
+            nprobe=nprobe,
+            seeds_from=emb,  # anchors MUST come from the corpus side
+        ).withColumnRenamed("vec_id", "q_id")
     cand = (
         qc.join(cc, "cell")
         .filter(F.col("q_id") != F.col("n_id"))

@@ -1941,7 +1941,9 @@ def ss05_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import knn_join
 
     emb = _t(spark, sf_dir, "embeddings")
-    return knn_join(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    return knn_join(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, queries_are_subset=True
+    )
 
 
 def mm05_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:

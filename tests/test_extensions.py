@@ -603,3 +603,41 @@ def test_incremental_ingest_flags_and_store(spark, tmp_path):
     f3 = {r["doc_id"]: (r["is_dup"], r["matched_id"])
           for r in incremental_neardup_ingest(b3, store).collect()}
     assert f3 == {7: (True, 5)}
+
+
+def test_knn_join_recall_vs_brute(spark):
+    """Cell-blocked batch kNN must recover most of the exact top-k: recall@5
+    against brute force averaged over the 20 query vectors."""
+    from kafkatosparktokudu_spark.operators.similarity import knn_join
+    from kafkatosparktokudu_spark.functions.vectors import as_double, dot, norm
+
+    emb = _emb(spark)
+    got = knn_join(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, queries_are_subset=True
+    )
+    approx = {}
+    for r in got.collect():
+        approx.setdefault(r["q_id"], set()).add(r["n_id"])
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("v")).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    sim = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.round(sim, 6).desc(), F.col("vec_id"))
+    exact = (
+        q.crossJoin(e)
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+    )
+    truth = {}
+    for r in exact.select("q_id", "vec_id").collect():
+        truth.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(approx.get(qid, set()) & t) / len(t) for qid, t in truth.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
