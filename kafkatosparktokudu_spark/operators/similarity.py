@@ -272,6 +272,10 @@ def seed_cell_assign(
     share the corpus' anchors — assignments are only comparable across
     frames when their cells are.
     """
+    import math
+
+    from ..functions.vectors import dot_literal, norm
+
     seeds = (
         (seeds_from if seeds_from is not None else emb)
         .select("vec_id", "embedding")
@@ -279,21 +283,32 @@ def seed_cell_assign(
         .limit(n_cells)
         .collect()
     )
-    v = as_double(F.col("embedding"))
+    # Stage the row's norm ONCE: cosine_literal recomputes the HOF-based
+    # norm(vec) inside every seed's expression (n_cells aggregate lambdas
+    # per row — the dominant cost of this operator); factoring it into a
+    # column keeps the float ops identical (same dot/(norm*qn) tree, so
+    # rounded assignments — and the oracle hash — are unchanged) while the
+    # norm aggregate runs once per row.
+    staged = emb.select("vec_id", as_double(F.col("embedding")).alias("v")).select(
+        "vec_id", "v", norm(F.col("v")).alias("nv")
+    )
+
+    def _score(c: int, q: list[float]) -> F.Column:
+        qn = math.sqrt(sum(float(x) * float(x) for x in q)) or 1e-12
+        sim = dot_literal(F.col("v"), q) / (F.col("nv") * F.lit(qn))
+        return F.struct((-F.round(sim, 6)).alias("ns"), F.lit(c).alias("cell"))
+
     # (-rounded_sim, cell) structs: array_sort's lexicographic ascending
     # order == (sim DESC, cell ASC) — the same total order the oracle's
     # row_number() OVER (ORDER BY sim DESC, cell) produces.
     scored = F.array(
         *[
-            F.struct(
-                (-F.round(cosine_literal(v, [float(x) for x in r["embedding"]]), 6)).alias("ns"),
-                F.lit(c).alias("cell"),
-            )
+            _score(c, [float(x) for x in r["embedding"]])
             for c, r in enumerate(seeds)
         ]
     )
     top = F.slice(F.array_sort(scored), 1, nprobe)
-    return emb.select(
+    return staged.select(
         "vec_id", F.explode(F.transform(top, lambda s: s["cell"])).alias("cell")
     )
 
