@@ -632,3 +632,58 @@ def test_stream_dedup_with_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_stream_cdc_rollup_view_via_epoch_path(spark, tmp_path):
+    """rollups= through the REAL streaming wrapper: foreachBatch passes
+    its epoch id into sync_batch, so the view takes the exactly-once
+    write-ahead path — after the drain it must equal a from-scratch
+    aggregation of the merged base table, and no pending-delta files may
+    remain (every epoch fully committed + cleaned)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.catalog import default_catalog
+    from kafkatosparktokudu_spark.cdc import RollupSpec
+    from kafkatosparktokudu_spark.operators.merge import StateStore
+
+    src = tmp_path / "in"
+    src.mkdir()
+    shutil.copy(FIXTURE, src / "part-000.jsonl")
+    cfg = _cfg(tmp_path)
+    spec = RollupSpec(table="emp", group_col="dept_id", sum_col="salary")
+    q = start_cdc_sync(
+        spark, file_source(spark, str(src)), cfg, available_now=True,
+        rollups=[spec],
+    )
+    q.awaitTermination(120)
+    view = {
+        r["dept_id"]: (r["n_alive"], float(r["sum_dec"]))
+        for r in spec.store(spark, cfg.warehouse_dir, 16)
+        .read()
+        .filter(F.col("n_alive") > 0)
+        .collect()
+    }
+    cat = default_catalog()
+    base = StateStore(
+        spark, f"{cfg.warehouse_dir}/emp", ["id"], cat["emp"].full_schema, 16
+    )
+    direct = {
+        r["dept_id"]: (r["n"], float(r["s"]))
+        for r in base.read()
+        .filter((F.col("delete_state") != "1") & F.col("dept_id").isNotNull())
+        .groupBy("dept_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("salary").cast("decimal(22,2)")).alias("s"),
+        )
+        .collect()
+    }
+    assert view == direct and view
+    pending = [
+        p for p in os.listdir(cfg.warehouse_dir)
+        if p.endswith("__pending")
+        for _ in os.listdir(os.path.join(cfg.warehouse_dir, p))
+    ]
+    assert pending == [], pending
