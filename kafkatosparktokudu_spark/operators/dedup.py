@@ -377,6 +377,68 @@ def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return agg.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash near-dup pairs by Hamming distance with byte-band blocking
+    (the Google web-dedup recipe, Manku et al. WWW'07 shape): the 32-bit
+    signature splits into 4 exact-match byte bands; by pigeonhole, any
+    pair within ``max_hamming`` <= 3 flipped bits keeps at least one band
+    intact, so the band-bucket join generates EVERY qualifying pair —
+    blocking is lossless here, unlike MinHash banding's probabilistic
+    recall. Verification is one integer op (bit_count of xor), far
+    cheaper than dd04's set intersection; the trade is coarser similarity
+    (bit distance, not Jaccard).
+
+    Scale shape: one simhash pass (explode + 32 partial-agg bit sums),
+    a 4-rows-per-doc band explode, exact-match bucket self-join, integer
+    verify. At 64-bit signatures and stricter budgets, bands generalize
+    to (max_hamming+1) blocks — same plan."""
+    sh = simhash(docs, id_col).persist()
+    sh.count()  # pin before the self-join (dd04 rationale)
+    bands = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.expr(f"CAST((simhash >> {8 * b}) & 255 AS INT)").alias(
+                            "v"
+                        ),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), "simhash", F.col("bb.b").alias("b"), F.col("bb.v").alias("v"))
+    a, x = bands.alias("a"), bands.alias("x")
+    cand = (
+        a.join(
+            x,
+            (F.col("a.b") == F.col("x.b"))
+            & (F.col("a.v") == F.col("x.v"))
+            & (F.col(f"a.{id_col}") < F.col(f"x.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col("a.simhash").alias("sa"),
+            F.col(f"x.{id_col}").alias("doc_b"),
+            F.col("x.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(bit_count(sa ^ sb) AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # Below this many (directed) edges the pair graph is collected and solved
 # driver-side — the same size-based plan switch AQE makes for broadcast
 # joins. 2M edges ≈ 32 MB of longs, far under driver memory.

@@ -1825,6 +1825,24 @@ ORACLE_SQL: dict[str, str] = {
                COALESCE(c.clean_md5, md5('')) AS clean_md5
         FROM t LEFT JOIN clean c ON t.doc_id = c.doc_id
     """,
+    # SimHash Hamming pairs: byte-band buckets are lossless for <= 3 bit
+    # flips (pigeonhole over 4 bands), so blocking + verify == all pairs.
+    "dd10_simhash_neardup": f"""
+        WITH s AS ({_simhash_sql()}),
+        bands AS (
+            SELECT doc_id, simhash, b, (simhash >> (8 * b)) & 255 AS v
+            FROM s, unnest(generate_series(0, 3)) t(b)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
+                            x.doc_id AS doc_b, x.simhash AS sb
+            FROM bands a JOIN bands x
+              ON a.b = x.b AND a.v = x.v AND a.doc_id < x.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
     "tx14_token_freq": """
         WITH toks AS (
             SELECT doc_id,

@@ -1899,6 +1899,15 @@ def dd09_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(_t(spark, sf_dir, "documents"))
 
 
+def dd10_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-distance near-dup pairs with lossless byte-band
+    blocking (pigeonhole: <= 3 flipped bits leave one of 4 bands intact)
+    — operators/dedup.py::simhash_neardup_pairs."""
+    from ..operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
+
+
 def tx14_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency quality scores (CCNet/Gopher-style common-word
     filter) with the unigram model trained on the corpus itself — exact
@@ -2086,6 +2095,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd09_dup_spans": dd09_dup_spans,
     "px05_exactsubstr_scrub": px05_exactsubstr_scrub,
     "px06_incremental_ingest": px06_incremental_ingest,
+    "dd10_simhash_neardup": dd10_simhash_neardup,
     "tx14_token_freq": tx14_token_freq,
     "sk02_bloom_semijoin": sk02_bloom_semijoin,
     "ss05_knn_join": ss05_knn_join,

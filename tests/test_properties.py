@@ -351,3 +351,46 @@ def test_sync_batch_matches_python_replay(spark, changes, split):
                 ), (pk, col, got[pk][col], wv)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+# -- webdataset shard export: declarative offsets == real tar bytes ----------
+@SETTINGS
+@given(
+    sizes=st.lists(
+        st.integers(min_value=0, max_value=2000), min_size=1, max_size=12
+    )
+)
+def test_shard_manifest_matches_tarfile(spark, sizes, tmp_path_factory):
+    """For arbitrary payload sizes (zero-byte members, exact 512 multiples,
+    512k±1 boundary cases), the declarative USTAR offset math must equal
+    stdlib tarfile's actual member offsets byte-for-byte."""
+    import os
+    import tarfile
+
+    from kafkatosparktokudu_spark.operators.multimodal import (
+        shard_manifest,
+        write_webdataset,
+    )
+
+    out = str(tmp_path_factory.mktemp("wds"))
+    rows = [(i, bytes([i % 251]) * n) for i, n in enumerate(sizes)]
+    media = spark.createDataFrame(
+        [(i, p, len(p)) for i, p in rows],
+        "doc_id bigint, payload binary, n_bytes bigint",
+    )
+    predicted = {
+        r["doc_id"]: (r["shard_id"], r["n_bytes"], r["data_offset"])
+        for r in shard_manifest(media, n_shards=3).collect()
+    }
+    written = {
+        r["doc_id"]: (r["shard_id"], r["n_bytes"], r["data_offset"])
+        for r in write_webdataset(media, out, n_shards=3).collect()
+    }
+    assert written == predicted
+    payloads = dict(rows)
+    for fn in os.listdir(out):
+        with tarfile.open(os.path.join(out, fn)) as tf:
+            for m in tf.getmembers():
+                doc_id = int(m.name.split(".")[0])
+                assert tf.extractfile(m).read() == payloads[doc_id]
+                assert predicted[doc_id][2] == m.offset_data, (doc_id, fn)
