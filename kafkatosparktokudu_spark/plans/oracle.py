@@ -1943,6 +1943,48 @@ ORACLE_SQL: dict[str, str] = {
                CAST(cume - entry + 512 AS BIGINT) AS data_offset
         FROM w
     """,
+    # Multimodal curation funnel: md5-of-bytes dedup (min-id keeper) →
+    # size floor → the mm05 USTAR manifest over survivors, 4 shards.
+    "px07_multimodal_curation": """
+        WITH m0 AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS fp
+            FROM documents
+        ),
+        surv AS (
+            SELECT doc_id, n_bytes FROM (
+                SELECT doc_id, n_bytes,
+                       ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id)
+                           AS rk
+                FROM m0
+            ) WHERE rk = 1 AND n_bytes >= 64
+        ),
+        m AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            ::BIGINT % 4 AS INTEGER) AS shard_id,
+                   n_bytes
+            FROM surv
+        ),
+        w AS (
+            SELECT doc_id, shard_id, n_bytes,
+                   512 + ((n_bytes + 511) // 512) * 512 AS entry,
+                   ROW_NUMBER() OVER
+                       (PARTITION BY shard_id ORDER BY doc_id) - 1
+                       AS member_idx,
+                   SUM(512 + ((n_bytes + 511) // 512) * 512) OVER
+                       (PARTITION BY shard_id ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cume
+            FROM m
+        )
+        SELECT doc_id, shard_id,
+               CAST(member_idx AS INTEGER) AS member_idx,
+               n_bytes,
+               CAST(cume - entry + 512 AS BIGINT) AS data_offset
+        FROM w
+    """,
     "q64_lateral_topk": """
         SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
         FROM customer c, LATERAL (

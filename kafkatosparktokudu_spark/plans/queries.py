@@ -2001,6 +2001,26 @@ def px06_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def px07_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal curation: binary payloads → exact content
+    dedup (md5 of the bytes, min-id keeper) → size floor → WebDataset
+    shard manifest of the survivors. The whole funnel is one declarative
+    plan over the binary column; decode-dependent steps (mm02/mm03) stay
+    out so every stage is oracle-checkable."""
+    from pyspark.sql import Window as W2
+
+    from ..operators.multimodal import attach_binary, shard_manifest
+
+    media = attach_binary(_t(spark, sf_dir, "documents"))
+    keeper = W2.partitionBy(F.md5(F.col("payload"))).orderBy("doc_id")
+    survivors = (
+        media.withColumn("rk", F.row_number().over(keeper))
+        .filter((F.col("rk") == 1) & (F.col("n_bytes") >= 64))
+        .select("doc_id", "payload", "n_bytes")
+    )
+    return shard_manifest(survivors, n_shards=4)
+
+
 def q64_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL LATERAL correlated subquery (top-2 orders per high-balance
     customer) — the de-correlated plan is the same window top-k Catalyst
@@ -2100,6 +2120,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sk02_bloom_semijoin": sk02_bloom_semijoin,
     "ss05_knn_join": ss05_knn_join,
     "mm05_shard_manifest": mm05_shard_manifest,
+    "px07_multimodal_curation": px07_multimodal_curation,
     "q64_lateral_topk": q64_lateral_topk,
     "q65_median_stats": q65_median_stats,
     "q66_recursive_month_spine": q66_recursive_month_spine,
