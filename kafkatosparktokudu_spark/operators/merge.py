@@ -142,6 +142,41 @@ class StateStore:
             .drop(_BUCKET)
         )
 
+    def lookup(self, keys: list[tuple] | list) -> DataFrame:
+        """Point lookup by primary key — the Kudu read pattern the
+        reference's consumers use downstream (openTable + key scan).
+        Computes the keys' buckets driver-side with the same hash the
+        writer used, scans ONLY those bucket directories (partition
+        pruning at file-listing time), then filters to the exact keys.
+        Cost is O(|keys| buckets) regardless of table size — the
+        point-read property a keyed store owes its users.
+
+        ``keys``: list of key tuples (or scalars for single-column keys),
+        in the key columns' declared types."""
+        import pyspark.sql.functions as _F
+
+        if not self.exists():
+            return self.spark.createDataFrame([], self.schema)
+        norm_keys = [
+            k if isinstance(k, tuple) else (k,) for k in keys
+        ]
+        if not norm_keys:
+            return self.spark.createDataFrame([], self.schema)
+        key_schema = T.StructType(
+            [
+                next(f for f in self.schema.fields if f.name == kc)
+                for kc in self.key_cols
+            ]
+        )
+        kdf = self.spark.createDataFrame(norm_keys, key_schema)
+        buckets = [
+            r["b"]
+            for r in kdf.select(self._bucket_col().alias("b")).distinct().collect()
+        ]
+        return self.read_buckets(buckets).join(
+            _F.broadcast(kdf), self.key_cols, "left_semi"
+        )
+
     # -- the merge ----------------------------------------------------------
     def upsert_batch(self, batch: DataFrame, replace_rows: bool = False) -> None:
         """MERGE the (already folded, typed) batch into the store.

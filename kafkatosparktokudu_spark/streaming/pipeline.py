@@ -335,3 +335,65 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
         "append",
         "none",
     )
+
+
+def start_dedup_ingest(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    flags_dir: str,
+    threshold: float = 0.2,
+    available_now: bool = False,
+    trigger_interval: str = "5 seconds",
+) -> StreamingQuery:
+    """Continuous near-dup gating of an incoming document stream — the
+    streaming face of ``operators.dedup.incremental_neardup_ingest``:
+    each micro-batch is cluster-deduped within itself, screened against
+    the signature store of everything previously accepted, and only novel
+    keepers' signatures are appended; per-doc (is_dup, matched_id) flags
+    land in ``flags_dir`` as parquet for the downstream writer.
+
+    Exactly-once shape: the flag write is idempotent per epoch (overwrite
+    of the epoch's own subdirectory), and a replayed batch re-screens
+    against a store that already contains its accepted docs — those
+    re-match themselves and are NOT re-appended, so the store converges
+    (pinned by test_stream_dedup_ingest_replay_converges).
+
+    ``docs_stream`` must carry (doc_id, text).
+    """
+
+    def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from ..operators.dedup import incremental_neardup_ingest
+
+        flags = incremental_neardup_ingest(
+            batch_df.select("doc_id", "text"), store_dir, threshold
+        )
+        # replay guard: a re-delivered epoch's accepted docs are already in
+        # the store and match themselves — normalize the flags so the
+        # replayed epoch's output equals the original delivery's
+        flags = flags.withColumn(
+            "is_dup",
+            F.when(F.col("matched_id") == F.col("doc_id"), F.lit(False)).otherwise(
+                F.col("is_dup")
+            ),
+        ).withColumn(
+            "matched_id",
+            F.when(F.col("matched_id") == F.col("doc_id"), F.lit(None)).otherwise(
+                F.col("matched_id")
+            ),
+        )
+        flags.write.mode("overwrite").parquet(f"{flags_dir}/epoch={epoch_id}")
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("dedup_ingest")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

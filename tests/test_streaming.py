@@ -687,3 +687,80 @@ def test_stream_cdc_rollup_view_via_epoch_path(spark, tmp_path):
         for _ in os.listdir(os.path.join(cfg.warehouse_dir, p))
     ]
     assert pending == [], pending
+
+
+def test_stream_dedup_ingest_matches_batch_and_replay_converges(spark, tmp_path):
+    """The streaming near-dup gate must (1) produce the same flags as the
+    sequential batch API when the stream delivers the same two batches,
+    and (2) converge under epoch replay: re-running a delivered batch
+    appends nothing to the signature store and yields identical flags
+    after the self-match normalization."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.operators.dedup import (
+        incremental_neardup_ingest,
+    )
+    from kafkatosparktokudu_spark.sources.batch import load_table
+    from kafkatosparktokudu_spark.streaming.pipeline import start_dedup_ingest
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = lo + (hi - lo) // 2
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    # two files -> two micro-batches (maxFilesPerTrigger=1), ordered by id
+    docs.filter(F.col("doc_id") < cut).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    docs.filter(F.col("doc_id") >= cut).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    store = str(tmp_path / "sig_store")
+    flags_dir = str(tmp_path / "flags")
+    q = start_dedup_ingest(
+        spark, stream, store, str(tmp_path / "ckpt"), flags_dir,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r["doc_id"]: (r["is_dup"], r["matched_id"])
+        for r in spark.read.parquet(flags_dir).collect()
+    }
+    # sequential batch-API reference on a fresh store
+    ref_store = str(tmp_path / "ref_store")
+    ref = {}
+    for half in (
+        docs.filter(F.col("doc_id") < cut),
+        docs.filter(F.col("doc_id") >= cut),
+    ):
+        for r in incremental_neardup_ingest(half, ref_store).collect():
+            ref[r["doc_id"]] = (r["is_dup"], r["matched_id"])
+    assert streamed == ref and streamed
+
+    # (2) replay batch 1: store must not grow, normalized flags identical
+    stored_before = {
+        r["doc_id"] for r in spark.read.parquet(store).collect()
+    }
+    replay = incremental_neardup_ingest(
+        docs.filter(F.col("doc_id") >= cut), store
+    )
+    replay_norm = {
+        r["doc_id"]: (
+            r["is_dup"] and r["matched_id"] != r["doc_id"],
+            None if r["matched_id"] == r["doc_id"] else r["matched_id"],
+        )
+        for r in replay.collect()
+    }
+    stored_after = {r["doc_id"] for r in spark.read.parquet(store).collect()}
+    assert stored_after == stored_before
+    want = {k: v for k, v in ref.items() if k >= cut}
+    assert replay_norm == want
