@@ -1943,6 +1943,119 @@ ORACLE_SQL: dict[str, str] = {
                CAST(cume - entry + 512 AS BIGINT) AS data_offset
         FROM w
     """,
+    # TPC-H Q2 shape — the oracle keeps the literal correlated MIN.
+    "q67_min_cost_supplier": """
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem GROUP BY 1, 2
+        )
+        SELECT p_partkey, p_name, s_name, n_name,
+               ROUND(unit_cost, 6) AS min_unit_cost
+        FROM cost
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE p_size BETWEEN 10 AND 15
+          AND unit_cost = (
+              SELECT MIN(c2.unit_cost) FROM cost c2
+              WHERE c2.l_partkey = cost.l_partkey)
+    """,
+    "q68_forecast_revenue": """
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * CAST(l_discount AS DECIMAL(8,6)))
+                         AS DECIMAL(27,6)) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01'
+          AND l_shipdate < DATE '1996-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.04
+          AND l_quantity < 24
+    """,
+    "q69_product_profit": """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                   - p_retailprice * l_quantity * 0.1, 4)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE 'red%'
+        GROUP BY 1, 2
+    """,
+    "q70_important_part_value": """
+        WITH sliced AS (
+            SELECT l_partkey, l_extendedprice
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+        ),
+        per_part AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS value_dec
+            FROM sliced GROUP BY 1
+        )
+        SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+        FROM per_part
+        WHERE CAST(value_dec AS DOUBLE) >
+              (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM per_part) * 0.002
+    """,
+    # Literal EXISTS + NOT EXISTS (the Spark side aggregates per-order
+    # distinct-supplier counts — same qualifying set).
+    "q71_waiting_orders": """
+        WITH j AS (
+            SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        lp AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM j
+            WHERE l_shipdate > o_orderdate + INTERVAL 365 DAY
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM lp
+        JOIN supplier ON s_suppkey = lp.l_suppkey
+        WHERE EXISTS (
+                SELECT 1 FROM j o2
+                WHERE o2.l_orderkey = lp.l_orderkey
+                  AND o2.l_suppkey <> lp.l_suppkey)
+          AND NOT EXISTS (
+                SELECT 1 FROM j o3
+                WHERE o3.l_orderkey = lp.l_orderkey
+                  AND o3.l_suppkey <> lp.l_suppkey
+                  AND o3.l_shipdate > o3.o_orderdate + INTERVAL 365 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+    "q72_dominant_part_suppliers": """
+        WITH sliced AS (
+            SELECT l_partkey, l_suppkey, l_quantity
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1995-01-01'
+              AND l_shipdate < DATE '1996-01-01'
+              AND l_partkey IN (
+                  SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+        ),
+        per_ps AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_dec
+            FROM sliced GROUP BY 1, 2
+        ),
+        per_p AS (
+            SELECT l_partkey, SUM(qty_dec) AS total_dec
+            FROM per_ps GROUP BY 1
+        )
+        SELECT s_suppkey, s_name, COUNT(*) AS n_dominated_parts
+        FROM per_ps
+        JOIN per_p USING (l_partkey)
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE CAST(qty_dec AS DOUBLE) > CAST(total_dec AS DOUBLE) * 0.3
+        GROUP BY 1, 2
+    """,
     # Multimodal curation funnel: md5-of-bytes dedup (min-id keeper) →
     # size floor → the mm05 USTAR manifest over survivors, 4 shards.
     "px07_multimodal_curation": """

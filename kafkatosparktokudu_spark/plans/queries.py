@@ -2001,6 +2001,178 @@ def px06_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# TPC-H Q2 shape: min-cost supplier per part — a correlated MIN subquery
+# decorrelated into agg + equality join on the aggregate (the fixture has
+# no partsupp table, so unit cost derives from lineitem).
+def q67_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size").between(10, 15))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cost.join(best, "l_partkey")
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round("min_cost", 6).alias("min_unit_cost"),
+        )
+    )
+
+
+# TPC-H Q6 shape: pure filter + global aggregate — the canonical
+# predicate-pushdown scan (no join, no group).
+def q68_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & F.col("l_discount").between(0.02, 0.04)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = dec("l_extendedprice") * dec("l_discount", RATE)
+    return li.agg(
+        prod_sum_double(F.sum(rev)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# TPC-H Q9 shape: product-line profit per (nation, year) — a 5-way join
+# with a LIKE part filter; the profit expression is computed per row in
+# double (identical operator tree both engines), rounded to a decimal
+# grain and summed exactly.
+def q69_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.sum(F.round(amount, 4).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("profit")
+        )
+    )
+
+
+# TPC-H Q11 shape: per-part value share gated by a GLOBAL scalar
+# threshold (value > fraction of the grand total over the same slice).
+def q70_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    sliced = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation.select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    per_part = sliced.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice")).alias("value_dec")
+    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.col("total_dec").cast("double") * 0.002
+        )
+        .select(
+            "l_partkey", F.col("value_dec").cast("double").alias("part_value")
+        )
+    )
+
+
+# TPC-H Q21 shape: suppliers who were the SOLE late shipper in a
+# multi-supplier order ("kept orders waiting") — the classic
+# EXISTS + NOT-EXISTS pair, expressed as per-order distinct-supplier
+# aggregates (the oracle keeps the literal subqueries). "Late" = shipped
+# more than a year after the order date (the fixture has no commitdate).
+def q71_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+    )
+    late_pairs = (
+        j.filter(late).select("l_orderkey", "l_suppkey").distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        late_pairs.join(
+            per_order.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+# TPC-H Q20 shape: suppliers responsible for an outsized share of a
+# LIKE-filtered part's shipped volume in one year — correlated aggregate
+# threshold (supplier's qty > fraction of the part's total qty).
+def q72_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("blue%")).select(
+        "p_partkey"
+    )
+    sliced = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_ps = sliced.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec("l_quantity")).alias("qty_dec")
+    )
+    per_p = per_ps.groupBy("l_partkey").agg(
+        F.sum("qty_dec").alias("total_dec")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_ps.join(per_p, "l_partkey")
+        .filter(
+            F.col("qty_dec").cast("double")
+            > F.col("total_dec").cast("double") * 0.3
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+    )
+
+
 def px07_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal curation: binary payloads → exact content
     dedup (md5 of the bytes, min-id keeper) → size floor → WebDataset
@@ -2121,6 +2293,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss05_knn_join": ss05_knn_join,
     "mm05_shard_manifest": mm05_shard_manifest,
     "px07_multimodal_curation": px07_multimodal_curation,
+    "q67_min_cost_supplier": q67_min_cost_supplier,
+    "q68_forecast_revenue": q68_forecast_revenue,
+    "q69_product_profit": q69_product_profit,
+    "q70_important_part_value": q70_important_part_value,
+    "q71_waiting_orders": q71_waiting_orders,
+    "q72_dominant_part_suppliers": q72_dominant_part_suppliers,
     "q64_lateral_topk": q64_lateral_topk,
     "q65_median_stats": q65_median_stats,
     "q66_recursive_month_spine": q66_recursive_month_spine,
