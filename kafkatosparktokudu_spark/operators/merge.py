@@ -230,6 +230,63 @@ class StateStore:
         shutil.rmtree(staging, ignore_errors=True)
 
 
+    # -- housekeeping -------------------------------------------------------
+    def purge_soft_deleted(
+        self,
+        older_than: str,
+        delete_col: str = "delete_state",
+        ts_col: str = "time_stamp",
+    ) -> int:
+        """Retention pass: physically remove soft-deleted rows whose audit
+        timestamp is older than ``older_than`` (the delete-scan job Kudu
+        operators schedule; logical deletes stay queryable until then —
+        reference semantics keep D rows with delete_state='1' forever).
+
+        Only buckets CONTAINING purgeable rows are rewritten (one pruned
+        probe for the bucket set, then the same staged per-bucket swap the
+        merge uses); a bucket left empty is removed outright. Returns the
+        number of rows purged. At 100 TB the cost tracks the purgeable
+        buckets, not the table — and because every bucket is one file,
+        the rewrite is a bounded, restartable job (idempotent: re-running
+        purges nothing the second time)."""
+        if not self.exists():
+            return 0
+        purgeable = (F.col(delete_col) == "1") & (F.col(ts_col) < older_than)
+        probe = (
+            self._read_with_bucket()
+            .filter(purgeable)
+            .groupBy(_BUCKET)
+            .count()
+            .collect()
+        )
+        if not probe:
+            return 0
+        affected = [r[_BUCKET] for r in probe]
+        n_purged = sum(r["count"] for r in probe)
+        kept = (
+            self._read_with_bucket()
+            .filter(F.col(_BUCKET).isin(affected))
+            .filter(~purgeable)
+        )
+        staging = f"{self.path}.__purge_staging__"
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            kept.repartition(_BUCKET)
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET)
+            .parquet(staging)
+        )
+        for b in affected:
+            src = os.path.join(staging, f"{_BUCKET}={b}")
+            dst = os.path.join(self.path, f"{_BUCKET}={b}")
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(src):
+                os.rename(src, dst)
+            # else: the bucket held only purgeable rows — it stays gone
+        shutil.rmtree(staging, ignore_errors=True)
+        return int(n_purged)
+
+
 _TABLE = "_table"
 
 # names safe to round-trip through a Spark partition directory unescaped

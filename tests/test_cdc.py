@@ -871,3 +871,34 @@ def test_upsert_mid_swap_crash_replay_converges(spark, tmp_path):
     want = {str(i): (f"b{i}" if i % 2 == 0 else f"a{i}") for i in range(40)}
     want["100"] = "new"
     assert got == want
+
+
+def test_purge_soft_deleted_retention(spark, tmp_path):
+    """Retention purge drops only soft-deleted rows older than the cutoff,
+    rewrites only their buckets, removes buckets it empties, and is
+    idempotent."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("v", T.StringType(), True),
+            T.StructField("delete_state", T.StringType(), True),
+            T.StructField("time_stamp", T.StringType(), True),
+        ]
+    )
+    store = StateStore(spark, str(tmp_path / "ret"), ["id"], schema, 4)
+    rows = [
+        ("1", "a", "0", "2024-01-01 00:00:00"),   # live
+        ("2", "b", "1", "2023-01-01 00:00:00"),   # old delete -> purged
+        ("3", "c", "1", "2024-05-01 00:00:00"),   # recent delete -> kept
+        ("4", "d", "1", "2022-06-01 00:00:00"),   # old delete -> purged
+    ]
+    store.upsert_batch(spark.createDataFrame(rows, schema))
+    n = store.purge_soft_deleted("2024-01-01 00:00:00")
+    assert n == 2
+    got = {r["id"]: r["delete_state"] for r in store.read().collect()}
+    assert got == {"1": "0", "3": "1"}
+    assert store.purge_soft_deleted("2024-01-01 00:00:00") == 0  # idempotent
+    # lookups still work against the rewritten layout
+    assert {r["id"] for r in store.lookup(["1", "2", "3"]).collect()} == {"1", "3"}
