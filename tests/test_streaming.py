@@ -764,3 +764,47 @@ def test_stream_dedup_ingest_matches_batch_and_replay_converges(spark, tmp_path)
     assert stored_after == stored_before
     want = {k: v for k, v in ref.items() if k >= cut}
     assert replay_norm == want
+
+
+def test_stream_cdc_processing_time_trigger(spark, tmp_path):
+    """The reference's default cadence (S4: processing-time micro-batches)
+    through the same wiring: start with a short trigger interval, wait for
+    the first non-empty batch via on_batch, stop, and check state landed.
+    availableNow covers drain semantics; this covers the live-trigger
+    branch of start_cdc_sync."""
+    import threading
+
+    from kafkatosparktokudu_spark.config import PipelineConfig
+
+    src = tmp_path / "in"
+    src.mkdir()
+    shutil.copy(FIXTURE, src / "part-000.jsonl")
+    cfg = PipelineConfig(
+        warehouse_dir=str(tmp_path / "wh"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        metrics_dir=str(tmp_path / "metrics"),
+        trigger_interval="1 seconds",
+    )
+    done = threading.Event()
+    seen = []
+
+    def on_batch(epoch_id, metrics):
+        seen.append((epoch_id, metrics.total))
+        done.set()
+
+    q = start_cdc_sync(
+        spark, file_source(spark, str(src)), cfg, on_batch=on_batch
+    )
+    try:
+        assert done.wait(timeout=120), "no batch arrived under the trigger"
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    assert seen and seen[0][1] > 0
+    got = _emp_state(spark, cfg)
+    want_df = apply_changes(spark, read_fixture(spark))["emp"]
+    want = {
+        r["id"]: (r["name"], r["salary"], r["delete_state"])
+        for r in want_df.collect()
+    }
+    assert got == want
