@@ -230,6 +230,61 @@ class StateStore:
         shutil.rmtree(staging, ignore_errors=True)
 
 
+    def snapshot(self):
+        """Context manager yielding a snapshot-isolated view of the store.
+
+        ``read()`` lists bucket directories lazily at job time, so a
+        concurrent ``upsert_batch`` swapping buckets mid-query can serve
+        some buckets pre-merge and others post-merge — or fail outright
+        on a vanished file (the swap deletes replaced files by path). A
+        reporting query running WHILE the stream merges wants one
+        consistent version.
+
+        Implementation: hardlink the current file set into a temp sibling
+        directory (no data copy; the links keep the bytes alive after the
+        swap unlinks the originals) and read from there; the links are
+        dropped on exit. On object stores with native versioning
+        (S3/GCS), pin object versions instead — this is the plain-FS
+        equivalent.
+
+            with store.snapshot() as df:
+                df.groupBy(...).agg(...)
+        """
+        import contextlib
+        import uuid
+
+        @contextlib.contextmanager
+        def _snap():
+            if not self.exists():
+                yield self.spark.createDataFrame([], self.schema)
+                return
+            snap_dir = f"{self.path}.__snap_{uuid.uuid4().hex[:8]}__"
+            os.makedirs(snap_dir)
+            try:
+                n = 0
+                for entry in sorted(os.listdir(self.path)):
+                    if not entry.startswith(f"{_BUCKET}="):
+                        continue
+                    d = os.path.join(self.path, entry)
+                    for f in os.listdir(d):
+                        if not f.endswith(".parquet"):
+                            continue
+                        src = os.path.join(d, f)
+                        dst = os.path.join(snap_dir, f"{n:06d}.parquet")
+                        try:
+                            os.link(src, dst)
+                        except OSError:  # cross-device / FS without links
+                            shutil.copy2(src, dst)
+                        n += 1
+                if n == 0:
+                    yield self.spark.createDataFrame([], self.schema)
+                else:
+                    yield self.spark.read.schema(self.schema).parquet(snap_dir)
+            finally:
+                shutil.rmtree(snap_dir, ignore_errors=True)
+
+        return _snap()
+
     # -- housekeeping -------------------------------------------------------
     def purge_soft_deleted(
         self,

@@ -48,3 +48,36 @@ def write_batch_log(
     with open(path, "a", encoding="utf-8") as f:
         f.write(format_batch_block(epoch_id, start, end, m))
     return path
+
+
+def attach_progress_logger(spark, out_dir: str):
+    """Engine-level metrics channel: a StreamingQueryListener appending
+    every query-progress event as one JSON line (numInputRows,
+    processedRowsPerSecond, state-operator memory, watermark …) to
+    ``{out_dir}/progress-{query_name}.jsonl``. This is the cluster-side
+    complement to the reference-parity text log above — DEPLOY.md points
+    operators here for dashboards. Returns the listener; detach with
+    ``spark.streams.removeListener(listener)``."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    class _ProgressLogger(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            path = os.path.join(out_dir, f"progress-{p.name or p.id}.jsonl")
+            with open(path, "a", encoding="utf-8") as f:
+                f.write(p.json + "\n")
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = _ProgressLogger()
+    spark.streams.addListener(listener)
+    return listener

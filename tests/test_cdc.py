@@ -902,3 +902,29 @@ def test_purge_soft_deleted_retention(spark, tmp_path):
     assert store.purge_soft_deleted("2024-01-01 00:00:00") == 0  # idempotent
     # lookups still work against the rewritten layout
     assert {r["id"] for r in store.lookup(["1", "2", "3"]).collect()} == {"1", "3"}
+
+
+def test_snapshot_isolated_from_concurrent_merge(spark, tmp_path):
+    """A snapshot pinned BEFORE an upsert keeps serving the pre-merge
+    version even though the swap deleted the original files (hardlinks
+    keep the bytes alive); live read() sees the post-merge state."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    store = StateStore(spark, str(tmp_path / "snap"), ["id"], schema, 4)
+    store.upsert_batch(spark.createDataFrame([("1", "old"), ("2", "x")], schema))
+    with store.snapshot() as snap:
+        store.upsert_batch(
+            spark.createDataFrame([("1", "new"), ("3", "y")], schema)
+        )
+        got_snap = {r["id"]: r["v"] for r in snap.collect()}
+        got_live = {r["id"]: r["v"] for r in store.read().collect()}
+        assert got_snap == {"1": "old", "2": "x"}
+        assert got_live == {"1": "new", "2": "x", "3": "y"}
+    with store.snapshot() as fresh:
+        assert {r["id"]: r["v"] for r in fresh.collect()} == got_live

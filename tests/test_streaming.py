@@ -808,3 +808,46 @@ def test_stream_cdc_processing_time_trigger(spark, tmp_path):
         for r in want_df.collect()
     }
     assert got == want
+
+
+def test_progress_listener_writes_engine_metrics(spark, tmp_path):
+    """attach_progress_logger must capture the engine's own per-batch
+    progress (numInputRows etc.) for a drained query — the cluster
+    metrics channel next to the reference-parity text log."""
+    import json
+    import os
+    import time as _time
+
+    from kafkatosparktokudu_spark.streaming.metrics import (
+        attach_progress_logger,
+    )
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "plog_src")
+    events.write.parquet(src)
+    out = str(tmp_path / "plog")
+    listener = attach_progress_logger(spark, out)
+    try:
+        q = (
+            spark.readStream.schema(events.schema)
+            .parquet(src)
+            .groupBy("event_type")
+            .count()
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("plog_q")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener delivery is async; poll briefly
+        deadline = _time.time() + 30
+        path = os.path.join(out, "progress-plog_q.jsonl")
+        while _time.time() < deadline and not os.path.isfile(path):
+            _time.sleep(0.5)
+        assert os.path.isfile(path), os.listdir(out)
+        lines = [json.loads(l) for l in open(path) if l.strip()]
+        assert any(p.get("numInputRows", 0) > 0 for p in lines), lines
+    finally:
+        spark.streams.removeListener(listener)
