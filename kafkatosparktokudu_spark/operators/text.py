@@ -453,6 +453,59 @@ def domain_mixture_sample(
     )
 
 
+def decontaminated_split(
+    docs: DataFrame, eval_mod: int = 10, k: int = 4
+) -> DataFrame:
+    """Deterministic train/eval split with decontamination — the full
+    held-out-set hygiene pass a pretraining job runs: (1) assign ~1/
+    ``eval_mod`` of documents to eval by md5 hash of the id (stable
+    across runs and engines, unlike rand()); (2) remove from TRAIN every
+    document sharing a verbatim k-token shingle with ANY eval document
+    (contamination_check generalized from scan to removal; k=4 on the
+    fixture's tiny vocabulary ≈ the selectivity k≈13 has on web text —
+    k=3 saturates, removing 97% of train). Returns the per-source audit
+    row: eval size, raw train size, removed count, clean train size.
+
+    Scale shape: the eval side is a small fraction by construction, so
+    its distinct shingle set broadcasts; the train side pays one explode
+    + distinct + semi join — O(corpus tokens), no self-join. At real
+    scale the eval set is an external benchmark suite (tiny), making the
+    broadcast even cheaper."""
+    from ..functions.hashing import md5_hash32
+
+    is_eval = (md5_hash32(F.col("doc_id").cast("string")) % eval_mod) == 0
+    base = docs.select("doc_id", "source", "text", is_eval.alias("is_eval"))
+    sh = base.select(
+        "doc_id",
+        "is_eval",
+        F.explode(F.array_distinct(_token_shingles(tokens("text"), k))).alias("g"),
+    )
+    eval_sh = sh.filter("is_eval").select("g").distinct()
+    contaminated = (
+        sh.filter(~F.col("is_eval"))
+        .join(F.broadcast(eval_sh), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    flagged = base.join(
+        contaminated.withColumn("is_contaminated", F.lit(True)), "doc_id", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.sum(F.when(F.col("is_eval"), 1).otherwise(0)).alias("n_eval"),
+        F.sum(F.when(~F.col("is_eval"), 1).otherwise(0)).alias("n_train_raw"),
+        F.sum(
+            F.when(
+                ~F.col("is_eval") & F.col("is_contaminated").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_removed"),
+        F.sum(
+            F.when(
+                ~F.col("is_eval") & F.col("is_contaminated").isNull(), 1
+            ).otherwise(0)
+        ).alias("n_train_clean"),
+    )
+
+
 def token_freq_scores(docs: DataFrame, common_ppm: int = 1000) -> DataFrame:
     """Corpus-frequency language-model score — the CCNet/Gopher-style
     "does this document look like normal text" filter, with the unigram

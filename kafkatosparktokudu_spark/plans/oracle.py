@@ -1825,6 +1825,28 @@ ORACLE_SQL: dict[str, str] = {
                COALESCE(c.clean_md5, md5('')) AS clean_md5
         FROM t LEFT JOIN clean c ON t.doc_id = c.doc_id
     """,
+    # MinHash estimator vs exact Jaccard per LSH candidate pair.
+    "dd11_jaccard_estimate": f"""
+        WITH {_MINHASH_CTE},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.doc_id < b.doc_id
+             AND (a.band0 = b.band0 OR a.band1 = b.band1
+                  OR a.band2 = b.band2 OR a.band3 = b.band3)
+        )
+        SELECT doc_a, doc_b,
+               round(({' + '.join(f'CASE WHEN sa.sig{i} = sb.sig{i} THEN 1 ELSE 0 END' for i in range(16))})
+                     / 16.0, 6) AS est_jaccard,
+               round(CAST(len(list_distinct(list_intersect(x.hs, y.hs)))
+                          AS DOUBLE)
+                     / len(list_distinct(x.hs || y.hs)), 6) AS exact_jaccard
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = doc_a
+        JOIN sigs sb ON sb.doc_id = doc_b
+        JOIN base x ON x.doc_id = doc_a
+        JOIN base y ON y.doc_id = doc_b
+    """,
     # SimHash Hamming pairs: byte-band buckets are lossless for <= 3 bit
     # flips (pigeonhole over 4 bands), so blocking + verify == all pairs.
     "dd10_simhash_neardup": f"""
@@ -1942,6 +1964,41 @@ ORACLE_SQL: dict[str, str] = {
                n_bytes,
                CAST(cume - entry + 512 AS BIGINT) AS data_offset
         FROM w
+    """,
+    # Decontaminated split: md5-hash eval assignment + shingle-overlap
+    # removal from train, per-source audit.
+    "px08_decontaminated_split": f"""
+        WITH base AS (
+            SELECT doc_id, source, text,
+                   ({_H32.format(x="CAST(doc_id AS VARCHAR)")} % 10 = 0)
+                       AS is_eval
+            FROM documents
+        ),
+        toks AS (SELECT doc_id, is_eval, {_TOKS} AS l FROM base),
+        sh AS (
+            SELECT doc_id, is_eval,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(l) - 2),
+                       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                              || ' ' || l[i+3]))) AS g
+            FROM toks
+        ),
+        eval_sh AS (SELECT DISTINCT g FROM sh WHERE is_eval),
+        contaminated AS (
+            SELECT DISTINCT doc_id FROM sh
+            WHERE NOT is_eval AND g IN (SELECT g FROM eval_sh)
+        )
+        SELECT source,
+               SUM(CASE WHEN is_eval THEN 1 ELSE 0 END) AS n_eval,
+               SUM(CASE WHEN NOT is_eval THEN 1 ELSE 0 END) AS n_train_raw,
+               SUM(CASE WHEN NOT is_eval
+                         AND doc_id IN (SELECT doc_id FROM contaminated)
+                        THEN 1 ELSE 0 END) AS n_removed,
+               SUM(CASE WHEN NOT is_eval
+                         AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+                        THEN 1 ELSE 0 END) AS n_train_clean
+        FROM base
+        GROUP BY source
     """,
     # TPC-H Q2 shape — the oracle keeps the literal correlated MIN.
     "q67_min_cost_supplier": """

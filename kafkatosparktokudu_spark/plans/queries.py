@@ -1908,6 +1908,45 @@ def dd10_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
 
 
+def dd11_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash's reason for existing, shown on data: for every LSH
+    candidate pair, the signature-agreement fraction (estimator) next to
+    the exact hashed-shingle Jaccard it estimates — E[est] = J is the
+    property that lets a 16-int sketch stand in for the full shingle set
+    at 100 TB."""
+    from ..operators.dedup import (
+        hashed_shingles,
+        lsh_candidate_pairs,
+        minhash_signature_cols,
+        N_HASHES,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hs = hashed_shingles(docs).persist()
+    hs.count()
+    sigs = hs.select("doc_id", "hs", *minhash_signature_cols(F.col("hs")))
+    cand = lsh_candidate_pairs(docs, hs_df=hs)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.sig{i}") == F.col(f"b.sig{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    exact = F.size(F.array_intersect("a.hs", "b.hs")).cast("double") / F.size(
+        F.array_union("a.hs", "b.hs")
+    )
+    return (
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, F.col("doc_b") == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(float(N_HASHES)), 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("exact_jaccard"),
+        )
+    )
+
+
 def tx14_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency quality scores (CCNet/Gopher-style common-word
     filter) with the unigram model trained on the corpus itself — exact
@@ -2193,6 +2232,16 @@ def px07_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(survivors, n_shards=4)
 
 
+def px08_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/eval split + decontamination: md5-hash 10% of
+    docs to eval, drop every train doc sharing a verbatim 4-token shingle
+    with any eval doc, audit per source
+    (operators/text.py::decontaminated_split)."""
+    from ..operators.text import decontaminated_split
+
+    return decontaminated_split(_t(spark, sf_dir, "documents"))
+
+
 def q64_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL LATERAL correlated subquery (top-2 orders per high-balance
     customer) — the de-correlated plan is the same window top-k Catalyst
@@ -2288,11 +2337,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "px05_exactsubstr_scrub": px05_exactsubstr_scrub,
     "px06_incremental_ingest": px06_incremental_ingest,
     "dd10_simhash_neardup": dd10_simhash_neardup,
+    "dd11_jaccard_estimate": dd11_jaccard_estimate,
     "tx14_token_freq": tx14_token_freq,
     "sk02_bloom_semijoin": sk02_bloom_semijoin,
     "ss05_knn_join": ss05_knn_join,
     "mm05_shard_manifest": mm05_shard_manifest,
     "px07_multimodal_curation": px07_multimodal_curation,
+    "px08_decontaminated_split": px08_decontaminated_split,
     "q67_min_cost_supplier": q67_min_cost_supplier,
     "q68_forecast_revenue": q68_forecast_revenue,
     "q69_product_profit": q69_product_profit,
