@@ -765,3 +765,78 @@ def scrub_duplicated_spans(
         .alias("n_removed"),
         F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
     )
+
+
+def remove_repeated_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    chunk_tokens: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Repeated-passage (boilerplate) removal at fixed-chunk granularity —
+    the RefinedWeb / MassiveText "remove passages repeated across
+    documents" rule, with the passage unit being non-overlapping
+    ``chunk_tokens``-token chunks: any full chunk whose exact text occurs
+    in >= ``min_docs`` distinct documents is cut from EVERY document, and
+    each document is rewritten from its surviving chunks in order.
+    Complements ``scrub_duplicated_spans`` (dd09/px05): that one finds
+    maximal *overlapping-window* spans (ExactSubstr), this one is the
+    cheap chunk-hash variant real pipelines run first — one explode and
+    two hash aggregations, no window join.
+
+    Returns per doc: total chunk count, removed chunk count, and the md5
+    of the reconstructed text (kept chunks joined by single spaces, in
+    chunk order). The trailing partial chunk (< chunk_tokens words) is
+    never eligible for removal; a partial chunk's text can never collide
+    with a full chunk's (different word counts => different strings under
+    single-space joining), so the anti join may key on chunk text alone.
+
+    Scale shape: posexplode + per-(doc, chunk_id) agg (one shuffle keyed
+    on the doc id), a chunk-frequency agg with map-side partial combine,
+    an anti join keyed on chunk text (AQE broadcasts the repeated-chunk
+    side when small — boilerplate tables usually are), and one final
+    per-doc agg. Nothing is quadratic in corpus size; no driver state.
+    """
+    chunks = (
+        docs.select(F.col(id_col), F.posexplode(tokens("text")).alias("pos0", "tok"))
+        .groupBy(id_col, (F.col("pos0") / chunk_tokens).cast("int").alias("chunk_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos0", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("chunk"),
+        )
+    )
+    repeated = (
+        chunks.filter(F.col("n_words") == chunk_tokens)
+        .groupBy("chunk")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("chunk")
+    )
+    kept = chunks.join(repeated, "chunk", "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    base = chunks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    return base.join(clean, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_chunks").cast("int").alias("n_chunks"),
+        (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+        F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+    )

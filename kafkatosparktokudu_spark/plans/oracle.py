@@ -1865,6 +1865,44 @@ ORACLE_SQL: dict[str, str] = {
                CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
         FROM cand WHERE bit_count(xor(sa, sb)) <= 3
     """,
+    # Non-overlapping 4-token chunk boilerplate removal; the trailing
+    # partial chunk is never removable (n_words filter), and partial-chunk
+    # text can't collide with full-chunk text (word counts differ).
+    "dd12_repeated_chunks": """
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+            FROM documents
+        ),
+        w AS (
+            SELECT doc_id, unnest(l) AS tok,
+                   generate_subscripts(l, 1) AS pos
+            FROM t
+        ),
+        c AS (
+            SELECT doc_id, CAST((pos - 1) // 4 AS INTEGER) AS chunk_id,
+                   string_agg(tok, ' ' ORDER BY pos) AS chunk,
+                   COUNT(*) AS n_words
+            FROM w GROUP BY doc_id, CAST((pos - 1) // 4 AS INTEGER)
+        ),
+        rep AS (
+            SELECT chunk FROM c WHERE n_words = 4
+            GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        kept AS (
+            SELECT * FROM c WHERE chunk NOT IN (SELECT chunk FROM rep)
+        ),
+        agg AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   md5(string_agg(chunk, ' ' ORDER BY chunk_id)) AS clean_md5
+            FROM kept GROUP BY doc_id
+        ),
+        base AS (SELECT doc_id, COUNT(*) AS n_chunks FROM c GROUP BY doc_id)
+        SELECT b.doc_id,
+               CAST(b.n_chunks AS INTEGER) AS n_chunks,
+               CAST(b.n_chunks - COALESCE(a.n_kept, 0) AS INTEGER) AS n_removed,
+               COALESCE(a.clean_md5, md5('')) AS clean_md5
+        FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
     "tx14_token_freq": """
         WITH toks AS (
             SELECT doc_id,

@@ -1947,6 +1947,17 @@ def dd11_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dd12_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage (boilerplate) removal at non-overlapping 4-token
+    chunk granularity — any chunk text occurring in >= 2 distinct docs is
+    cut everywhere, each doc rewritten from its surviving chunks
+    (operators/dedup.py::remove_repeated_chunks). The cheap chunk-hash
+    cousin of dd09's ExactSubstr overlapping-window spans."""
+    from ..operators.dedup import remove_repeated_chunks
+
+    return remove_repeated_chunks(_t(spark, sf_dir, "documents"))
+
+
 def tx14_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency quality scores (CCNet/Gopher-style common-word
     filter) with the unigram model trained on the corpus itself — exact
@@ -2338,6 +2349,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "px06_incremental_ingest": px06_incremental_ingest,
     "dd10_simhash_neardup": dd10_simhash_neardup,
     "dd11_jaccard_estimate": dd11_jaccard_estimate,
+    "dd12_repeated_chunks": dd12_repeated_chunks,
     "tx14_token_freq": tx14_token_freq,
     "sk02_bloom_semijoin": sk02_bloom_semijoin,
     "ss05_knn_join": ss05_knn_join,

@@ -641,3 +641,35 @@ def test_knn_join_recall_vs_brute(spark):
         len(approx.get(qid, set()) & t) / len(t) for qid, t in truth.items()
     ]
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_remove_repeated_chunks_edges(spark):
+    """Partial-tail chunks are never removed (even when their text equals
+    a repeated full chunk's prefix), a doc made entirely of repeated
+    chunks reconstructs to the empty string, and kept-chunk reconstruction
+    md5 matches a Python rebuild."""
+    import hashlib
+
+    from kafkatosparktokudu_spark.operators.dedup import remove_repeated_chunks
+
+    boiler = "subscribe to our newsletter"  # 4 tokens, shared
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta gamma delta"),
+            (2, f"{boiler} epsilon zeta eta theta tail bit"),
+            (3, boiler),  # exactly one full repeated chunk -> empty doc
+            (4, "subscribe to our"),  # 3-token PARTIAL: must survive
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in remove_repeated_chunks(docs, chunk_tokens=4).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[1]["n_chunks"] == 2 and out[1]["n_removed"] == 1
+    assert out[1]["clean_md5"] == md5("alpha beta gamma delta")
+    assert out[2]["n_removed"] == 1
+    assert out[2]["clean_md5"] == md5("epsilon zeta eta theta tail bit")
+    assert out[3]["n_chunks"] == 1 and out[3]["n_removed"] == 1
+    assert out[3]["clean_md5"] == md5("")
+    assert out[4]["n_removed"] == 0 and out[4]["clean_md5"] == md5("subscribe to our")
