@@ -495,3 +495,102 @@ def label_centroids(emb: DataFrame, n_dims: int = 8) -> DataFrame:
     return e.groupBy("label", "pos").agg(
         (F.sum("val").cast("double") / F.count("val")).alias("centroid")
     )
+
+
+def kmeans_clusters(
+    emb: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    n_dims: int = 64,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column — the
+    clustering step of semantic curation (SemDeDup-style cluster-then-
+    prune pipelines). Deterministic and ORACLE-REPRODUCIBLE end to end:
+    seeds are the ``k`` lowest-vec_id vectors, assignment is argmax of
+    ROUNDED(6) cosine with cluster-id ASC tie-break (the ss03/ss04
+    ordering contract), and the centroid update is an exact DECIMAL(18,9)
+    component sum cast to double then divided by the member count — both
+    engines produce bit-identical centroid doubles (the scaled integer
+    sum stays far below 2^53, so DuckDB's decimal->double cast rounds
+    once). Clusters that lose all members in an iteration are dropped
+    (both engines see the same drop; the remaining cluster ids keep their
+    original seed numbering).
+
+    Returns one row per surviving cluster: ``(cluster_id, n_members,
+    min_vec_id, avg_cos)`` where avg_cos is the exact-decimal mean of the
+    members' rounded cosine to their final centroid.
+
+    Scale shape: per iteration — one scan with k literal-cosine
+    expressions per row (row norm staged ONCE, the seed_cell_assign
+    lesson) and one (cluster, pos)-keyed partial-agg shuffle of k*n_dims
+    groups; the driver only ever holds k*n_dims centroid doubles. At real
+    scale k grows ~sqrt(n) and iterations are a constant — never a pair
+    join, never per-row Python.
+    """
+    import math
+
+    from ..functions.vectors import dot_literal, norm
+
+    staged = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).select("vec_id", "v", norm(F.col("v")).alias("nv"))
+
+    def assign(cents: list[tuple[int, list[float]]]) -> DataFrame:
+        """(vec_id, v, cluster, cos): argmax rounded cosine over cents."""
+
+        def _score(cid: int, q: list[float]) -> Column:
+            qn = math.sqrt(sum(float(x) * float(x) for x in q)) or 1e-12
+            sim = dot_literal(F.col("v"), q) / (F.col("nv") * F.lit(qn))
+            return F.struct(
+                (-F.round(sim, 6)).alias("ns"), F.lit(cid).alias("cluster")
+            )
+
+        best = F.element_at(
+            F.array_sort(F.array(*[_score(cid, q) for cid, q in cents])), 1
+        )
+        return staged.select(
+            "vec_id",
+            "v",
+            best["cluster"].alias("cluster"),
+            (-best["ns"]).alias("cos"),
+        )
+
+    seed_rows = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
+    )
+    cents: list[tuple[int, list[float]]] = [
+        (c, [float(x) for x in r["embedding"]]) for c, r in enumerate(seed_rows)
+    ]
+    for _ in range(n_iters - 1):
+        a = assign(cents)
+        comp = (
+            a.select(
+                "cluster", F.posexplode(F.slice(F.col("v"), 1, n_dims))
+            )
+            .select(
+                "cluster", "pos", F.col("col").cast("decimal(18,9)").alias("val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                (F.sum("val").cast("double") / F.count("val")).alias("c")
+            )
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in comp:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["c"]
+        cents = [
+            (cid, [d[p] for p in range(n_dims)])
+            for cid, d in sorted(by_cluster.items())
+        ]
+    final = assign(cents)
+    return final.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("int").alias("n_members"),
+        F.min("vec_id").alias("min_vec_id"),
+        (
+            F.sum(F.col("cos").cast("decimal(10,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_cos"),
+    ).select(
+        F.col("cluster").alias("cluster_id"), "n_members", "min_vec_id", "avg_cos"
+    )

