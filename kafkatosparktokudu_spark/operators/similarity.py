@@ -497,7 +497,7 @@ def label_centroids(emb: DataFrame, n_dims: int = 8) -> DataFrame:
     )
 
 
-def kmeans_clusters(
+def kmeans_assign(
     emb: DataFrame,
     k: int = 8,
     n_iters: int = 2,
@@ -516,9 +516,10 @@ def kmeans_clusters(
     (both engines see the same drop; the remaining cluster ids keep their
     original seed numbering).
 
-    Returns one row per surviving cluster: ``(cluster_id, n_members,
-    min_vec_id, avg_cos)`` where avg_cos is the exact-decimal mean of the
-    members' rounded cosine to their final centroid.
+    Returns the final per-vector assignment ``(vec_id, v, cluster, cos)``
+    — v is the double-cast embedding, cos the rounded cosine to the
+    vector's final centroid. ``kmeans_clusters`` aggregates this to
+    cluster summaries; px09's SemDeDup prune consumes it directly.
 
     Scale shape: per iteration — one scan with k literal-cosine
     expressions per row (row norm staged ONCE, the seed_cell_assign
@@ -579,11 +580,30 @@ def kmeans_clusters(
         by_cluster: dict[int, dict[int, float]] = {}
         for r in comp:
             by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["c"]
+        for cid, d in by_cluster.items():
+            if len(d) != n_dims:
+                raise ValueError(
+                    f"embedding dim {len(d)} != n_dims {n_dims}; pass n_dims="
+                    f"{len(d)} (cluster {cid})"
+                )
         cents = [
             (cid, [d[p] for p in range(n_dims)])
             for cid, d in sorted(by_cluster.items())
         ]
-    final = assign(cents)
+    return assign(cents)
+
+
+def kmeans_clusters(
+    emb: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    n_dims: int = 64,
+) -> DataFrame:
+    """Cluster summaries over ``kmeans_assign``: one row per surviving
+    cluster — ``(cluster_id, n_members, min_vec_id, avg_cos)`` where
+    avg_cos is the exact-decimal mean of the members' rounded cosine to
+    their final centroid."""
+    final = kmeans_assign(emb, k, n_iters, n_dims)
     return final.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("int").alias("n_members"),
         F.min("vec_id").alias("min_vec_id"),
@@ -593,4 +613,60 @@ def kmeans_clusters(
         ).alias("avg_cos"),
     ).select(
         F.col("cluster").alias("cluster_id"), "n_members", "min_vec_id", "avg_cos"
+    )
+
+
+def semantic_dedup_prune(
+    emb: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    n_dims: int = 64,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embeddings, then WITHIN
+    each cluster drop every vector that has a lower-id near-twin — i.e.
+    vec x is removed iff some same-cluster y with ``vec_id < x.vec_id``
+    has ``round(cos(x, y), 6) >= threshold``. The greedy keep-first rule
+    gives one representative per epsilon-ball without a transitive
+    closure, so the whole pipeline stays SQL-expressible (px09's oracle
+    recomputes it exactly, recursion-free).
+
+    Returns per vector: ``(vec_id, cluster, is_dup, matched_id)`` with
+    matched_id = the smallest qualifying lower-id twin (NULL for
+    keepers).
+
+    Scale shape: clustering bounds the quadratic term — the pair join is
+    keyed on the cluster id (one shuffle, each task sees one cluster's
+    members), the textbook SemDeDup trade: k grows ~sqrt(n) so expected
+    per-cluster membership grows ~sqrt(n) and pairwise work stays
+    ~n^1.5, not n^2. The cosine here is vector-vs-vector (both sides are
+    columns), so it uses the HOF dot — no literals to fold.
+    """
+    from ..functions.vectors import dot
+
+    a = kmeans_assign(emb, k, n_iters, n_dims)
+    # nv staged once per row; reused across all pair comparisons
+    m = a.select(
+        "vec_id", "cluster", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv")
+    )
+    x = m.alias("x")
+    y = m.alias("y")
+    pair_cos = F.round(
+        dot(F.col("x.v"), F.col("y.v")) / (F.col("x.nv") * F.col("y.nv")), 6
+    )
+    twins = (
+        x.join(
+            y,
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("y.vec_id") < F.col("x.vec_id")),
+        )
+        .filter(pair_cos >= threshold)
+        .groupBy(F.col("x.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("y.vec_id")).alias("matched_id"))
+    )
+    return m.select("vec_id", "cluster").join(twins, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.col("matched_id").isNotNull().alias("is_dup"),
+        "matched_id",
     )

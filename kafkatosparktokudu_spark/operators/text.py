@@ -555,3 +555,75 @@ def token_freq_scores(docs: DataFrame, common_ppm: int = 1000) -> DataFrame:
             ).alias("pct_common"),
         )
     )
+
+
+def bigram_surprisal_scores(
+    docs: DataFrame, id_col: str = "doc_id", model_docs: DataFrame | None = None
+) -> DataFrame:
+    """CCNet-style LM-perplexity quality buckets (Wenzek et al. 2020:
+    score each document with a language-model perplexity, split the
+    corpus into head/middle/tail thirds), with the LM being a bigram
+    model trained on ``model_docs`` (CCNet trains on a high-quality
+    reference corpus; default = self-trained on ``docs``) and the score
+    an exact-arithmetic surprisal: per bigram type,
+    s = round(log2(CL(w1) / C2(w1 w2)), 6) — the negative log2 of the
+    left-conditional probability — and per document the DECIMAL-exact
+    mean of its bigram surprisals. Documents with fewer than two tokens
+    have no bigrams and are omitted; bigrams absent from the model are
+    ignored (OOV-skip policy, documented not smoothed). Self-trained
+    caveat: a bigram whose left word appears only once scores 0 (its
+    conditional is 1) — the standard unsmoothed-LM artifact; training on
+    a reference corpus avoids it.
+
+    Complements ``token_freq_scores`` (tx14, unigram common-word filter):
+    this is the sequence-model signal — word-salad scores high surprisal
+    even when every unigram is common.
+
+    Scale shape: bigram explode is O(total tokens); the model is two
+    hash aggs (bigram counts, then left-marginals off the already-
+    aggregated type table — never a second token scan); scoring is one
+    shuffle join keyed on the bigram string against the type table
+    (vocabulary-sized, stays distributed — never on the driver). The
+    final ntile(3) runs on the PER-DOCUMENT aggregate — orders of
+    magnitude smaller than the token table but still a single-partition
+    sort; at deploy scale swap it for approx_percentile cutoffs (the
+    bucket boundaries are the only global state).
+    """
+    from pyspark.sql import Window
+
+    def _bg(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col),
+            F.explode(_bigrams(tokens("text"))).alias("bigram"),
+        ).withColumn("w1", F.substring_index("bigram", " ", 1))
+
+    bg = _bg(docs)
+    model_bg = bg if model_docs is None else _bg(model_docs)
+    c2 = model_bg.groupBy("w1", "bigram").agg(F.count(F.lit(1)).alias("c2"))
+    cl = c2.groupBy("w1").agg(F.sum("c2").alias("cl"))
+    s = c2.join(cl, "w1").select(
+        "bigram",
+        F.round(F.log2(F.col("cl").cast("double") / F.col("c2")), 6).alias("s"),
+    )
+    d = (
+        bg.join(s, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            (
+                F.sum(F.col("s").cast("decimal(12,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_surprisal"),
+        )
+    )
+    w = Window.orderBy("avg_surprisal", id_col)
+    tier = F.ntile(3).over(w)
+    return d.select(
+        F.col(id_col),
+        "n_bigrams",
+        "avg_surprisal",
+        F.when(tier == 1, "head")
+        .when(tier == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )

@@ -200,6 +200,42 @@ _CC_CTES = f"""{_MINHASH_CTE},
             SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
         )"""
 
+# Shared k-means CTE block (ss06 / px09): e = double-cast vectors,
+# seeds = 8 lowest vec_ids, a1 = iteration-1 assignment, comp/cent =
+# exact-decimal centroid update, a2 = final assignment with rounded cosine.
+_KMEANS_CTES = """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS sv
+            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+        ),
+        a1 AS (
+            SELECT vec_id, v, cluster FROM (
+                SELECT e.vec_id, e.v, s.cluster,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(list_cosine_similarity(e.v, s.sv), 6)
+                                        DESC, s.cluster) AS rn
+                FROM e CROSS JOIN seeds s) WHERE rn = 1
+        ),
+        comp AS (
+            SELECT cluster, pos,
+                   CAST(SUM(CAST(v[pos + 1] AS DECIMAL(18,9))) AS DOUBLE)
+                       / COUNT(*) AS c
+            FROM a1, range(64) t(pos) GROUP BY cluster, pos
+        ),
+        cent AS (SELECT cluster, list(c ORDER BY pos) AS cv FROM comp
+                 GROUP BY cluster),
+        a2 AS (
+            SELECT vec_id, cluster, cos FROM (
+                SELECT e.vec_id, c.cluster,
+                       round(list_cosine_similarity(e.v, c.cv), 6) AS cos,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(list_cosine_similarity(e.v, c.cv), 6)
+                                        DESC, c.cluster) AS rn
+                FROM e CROSS JOIN cent c) WHERE rn = 1
+        )"""
+
 ORACLE_SQL: dict[str, str] = {
     "tx01_token_stats": f"""
         SELECT doc_id, n_chars,
@@ -1870,45 +1906,33 @@ ORACLE_SQL: dict[str, str] = {
     # ordering contract); centroid update = exact DECIMAL(18,9) component
     # sum -> double -> /count (scaled integer sum << 2^53, so the
     # decimal->double cast rounds once and matches Spark bit-for-bit).
-    "ss06_kmeans_clusters": """
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        seeds AS (
-            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS sv
-            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
-        ),
-        a1 AS (
-            SELECT vec_id, v, cluster FROM (
-                SELECT e.vec_id, e.v, s.cluster,
-                       row_number() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY round(list_cosine_similarity(e.v, s.sv), 6)
-                                        DESC, s.cluster) AS rn
-                FROM e CROSS JOIN seeds s) WHERE rn = 1
-        ),
-        comp AS (
-            SELECT cluster, pos,
-                   CAST(SUM(CAST(v[pos + 1] AS DECIMAL(18,9))) AS DOUBLE)
-                       / COUNT(*) AS c
-            FROM a1, range(64) t(pos) GROUP BY cluster, pos
-        ),
-        cent AS (SELECT cluster, list(c ORDER BY pos) AS cv FROM comp
-                 GROUP BY cluster),
-        a2 AS (
-            SELECT vec_id, cluster, cos FROM (
-                SELECT e.vec_id, c.cluster,
-                       round(list_cosine_similarity(e.v, c.cv), 6) AS cos,
-                       row_number() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY round(list_cosine_similarity(e.v, c.cv), 6)
-                                        DESC, c.cluster) AS rn
-                FROM e CROSS JOIN cent c) WHERE rn = 1
-        )
+    # The CTE block is shared with px09 (SemDeDup) below.
+    "ss06_kmeans_clusters": f"""
+        WITH {_KMEANS_CTES}
         SELECT cluster AS cluster_id,
                CAST(COUNT(*) AS INTEGER) AS n_members,
                MIN(vec_id) AS min_vec_id,
                CAST(SUM(CAST(cos AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*)
                    AS avg_cos
         FROM a2 GROUP BY cluster
+    """,
+    # SemDeDup: within-cluster greedy keep-first prune over the k-means
+    # assignment — x is a dup iff a lower-id same-cluster y has rounded
+    # cosine >= 0.3.
+    "px09_semdedup": f"""
+        WITH {_KMEANS_CTES},
+        twins AS (
+            SELECT x.vec_id AS vec_id, MIN(y.vec_id) AS matched_id
+            FROM a2 x
+            JOIN a2 y ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+            JOIN e ex ON ex.vec_id = x.vec_id
+            JOIN e ey ON ey.vec_id = y.vec_id
+            WHERE round(list_cosine_similarity(ex.v, ey.v), 6) >= 0.3
+            GROUP BY x.vec_id
+        )
+        SELECT a.vec_id, a.cluster,
+               (t.matched_id IS NOT NULL) AS is_dup, t.matched_id
+        FROM a2 a LEFT JOIN twins t USING (vec_id)
     """,
     # Non-overlapping 4-token chunk boilerplate removal; the trailing
     # partial chunk is never removable (n_words filter), and partial-chunk
@@ -1947,6 +1971,42 @@ ORACLE_SQL: dict[str, str] = {
                CAST(b.n_chunks - COALESCE(a.n_kept, 0) AS INTEGER) AS n_removed,
                COALESCE(a.clean_md5, md5('')) AS clean_md5
         FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+    # Bigram-LM surprisal (CCNet head/middle/tail): s = round(log2(CL/C2),6)
+    # per bigram TYPE; per-doc mean via DECIMAL(12,6) sum -> double /count;
+    # tertiles via ntile(3) ordered (avg_surprisal, doc_id) — total order,
+    # identical split rule in both engines.
+    "tx15_bigram_surprisal": """
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+            FROM documents
+        ),
+        w AS (
+            SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+            FROM t
+        ),
+        bg AS (
+            SELECT a.doc_id, a.tok AS w1, a.tok || ' ' || b.tok AS bigram
+            FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        c2 AS (SELECT w1, bigram, COUNT(*) AS c2 FROM bg
+               GROUP BY w1, bigram),
+        cl AS (SELECT w1, SUM(c2) AS cl FROM c2 GROUP BY w1),
+        s AS (
+            SELECT bigram, round(log2(CAST(cl AS DOUBLE) / c2), 6) AS s
+            FROM c2 JOIN cl USING (w1)
+        ),
+        d AS (
+            SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+                   CAST(SUM(CAST(s AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*)
+                       AS avg_surprisal
+            FROM bg JOIN s USING (bigram) GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams, avg_surprisal,
+               CASE ntile(3) OVER (ORDER BY avg_surprisal, doc_id)
+                    WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM d
     """,
     "tx14_token_freq": """
         WITH toks AS (

@@ -1957,6 +1957,26 @@ def ss06_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_clusters(_t(spark, sf_dir, "embeddings"))
 
 
+def tx15_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity buckets from a self-trained bigram LM:
+    per-doc exact-decimal mean bigram surprisal, corpus split into
+    head/middle/tail thirds (operators/text.py::bigram_surprisal_scores)."""
+    from ..operators.text import bigram_surprisal_scores
+
+    return bigram_surprisal_scores(_t(spark, sf_dir, "documents"))
+
+
+def px09_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end-to-end: k-means cluster the
+    embeddings (k=8, 2 Lloyd iterations), then within each cluster drop
+    every vector with a lower-id near-twin at cosine >= 0.3 — greedy
+    keep-first, one representative per epsilon-ball, no transitive
+    closure (operators/similarity.py::semantic_dedup_prune)."""
+    from ..operators.similarity import semantic_dedup_prune
+
+    return semantic_dedup_prune(_t(spark, sf_dir, "embeddings"))
+
+
 def dd12_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-passage (boilerplate) removal at non-overlapping 4-token
     chunk granularity — any chunk text occurring in >= 2 distinct docs is
@@ -2361,6 +2381,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd11_jaccard_estimate": dd11_jaccard_estimate,
     "dd12_repeated_chunks": dd12_repeated_chunks,
     "ss06_kmeans_clusters": ss06_kmeans_clusters,
+    "px09_semdedup": px09_semdedup,
+    "tx15_bigram_surprisal": tx15_bigram_surprisal,
     "tx14_token_freq": tx14_token_freq,
     "sk02_bloom_semijoin": sk02_bloom_semijoin,
     "ss05_knn_join": ss05_knn_join,

@@ -707,3 +707,84 @@ def test_kmeans_recovers_planted_clusters(spark):
     assert sorted(r["n_members"] for r in out) == [per, per, per]
     # high cohesion: planted noise keeps members within ~0.01 of cos=1
     assert all(r["avg_cos"] > 0.99 for r in out)
+
+
+def test_bigram_surprisal_flags_word_salad(spark):
+    """Docs that reuse the corpus' frequent transitions score low
+    surprisal; a doc pairing the SAME common words in novel orders
+    scores highest and lands in the tail bucket."""
+    from kafkatosparktokudu_spark.operators.text import bigram_surprisal_scores
+
+    # fluent corpus: transitions are deterministic (a->b->c->d->a)
+    fluent = "a b c d a b c d a b c d"
+    rows = [(i, fluent) for i in range(8)]
+    # word salad: SAME common words, but none of the fluent transitions
+    rows.append((99, "a c a d b a c b d c"))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in bigram_surprisal_scores(docs).collect()}
+    assert len(out) == 9
+    salad, others = out[99], [out[i] for i in range(8)]
+    assert all(salad["avg_surprisal"] > o["avg_surprisal"] for o in others)
+    # 9 docs -> tertiles of 3; the salad doc is the single highest scorer
+    assert salad["ppl_bucket"] == "tail"
+
+
+def test_bigram_surprisal_reference_model(spark):
+    """Training the LM on a reference corpus scores OOV-free eval docs
+    identically to self-training on the reference, and skips bigrams the
+    model never saw."""
+    from kafkatosparktokudu_spark.operators.text import bigram_surprisal_scores
+
+    ref = spark.createDataFrame(
+        [(i, "alpha beta gamma alpha beta delta") for i in range(4)],
+        "doc_id int, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta zeta unseen pair")],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bigram_surprisal_scores(eval_docs, model_docs=ref).collect()
+    }
+    # doc 1: both bigrams in-model; doc 2: only "alpha beta" survives OOV-skip
+    assert out[1]["n_bigrams"] == 2
+    assert out[2]["n_bigrams"] == 1
+    # "alpha beta": CL(alpha)=8, C2=8 -> s=0; "beta gamma": CL(beta)=8, C2=4 -> s=1
+    assert abs(out[1]["avg_surprisal"] - 0.5) < 1e-9
+    assert abs(out[2]["avg_surprisal"] - 0.0) < 1e-9
+
+
+def test_semdedup_prunes_planted_twins(spark):
+    """Near-identical vector pairs collapse to the lower id; distinct
+    vectors survive; matched_id always points at a lower id in the same
+    cluster."""
+    import random
+
+    from kafkatosparktokudu_spark.operators.similarity import semantic_dedup_prune
+
+    rng = random.Random(5)
+    dim = 12
+    rows = []
+    base = []
+    for i in range(12):
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        base.append(v)
+        rows.append((i * 10, v, 0))
+    # plant a near-twin (tiny perturbation) for every even base vector
+    for i in range(0, 12, 2):
+        twin = [x + rng.uniform(-1e-4, 1e-4) for x in base[i]]
+        rows.append((i * 10 + 1, twin, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup_prune(emb, k=4, n_dims=dim, threshold=0.99).collect()
+    }
+    assert len(out) == 18
+    for i in range(0, 12, 2):
+        tw = out[i * 10 + 1]
+        assert tw["is_dup"] and tw["matched_id"] == i * 10
+    # originals all survive (their twins have HIGHER ids)
+    assert all(not out[i * 10]["is_dup"] for i in range(12))
