@@ -48,6 +48,26 @@ def dot_literal(vec: Column, q: list[float]) -> Column:
     return reduce(lambda a, b: a + b, terms)
 
 
+def dot_flat(a: Column, b: Column, n_dims: int = 64) -> Column:
+    """Element-wise dot of two COLUMN vectors as a straight-line
+    ``n_dims``-term sum — the vec-vec twin of ``dot_literal``. Bit-equal
+    to the HOF ``dot`` (same left-assoc addition order; IEEE 0.0+t1==t1),
+    but avoids the per-element lambda frames that cost ~5 s of codegen
+    compile per distinct plan. Requires both arrays to have >= n_dims
+    elements (ANSI element_at raises otherwise)."""
+    from functools import reduce
+
+    terms = [
+        F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(n_dims)
+    ]
+    return reduce(lambda x, y: x + y, terms)
+
+
+def norm_flat(vec: Column, n_dims: int = 64) -> Column:
+    """sqrt(dot_flat(vec, vec)) — bit-equal to the HOF ``norm``."""
+    return F.sqrt(dot_flat(vec, vec, n_dims))
+
+
 def cosine_literal(vec: Column, q: list[float]) -> Column:
     """Cosine against a literal query; the query norm folds to one
     driver-side constant."""

@@ -530,11 +530,11 @@ def kmeans_assign(
     """
     import math
 
-    from ..functions.vectors import dot_literal, norm
+    from ..functions.vectors import dot_literal, norm_flat
 
     staged = emb.select(
         "vec_id", as_double(F.col("embedding")).alias("v")
-    ).select("vec_id", "v", norm(F.col("v")).alias("nv"))
+    ).select("vec_id", "v", norm_flat(F.col("v"), n_dims).alias("nv"))
 
     def assign(cents: list[tuple[int, list[float]]]) -> DataFrame:
         """(vec_id, v, cluster, cos): argmax rounded cosine over cents."""
@@ -642,17 +642,19 @@ def semantic_dedup_prune(
     ~n^1.5, not n^2. The cosine here is vector-vs-vector (both sides are
     columns), so it uses the HOF dot — no literals to fold.
     """
-    from ..functions.vectors import dot
+    from ..functions.vectors import dot_flat, norm_flat
 
     a = kmeans_assign(emb, k, n_iters, n_dims)
     # nv staged once per row; reused across all pair comparisons
     m = a.select(
-        "vec_id", "cluster", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv")
+        "vec_id", "cluster", "v", norm_flat(F.col("v"), n_dims).alias("nv")
     )
     x = m.alias("x")
     y = m.alias("y")
     pair_cos = F.round(
-        dot(F.col("x.v"), F.col("y.v")) / (F.col("x.nv") * F.col("y.nv")), 6
+        dot_flat(F.col("x.v"), F.col("y.v"), n_dims)
+        / (F.col("x.nv") * F.col("y.nv")),
+        6,
     )
     twins = (
         x.join(

@@ -579,40 +579,51 @@ def bigram_surprisal_scores(
     this is the sequence-model signal — word-salad scores high surprisal
     even when every unigram is common.
 
-    Scale shape: bigram explode is O(total tokens); the model is two
-    hash aggs (bigram counts, then left-marginals off the already-
-    aggregated type table — never a second token scan); scoring is one
-    shuffle join keyed on the bigram string against the type table
-    (vocabulary-sized, stays distributed — never on the driver). The
-    final ntile(3) runs on the PER-DOCUMENT aggregate — orders of
-    magnitude smaller than the token table but still a single-partition
-    sort; at deploy scale swap it for approx_percentile cutoffs (the
-    bucket boundaries are the only global state).
+    Scale shape: ONE bigram explode per corpus, immediately collapsed to
+    per-(doc, bigram-type) counts — everything downstream (model aggs,
+    scoring join, per-doc mean as the n-weighted sum(n·s)/sum(n), exact
+    decimal either way) works at type granularity, which is much smaller
+    than occurrence granularity; the model is two further hash aggs off
+    that table (never a second token scan), and the scoring join keys on
+    the bigram string against the vocabulary-sized type table (stays
+    distributed — never on the driver). The final ntile(3) runs on the
+    PER-DOCUMENT aggregate — orders of magnitude smaller than the token
+    table but still a single-partition sort; at deploy scale swap it for
+    approx_percentile cutoffs (the bucket boundaries are the only global
+    state).
     """
     from pyspark.sql import Window
 
-    def _bg(frame: DataFrame) -> DataFrame:
-        return frame.select(
-            F.col(id_col),
-            F.explode(_bigrams(tokens("text"))).alias("bigram"),
-        ).withColumn("w1", F.substring_index("bigram", " ", 1))
+    def _doc_types(frame: DataFrame) -> DataFrame:
+        return (
+            frame.select(
+                F.col(id_col), F.explode(_bigrams(tokens("text"))).alias("bigram")
+            )
+            .groupBy(id_col, "bigram")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
 
-    bg = _bg(docs)
-    model_bg = bg if model_docs is None else _bg(model_docs)
-    c2 = model_bg.groupBy("w1", "bigram").agg(F.count(F.lit(1)).alias("c2"))
+    dtypes = _doc_types(docs)
+    model_types = dtypes if model_docs is None else _doc_types(model_docs)
+    c2 = (
+        model_types.groupBy("bigram")
+        .agg(F.sum("n").alias("c2"))
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+    )
     cl = c2.groupBy("w1").agg(F.sum("c2").alias("cl"))
     s = c2.join(cl, "w1").select(
         "bigram",
         F.round(F.log2(F.col("cl").cast("double") / F.col("c2")), 6).alias("s"),
     )
     d = (
-        bg.join(s, "bigram")
+        dtypes.join(s, "bigram")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.sum("n").cast("int").alias("n_bigrams"),
             (
-                F.sum(F.col("s").cast("decimal(12,6)")).cast("double")
-                / F.count(F.lit(1))
+                F.sum(F.col("n") * F.col("s").cast("decimal(12,6)"))
+                .cast("double")
+                / F.sum("n")
             ).alias("avg_surprisal"),
         )
     )
