@@ -1,0 +1,234 @@
+"""Declarative data-quality constraint checks (Deequ / dbt-test style).
+
+A pipeline feeding a 100 TB training run needs the same gate a warehouse
+does: key uniqueness, referential integrity, null/range/domain contracts —
+asserted IN the engine, as one report, before anything downstream trusts
+the data. The reference pipeline validates per-record shape only
+(ConsumerMain.scala's malformed-record drop); this module is the
+table-level complement.
+
+Check algebra (all declarative, all single-pass per check class):
+
+- ``NotNull`` / ``InRange`` / ``AcceptedValues`` — row predicates. All
+  row checks against the SAME table share ONE scan/agg (conditional
+  sums), so adding a 10th column contract costs zero extra reads.
+- ``Unique`` — duplicate-key ROW count via one groupBy(keys) + one
+  re-agg (map-side partial both times; never a self-join).
+- ``ForeignKey`` — orphan count via one left join against the parent's
+  distinct keys + conditional agg (AQE broadcasts small parents; at
+  scale it's a plain shuffle join keyed on the FK).
+
+``constraint_report`` returns one row per check:
+``(check_id, check_type, table_name, target, n_violations, n_rows,
+passed)`` — the whole report is one DataFrame plan (union of the
+per-class plans), so an orchestrator can sink/alert on it like any
+other query result.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass(frozen=True)
+class NotNull:
+    table: str
+    column: str
+
+
+@dataclass(frozen=True)
+class InRange:
+    """Violations = non-null values outside [lo, hi] (nulls are
+    ``NotNull``'s business)."""
+
+    table: str
+    column: str
+    lo: float
+    hi: float
+
+
+@dataclass(frozen=True)
+class AcceptedValues:
+    table: str
+    column: str
+    values: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class Unique:
+    """Violations = rows whose key tuple occurs more than once (0 for a
+    clean key; 2+ whenever any dup exists)."""
+
+    table: str
+    columns: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class ForeignKey:
+    """Violations = child rows with a NON-NULL key absent from the
+    parent (null FKs are ``NotNull``'s business)."""
+
+    table: str
+    column: str
+    parent: str
+    parent_key: str
+
+
+Check = NotNull | InRange | AcceptedValues | Unique | ForeignKey
+
+_REPORT_SCHEMA = T.StructType(
+    [
+        T.StructField("check_id", T.StringType(), False),
+        T.StructField("check_type", T.StringType(), False),
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("target", T.StringType(), False),
+        T.StructField("n_violations", T.LongType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("passed", T.BooleanType(), False),
+    ]
+)
+
+
+def _row_condition(c: Check) -> F.Column:
+    if isinstance(c, NotNull):
+        return F.col(c.column).isNull()
+    if isinstance(c, InRange):
+        col = F.col(c.column)
+        return col.isNotNull() & ((col < F.lit(c.lo)) | (col > F.lit(c.hi)))
+    if isinstance(c, AcceptedValues):
+        col = F.col(c.column)
+        return col.isNotNull() & ~col.isin(*c.values)
+    raise TypeError(f"not a row check: {c}")
+
+
+def check_id(c: Check) -> str:
+    if isinstance(c, NotNull):
+        return f"not_null:{c.table}.{c.column}"
+    if isinstance(c, InRange):
+        return f"in_range:{c.table}.{c.column}"
+    if isinstance(c, AcceptedValues):
+        return f"accepted:{c.table}.{c.column}"
+    if isinstance(c, Unique):
+        return f"unique:{c.table}.{','.join(c.columns)}"
+    return f"fk:{c.table}.{c.column}->{c.parent}.{c.parent_key}"
+
+
+def _finish(df: DataFrame) -> DataFrame:
+    return df.select(
+        "check_id",
+        "check_type",
+        "table_name",
+        "target",
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+def constraint_report(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    checks: list[Check],
+) -> DataFrame:
+    """One report row per check; see module docstring for the plan shape
+    of each check class."""
+    parts: list[DataFrame] = []
+
+    # --- row checks: one shared scan+agg per table -----------------------
+    by_table: dict[str, list[Check]] = {}
+    for c in checks:
+        if isinstance(c, (NotNull, InRange, AcceptedValues)):
+            by_table.setdefault(c.table, []).append(c)
+    for tname, tchecks in by_table.items():
+        aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+            F.sum(F.when(_row_condition(c), 1).otherwise(0)).alias(f"v{i}")
+            for i, c in enumerate(tchecks)
+        ]
+        one = tables[tname].agg(*aggs)
+        rows = one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(check_id(c)).alias("check_id"),
+                            F.lit(type(c).__name__.lower()).alias("check_type"),
+                            F.lit(c.table).alias("table_name"),
+                            F.lit(c.column).alias("target"),
+                            F.col(f"v{i}").alias("n_violations"),
+                            F.col("n_rows").alias("n_rows"),
+                        )
+                        for i, c in enumerate(tchecks)
+                    ]
+                )
+            ).alias("r")
+        ).select("r.*")
+        parts.append(_finish(rows))
+
+    # --- unique / fk: one small plan each --------------------------------
+    for c in checks:
+        if isinstance(c, Unique):
+            grouped = (
+                tables[c.table]
+                .groupBy(*c.columns)
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            one = grouped.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("n") > 1, F.col("n"))), F.lit(0)
+                ).alias("n_violations"),
+                F.coalesce(F.sum("n"), F.lit(0)).alias("n_rows"),
+            )
+            parts.append(
+                _finish(
+                    one.select(
+                        F.lit(check_id(c)).alias("check_id"),
+                        F.lit("unique").alias("check_type"),
+                        F.lit(c.table).alias("table_name"),
+                        F.lit(",".join(c.columns)).alias("target"),
+                        "n_violations",
+                        "n_rows",
+                    )
+                )
+            )
+        elif isinstance(c, ForeignKey):
+            parent_keys = (
+                tables[c.parent]
+                .select(F.col(c.parent_key).alias("__pk"))
+                .distinct()
+            )
+            joined = tables[c.table].join(
+                parent_keys, F.col(c.column) == F.col("__pk"), "left"
+            )
+            one = joined.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(
+                        F.col(c.column).isNotNull() & F.col("__pk").isNull(), 1
+                    ).otherwise(0)
+                ).alias("n_violations"),
+            )
+            parts.append(
+                _finish(
+                    one.select(
+                        F.lit(check_id(c)).alias("check_id"),
+                        F.lit("foreignkey").alias("check_type"),
+                        F.lit(c.table).alias("table_name"),
+                        F.lit(f"{c.column}->{c.parent}.{c.parent_key}").alias(
+                            "target"
+                        ),
+                        "n_violations",
+                        "n_rows",
+                    )
+                )
+            )
+
+    if not parts:
+        return spark.createDataFrame([], _REPORT_SCHEMA)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1972,6 +1972,107 @@ ORACLE_SQL: dict[str, str] = {
                COALESCE(a.clean_md5, md5('')) AS clean_md5
         FROM base b LEFT JOIN agg a USING (doc_id)
     """,
+    # Data-quality constraint report: one SELECT per check, UNION ALL —
+    # same check ids/semantics as operators/quality_checks.py (nulls are
+    # only not_null violations; FK ignores null child keys; unique counts
+    # ROWS in duplicated key groups).
+    "dq01_constraint_report": """
+        SELECT 'not_null:customer.c_name' AS check_id, 'notnull' AS check_type,
+               'customer' AS table_name, 'c_name' AS target,
+               CAST(COUNT(*) FILTER (c_name IS NULL) AS BIGINT) AS n_violations,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               COUNT(*) FILTER (c_name IS NULL) = 0 AS passed
+        FROM customer
+        UNION ALL
+        SELECT 'not_null:orders.o_orderdate', 'notnull', 'orders', 'o_orderdate',
+               CAST(COUNT(*) FILTER (o_orderdate IS NULL) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT),
+               COUNT(*) FILTER (o_orderdate IS NULL) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'not_null:events.user_id', 'notnull', 'events', 'user_id',
+               CAST(COUNT(*) FILTER (user_id IS NULL) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT),
+               COUNT(*) FILTER (user_id IS NULL) = 0
+        FROM events
+        UNION ALL
+        SELECT 'in_range:customer.c_acctbal', 'inrange', 'customer', 'c_acctbal',
+               CAST(COUNT(*) FILTER (c_acctbal IS NOT NULL
+                    AND (c_acctbal < 0.0 OR c_acctbal > 10000.0)) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT),
+               COUNT(*) FILTER (c_acctbal IS NOT NULL
+                    AND (c_acctbal < 0.0 OR c_acctbal > 10000.0)) = 0
+        FROM customer
+        UNION ALL
+        SELECT 'in_range:lineitem.l_discount', 'inrange', 'lineitem', 'l_discount',
+               CAST(COUNT(*) FILTER (l_discount IS NOT NULL
+                    AND (l_discount < 0.0 OR l_discount > 0.1)) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT),
+               COUNT(*) FILTER (l_discount IS NOT NULL
+                    AND (l_discount < 0.0 OR l_discount > 0.1)) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'in_range:lineitem.l_quantity', 'inrange', 'lineitem', 'l_quantity',
+               CAST(COUNT(*) FILTER (l_quantity IS NOT NULL
+                    AND (l_quantity < 1.0 OR l_quantity > 50.0)) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT),
+               COUNT(*) FILTER (l_quantity IS NOT NULL
+                    AND (l_quantity < 1.0 OR l_quantity > 50.0)) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'accepted:orders.o_orderstatus', 'acceptedvalues', 'orders',
+               'o_orderstatus',
+               CAST(COUNT(*) FILTER (o_orderstatus IS NOT NULL
+                    AND o_orderstatus NOT IN ('F','O','P')) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT),
+               COUNT(*) FILTER (o_orderstatus IS NOT NULL
+                    AND o_orderstatus NOT IN ('F','O','P')) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'unique:customer.c_custkey', 'unique', 'customer', 'c_custkey',
+               CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) AS BIGINT),
+               CAST(COALESCE(SUM(n), 0) AS BIGINT),
+               COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) = 0
+        FROM (SELECT COUNT(*) AS n FROM customer GROUP BY c_custkey)
+        UNION ALL
+        SELECT 'unique:lineitem.l_orderkey,l_linenumber', 'unique', 'lineitem',
+               'l_orderkey,l_linenumber',
+               CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) AS BIGINT),
+               CAST(COALESCE(SUM(n), 0) AS BIGINT),
+               COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) = 0
+        FROM (SELECT COUNT(*) AS n FROM lineitem
+              GROUP BY l_orderkey, l_linenumber)
+        UNION ALL
+        SELECT 'fk:orders.o_custkey->customer.c_custkey', 'foreignkey', 'orders',
+               'o_custkey->customer.c_custkey',
+               CAST(COUNT(*) FILTER (o_custkey IS NOT NULL AND __pk IS NULL)
+                    AS BIGINT),
+               CAST(COUNT(*) AS BIGINT),
+               COUNT(*) FILTER (o_custkey IS NOT NULL AND __pk IS NULL) = 0
+        FROM orders o LEFT JOIN
+             (SELECT DISTINCT c_custkey AS __pk FROM customer) p
+             ON o.o_custkey = p.__pk
+        UNION ALL
+        SELECT 'fk:lineitem.l_orderkey->orders.o_orderkey', 'foreignkey',
+               'lineitem', 'l_orderkey->orders.o_orderkey',
+               CAST(COUNT(*) FILTER (l_orderkey IS NOT NULL AND __pk IS NULL)
+                    AS BIGINT),
+               CAST(COUNT(*) AS BIGINT),
+               COUNT(*) FILTER (l_orderkey IS NOT NULL AND __pk IS NULL) = 0
+        FROM lineitem l LEFT JOIN
+             (SELECT DISTINCT o_orderkey AS __pk FROM orders) p
+             ON l.l_orderkey = p.__pk
+        UNION ALL
+        SELECT 'fk:nation.n_regionkey->region.r_regionkey', 'foreignkey',
+               'nation', 'n_regionkey->region.r_regionkey',
+               CAST(COUNT(*) FILTER (n_regionkey IS NOT NULL AND __pk IS NULL)
+                    AS BIGINT),
+               CAST(COUNT(*) AS BIGINT),
+               COUNT(*) FILTER (n_regionkey IS NOT NULL AND __pk IS NULL) = 0
+        FROM nation n LEFT JOIN
+             (SELECT DISTINCT r_regionkey AS __pk FROM region) p
+             ON n.n_regionkey = p.__pk
+    """,
     # Bigram-LM surprisal (CCNet head/middle/tail): s = round(log2(CL/C2),6)
     # per bigram TYPE; per-doc mean via DECIMAL(12,6) sum -> double /count;
     # tertiles via ntile(3) ordered (avg_surprisal, doc_id) — total order,

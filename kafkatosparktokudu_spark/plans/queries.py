@@ -1957,6 +1957,43 @@ def ss06_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_clusters(_t(spark, sf_dir, "embeddings"))
 
 
+def dq01_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (Deequ/dbt-test style) over the
+    warehouse: null/range/domain contracts, key uniqueness, referential
+    integrity — one report row per check, row checks sharing one scan per
+    table (operators/quality_checks.py). The fixture makes it non-trivial:
+    lineitem's (l_orderkey, l_linenumber) pair is NOT unique and customer
+    balances go negative, so the report carries real failures."""
+    from ..operators.quality_checks import (
+        AcceptedValues,
+        ForeignKey,
+        InRange,
+        NotNull,
+        Unique,
+        constraint_report,
+    )
+
+    tables = {
+        n: _t(spark, sf_dir, n)
+        for n in ("customer", "orders", "lineitem", "nation", "region", "events")
+    }
+    checks = [
+        NotNull("customer", "c_name"),
+        NotNull("orders", "o_orderdate"),
+        NotNull("events", "user_id"),
+        InRange("customer", "c_acctbal", 0.0, 10000.0),
+        InRange("lineitem", "l_discount", 0.0, 0.1),
+        InRange("lineitem", "l_quantity", 1.0, 50.0),
+        AcceptedValues("orders", "o_orderstatus", ("F", "O", "P")),
+        Unique("customer", ("c_custkey",)),
+        Unique("lineitem", ("l_orderkey", "l_linenumber")),
+        ForeignKey("orders", "o_custkey", "customer", "c_custkey"),
+        ForeignKey("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ForeignKey("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    return constraint_report(spark, tables, checks)
+
+
 def tx15_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity buckets from a self-trained bigram LM:
     per-doc exact-decimal mean bigram surprisal, corpus split into
@@ -2383,6 +2420,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss06_kmeans_clusters": ss06_kmeans_clusters,
     "px09_semdedup": px09_semdedup,
     "tx15_bigram_surprisal": tx15_bigram_surprisal,
+    "dq01_constraint_report": dq01_constraint_report,
     "tx14_token_freq": tx14_token_freq,
     "sk02_bloom_semijoin": sk02_bloom_semijoin,
     "ss05_knn_join": ss05_knn_join,

@@ -788,3 +788,55 @@ def test_semdedup_prunes_planted_twins(spark):
         assert tw["is_dup"] and tw["matched_id"] == i * 10
     # originals all survive (their twins have HIGHER ids)
     assert all(not out[i * 10]["is_dup"] for i in range(12))
+
+
+def test_constraint_report_planted_violations(spark):
+    """Each check class counts exactly its planted violations: nulls,
+    out-of-range, off-domain, duplicate keys, FK orphans — and null FKs
+    are NOT orphans."""
+    from kafkatosparktokudu_spark.operators.quality_checks import (
+        AcceptedValues,
+        ForeignKey,
+        InRange,
+        NotNull,
+        Unique,
+        constraint_report,
+    )
+
+    child = spark.createDataFrame(
+        [
+            (1, "a", 5.0, "X"),
+            (2, None, -3.0, "Y"),   # null name; range violation
+            (2, "c", 200.0, "Z"),   # dup id; range violation; bad status
+            (4, "d", 50.0, None),   # null status is NOT an accepted-violation
+            (5, "e", 7.0, "X"),
+        ],
+        "id int, name string, bal double, status string",
+    )
+    parent = spark.createDataFrame([(1,), (2,), (4,)], "pid int")
+    link = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 99), (4, None)], "row_id int, ref int"
+    )
+    out = {
+        r["check_id"]: r
+        for r in constraint_report(
+            spark,
+            {"child": child, "parent": parent, "link": link},
+            [
+                NotNull("child", "name"),
+                InRange("child", "bal", 0.0, 100.0),
+                AcceptedValues("child", "status", ("X", "Y", "Z")),
+                Unique("child", ("id",)),
+                ForeignKey("link", "ref", "parent", "pid"),
+            ],
+        ).collect()
+    }
+    assert len(out) == 5
+    nn = out["not_null:child.name"]
+    assert nn["n_violations"] == 1 and not nn["passed"] and nn["n_rows"] == 5
+    assert out["in_range:child.bal"]["n_violations"] == 2
+    assert out["accepted:child.status"]["n_violations"] == 0
+    uq = out["unique:child.id"]
+    assert uq["n_violations"] == 2 and uq["n_rows"] == 5
+    fk = out["fk:link.ref->parent.pid"]
+    assert fk["n_violations"] == 1 and fk["n_rows"] == 4 and not fk["passed"]
