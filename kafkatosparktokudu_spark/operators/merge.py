@@ -86,7 +86,14 @@ def merge_upserts(
 
 
 class StateStore:
-    """Bucketed-parquet keyed table with MERGE-style upsert batches."""
+    """Bucketed-parquet keyed table with MERGE-style upsert batches.
+
+    Schema evolution: reopening a store with a WIDER schema (upstream DDL
+    added a nullable column) just works — the explicit-schema parquet read
+    returns null for the new column on pre-evolution bucket files, and the
+    coalesce merge fills values in as batches arrive; reopening NARROWER
+    projects the surviving columns. No rewrite, no migration job — pinned
+    by test_statestore_schema_evolution_across_restart."""
 
     def __init__(
         self,

@@ -928,3 +928,45 @@ def test_snapshot_isolated_from_concurrent_merge(spark, tmp_path):
         assert got_live == {"1": "new", "2": "x", "3": "y"}
     with store.snapshot() as fresh:
         assert {r["id"]: r["v"] for r in fresh.collect()} == got_live
+
+
+def test_statestore_schema_evolution_across_restart(spark, tmp_path):
+    """Upstream DDL adds a column: a store reopened with the WIDER catalog
+    schema reads pre-evolution bucket files with nulls in the new column,
+    merges partial updates onto old rows, and keeps serving point lookups.
+    Reopening with a NARROWER schema (column dropped upstream) simply
+    projects the remaining columns. Pins the explicit-schema read path of
+    StateStore._read_with_bucket (KuduManager.scala:70-114's alter-table
+    analog)."""
+    from pyspark.sql import types as T
+
+    from kafkatosparktokudu_spark.operators.merge import StateStore
+
+    path = str(tmp_path / "emp")
+    v1 = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("a", T.StringType())]
+    )
+    StateStore(spark, path, ["id"], v1, n_buckets=4).upsert_batch(
+        spark.createDataFrame([(1, "x"), (2, "y")], v1)
+    )
+    v2 = T.StructType(
+        list(v1.fields) + [T.StructField("b", T.IntegerType())]
+    )
+    st2 = StateStore(spark, path, ["id"], v2, n_buckets=4)
+    st2.upsert_batch(
+        spark.createDataFrame([(2, None, 20), (3, "z", 30)], v2)
+    )
+    got = {r["id"]: (r["a"], r["b"]) for r in st2.read().collect()}
+    assert got == {1: ("x", None), 2: ("y", 20), 3: ("z", 30)}
+    # point lookup sees the evolved schema too
+    assert {tuple(r) for r in st2.lookup([1, 3]).collect()} == {
+        (1, "x", None),
+        (3, "z", 30),
+    }
+    # narrowing: dropped column disappears, values survive
+    st3 = StateStore(spark, path, ["id"], v1, n_buckets=4)
+    assert {tuple(r) for r in st3.read().collect()} == {
+        (1, "x"),
+        (2, "y"),
+        (3, "z"),
+    }
