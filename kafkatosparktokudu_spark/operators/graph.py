@@ -78,3 +78,61 @@ def pagerank(
             eager=True
         )
     return ranks
+
+
+def triangle_stats(edges: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """Global triangle census over an UNDIRECTED edge list given as
+    id-ordered pairs (a < b, deduplicated — the near-dup pair shape):
+    one row with node/edge/wedge/triangle counts and the global
+    clustering coefficient 3·triangles / wedges.
+
+    Triangles are counted once each via the ordered orientation: for
+    a < b < c, the join matches e1=(a,b) ⋈ e2=(b,c) on the middle vertex
+    and closes with e3=(a,c). Wedges are exact integer arithmetic:
+    Σ d·(d−1) over nodes, halved with integer division (the sum is even).
+    The coefficient is one double division, rounded 6 — oracle-stable.
+
+    Scale shape: two shuffle joins over the (sparse) edge list plus two
+    hash aggs — no step touches the underlying corpus. The id-ordered
+    orientation already bounds the join fan-out on skewed graphs; the
+    standard refinement at extreme skew is degree-ordering the
+    orientation (relabel nodes by ascending degree) so every join side
+    fans out O(sqrt(|E|)) — a relabel pass, same plan afterwards.
+    """
+    e = edges.select(F.col(a).alias("ea"), F.col(b).alias("eb"))
+    deg = (
+        e.select(F.col("ea").alias("node"))
+        .unionAll(e.select(F.col("eb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    base = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("sum(d * (d - 1)) div 2").alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.eb") == F.col("e2.ea"))
+        .join(
+            e3,
+            (F.col("e3.ea") == F.col("e1.ea"))
+            & (F.col("e3.eb") == F.col("e2.eb")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    out = base.crossJoin(n_edges).crossJoin(tri)
+    return out.select(
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.col("n_edges").cast("bigint").alias("n_edges"),
+        F.col("n_wedges").cast("bigint").alias("n_wedges"),
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(
+                (F.lit(3) * F.col("n_triangles")).cast("double")
+                / F.col("n_wedges"),
+                6,
+            ),
+        ).alias("clustering_coeff"),
+    )

@@ -232,3 +232,91 @@ def constraint_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def column_profile(
+    tables: dict[str, DataFrame],
+    columns: dict[str, dict[str, str]],
+    mean_decimal: str = "decimal(12,2)",
+) -> DataFrame:
+    """Deequ-style column profiling — the observe side of the quality
+    gate: per (table, column), completeness / cardinality / distribution
+    metrics in LONG format ``(table_name, column_name, metric, value)``
+    with value always DOUBLE (counts are < 2^53, so the cast is exact).
+
+    ``columns``: {table: {column: 'numeric' | 'string'}}.
+    numeric → n_rows, n_nulls, n_distinct, min, max, mean
+    string  → n_rows, n_nulls, n_distinct, min_len, max_len, avg_len
+    mean/avg_len are DECIMAL-exact sums divided once in double (oracle-
+    stable); min/max are exact. ``mean_decimal`` sets the cast for the
+    mean's sum — the default 2dp money grade keeps the scaled integer
+    under 2^53 at any realistic table size (single-rounding on the
+    decimal→double cast, the functions/exact.py rule); raise the scale
+    for finer-grained columns and lower it for astronomically large sums.
+
+    Scale shape: ONE agg per table covers every profiled column (shared
+    scan). The exact count_distinct per column makes Spark plan an Expand
+    (input duplicated per distinct column) — the right call at audit
+    scales; for 100 TB continuous profiling swap in
+    approx_count_distinct (HLL) per column, which collapses the Expand
+    back to one pass. Everything else is map-side partial aggregation.
+    """
+    parts: list[DataFrame] = []
+    for tname, cols in columns.items():
+        aggs: list[F.Column] = [F.count(F.lit(1)).alias("__n_rows")]
+        metric_cols: list[tuple[str, str, str]] = []  # (column, metric, agg alias)
+        for i, (cname, kind) in enumerate(cols.items()):
+            col = F.col(cname)
+            per: list[tuple[str, F.Column]] = [
+                ("n_nulls", F.sum(F.when(col.isNull(), 1).otherwise(0))),
+                ("n_distinct", F.count_distinct(col)),
+            ]
+            if kind == "numeric":
+                per += [
+                    ("min", F.min(col).cast("double")),
+                    ("max", F.max(col).cast("double")),
+                    (
+                        "mean",
+                        F.sum(col.cast(mean_decimal)).cast("double")
+                        / F.count(col),
+                    ),
+                ]
+            elif kind == "string":
+                ln = F.length(col)
+                per += [
+                    ("min_len", F.min(ln).cast("double")),
+                    ("max_len", F.max(ln).cast("double")),
+                    ("avg_len", F.sum(ln).cast("double") / F.count(col)),
+                ]
+            else:
+                raise ValueError(f"unknown column kind {kind!r}")
+            for m, expr in per:
+                alias = f"__m{i}_{m}"
+                aggs.append(expr.alias(alias))
+                metric_cols.append((cname, m, alias))
+        one = tables[tname].agg(*aggs)
+        structs = []
+        for cname, m, alias in metric_cols:
+            structs.append(
+                F.struct(
+                    F.lit(cname).alias("column_name"),
+                    F.lit(m).alias("metric"),
+                    F.col(alias).cast("double").alias("value"),
+                )
+            )
+            if m == "n_nulls":  # emit n_rows once per column alongside
+                structs.append(
+                    F.struct(
+                        F.lit(cname).alias("column_name"),
+                        F.lit("n_rows").alias("metric"),
+                        F.col("__n_rows").cast("double").alias("value"),
+                    )
+                )
+        rows = one.select(F.explode(F.array(*structs)).alias("r")).select(
+            F.lit(tname).alias("table_name"), "r.*"
+        )
+        parts.append(rows)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -236,7 +236,57 @@ _KMEANS_CTES = """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
                 FROM e CROSS JOIN cent c) WHERE rn = 1
         )"""
 
+def _profile_sql(spec: dict[str, dict[str, str]]) -> str:
+    """Long-format column-profile oracle — one SELECT per (column, metric),
+    mirroring operators/quality_checks.py::column_profile (mean via
+    DECIMAL(12,2) sum → single double division; length stats exact)."""
+    blocks: list[str] = []
+    for t, cols in spec.items():
+        for c, kind in cols.items():
+            metrics = [
+                ("n_rows", "COUNT(*)"),
+                ("n_nulls", f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"),
+                ("n_distinct", f"COUNT(DISTINCT {c})"),
+            ]
+            if kind == "numeric":
+                metrics += [
+                    ("min", f"MIN({c})"),
+                    ("max", f"MAX({c})"),
+                    (
+                        "mean",
+                        f"CAST(SUM(CAST({c} AS DECIMAL(12,2))) AS DOUBLE)"
+                        f" / COUNT({c})",
+                    ),
+                ]
+            else:
+                metrics += [
+                    ("min_len", f"MIN(length({c}))"),
+                    ("max_len", f"MAX(length({c}))"),
+                    (
+                        "avg_len",
+                        f"CAST(SUM(length({c})) AS DOUBLE) / COUNT({c})",
+                    ),
+                ]
+            for m, expr in metrics:
+                blocks.append(
+                    f"SELECT '{t}' AS table_name, '{c}' AS column_name, "
+                    f"'{m}' AS metric, CAST({expr} AS DOUBLE) AS value FROM {t}"
+                )
+    return "\nUNION ALL\n".join(blocks)
+
+
+_DQ02_SPEC = {
+    "customer": {
+        "c_custkey": "numeric",
+        "c_acctbal": "numeric",
+        "c_name": "string",
+        "c_mktsegment": "string",
+    },
+    "orders": {"o_totalprice": "numeric", "o_orderstatus": "string"},
+}
+
 ORACLE_SQL: dict[str, str] = {
+    "dq02_column_profile": _profile_sql(_DQ02_SPEC),
     "tx01_token_stats": f"""
         SELECT doc_id, n_chars,
                CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
@@ -327,6 +377,54 @@ ORACLE_SQL: dict[str, str] = {
                        / len(list_distinct(x.hs || y.hs)) AS jaccard
             FROM cand JOIN base x ON x.doc_id = doc_a JOIN base y ON y.doc_id = doc_b
         ) WHERE jaccard >= 0.2
+    """,
+    # Triangle census of the dd04 near-dup graph: ordered orientation
+    # (a<b<c) counts each triangle once; wedges = sum d(d-1) // 2 exact.
+    "gr02_triangle_stats": f"""
+        WITH {_MINHASH_CTE},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.doc_id < b.doc_id
+             AND (a.band0 = b.band0 OR a.band1 = b.band1
+                  OR a.band2 = b.band2 OR a.band3 = b.band3)
+        ),
+        edges AS (
+            SELECT doc_a AS ea, doc_b AS eb FROM (
+                SELECT doc_a, doc_b,
+                       CAST(len(list_distinct(list_intersect(x.hs, y.hs)))
+                                AS DOUBLE)
+                           / len(list_distinct(x.hs || y.hs)) AS jaccard
+                FROM cand JOIN base x ON x.doc_id = doc_a
+                          JOIN base y ON y.doc_id = doc_b
+            ) WHERE jaccard >= 0.2
+        ),
+        deg AS (
+            SELECT node, COUNT(*) AS d FROM (
+                SELECT ea AS node FROM edges
+                UNION ALL SELECT eb FROM edges
+            ) GROUP BY node
+        ),
+        basec AS (
+            SELECT COUNT(*) AS n_nodes,
+                   SUM(d * (d - 1)) // 2 AS n_wedges
+            FROM deg
+        ),
+        ec AS (SELECT COUNT(*) AS n_edges FROM edges),
+        tri AS (
+            SELECT COUNT(*) AS n_triangles
+            FROM edges e1
+            JOIN edges e2 ON e2.ea = e1.eb
+            JOIN edges e3 ON e3.ea = e1.ea AND e3.eb = e2.eb
+        )
+        SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+               CAST(n_edges AS BIGINT) AS n_edges,
+               CAST(n_wedges AS BIGINT) AS n_wedges,
+               CAST(n_triangles AS BIGINT) AS n_triangles,
+               CASE WHEN n_wedges > 0
+                    THEN round(CAST(3 * n_triangles AS DOUBLE) / n_wedges, 6)
+               END AS clustering_coeff
+        FROM basec, ec, tri
     """,
     "dd07_dup_clusters": f"""
         WITH RECURSIVE {_CC_CTES}

@@ -1957,6 +1957,45 @@ def ss06_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_clusters(_t(spark, sf_dir, "embeddings"))
 
 
+def dq02_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style column profiling in long format — completeness,
+    exact cardinality, min/max/mean (numeric) and length stats (string),
+    one shared scan per table (operators/quality_checks.py::column_profile)."""
+    from ..operators.quality_checks import column_profile
+
+    return column_profile(
+        {
+            "customer": _t(spark, sf_dir, "customer"),
+            "orders": _t(spark, sf_dir, "orders"),
+        },
+        {
+            "customer": {
+                "c_custkey": "numeric",
+                "c_acctbal": "numeric",
+                "c_name": "string",
+                "c_mktsegment": "string",
+            },
+            "orders": {
+                "o_totalprice": "numeric",
+                "o_orderstatus": "string",
+            },
+        },
+    )
+
+
+def gr02_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the near-dup
+    pair graph (operators/graph.py::triangle_stats over the dd04 edges)
+    — how clumpy the duplicate structure is, the graph-metrics complement
+    of dd07's component extraction."""
+    from ..operators.dedup import neardup_pairs_jaccard
+    from ..operators.graph import triangle_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = neardup_pairs_jaccard(docs, threshold=0.2).select("doc_a", "doc_b")
+    return triangle_stats(edges)
+
+
 def dq01_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate (Deequ/dbt-test style) over the
     warehouse: null/range/domain contracts, key uniqueness, referential
@@ -2421,6 +2460,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "px09_semdedup": px09_semdedup,
     "tx15_bigram_surprisal": tx15_bigram_surprisal,
     "dq01_constraint_report": dq01_constraint_report,
+    "gr02_triangle_stats": gr02_triangle_stats,
+    "dq02_column_profile": dq02_column_profile,
     "tx14_token_freq": tx14_token_freq,
     "sk02_bloom_semijoin": sk02_bloom_semijoin,
     "ss05_knn_join": ss05_knn_join,

@@ -840,3 +840,46 @@ def test_constraint_report_planted_violations(spark):
     assert uq["n_violations"] == 2 and uq["n_rows"] == 5
     fk = out["fk:link.ref->parent.pid"]
     assert fk["n_violations"] == 1 and fk["n_rows"] == 4 and not fk["passed"]
+
+
+def test_triangle_stats_known_graphs(spark):
+    """K4 (complete): 6 edges, 12 wedges, 4 triangles, coeff 1.0.
+    Appending a pendant vertex adds 1 edge, 3 wedges, 0 triangles."""
+    from kafkatosparktokudu_spark.operators.graph import triangle_stats
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    df = spark.createDataFrame(k4, "doc_a long, doc_b long")
+    r = triangle_stats(df).head()
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (
+        4, 6, 12, 4,
+    )
+    assert abs(r["clustering_coeff"] - 1.0) < 1e-12
+
+    withp = spark.createDataFrame(k4 + [(3, 9)], "doc_a long, doc_b long")
+    r2 = triangle_stats(withp).head()
+    assert (r2["n_nodes"], r2["n_edges"], r2["n_wedges"], r2["n_triangles"]) == (
+        5, 7, 15, 4,
+    )
+    assert abs(r2["clustering_coeff"] - round(12 / 15, 6)) < 1e-12
+
+
+def test_column_profile_null_handling(spark):
+    """All-null column: mean/avg_len NULL, n_distinct 0, n_nulls = n_rows;
+    mixed column divides by NON-NULL count."""
+    from kafkatosparktokudu_spark.operators.quality_checks import column_profile
+
+    t = spark.createDataFrame(
+        [(1.0, None), (3.0, None), (None, None)],
+        "x double, s string",
+    )
+    out = {
+        (r["column_name"], r["metric"]): r["value"]
+        for r in column_profile(
+            {"t": t}, {"t": {"x": "numeric", "s": "string"}}
+        ).collect()
+    }
+    assert out[("x", "n_rows")] == 3.0 and out[("x", "n_nulls")] == 1.0
+    assert out[("x", "n_distinct")] == 2.0
+    assert out[("x", "mean")] == 2.0  # (1+3)/2 non-null
+    assert out[("s", "n_nulls")] == 3.0 and out[("s", "n_distinct")] == 0.0
+    assert out[("s", "avg_len")] is None and out[("s", "min_len")] is None
