@@ -320,3 +320,85 @@ def column_profile(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def distribution_drift(
+    baseline: DataFrame, current: DataFrame, columns: list[str]
+) -> DataFrame:
+    """Categorical distribution drift between a baseline and a current
+    slice — the train/serve-skew monitor every production ML pipeline
+    runs: per column, the total variation distance between the two value
+    distributions plus the single worst-drifting value. All arithmetic is
+    exact integer ppm (share = n·10^6 div total), so the report is
+    oracle-stable with no float aggregation at all.
+
+    Returns one row per column: ``(column_name, n_baseline, n_current,
+    n_values, tvd_ppm, top_value, top_diff_ppm)`` — tvd_ppm =
+    Σ|share_a − share_b| // 2 over values (0 = identical, 1e6 =
+    disjoint); top_value picks the max |diff| with value-DESC tie-break
+    (Spark struct-max == SQL ORDER BY diff DESC, val DESC).
+
+    Scale shape: per column — two hash aggs (one per slice, map-side
+    partial), a full-outer join on the value domain (categorical, small),
+    and one final agg. Row counts never leave the cluster; nulls are
+    folded to a '<null>' sentinel so both engines join them as a value.
+    """
+    parts: list[DataFrame] = []
+    for c in columns:
+
+        def _counts(df: DataFrame, alias: str) -> DataFrame:
+            return (
+                df.select(
+                    F.coalesce(F.col(c).cast("string"), F.lit("<null>")).alias(
+                        "val"
+                    )
+                )
+                .groupBy("val")
+                .agg(F.count(F.lit(1)).alias(alias))
+            )
+
+        j = (
+            _counts(baseline, "n_a")
+            .join(_counts(current, "n_b"), "val", "full_outer")
+            .select(
+                "val",
+                F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            )
+        )
+        tot = j.agg(
+            F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+        )
+        s = j.crossJoin(F.broadcast(tot)).select(
+            "val",
+            "n_a",
+            "n_b",
+            "ta",
+            "tb",
+            F.abs(
+                F.expr("n_a * CAST(1000000 AS BIGINT) div ta")
+                - F.expr("n_b * CAST(1000000 AS BIGINT) div tb")
+            ).alias("d"),
+        )
+        one = s.agg(
+            F.max("ta").alias("n_baseline"),
+            F.max("tb").alias("n_current"),
+            F.count(F.lit(1)).cast("int").alias("n_values"),
+            F.expr("sum(d) div 2").alias("tvd_ppm"),
+            F.max(F.struct(F.col("d"), F.col("val"))).alias("top"),
+        )
+        parts.append(
+            one.select(
+                F.lit(c).alias("column_name"),
+                F.col("n_baseline").cast("bigint").alias("n_baseline"),
+                F.col("n_current").cast("bigint").alias("n_current"),
+                "n_values",
+                F.col("tvd_ppm").cast("bigint").alias("tvd_ppm"),
+                F.col("top.val").alias("top_value"),
+                F.col("top.d").cast("bigint").alias("top_diff_ppm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -275,6 +275,43 @@ def _profile_sql(spec: dict[str, dict[str, str]]) -> str:
     return "\nUNION ALL\n".join(blocks)
 
 
+def _drift_sql(cols: list[str], base_pred: str, cur_pred: str) -> str:
+    """Distribution-drift oracle — integer-ppm shares, TVD = Σ|Δ| // 2,
+    top value via (d DESC, val DESC), mirroring quality_checks.py::
+    distribution_drift (Spark struct-max tie-break)."""
+    ctes: list[str] = []
+    selects: list[str] = []
+    for i, col in enumerate(cols):
+        v = f"COALESCE(CAST({col} AS VARCHAR), '<null>')"
+        ctes.append(
+            f"""a{i} AS (SELECT {v} AS val, COUNT(*) AS n_a
+                 FROM orders WHERE {base_pred} GROUP BY 1),
+        b{i} AS (SELECT {v} AS val, COUNT(*) AS n_b
+                 FROM orders WHERE {cur_pred} GROUP BY 1),
+        j{i} AS (SELECT val, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+                 FROM a{i} FULL JOIN b{i} USING (val)),
+        s{i} AS (SELECT val, n_a, n_b,
+                        SUM(n_a) OVER () AS ta, SUM(n_b) OVER () AS tb
+                 FROM j{i}),
+        d{i} AS (SELECT val, ta, tb,
+                        abs(n_a * 1000000 // ta - n_b * 1000000 // tb) AS d
+                 FROM s{i})"""
+        )
+        selects.append(
+            f"""SELECT '{col}' AS column_name,
+               CAST(MAX(ta) AS BIGINT) AS n_baseline,
+               CAST(MAX(tb) AS BIGINT) AS n_current,
+               CAST(COUNT(*) AS INTEGER) AS n_values,
+               CAST(SUM(d) // 2 AS BIGINT) AS tvd_ppm,
+               (SELECT val FROM d{i} ORDER BY d DESC, val DESC LIMIT 1)
+                   AS top_value,
+               CAST((SELECT d FROM d{i} ORDER BY d DESC, val DESC LIMIT 1)
+                    AS BIGINT) AS top_diff_ppm
+        FROM d{i}"""
+        )
+    return "WITH " + ",\n        ".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 _DQ02_SPEC = {
     "customer": {
         "c_custkey": "numeric",
@@ -287,6 +324,11 @@ _DQ02_SPEC = {
 
 ORACLE_SQL: dict[str, str] = {
     "dq02_column_profile": _profile_sql(_DQ02_SPEC),
+    "dq03_distribution_drift": _drift_sql(
+        ["o_orderstatus", "o_orderpriority"],
+        "o_orderdate < TIMESTAMP '1996-01-01'",
+        "o_orderdate >= TIMESTAMP '1996-01-01'",
+    ),
     "tx01_token_stats": f"""
         SELECT doc_id, n_chars,
                CAST(len({_TOKS}) AS INTEGER) AS n_tokens,

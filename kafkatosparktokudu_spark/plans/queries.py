@@ -1983,6 +1983,22 @@ def dq02_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq03_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/serve-skew monitor: exact integer-ppm total-variation
+    distance of categorical distributions between the pre-1996 baseline
+    and the post-1996 current slice of orders
+    (operators/quality_checks.py::distribution_drift)."""
+    from ..operators.quality_checks import distribution_drift
+
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1996-01-01").cast("timestamp")
+    return distribution_drift(
+        orders.filter(F.col("o_orderdate") < cutoff),
+        orders.filter(F.col("o_orderdate") >= cutoff),
+        ["o_orderstatus", "o_orderpriority"],
+    )
+
+
 def gr02_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census + global clustering coefficient of the near-dup
     pair graph (operators/graph.py::triangle_stats over the dd04 edges)
@@ -2462,6 +2478,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq01_constraint_report": dq01_constraint_report,
     "gr02_triangle_stats": gr02_triangle_stats,
     "dq02_column_profile": dq02_column_profile,
+    "dq03_distribution_drift": dq03_distribution_drift,
     "tx14_token_freq": tx14_token_freq,
     "sk02_bloom_semijoin": sk02_bloom_semijoin,
     "ss05_knn_join": ss05_knn_join,

@@ -883,3 +883,21 @@ def test_column_profile_null_handling(spark):
     assert out[("x", "mean")] == 2.0  # (1+3)/2 non-null
     assert out[("s", "n_nulls")] == 3.0 and out[("s", "n_distinct")] == 0.0
     assert out[("s", "avg_len")] is None and out[("s", "min_len")] is None
+
+
+def test_distribution_drift_extremes(spark):
+    """Identical slices drift 0; disjoint value sets drift 1e6; nulls are
+    compared as a value."""
+    from kafkatosparktokudu_spark.operators.quality_checks import (
+        distribution_drift,
+    )
+
+    a = spark.createDataFrame([("x",), ("x",), ("y",), (None,)], "c string")
+    same = {
+        r["column_name"]: r for r in distribution_drift(a, a, ["c"]).collect()
+    }
+    assert same["c"]["tvd_ppm"] == 0 and same["c"]["n_values"] == 3
+    b = spark.createDataFrame([("z",), ("w",)], "c string")
+    diff = distribution_drift(a, b, ["c"]).head()
+    assert diff["tvd_ppm"] == 1000000
+    assert diff["n_baseline"] == 4 and diff["n_current"] == 2

@@ -394,3 +394,55 @@ def test_shard_manifest_matches_tarfile(spark, sizes, tmp_path_factory):
                 doc_id = int(m.name.split(".")[0])
                 assert tf.extractfile(m).read() == payloads[doc_id]
                 assert predicted[doc_id][2] == m.offset_data, (doc_id, fn)
+
+
+# -- repeated-chunk boilerplate removal (dd12) -------------------------------
+# Small vocabulary on purpose: cross-doc chunk collisions need repeated
+# 4-token sequences, which a 4-word alphabet produces constantly.
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=13
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_repeated_chunks_match_python_oracle(spark, docs):
+    import hashlib
+
+    from kafkatosparktokudu_spark.operators.dedup import remove_repeated_chunks
+
+    k, min_docs = 4, 2
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    # pure-Python oracle
+    chunks: dict[int, list[str]] = {}
+    for i, toks in enumerate(docs):
+        # engine convention: split('') yields one EMPTY token, so an empty
+        # doc has exactly one 1-word chunk "" (never removable: 1 != k)
+        eff = toks if toks else [""]
+        chunks[i] = [" ".join(eff[j : j + k]) for j in range(0, len(eff), k)]
+    owners: dict[str, set[int]] = {}
+    for i, cs in chunks.items():
+        for c in cs:
+            if len(c.split(" ")) == k:
+                owners.setdefault(c, set()).add(i)
+    repeated = {c for c, o in owners.items() if len(o) >= min_docs}
+    want = {}
+    for i, cs in chunks.items():
+        kept = [c for c in cs if c not in repeated]
+        want[i] = (
+            len(cs),
+            len(cs) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_removed"], r["clean_md5"])
+        for r in remove_repeated_chunks(
+            spark.createDataFrame(rows, "doc_id int, text string"),
+            chunk_tokens=k,
+            min_docs=min_docs,
+        ).collect()
+    }
+    assert out == want
