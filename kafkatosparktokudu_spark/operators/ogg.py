@@ -181,3 +181,52 @@ def derive_pub_event(valid_normalized: DataFrame, now_str: str | None = None) ->
         .withColumn("his_delete_state", F.lit("0"))
     )
     return with_time_stamp(folded, now_str)
+
+
+def history_table_changes(df: DataFrame, target: TargetTable) -> DataFrame:
+    """SCD2 history for one table's change stream — the warehouse-native
+    upgrade over the reference's latest-state-only store (KuduManager.scala
+    keeps one row per key; the pub_event audit keeps only the latest ts):
+    one VERSION row per change record, carrying the CUMULATIVE folded state
+    as of that change. Versioning semantics match fold_table_changes
+    exactly — payload columns are the running last-non-null across
+    non-delete records (partial updates inherit), a D record closes the
+    row into a delete_state='1' version that keeps the pre-delete payload,
+    and a later U resurrects — so the final version per key IS the folded
+    state (property-tested).
+
+    Output per version: payload columns (catalog-cast via try_cast, the
+    S16 rule), ``delete_state``, ``valid_from``/``valid_to`` (normalized
+    change ts; NULL valid_to = current), ``version`` (1-based), and
+    ``is_current``.
+
+    Scale shape: ONE shuffle keyed on the PK + a per-key sort of that
+    key's versions (bounded by the key's change count, not table size) —
+    the same exchange class as the fold's groupBy; every window below
+    shares the single sort.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("current_ts"), F.col("seq"))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols: list[Column] = []
+    for f in target.payload.fields:
+        if f.name == target.key:
+            cols.append(F.col("id").cast(f.dataType).alias(f.name))
+            continue
+        val = F.when(
+            F.col("op_type") != "D", F.col("after").getItem(f.name.upper())
+        )
+        cols.append(
+            F.last(val, ignorenulls=True).over(wcum).try_cast(f.dataType).alias(f.name)
+        )
+    cols += [
+        F.when(F.col("op_type") == "D", F.lit("1")).otherwise(F.lit("0")).alias(
+            DELETE_STATE
+        ),
+        F.col("current_ts_norm").alias("valid_from"),
+        F.lead("current_ts_norm").over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+        F.lead("current_ts_norm").over(w).isNull().alias("is_current"),
+    ]
+    return df.select(*cols)

@@ -645,10 +645,13 @@ def semantic_dedup_prune(
     from ..functions.vectors import dot_flat, norm_flat
 
     a = kmeans_assign(emb, k, n_iters, n_dims)
-    # nv staged once per row; reused across all pair comparisons
+    # nv staged once per row; PIN before the self-join — otherwise both
+    # join sides recompute the full k-means lineage (two assignment scans
+    # each, the dd04 persist-before-self-join lesson)
     m = a.select(
         "vec_id", "cluster", "v", norm_flat(F.col("v"), n_dims).alias("nv")
-    )
+    ).persist()
+    m.count()
     x = m.alias("x")
     y = m.alias("y")
     pair_cos = F.round(

@@ -275,6 +275,31 @@ def _profile_sql(spec: dict[str, dict[str, str]]) -> str:
     return "\nUNION ALL\n".join(blocks)
 
 
+def _cdc_history_sql(table: str, cols: dict[str, str]) -> str:
+    """SCD2 history SQL for one target table — cumulative last-non-null
+    per payload column over the LWW order, mirroring
+    operators/ogg.py::history_table_changes."""
+    col_exprs = ",\n               ".join(
+        f"TRY_CAST(last_value(CASE WHEN op_type <> 'D' THEN"
+        f" after['{c.upper()}'][1] END IGNORE NULLS) OVER wc AS {t}) AS {c}"
+        for c, t in cols.items()
+    )
+    return f"""
+        WITH {_CDC_VALID}
+        SELECT id,
+               {col_exprs},
+               CASE WHEN op_type = 'D' THEN '1' ELSE '0' END AS delete_state,
+               replace(current_ts, 'T', ' ') AS valid_from,
+               lead(replace(current_ts, 'T', ' ')) OVER w AS valid_to,
+               CAST(row_number() OVER w AS INTEGER) AS version,
+               lead(current_ts) OVER w IS NULL AS is_current
+        FROM valid WHERE tab_name = '{table}'
+        WINDOW w AS (PARTITION BY id ORDER BY ord),
+               wc AS (PARTITION BY id ORDER BY ord
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+
 def _drift_sql(cols: list[str], base_pred: str, cur_pred: str) -> str:
     """Distribution-drift oracle — integer-ppm shares, TVD = Σ|Δ| // 2,
     top value via (d DESC, val DESC), mirroring quality_checks.py::
@@ -618,6 +643,16 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents
     """,
 
+    "cdc_emp_history": _cdc_history_sql(
+        "emp",
+        {
+            "name": "VARCHAR",
+            "salary": "DOUBLE",
+            "dept_id": "INTEGER",
+            "active": "BOOLEAN",
+            "hire_ts": "TIMESTAMP",
+        },
+    ),
     "cdc_emp_state": _cdc_fold_sql(
         "emp",
         {

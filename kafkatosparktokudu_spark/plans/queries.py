@@ -788,6 +788,26 @@ cdc_dept_state = _cdc_state("dept")
 cdc_pub_event = _cdc_state("pub_event")
 
 
+def cdc_emp_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history of the emp change stream: one version row per change
+    with cumulative folded payload, valid_from/valid_to intervals, and
+    delete/resurrect versions — the warehouse-native upgrade over the
+    reference's latest-state-only Kudu store
+    (operators/ogg.py::history_table_changes)."""
+    from ..catalog import default_catalog
+    from ..cdc import read_fixture
+    from ..operators.ogg import (
+        history_table_changes,
+        normalize,
+        parse_ogg,
+        split_valid,
+    )
+
+    valid, _dead = split_valid(parse_ogg(read_fixture(spark)))
+    emp = normalize(valid).filter(F.col("tab_name") == "emp")
+    return history_table_changes(emp, default_catalog()["emp"])
+
+
 def cdc_dept_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained per-dept rollup (operators/rollup.py): the
     fixture is replayed in TWO micro-batches, each MERGEing into the emp
@@ -2479,6 +2499,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr02_triangle_stats": gr02_triangle_stats,
     "dq02_column_profile": dq02_column_profile,
     "dq03_distribution_drift": dq03_distribution_drift,
+    "cdc_emp_history": cdc_emp_history,
     "tx14_token_freq": tx14_token_freq,
     "sk02_bloom_semijoin": sk02_bloom_semijoin,
     "ss05_knn_join": ss05_knn_join,

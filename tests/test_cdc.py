@@ -970,3 +970,37 @@ def test_statestore_schema_evolution_across_restart(spark, tmp_path):
         (2, "y"),
         (3, "z"),
     }
+
+
+def test_scd2_final_version_equals_folded_state(spark):
+    """The current (last) SCD2 version per key must be EXACTLY the folded
+    final state — delete_state, partial-update inheritance, resurrection
+    and all — since history_table_changes and fold_table_changes implement
+    the same LWW semantics cumulatively vs terminally."""
+    from kafkatosparktokudu_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"  # fixture-driven; sf dir unused by cdc_*
+    hist = QUERIES["cdc_emp_history"](spark, sf)
+    cur = hist.filter("is_current").select(
+        "id", "name", "salary", "dept_id", "active", "hire_ts", "delete_state"
+    )
+    state = QUERIES["cdc_emp_state"](spark, sf).select(
+        "id", "name", "salary", "dept_id", "active", "hire_ts", "delete_state"
+    )
+    a = sorted(map(tuple, cur.collect()))
+    b = sorted(map(tuple, state.collect()))
+    assert a == b and len(a) > 0
+    # versions are dense and intervals chain: valid_to of version v equals
+    # valid_from of version v+1
+    rows = sorted(
+        hist.select("id", "version", "valid_from", "valid_to").collect(),
+        key=lambda r: (r["id"], r["version"]),
+    )
+    from itertools import groupby
+
+    for _, grp in groupby(rows, key=lambda r: r["id"]):
+        g = list(grp)
+        assert [r["version"] for r in g] == list(range(1, len(g) + 1))
+        for prev, nxt in zip(g, g[1:]):
+            assert prev["valid_to"] == nxt["valid_from"]
+        assert g[-1]["valid_to"] is None
