@@ -102,16 +102,27 @@ class StateStore:
         key_cols: list[str],
         schema: T.StructType,
         n_buckets: int = 64,
+        bucket_cols: list[str] | None = None,
     ) -> None:
+        """``bucket_cols``: hash-bucket on a PREFIX of the key instead of
+        the whole key (must be a prefix so every full key still lands in
+        exactly one bucket) — lets a composite-keyed store, e.g. a
+        per-entity change log keyed (id, seq), prune reads by the leading
+        column alone ("all of this id's rows")."""
         self.spark = spark
         self.path = path
         self.key_cols = key_cols
         self.schema = schema
         self.n_buckets = n_buckets
+        if bucket_cols is not None and key_cols[: len(bucket_cols)] != bucket_cols:
+            raise ValueError(
+                f"bucket_cols {bucket_cols} must be a prefix of key_cols {key_cols}"
+            )
+        self.bucket_cols = bucket_cols or key_cols
 
     # -- helpers ------------------------------------------------------------
     def _bucket_col(self) -> F.Column:
-        key = F.concat_ws("\x1f", *[F.col(k) for k in self.key_cols])
+        key = F.concat_ws("\x1f", *[F.col(k) for k in self.bucket_cols])
         return F.pmod(F.xxhash64(key), F.lit(self.n_buckets)).cast("int")
 
     def exists(self) -> bool:

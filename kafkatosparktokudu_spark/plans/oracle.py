@@ -653,6 +653,16 @@ ORACLE_SQL: dict[str, str] = {
             "hire_ts": "TIMESTAMP",
         },
     ),
+    "cdc_emp_history_incr": _cdc_history_sql(
+        "emp",
+        {
+            "name": "VARCHAR",
+            "salary": "DOUBLE",
+            "dept_id": "INTEGER",
+            "active": "BOOLEAN",
+            "hire_ts": "TIMESTAMP",
+        },
+    ),
     "cdc_emp_state": _cdc_fold_sql(
         "emp",
         {

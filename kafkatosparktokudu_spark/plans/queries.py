@@ -808,6 +808,36 @@ def cdc_emp_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return history_table_changes(emp, default_catalog()["emp"])
 
 
+def cdc_emp_history_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME SCD2 table as cdc_emp_history, maintained INCREMENTALLY:
+    the change log arrives as two seq-split batches applied through
+    Scd2Store (raw change-log upsert + affected-key re-derivation,
+    operators/scd2.py). Shares cdc_emp_history's oracle — incremental and
+    one-shot must agree exactly, including the fixture's planted
+    late-arriving record that crosses the batch boundary."""
+    import shutil
+    import tempfile
+
+    from ..catalog import default_catalog
+    from ..cdc import read_fixture
+    from ..operators.ogg import normalize, parse_ogg, split_valid
+    from ..operators.scd2 import Scd2Store
+
+    valid, _dead = split_valid(parse_ogg(read_fixture(spark)))
+    emp = normalize(valid).filter(F.col("tab_name") == "emp")
+    cut = emp.agg(F.expr("percentile_approx(seq, 0.5)")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="scd2_")
+    try:
+        store = Scd2Store(spark, f"{tmp}/emp", default_catalog()["emp"], n_buckets=8)
+        store.apply_batch(emp.filter(F.col("seq") < cut))
+        store.apply_batch(emp.filter(F.col("seq") >= cut))
+        out = store.history()
+        rows = out.collect()  # materialize before the temp store vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def cdc_dept_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained per-dept rollup (operators/rollup.py): the
     fixture is replayed in TWO micro-batches, each MERGEing into the emp
@@ -2500,6 +2530,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq02_column_profile": dq02_column_profile,
     "dq03_distribution_drift": dq03_distribution_drift,
     "cdc_emp_history": cdc_emp_history,
+    "cdc_emp_history_incr": cdc_emp_history_incr,
     "tx14_token_freq": tx14_token_freq,
     "sk02_bloom_semijoin": sk02_bloom_semijoin,
     "ss05_knn_join": ss05_knn_join,

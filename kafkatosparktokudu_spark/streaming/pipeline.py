@@ -397,3 +397,51 @@ def start_dedup_ingest(
     else:
         writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()
+
+
+def start_scd2_sync(
+    spark: SparkSession,
+    source: DataFrame,
+    table: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    catalog: dict[str, TargetTable] | None = None,
+    available_now: bool = False,
+    trigger_interval: str = "5 seconds",
+) -> StreamingQuery:
+    """Continuous SCD2 history maintenance for one target table — the
+    streaming face of ``operators.scd2.Scd2Store``: every micro-batch's
+    change records are upserted into the per-entity raw log and the
+    affected keys' version history is re-derived in place. Exactly-once
+    under checkpoint replay without epoch stamps: both writes are
+    idempotent keyed upserts and the history is a pure function of the
+    raw log (see scd2.py's module docstring; late/out-of-order records
+    are spliced exactly, which append-style SCD2 sinks cannot do).
+
+    ``source`` carries the raw (value[, seq]) change lines, same as
+    start_cdc_sync."""
+    from ..catalog import default_catalog
+    from ..operators.ogg import normalize, parse_ogg, split_valid
+    from ..operators.scd2 import Scd2Store
+
+    cat = catalog or default_catalog()
+    store = Scd2Store(spark, store_dir, cat[table])
+
+    def _sync(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        seq = F.col("seq") if "seq" in batch_df.columns else None
+        valid, _dead = split_valid(parse_ogg(batch_df, seq_col=seq))
+        changes = normalize(valid).filter(F.col("tab_name") == table)
+        store.apply_batch(changes, epoch=epoch_id)
+
+    writer = (
+        source.writeStream.foreachBatch(_sync)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(f"scd2_sync_{table}")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

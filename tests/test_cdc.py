@@ -1004,3 +1004,86 @@ def test_scd2_final_version_equals_folded_state(spark):
         for prev, nxt in zip(g, g[1:]):
             assert prev["valid_to"] == nxt["valid_from"]
         assert g[-1]["valid_to"] is None
+
+
+def _emp_norm(spark):
+    from kafkatosparktokudu_spark.cdc import read_fixture
+    from kafkatosparktokudu_spark.operators.ogg import (
+        normalize,
+        parse_ogg,
+        split_valid,
+    )
+    from pyspark.sql import functions as F
+
+    valid, _dead = split_valid(parse_ogg(read_fixture(spark)))
+    return normalize(valid).filter(F.col("tab_name") == "emp")
+
+
+def test_scd2_incremental_matches_batch_and_replays(spark, tmp_path):
+    """Two-batch incremental SCD2 == one-shot history operator (versions,
+    intervals, payload inheritance across the batch boundary), and
+    replaying the last epoch is a no-op (per-key epoch guard)."""
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.catalog import default_catalog
+    from kafkatosparktokudu_spark.operators.scd2 import Scd2Store
+    from kafkatosparktokudu_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    ref = sorted(map(tuple, QUERIES["cdc_emp_history"](spark, sf).collect()), key=repr)
+    norm = _emp_norm(spark)
+    cut = norm.agg(F.expr("percentile_approx(seq, 0.5)")).first()[0]
+    store = Scd2Store(
+        spark, str(tmp_path / "h"), default_catalog()["emp"], n_buckets=8
+    )
+    store.apply_batch(norm.filter(F.col("seq") < cut), epoch=0)
+    store.apply_batch(norm.filter(F.col("seq") >= cut), epoch=1)
+    cols = [f.name for f in QUERIES["cdc_emp_history"](spark, sf).schema.fields]
+    got = sorted(map(tuple, store.history().select(*cols).collect()), key=repr)
+    assert got == ref
+    # replay the last epoch: identical history afterwards
+    store.apply_batch(norm.filter(F.col("seq") >= cut), epoch=1)
+    again = sorted(map(tuple, store.history().select(*cols).collect()), key=repr)
+    assert again == ref
+
+
+def test_scd2_crash_between_writes_replays_to_convergence(spark, tmp_path):
+    """Die AFTER the raw-log upsert but BEFORE the derived-history write;
+    replaying the batch must converge (raw upsert idempotent, history a
+    pure function of raw)."""
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.catalog import default_catalog
+    from kafkatosparktokudu_spark.operators.scd2 import Scd2Store
+    from kafkatosparktokudu_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    ref = sorted(map(tuple, QUERIES["cdc_emp_history"](spark, sf).collect()), key=repr)
+    norm = _emp_norm(spark)
+    cut = norm.agg(F.expr("percentile_approx(seq, 0.5)")).first()[0]
+    store = Scd2Store(
+        spark, str(tmp_path / "h"), default_catalog()["emp"], n_buckets=8
+    )
+    store.apply_batch(norm.filter(F.col("seq") < cut), epoch=0)
+
+    class Boom(RuntimeError):
+        pass
+
+    real = store.hist.upsert_batch
+    calls = {"n": 0}
+
+    def dying(batch, replace_rows=False):
+        calls["n"] += 1
+        raise Boom()
+
+    store.hist.upsert_batch = dying  # crash window: raw written, hist not
+    try:
+        store.apply_batch(norm.filter(F.col("seq") >= cut), epoch=1)
+    except Boom:
+        pass
+    assert calls["n"] == 1
+    store.hist.upsert_batch = real
+    store.apply_batch(norm.filter(F.col("seq") >= cut), epoch=1)  # replay
+    cols = [f.name for f in QUERIES["cdc_emp_history"](spark, sf).schema.fields]
+    got = sorted(map(tuple, store.history().select(*cols).collect()), key=repr)
+    assert got == ref

@@ -244,3 +244,41 @@ def test_merge_join_reuses_fold_partitioning(spark, tmp_path):
     # fold's own groupBy exchange (a third would mean re-shuffling)
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "coalesce(id" not in plan
+
+
+def test_dq01_row_checks_share_one_scan_per_table(spark):
+    """All of a table's row checks (not-null / range / accepted) compile
+    into ONE aggregate over ONE scan — adding a column contract must not
+    add a read. dq01 row-checks customer, orders, lineitem and events:
+    exactly one FileScan per table in the whole report plan."""
+    plan = _plan(spark, "dq01_constraint_report")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    for table in ("customer", "orders", "lineitem", "events"):
+        n = sum(1 for s in scans if f"{table}.parquet" in s)
+        # unique/fk checks add their own scans for orders/lineitem/customer;
+        # row-check fusion is pinned by the TOTAL per-table scan budget:
+        # customer: row-checks(1) + unique(1) + fk-parent(1) = 3
+        # orders:   row-checks(1) + fk-child(1) + fk-parent(1) = 3
+        # lineitem: row-checks(1) + unique(1) + fk-child(1) = 3
+        # events:   row-checks(1) = 1
+        budget = {"customer": 3, "orders": 3, "lineitem": 3, "events": 1}[table]
+        assert n <= budget, f"{table}: {n} scans > {budget}\n{plan}"
+
+
+def test_scd2_history_single_exchange(spark):
+    """The SCD2 derivation is ONE exchange keyed on the PK — version
+    numbering, interval chaining and the cumulative payload fold all share
+    the same per-key sort."""
+    plan = _plan(spark, "cdc_emp_history")
+    n_exchange = sum(
+        1 for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    )
+    assert n_exchange == 1, plan
+
+
+def test_dd12_repeated_chunk_anti_join_broadcasts(spark):
+    """The repeated-chunk (boilerplate) table is small by construction;
+    the anti join that removes those chunks must broadcast it, not
+    shuffle the whole chunk table."""
+    plan = _plan(spark, "dd12_repeated_chunks")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan

@@ -851,3 +851,42 @@ def test_progress_listener_writes_engine_metrics(spark, tmp_path):
         assert any(p.get("numInputRows", 0) > 0 for p in lines), lines
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_stream_scd2_sync_matches_oneshot(spark, tmp_path):
+    """SCD2 history maintained through the streaming wrapper, drained in
+    TWO availableNow runs over a split fixture (second run resumes from
+    the checkpoint), equals the one-shot history operator — including the
+    fixture's planted late-arriving record in the second half."""
+    from kafkatosparktokudu_spark.plans.queries import QUERIES
+    from kafkatosparktokudu_spark.streaming.pipeline import start_scd2_sync
+
+    lines = FIXTURE.read_text().splitlines()
+    mid = len(lines) // 2
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text("\n".join(lines[:mid]) + "\n")
+    store_dir = str(tmp_path / "scd2")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = start_scd2_sync(
+        spark, file_source(spark, str(src)), "emp", store_dir, ckpt,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    (src / "b.jsonl").write_text("\n".join(lines[mid:]) + "\n")
+    q = start_scd2_sync(
+        spark, file_source(spark, str(src)), "emp", store_dir, ckpt,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    from kafkatosparktokudu_spark.catalog import default_catalog
+    from kafkatosparktokudu_spark.operators.scd2 import Scd2Store
+
+    store = Scd2Store(spark, store_dir, default_catalog()["emp"])
+    ref_df = QUERIES["cdc_emp_history"](spark, "/root/testdata/sf0.001")
+    cols = [f.name for f in ref_df.schema.fields]
+    got = sorted(map(tuple, store.history().select(*cols).collect()), key=repr)
+    want = sorted(map(tuple, ref_df.collect()), key=repr)
+    assert got == want and len(got) > 0
