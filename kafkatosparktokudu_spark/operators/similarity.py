@@ -675,3 +675,127 @@ def semantic_dedup_prune(
         F.col("matched_id").isNotNull().alias("is_dup"),
         "matched_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): compress each vector into m
+# subspace codes (64 floats → m small ints) and search with asymmetric
+# distance (ADC) over a per-query lookup table — the memory-side scale
+# path for billion-vector ANN, next to the IVF partition-side path.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    emb: DataFrame, m: int = 8, k: int = 4, n_dims: int = 64
+) -> list[list[list[float]]]:
+    """Seed-initialized codebooks: C[s][c] = subvector s of the c-th
+    lowest-vec_id embedding — deterministic, so the SQL oracle rebuilds
+    them exactly (the ss06 seeding rule applied per subspace). At deploy
+    scale swap in per-subspace Lloyd refinement over a bounded sample
+    (train_ivf_centroids machinery); the encode/search plumbing below is
+    codebook-agnostic."""
+    d = n_dims // m
+    seeds = emb.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
+    return [
+        [[float(x) for x in r["embedding"][s * d : (s + 1) * d]] for r in seeds]
+        for s in range(m)
+    ]
+
+
+def _sq_dist_flat(vec: Column, offset: int, q: list[float]) -> Column:
+    """Squared L2 distance of vec[offset : offset+len(q)] to the literal
+    subvector, as a flat left-assoc sum (bit-stable across engines when
+    the oracle generates the same term order)."""
+    from functools import reduce
+
+    terms = [
+        (F.element_at(vec, offset + i + 1) - F.lit(float(x)))
+        * (F.element_at(vec, offset + i + 1) - F.lit(float(x)))
+        for i, x in enumerate(q)
+    ]
+    return reduce(lambda a, b: a + b, terms)
+
+
+def pq_encode(
+    emb: DataFrame, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """Per vector: the argmin-centroid code of every subspace (rounded-6
+    squared distance, code-ASC tie-break — the ss03/ss04 ordering
+    contract) plus the total quantization error. One scan, per-row
+    expressions only — no shuffle, no Python; codes are the compressed
+    representation (m·log2(k) bits per vector).
+
+    Output: (vec_id, code0..code{m-1}, recon_err)."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    v = as_double(F.col("embedding"))
+    cols: list[Column] = [F.col("vec_id")]
+    err_terms: list[Column] = []
+    for s in range(m):
+        scored = F.array(
+            *[
+                F.struct(
+                    F.round(_sq_dist_flat(v, s * d, q), 6).alias("d"),
+                    F.lit(c).alias("code"),
+                )
+                for c, q in enumerate(codebooks[s])
+            ]
+        )
+        best = F.element_at(F.array_sort(scored), 1)
+        cols.append(best["code"].cast("int").alias(f"code{s}"))
+        err_terms.append(best["d"].cast("decimal(12,6)"))
+    from functools import reduce
+
+    err = reduce(lambda a, b: a + b, err_terms).cast("double").alias("recon_err")
+    return emb.select(*cols, err)
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    qv: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k: the query is NOT quantized — per
+    subspace a k-entry lookup table of exact squared distances from the
+    query subvector to each centroid is computed driver-side, and every
+    stored vector's approximate distance is the sum of m table lookups on
+    its codes. The scan touches only the (vec_id, codes) table — at
+    billion-vector scale that is m bytes per vector instead of 4·n_dims,
+    the whole point of PQ.
+
+    Output: (rank, vec_id, adc_dist), rank by (rounded dist, vec_id)."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    from functools import reduce
+
+    from pyspark.sql import Window as W
+
+    codes = pq_encode(emb, codebooks)
+    luts: list[list[float]] = []
+    for s in range(m):
+        sub = qv[s * d : (s + 1) * d]
+        luts.append(
+            [
+                # left-assoc Python sum — same fold order the oracle embeds
+                sum((float(a) - float(b)) * (float(a) - float(b)) for a, b in zip(sub, c))
+                for c in codebooks[s]
+            ]
+        )
+    adc_terms = [
+        F.element_at(
+            F.array(*[F.lit(x) for x in luts[s]]), F.col(f"code{s}") + 1
+        )
+        for s in range(m)
+    ]
+    adc = F.round(reduce(lambda a, b: a + b, adc_terms), 6)
+    scored = codes.select("vec_id", adc.alias("adc_dist"))
+    if exclude_id is not None:
+        scored = scored.filter(F.col("vec_id") != exclude_id)
+    w = W.orderBy(F.col("adc_dist"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "vec_id", "adc_dist")
+    )

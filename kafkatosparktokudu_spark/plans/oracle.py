@@ -200,6 +200,59 @@ _CC_CTES = f"""{_MINHASH_CTE},
             SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
         )"""
 
+def _pq_dist(s: int, a: str, b: str, d: int = 8) -> str:
+    """Flat squared-L2 of subspace ``s`` between two DOUBLE[] columns —
+    same term order as similarity.py::_sq_dist_flat."""
+    return " + ".join(
+        f"({a}[{s * d + i + 1}] - {b}[{s * d + i + 1}])"
+        f" * ({a}[{s * d + i + 1}] - {b}[{s * d + i + 1}])"
+        for i in range(d)
+    )
+
+
+def _pq_ctes(m: int = 8, k: int = 4, d: int = 8) -> str:
+    """Shared PQ CTE block (ss07 / ss08): seed-sliced codebooks, per-
+    subspace flat squared distances (same term order as the Spark flat
+    expressions → bit-identical before rounding), per-subspace argmin
+    codes, recon_err as exact decimal sum of the rounded minima."""
+    def dist(s: int, a: str, b: str) -> str:
+        return _pq_dist(s, a, b, d)
+
+    pd_cols = ",\n               ".join(
+        f"{dist(s, 'e.v', 'p.sv')} AS d{s}" for s in range(m)
+    )
+    cs = ",\n        ".join(
+        f"""cs{s} AS (
+            SELECT vec_id, code AS code{s}, d{s} FROM (
+                SELECT vec_id, code, round(d{s}, 6) AS d{s},
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY round(d{s}, 6), code) AS rn
+                FROM pd) WHERE rn = 1
+        )"""
+        for s in range(m)
+    )
+    joins = " ".join(f"JOIN cs{s} USING (vec_id)" for s in range(1, m))
+    err = " + ".join(f"CAST(d{s} AS DECIMAL(12,6))" for s in range(m))
+    code_list = ", ".join(f"code{s}" for s in range(m))
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        pseeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS sv
+            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
+        ),
+        pd AS (
+            SELECT e.vec_id,
+               p.code,
+               {pd_cols}
+            FROM e CROSS JOIN pseeds p
+        ),
+        {cs},
+        enc AS (
+            SELECT vec_id, {code_list},
+                   CAST({err} AS DOUBLE) AS recon_err
+            FROM cs0 {joins}
+        )"""
+
+
 # Shared k-means CTE block (ss06 / px09): e = double-cast vectors,
 # seeds = 8 lowest vec_ids, a1 = iteration-1 assignment, comp/cent =
 # exact-decimal centroid update, a2 = final assignment with rounded cosine.
@@ -348,6 +401,32 @@ _DQ02_SPEC = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "ss07_pq_encode": f"""
+        WITH {_pq_ctes()}
+        SELECT vec_id, {', '.join(f'code{s}' for s in range(8))}, recon_err
+        FROM enc
+    """,
+    # ADC: the query (vec 0) is unquantized; each stored vector's distance
+    # is the sum of per-subspace exact distances from the query subvector
+    # to its ASSIGNED centroid (the join on code = the lookup table).
+    "ss08_pq_adc_topk": f"""
+        WITH {_pq_ctes()},
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        adc AS (
+            SELECT enc.vec_id,
+                   round({' + '.join(f'({_pq_dist(s, "q.qv", f"s{s}.sv")})' for s in range(8))},
+                         6) AS adc_dist
+            FROM enc CROSS JOIN q
+                 {' '.join(f'JOIN pseeds s{s} ON s{s}.code = enc.code{s}' for s in range(8))}
+            WHERE enc.vec_id <> 0
+        )
+        SELECT rank, vec_id, adc_dist FROM (
+            SELECT CAST(row_number() OVER (ORDER BY adc_dist, vec_id)
+                        AS INTEGER) AS rank,
+                   vec_id, adc_dist
+            FROM adc
+        ) WHERE rank <= 10
+    """,
     "dq02_column_profile": _profile_sql(_DQ02_SPEC),
     "dq03_distribution_drift": _drift_sql(
         ["o_orderstatus", "o_orderpriority"],

@@ -2062,6 +2062,31 @@ def gr02_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(edges)
 
 
+def ss07_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): every embedding
+    compressed to 8 subspace codes (argmin rounded squared distance to
+    seed-initialized codebooks) + total quantization error
+    (operators/similarity.py::pq_encode)."""
+    from ..operators.similarity import pq_codebooks, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_encode(emb, pq_codebooks(emb))
+
+
+def ss08_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search: top-10 neighbors of vec 0 by summed
+    per-subspace lookup-table distances over the codes alone — the
+    memory-compressed ANN path (operators/similarity.py::pq_adc_topk)."""
+    from ..operators.similarity import pq_adc_topk, pq_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    return pq_adc_topk(emb, qv, pq_codebooks(emb), k=10, exclude_id=0)
+
+
 def dq01_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate (Deequ/dbt-test style) over the
     warehouse: null/range/domain contracts, key uniqueness, referential
@@ -2531,6 +2556,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq03_distribution_drift": dq03_distribution_drift,
     "cdc_emp_history": cdc_emp_history,
     "cdc_emp_history_incr": cdc_emp_history_incr,
+    "ss07_pq_encode": ss07_pq_encode,
+    "ss08_pq_adc_topk": ss08_pq_adc_topk,
     "tx14_token_freq": tx14_token_freq,
     "sk02_bloom_semijoin": sk02_bloom_semijoin,
     "ss05_knn_join": ss05_knn_join,

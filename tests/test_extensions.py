@@ -901,3 +901,54 @@ def test_distribution_drift_extremes(spark):
     diff = distribution_drift(a, b, ["c"]).head()
     assert diff["tvd_ppm"] == 1000000
     assert diff["n_baseline"] == 4 and diff["n_current"] == 2
+
+
+def test_pq_seed_vectors_encode_exactly(spark):
+    """A codebook seed's own subvectors ARE centroids, so its codes point
+    at itself and its quantization error is exactly 0.0; every error is
+    non-negative."""
+    from kafkatosparktokudu_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = _emb(spark)
+    cb = pq_codebooks(emb, k=4)
+    enc = {r["vec_id"]: r for r in pq_encode(emb, cb).collect()}
+    seeds = sorted(enc)[:4]
+    for i, s in enumerate(seeds):
+        assert enc[s]["recon_err"] == 0.0
+        assert all(enc[s][f"code{j}"] == i for j in range(8))
+    assert all(r["recon_err"] >= 0.0 for r in enc.values())
+
+
+def test_pq_adc_recall_and_codebook_scaling(spark):
+    """ADC over 16-bit codes recovers part of the exact L2 top-10, and a
+    richer codebook (k=16) recovers strictly more on this fixture."""
+    from kafkatosparktokudu_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    emb = _emb(spark)
+    rows = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    qv = rows[0]
+    exact = {
+        i
+        for _, i in sorted(
+            (sum((a - b) ** 2 for a, b in zip(qv, v)), i)
+            for i, v in rows.items()
+            if i != 0
+        )[:10]
+    }
+
+    def recall(k_cb):
+        cb = pq_codebooks(emb, k=k_cb)
+        got = {
+            r["vec_id"]
+            for r in pq_adc_topk(emb, qv, cb, k=10, exclude_id=0).collect()
+        }
+        return len(exact & got)
+
+    assert recall(4) >= 1
+    assert recall(16) >= 3
