@@ -328,18 +328,17 @@ def _profile_sql(spec: dict[str, dict[str, str]]) -> str:
     return "\nUNION ALL\n".join(blocks)
 
 
-def _cdc_history_sql(table: str, cols: dict[str, str]) -> str:
-    """SCD2 history SQL for one target table — cumulative last-non-null
-    per payload column over the LWW order, mirroring
-    operators/ogg.py::history_table_changes."""
+def _cdc_history_body(table: str, cols: dict[str, str]) -> str:
+    """SCD2 history SELECT (no WITH) for one target table — cumulative
+    last-non-null per payload column over the LWW order, mirroring
+    operators/ogg.py::history_table_changes. Needs the _CDC_VALID CTEs in
+    scope."""
     col_exprs = ",\n               ".join(
         f"TRY_CAST(last_value(CASE WHEN op_type <> 'D' THEN"
         f" after['{c.upper()}'][1] END IGNORE NULLS) OVER wc AS {t}) AS {c}"
         for c, t in cols.items()
     )
-    return f"""
-        WITH {_CDC_VALID}
-        SELECT id,
+    return f"""SELECT id,
                {col_exprs},
                CASE WHEN op_type = 'D' THEN '1' ELSE '0' END AS delete_state,
                replace(current_ts, 'T', ' ') AS valid_from,
@@ -349,7 +348,13 @@ def _cdc_history_sql(table: str, cols: dict[str, str]) -> str:
         FROM valid WHERE tab_name = '{table}'
         WINDOW w AS (PARTITION BY id ORDER BY ord),
                wc AS (PARTITION BY id ORDER BY ord
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+
+def _cdc_history_sql(table: str, cols: dict[str, str]) -> str:
+    return f"""
+        WITH {_CDC_VALID}
+        {_cdc_history_body(table, cols)}
     """
 
 
@@ -742,6 +747,34 @@ ORACLE_SQL: dict[str, str] = {
             "hire_ts": "TIMESTAMP",
         },
     ),
+    # Temporal dimension join: each emp audit row enriched with the
+    # version valid one second before its event (timestamp-compared
+    # interval containment; pre-first-version events enrich to NULL).
+    "cdc_emp_asof_enrich": f"""
+        WITH {_CDC_VALID},
+        hist AS (
+            {_cdc_history_body("emp", {
+                "name": "VARCHAR",
+                "salary": "DOUBLE",
+                "dept_id": "INTEGER",
+                "active": "BOOLEAN",
+                "hire_ts": "TIMESTAMP",
+            })}
+        ),
+        ev AS (
+            SELECT id, MAX(replace(current_ts, 'T', ' ')) AS event_ts
+            FROM valid WHERE tab_name = 'emp' GROUP BY id
+        )
+        SELECT e.id, e.event_ts,
+               h.name AS emp_name, h.salary, h.delete_state, h.version
+        FROM ev e LEFT JOIN hist h
+          ON h.id = e.id
+         AND CAST(h.valid_from AS TIMESTAMP)
+                 <= CAST(e.event_ts AS TIMESTAMP) - INTERVAL 1 SECOND
+         AND (h.valid_to IS NULL
+              OR CAST(e.event_ts AS TIMESTAMP) - INTERVAL 1 SECOND
+                     < CAST(h.valid_to AS TIMESTAMP))
+    """,
     "cdc_emp_state": _cdc_fold_sql(
         "emp",
         {

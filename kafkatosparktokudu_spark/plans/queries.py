@@ -838,6 +838,47 @@ def cdc_emp_history_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def cdc_emp_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension join — the reason SCD2 exists: every emp audit
+    event (pub_event) enriched with the employee VERSION that was valid
+    one second BEFORE the event (valid_from <= ts < valid_to interval
+    containment; events before the key's first version enrich to NULL).
+    Keyed on the PK with the interval test as a join residual — an
+    equi-join plus filter, never a cross product."""
+    hist = cdc_emp_history(spark, sf_dir).alias("h")
+    ev = (
+        cdc_pub_event(spark, sf_dir)
+        .filter(F.col("name") == "emp")
+        .select(
+            "id",
+            F.col("current_ts").alias("event_ts"),
+            (F.col("current_ts").cast("timestamp") - F.expr("INTERVAL 1 SECOND"))
+            .alias("asof_ts"),
+        )
+        .alias("e")
+    )
+    # interval containment compared as TIMESTAMPS (string roundtrips trim
+    # trailing fraction zeros and break boundary equality)
+    j = ev.join(
+        hist,
+        (F.col("e.id") == F.col("h.id"))
+        & (F.col("h.valid_from").cast("timestamp") <= F.col("e.asof_ts"))
+        & (
+            F.col("h.valid_to").isNull()
+            | (F.col("e.asof_ts") < F.col("h.valid_to").cast("timestamp"))
+        ),
+        "left",
+    )
+    return j.select(
+        F.col("e.id").alias("id"),
+        "event_ts",
+        F.col("h.name").alias("emp_name"),
+        F.col("h.salary").alias("salary"),
+        F.col("h.delete_state").alias("delete_state"),
+        F.col("h.version").alias("version"),
+    )
+
+
 def cdc_dept_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained per-dept rollup (operators/rollup.py): the
     fixture is replayed in TWO micro-batches, each MERGEing into the emp
@@ -2556,6 +2597,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq03_distribution_drift": dq03_distribution_drift,
     "cdc_emp_history": cdc_emp_history,
     "cdc_emp_history_incr": cdc_emp_history_incr,
+    "cdc_emp_asof_enrich": cdc_emp_asof_enrich,
     "ss07_pq_encode": ss07_pq_encode,
     "ss08_pq_adc_topk": ss08_pq_adc_topk,
     "tx14_token_freq": tx14_token_freq,
