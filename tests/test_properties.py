@@ -446,3 +446,48 @@ def test_repeated_chunks_match_python_oracle(spark, docs):
         ).collect()
     }
     assert out == want
+
+
+# -- OGG parse robustness ----------------------------------------------------
+# Arbitrary byte-salad lines plus near-miss JSON (missing ID / unqualified
+# table / wrong types) must ALWAYS partition cleanly into valid + dead with
+# nothing lost and nothing fatal — the reference swallows its JSONException;
+# we additionally guarantee the whole downstream fold never sees a null key.
+_junk_line = st.one_of(
+    st.text(max_size=60),  # arbitrary text incl. unicode, braces, quotes
+    st.builds(
+        lambda t, i, op: (
+            '{"table": %s, "op_type": "%s", "current_ts": "2024-01-01T00:00:01", '
+            '"after": %s, "pos": 1}'
+        )
+        % (t, op, i),
+        st.sampled_from(['"S.T"', '"noqualifier"', "null", '""', '"a.b.c"']),
+        st.sampled_from(
+            ['{"ID": "1", "NAME": "x"}', '{"NAME": "x"}', "null", '{"ID": null}']
+        ),
+        st.sampled_from(["I", "U", "D", "X", ""]),
+    ),
+)
+
+
+@SETTINGS
+@given(lines=st.lists(_junk_line, min_size=1, max_size=30))
+def test_parse_ogg_partitions_any_input(spark, lines):
+    from kafkatosparktokudu_spark.operators.ogg import (
+        normalize,
+        parse_ogg,
+        split_valid,
+    )
+
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    parsed = parse_ogg(raw)
+    valid, dead = split_valid(parsed)
+    nv, nd = valid.count(), dead.count()
+    assert nv + nd == len(lines)  # clean partition, nothing dropped
+    # every valid row normalizes to non-null key and qualified table name
+    norm = normalize(valid)
+    assert norm.filter(
+        F.col("id").isNull() | F.col("tab_name").isNull()
+    ).count() == 0
+    # dead rows keep their raw payload for replay
+    assert dead.filter(F.col("_raw").isNull()).count() == 0
