@@ -1043,6 +1043,40 @@ ORACLE_SQL: dict[str, str] = {
         FROM sessions
         GROUP BY user_id, session_idx
     """,
+    # Interval-overlap join over q17's sessions: direct pairwise in SQL
+    # (the Spark side's chunk blocking is candidate generation only).
+    "q73_session_overlap": """
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   CAST(SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_idx
+            FROM flagged
+        ),
+        s AS (
+            SELECT user_id, session_idx,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end
+            FROM sessions GROUP BY user_id, session_idx
+        )
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               a.session_idx AS session_a, b.session_idx AS session_b,
+               epoch_us(least(a.session_end, b.session_end))
+                   - epoch_us(greatest(a.session_start, b.session_start))
+                   AS overlap_us
+        FROM s a JOIN s b
+          ON a.user_id < b.user_id
+         AND a.session_start <= b.session_end
+         AND b.session_start <= a.session_end
+    """,
     "q18_latest_event_per_user": """
         SELECT user_id, event_id, ts, event_type, value
         FROM (

@@ -2103,6 +2103,36 @@ def gr02_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(edges)
 
 
+def q73_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: every cross-user pair of concurrent
+    sessions (closed-interval intersection) with the exact overlap in
+    microseconds — blocked on hour chunks, never a theta cross join
+    (operators/joins.py::interval_overlap_join over q17's sessions)."""
+    from ..operators.joins import interval_overlap_join
+
+    s = q17_sessionize(spark, sf_dir).select(
+        "user_id", "session_idx", "session_start", "session_end"
+    )
+    pairs = interval_overlap_join(s, s, "session_start", "session_end", 3600)
+    return pairs.filter(F.col("l_user_id") < F.col("r_user_id")).select(
+        F.col("l_user_id").alias("user_a"),
+        F.col("r_user_id").alias("user_b"),
+        F.col("l_session_idx").alias("session_a"),
+        F.col("r_session_idx").alias("session_b"),
+        (
+            # events ts is TIMESTAMP_NTZ (see NOTES trap): cast before
+            # unix_micros — the session TZ is pinned UTC, so values match
+            # DuckDB's naive epoch_us exactly
+            F.unix_micros(
+                F.least("l_session_end", "r_session_end").cast("timestamp")
+            )
+            - F.unix_micros(
+                F.greatest("l_session_start", "r_session_start").cast("timestamp")
+            )
+        ).alias("overlap_us"),
+    )
+
+
 def ss07_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (Jégou et al. 2011): every embedding
     compressed to 8 subspace codes (argmin rounded squared distance to
@@ -2600,6 +2630,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_emp_asof_enrich": cdc_emp_asof_enrich,
     "ss07_pq_encode": ss07_pq_encode,
     "ss08_pq_adc_topk": ss08_pq_adc_topk,
+    "q73_session_overlap": q73_session_overlap,
     "tx14_token_freq": tx14_token_freq,
     "sk02_bloom_semijoin": sk02_bloom_semijoin,
     "ss05_knn_join": ss05_knn_join,

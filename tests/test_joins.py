@@ -139,3 +139,40 @@ def test_aqe_skew_join_splits_hot_key(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_interval_overlap_join_planted(spark):
+    """Closed-interval semantics: boundary touch counts, disjoint does
+    not; a pair spanning many chunks appears exactly once (chunk-dedup);
+    multi-hour intervals still match."""
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.operators.joins import interval_overlap_join
+
+    def ts(s):
+        return f"2024-01-01 {s}"
+
+    left = spark.createDataFrame(
+        [
+            (1, ts("00:00:00"), ts("05:00:00")),  # 5h: spans 6 chunks
+            (2, ts("10:00:00"), ts("10:30:00")),
+            (3, ts("20:00:00"), ts("20:10:00")),
+        ],
+        "lid int, a string, b string",
+    ).select("lid", F.col("a").cast("timestamp").alias("s"), F.col("b").cast("timestamp").alias("e"))
+    right = spark.createDataFrame(
+        [
+            (10, ts("01:00:00"), ts("09:59:59")),  # overlaps 1 (within), NOT 2
+            (20, ts("10:30:00"), ts("11:00:00")),  # touches 2's end exactly
+            (30, ts("20:10:01"), ts("21:00:00")),  # 1s after 3 ends: disjoint
+        ],
+        "rid int, a string, b string",
+    ).select("rid", F.col("a").cast("timestamp").alias("s"), F.col("b").cast("timestamp").alias("e"))
+    got = {
+        (r["l_lid"], r["r_rid"])
+        for r in interval_overlap_join(left, right, "s", "e", 3600).collect()
+    }
+    assert got == {(1, 10), (2, 20)}
+    # each pair exactly once despite the 5h interval hitting many chunks
+    rows = interval_overlap_join(left, right, "s", "e", 3600).collect()
+    assert len(rows) == 2
