@@ -445,3 +445,46 @@ def start_scd2_sync(
     else:
         writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()
+
+
+def start_quality_monitor(
+    spark: SparkSession,
+    stream: DataFrame,
+    checks: list,
+    report_dir: str,
+    checkpoint_dir: str,
+    table_name: str = "stream",
+    static_tables: dict[str, DataFrame] | None = None,
+    available_now: bool = False,
+    trigger_interval: str = "5 seconds",
+) -> StreamingQuery:
+    """Continuous data-quality gating: every micro-batch runs the
+    declarative constraint suite (operators/quality_checks.py) against
+    the batch — plus any ``static_tables`` for referential checks — and
+    lands one report-per-epoch under ``report_dir`` (epoch-keyed
+    overwrite, so replays are idempotent). Downstream alerting reads the
+    report parquet like any table; the stream itself is untouched (gate,
+    not transform — pair with dead-lettering for quarantine).
+
+    ``checks`` reference ``table_name`` for the streaming batch."""
+    from ..operators.quality_checks import constraint_report
+
+    def _check(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tables = {table_name: batch_df, **(static_tables or {})}
+        report = constraint_report(spark, tables, checks).withColumn(
+            "epoch", F.lit(epoch_id).cast("long")
+        )
+        report.write.mode("overwrite").parquet(f"{report_dir}/epoch={epoch_id}")
+
+    writer = (
+        stream.writeStream.foreachBatch(_check)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("quality_monitor")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

@@ -890,3 +890,73 @@ def test_stream_scd2_sync_matches_oneshot(spark, tmp_path):
     got = sorted(map(tuple, store.history().select(*cols).collect()), key=repr)
     want = sorted(map(tuple, ref_df.collect()), key=repr)
     assert got == want and len(got) > 0
+
+
+def test_stream_quality_monitor_reports_planted_violations(spark, tmp_path):
+    """Per-epoch constraint reports: the clean first file passes, the
+    second file's planted null/orphan rows are counted, and a replayed
+    drain (same checkpoint, no new input) adds no new epochs."""
+    import json
+
+    from kafkatosparktokudu_spark.operators.quality_checks import (
+        ForeignKey,
+        NotNull,
+    )
+    from kafkatosparktokudu_spark.streaming.pipeline import start_quality_monitor
+
+    src = tmp_path / "in"
+    src.mkdir()
+    clean = [{"id": i, "name": f"n{i}", "ref": 1} for i in range(5)]
+    (src / "a.jsonl").write_text("\n".join(json.dumps(r) for r in clean) + "\n")
+    parent = spark.createDataFrame([(1,), (2,)], "pid int")
+    schema = "id bigint, name string, ref bigint"
+    stream = (
+        spark.readStream.schema(schema).json(str(src))
+    )
+    checks = [
+        NotNull("stream", "name"),
+        ForeignKey("stream", "ref", "parent", "pid"),
+    ]
+    rep = str(tmp_path / "reports")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_quality_monitor(
+        spark, stream, checks, rep, ckpt,
+        static_tables={"parent": parent}, available_now=True,
+    )
+    q.awaitTermination(120)
+
+    dirty = [
+        {"id": 10, "name": None, "ref": 1},
+        {"id": 11, "name": "x", "ref": 99},   # orphan
+        {"id": 12, "name": "y", "ref": None},  # null FK: NOT an orphan
+    ]
+    (src / "b.jsonl").write_text("\n".join(json.dumps(r) for r in dirty) + "\n")
+    q = start_quality_monitor(
+        spark, stream, checks, rep, ckpt,
+        static_tables={"parent": parent}, available_now=True,
+    )
+    q.awaitTermination(120)
+
+    reports = spark.read.parquet(rep)
+    epochs = sorted(r["epoch"] for r in reports.select("epoch").distinct().collect())
+    assert len(epochs) == 2
+    by = {
+        (r["epoch"], r["check_id"]): r for r in reports.collect()
+    }
+    e0, e1 = epochs
+    assert by[(e0, "not_null:stream.name")]["passed"]
+    assert by[(e0, "fk:stream.ref->parent.pid")]["passed"]
+    assert by[(e1, "not_null:stream.name")]["n_violations"] == 1
+    fk = by[(e1, "fk:stream.ref->parent.pid")]
+    assert fk["n_violations"] == 1 and not fk["passed"]
+    # replay with no new input: no new epochs
+    q = start_quality_monitor(
+        spark, stream, checks, rep, ckpt,
+        static_tables={"parent": parent}, available_now=True,
+    )
+    q.awaitTermination(120)
+    again = sorted(
+        r["epoch"]
+        for r in spark.read.parquet(rep).select("epoch").distinct().collect()
+    )
+    assert again == epochs
