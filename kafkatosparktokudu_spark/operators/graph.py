@@ -99,7 +99,12 @@ def triangle_stats(edges: DataFrame, a: str = "doc_a", b: str = "doc_b") -> Data
     orientation (relabel nodes by ascending degree) so every join side
     fans out O(sqrt(|E|)) — a relabel pass, same plan afterwards.
     """
-    e = edges.select(F.col(a).alias("ea"), F.col(b).alias("eb"))
+    # PIN the edge list: it feeds five plan positions (degree union ×2,
+    # triangle join ×3) — without the pin each one re-expands the full
+    # upstream pair pipeline (48 scans for the LSH edges, the px09
+    # self-join lesson)
+    e = edges.select(F.col(a).alias("ea"), F.col(b).alias("eb")).persist()
+    e.count()
     deg = (
         e.select(F.col("ea").alias("node"))
         .unionAll(e.select(F.col("eb").alias("node")))
