@@ -200,6 +200,42 @@ _CC_CTES = f"""{_MINHASH_CTE},
             SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
         )"""
 
+def _lsh_ann_sql() -> str:
+    """ss03 oracle: hyperplane-sign buckets from the SAME md5-derived
+    plane literals the Spark operator embeds (similarity.plane_literals),
+    single-bit-flip multiprobe around vec 0's bucket, exact rounded-cosine
+    re-rank. Flat per-plane dot products share the Spark HOF fold order
+    (left-assoc, 0.0 seed is an IEEE no-op) → bit-identical sign tests."""
+    from ..operators.similarity import N_PLANES, plane_literals
+
+    planes = plane_literals()
+    dots = []
+    for p, plane in enumerate(planes):
+        terms = " + ".join(
+            f"v[{i + 1}] * {c!r}" for i, c in enumerate(plane)
+        )
+        dots.append(
+            f"CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END"
+        )
+    bucket = " + ".join(dots)
+    probes = " OR ".join(
+        ["x.bucket = q.qb"]
+        + [f"x.bucket = xor(q.qb, {1 << p})" for p in range(N_PLANES)]
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        b AS (SELECT vec_id, label, v, {bucket} AS bucket FROM e),
+        q AS (SELECT bucket AS qb, v AS qv FROM b WHERE vec_id = 0)
+        SELECT vec_id, label,
+               round(list_cosine_similarity(x.v, q.qv), 6) AS cos_sim
+        FROM b x, q
+        WHERE x.vec_id <> 0 AND ({probes})
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT 10
+    """
+
+
 def _pq_dist(s: int, a: str, b: str, d: int = 8) -> str:
     """Flat squared-L2 of subspace ``s`` between two DOUBLE[] columns —
     same term order as similarity.py::_sq_dist_flat."""
@@ -406,6 +442,7 @@ _DQ02_SPEC = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "ss03_ann_lsh_topk": _lsh_ann_sql(),
     "ss07_pq_encode": f"""
         WITH {_pq_ctes()}
         SELECT vec_id, {', '.join(f'code{s}' for s in range(8))}, recon_err

@@ -1926,8 +1926,11 @@ def ss02_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ss03_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: ANN via deterministic hyperplane LSH buckets + re-rank
-    (recall vs brute force asserted in tests/test_similarity.py)."""
+    """ANN via deterministic hyperplane LSH buckets + exact re-rank —
+    fully hash-checked: the md5-derived plane literals are shared with
+    the SQL oracle, so bucket assignment, multiprobe set and rounded
+    cosine all reproduce bit-for-bit (recall vs brute force additionally
+    asserted in tests)."""
     from ..operators.similarity import ann_topk
 
     qv = _query_vec(spark, sf_dir, 0)
