@@ -236,7 +236,10 @@ def stream_interval_join(
     purchase columns — but only once the watermark proves no matching
     purchase can still arrive (Spark emits outer-join nulls on state
     eviction, NOT immediately; an availableNow drain therefore needs a
-    final empty batch or the unmatched rows stay pending)."""
+    final empty batch or the unmatched rows stay pending).
+    ``how="full_outer"`` also emits unmatched purchases with null click
+    columns under the same eviction rule; the output user_id coalesces
+    across sides so it is non-null for every row in every mode."""
     c = clicks.select(
         F.col("user_id"),
         F.col("event_id").alias("click_id"),
@@ -254,7 +257,12 @@ def stream_interval_join(
         & (F.col("purchase_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {lookback}"))
     )
     return c.join(p, cond, how).select(
-        "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value"
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
     )
 
 

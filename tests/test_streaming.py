@@ -960,3 +960,87 @@ def test_stream_quality_monitor_reports_planted_violations(spark, tmp_path):
         for r in spark.read.parquet(rep).select("epoch").distinct().collect()
     )
     assert again == epochs
+
+
+def test_stream_interval_full_outer_join(spark, tmp_path):
+    """full_outer interval join: matched pairs equal the batch twin, and
+    after both-side sentinels advance the global watermark, BOTH
+    unmatched clicks (null purchase cols) and unmatched purchases (null
+    click cols) have emitted; user_id is non-null on every row (coalesced
+    across sides)."""
+    import datetime as dt
+
+    from kafkatosparktokudu_spark.streaming.pipeline import stream_interval_join
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    clicks_b = events.filter(F.col("event_type") == "click")
+    purch_b = events.filter(F.col("event_type") == "purchase")
+    batch = stream_interval_join(clicks_b, purch_b, how="full_outer").collect()
+    want_matched = {
+        (r["click_id"], r["purchase_id"])
+        for r in batch
+        if r["purchase_id"] is not None and r["click_id"] is not None
+    }
+    want_click_null = {r["click_id"] for r in batch if r["purchase_id"] is None}
+    want_purch_null = {r["purchase_id"] for r in batch if r["click_id"] is None}
+    assert want_matched and want_click_null and want_purch_null
+    assert all(r["user_id"] is not None for r in batch)
+
+    src = str(tmp_path / "foj_src")
+    ckpt = str(tmp_path / "foj_ckpt")
+    out = str(tmp_path / "foj_out")
+    events.coalesce(1).write.parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            stream_interval_join(
+                stream.filter(F.col("event_type") == "click"),
+                stream.filter(F.col("event_type") == "purchase"),
+                how="full_outer",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out).collect()
+
+    run1 = drain()
+    got_matched = {
+        (r["click_id"], r["purchase_id"])
+        for r in run1
+        if r["purchase_id"] is not None and r["click_id"] is not None
+    }
+    assert got_matched == want_matched
+
+    max_ts = events.agg(F.max(F.col("ts").cast("timestamp"))).head()[0]
+    one = events.limit(1)
+    sentinels = one.select(
+        F.lit(10**9).alias("event_id"),
+        F.lit(max_ts + dt.timedelta(days=2)).alias("ts"),
+        F.lit(-1).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).unionByName(
+        one.select(
+            F.lit(10**9 + 1).alias("event_id"),
+            F.lit(max_ts + dt.timedelta(days=2)).alias("ts"),
+            F.lit(-2).alias("user_id"),
+            F.lit("purchase").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )
+    sentinels.coalesce(1).write.mode("append").parquet(src)
+    run2 = drain()
+    real = [r for r in run2 if (r["click_id"] or 0) < 10**9 and (r["purchase_id"] or 0) < 10**9]
+    got_click_null = {r["click_id"] for r in real if r["purchase_id"] is None}
+    got_purch_null = {r["purchase_id"] for r in real if r["click_id"] is None}
+    assert got_click_null == want_click_null
+    assert got_purch_null == want_purch_null
+    assert all(r["user_id"] is not None for r in real)
