@@ -113,7 +113,7 @@ def triangle_stats(edges: DataFrame, a: str = "doc_a", b: str = "doc_b") -> Data
     )
     base = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        F.expr("sum(d * (d - 1)) div 2").alias("n_wedges"),
+        F.coalesce(F.expr("sum(d * (d - 1)) div 2"), F.lit(0)).alias("n_wedges"),
     )
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")

@@ -186,6 +186,10 @@ def interval_overlap_join(
     instant's chunk lies inside both rows' truncated chunk ranges. Hot
     chunks (everyone active at 9am) are the skew case — AQE's skew-join
     split handles moderate skew; salt the chunk id beyond that.
+
+    Rows with a NULL start or end explode into no chunks and are silently
+    absent from the output (an interval with an unknown endpoint has no
+    defined overlap); filter-and-handle them upstream if they matter.
     """
 
     def chunked(df: DataFrame, prefix: str) -> DataFrame:

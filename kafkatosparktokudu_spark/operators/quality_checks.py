@@ -136,6 +136,14 @@ def constraint_report(
 ) -> DataFrame:
     """One report row per check; see module docstring for the plan shape
     of each check class."""
+    for c in checks:
+        refs = [c.table] + ([c.parent] if isinstance(c, ForeignKey) else [])
+        for t in refs:
+            if t not in tables:
+                raise ValueError(
+                    f"check {check_id(c)} references unknown table {t!r} "
+                    f"(have: {sorted(tables)})"
+                )
     parts: list[DataFrame] = []
 
     # --- row checks: one shared scan+agg per table -----------------------
@@ -261,6 +269,11 @@ def column_profile(
     approx_count_distinct (HLL) per column, which collapses the Expand
     back to one pass. Everything else is map-side partial aggregation.
     """
+    if not columns or not any(columns.values()):
+        raise ValueError("column_profile needs at least one (table, column)")
+    for t in columns:
+        if t not in tables:
+            raise ValueError(f"profile references unknown table {t!r}")
     parts: list[DataFrame] = []
     for tname, cols in columns.items():
         aggs: list[F.Column] = [F.count(F.lit(1)).alias("__n_rows")]
@@ -343,6 +356,8 @@ def distribution_drift(
     and one final agg. Row counts never leave the cluster; nulls are
     folded to a '<null>' sentinel so both engines join them as a value.
     """
+    if not columns:
+        raise ValueError("distribution_drift needs at least one column")
     parts: list[DataFrame] = []
     for c in columns:
 

@@ -952,3 +952,34 @@ def test_pq_adc_recall_and_codebook_scaling(spark):
 
     assert recall(4) >= 1
     assert recall(16) >= 3
+
+
+def test_quality_ops_reject_bad_specs(spark):
+    """Unknown tables / empty specs raise clear ValueErrors instead of
+    opaque KeyErrors mid-plan; an empty edge graph profiles to zeros."""
+    import pytest
+
+    from kafkatosparktokudu_spark.operators.graph import triangle_stats
+    from kafkatosparktokudu_spark.operators.quality_checks import (
+        ForeignKey,
+        NotNull,
+        column_profile,
+        constraint_report,
+        distribution_drift,
+    )
+
+    t = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(ValueError, match="unknown table 'nope'"):
+        constraint_report(spark, {"t": t}, [NotNull("nope", "x")])
+    with pytest.raises(ValueError, match="unknown table 'gone'"):
+        constraint_report(spark, {"t": t}, [ForeignKey("t", "x", "gone", "y")])
+    with pytest.raises(ValueError, match="at least one"):
+        column_profile({"t": t}, {})
+    with pytest.raises(ValueError, match="at least one column"):
+        distribution_drift(t, t, [])
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    r = triangle_stats(empty).head()
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (
+        0, 0, 0, 0,
+    )
+    assert r["clustering_coeff"] is None
