@@ -2631,6 +2631,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_emp_history": cdc_emp_history,
     "cdc_emp_history_incr": cdc_emp_history_incr,
     "cdc_emp_asof_enrich": cdc_emp_asof_enrich,
+    # ss03 gained a full hash oracle late in round 5 (shared plane
+    # literals) — rotated forward for a fresh driver row
+    "ss03_ann_lsh_topk": ss03_ann_lsh_topk,
     "ss07_pq_encode": ss07_pq_encode,
     "ss08_pq_adc_topk": ss08_pq_adc_topk,
     "q73_session_overlap": q73_session_overlap,
@@ -2717,7 +2720,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd06_simhash": dd06_simhash,
     "ss01_knn_cosine": ss01_knn_cosine,
     "ss02_label_centroids": ss02_label_centroids,
-    "ss03_ann_lsh_topk": ss03_ann_lsh_topk,
     "ss04_ivf_topk": ss04_ivf_topk,
     "mm01_binary_meta": mm01_binary_meta,
     "mm04_frame_sample": mm04_frame_sample,
