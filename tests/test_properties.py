@@ -491,3 +491,41 @@ def test_parse_ogg_partitions_any_input(spark, lines):
     ).count() == 0
     # dead rows keep their raw payload for replay
     assert dead.filter(F.col("_raw").isNull()).count() == 0
+
+
+# -- distribution drift vs Python oracle -------------------------------------
+@SETTINGS
+@given(
+    a=st.lists(st.sampled_from(["x", "y", "z", None]), min_size=1, max_size=30),
+    b=st.lists(st.sampled_from(["x", "y", "w", None]), min_size=1, max_size=30),
+)
+def test_distribution_drift_matches_python(spark, a, b):
+    from kafkatosparktokudu_spark.operators.quality_checks import (
+        distribution_drift,
+    )
+
+    da = spark.createDataFrame([(v,) for v in a], "c string")
+    db = spark.createDataFrame([(v,) for v in b], "c string")
+    got = distribution_drift(da, db, ["c"]).head()
+
+    def counts(vals):
+        out: dict[str, int] = {}
+        for v in vals:
+            k = "<null>" if v is None else v
+            out[k] = out.get(k, 0) + 1
+        return out
+
+    ca, cb = counts(a), counts(b)
+    vals = sorted(set(ca) | set(cb))
+    ta, tb = sum(ca.values()), sum(cb.values())
+    diffs = {
+        v: abs(
+            ca.get(v, 0) * 1_000_000 // ta - cb.get(v, 0) * 1_000_000 // tb
+        )
+        for v in vals
+    }
+    assert got["n_baseline"] == ta and got["n_current"] == tb
+    assert got["n_values"] == len(vals)
+    assert got["tvd_ppm"] == sum(diffs.values()) // 2
+    best = max(vals, key=lambda v: (diffs[v], v))  # d DESC, val DESC
+    assert (got["top_value"], got["top_diff_ppm"]) == (best, diffs[best])
