@@ -529,3 +529,89 @@ def test_distribution_drift_matches_python(spark, a, b):
     assert got["tvd_ppm"] == sum(diffs.values()) // 2
     best = max(vals, key=lambda v: (diffs[v], v))  # d DESC, val DESC
     assert (got["top_value"], got["top_diff_ppm"]) == (best, diffs[best])
+
+
+# -- interval-overlap join vs brute force ------------------------------------
+@SETTINGS
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 40_000), st.integers(0, 10_000)),
+        min_size=1, max_size=12,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 40_000), st.integers(0, 10_000)),
+        min_size=1, max_size=12,
+    ),
+)
+def test_interval_overlap_join_matches_bruteforce(spark, left, right):
+    """(start, duration) second pairs spanning multiple hour chunks: the
+    blocked join emits EXACTLY the closed-interval intersecting pairs,
+    each once."""
+    from kafkatosparktokudu_spark.operators.joins import interval_overlap_join
+
+    ldf = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(left)], "lid int, a long, b long"
+    ).select(
+        "lid",
+        F.timestamp_seconds("a").alias("s"),
+        F.timestamp_seconds("b").alias("e"),
+    )
+    rdf = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(right)], "rid int, a long, b long"
+    ).select(
+        "rid",
+        F.timestamp_seconds("a").alias("s"),
+        F.timestamp_seconds("b").alias("e"),
+    )
+    rows = interval_overlap_join(ldf, rdf, "s", "e", 3600).collect()
+    got = sorted((r["l_lid"], r["r_rid"]) for r in rows)
+    want = sorted(
+        (i, j)
+        for i, (ls, ld) in enumerate(left)
+        for j, (rs, rd) in enumerate(right)
+        if ls <= rs + rd and rs <= ls + ld
+    )
+    assert got == want
+    assert len(rows) == len(set(got))  # exactly once per pair
+
+
+# -- SCD2 incremental vs one-shot over GENERATED change streams --------------
+# The golden fixture pins one late-record case; this searches arbitrary
+# interleavings: out-of-order timestamps ACROSS the batch split, same-ts
+# seq collisions, delete-then-resurrect, partial updates.
+@SETTINGS
+@given(
+    changes=st.lists(_change, min_size=2, max_size=18),
+    data=st.data(),
+)
+def test_scd2_incremental_matches_oneshot_any_split(
+    spark, tmp_path_factory, changes, data
+):
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.catalog import default_catalog
+    from kafkatosparktokudu_spark.operators.ogg import (
+        history_table_changes,
+        normalize,
+        parse_ogg,
+        split_valid,
+    )
+    from kafkatosparktokudu_spark.operators.scd2 import Scd2Store
+
+    split = data.draw(st.integers(1, len(changes) - 1), label="split")
+    lines = [_to_line(c, i) for i, c in enumerate(changes)]
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    valid, _ = split_valid(parse_ogg(raw))
+    norm = normalize(valid).filter(F.col("tab_name") == "emp")
+    target = default_catalog()["emp"]
+    ref = history_table_changes(norm, target)
+    cols = ref.columns
+    want = sorted(map(tuple, ref.collect()), key=repr)
+
+    store = Scd2Store(
+        spark, str(tmp_path_factory.mktemp("scd2p") / "emp"), target, n_buckets=4
+    )
+    store.apply_batch(norm.filter(F.col("seq") < split))
+    store.apply_batch(norm.filter(F.col("seq") >= split))
+    got = sorted(map(tuple, store.history().select(cols).collect()), key=repr)
+    assert got == want
