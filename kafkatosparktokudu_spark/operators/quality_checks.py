@@ -78,7 +78,21 @@ class ForeignKey:
     parent_key: str
 
 
-Check = NotNull | InRange | AcceptedValues | Unique | ForeignKey
+@dataclass(frozen=True)
+class Freshness:
+    """Timeliness contract: violations = 1 if the table's newest
+    ``ts_column`` value is older than ``max_lag_seconds`` before
+    ``as_of`` (an ISO timestamp string — passed explicitly, never
+    wall-clock, so checks are deterministic and replayable), else 0.
+    An empty/all-null table is maximally stale (violation)."""
+
+    table: str
+    ts_column: str
+    max_lag_seconds: int
+    as_of: str
+
+
+Check = NotNull | InRange | AcceptedValues | Unique | ForeignKey | Freshness
 
 _REPORT_SCHEMA = T.StructType(
     [
@@ -114,6 +128,8 @@ def check_id(c: Check) -> str:
         return f"accepted:{c.table}.{c.column}"
     if isinstance(c, Unique):
         return f"unique:{c.table}.{','.join(c.columns)}"
+    if isinstance(c, Freshness):
+        return f"fresh:{c.table}.{c.ts_column}"
     return f"fk:{c.table}.{c.column}->{c.parent}.{c.parent_key}"
 
 
@@ -198,6 +214,30 @@ def constraint_report(
                         F.lit(c.table).alias("table_name"),
                         F.lit(",".join(c.columns)).alias("target"),
                         "n_violations",
+                        "n_rows",
+                    )
+                )
+            )
+        elif isinstance(c, Freshness):
+            one = tables[c.table].agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.max(F.col(c.ts_column).cast("timestamp")).alias("_mx"),
+            )
+            stale = F.col("_mx").isNull() | (
+                F.col("_mx")
+                < F.lit(c.as_of).cast("timestamp")
+                - F.expr(f"INTERVAL {int(c.max_lag_seconds)} SECONDS")
+            )
+            parts.append(
+                _finish(
+                    one.select(
+                        F.lit(check_id(c)).alias("check_id"),
+                        F.lit("freshness").alias("check_type"),
+                        F.lit(c.table).alias("table_name"),
+                        F.lit(c.ts_column).alias("target"),
+                        F.when(stale, F.lit(1)).otherwise(F.lit(0)).alias(
+                            "n_violations"
+                        ),
                         "n_rows",
                     )
                 )

@@ -983,3 +983,35 @@ def test_quality_ops_reject_bad_specs(spark):
         0, 0, 0, 0,
     )
     assert r["clustering_coeff"] is None
+
+
+def test_freshness_check(spark):
+    """Freshness: fresh table passes, stale fails, empty table is
+    maximally stale — all against an explicit deterministic as_of."""
+    from kafkatosparktokudu_spark.operators.quality_checks import (
+        Freshness,
+        constraint_report,
+    )
+
+    fresh = spark.createDataFrame(
+        [("2024-01-01 11:59:00",)], "ts string"
+    )
+    stale = spark.createDataFrame(
+        [("2024-01-01 09:00:00",)], "ts string"
+    )
+    empty = spark.createDataFrame([], "ts string")
+    out = {
+        r["check_id"]: r
+        for r in constraint_report(
+            spark,
+            {"f": fresh, "s": stale, "e": empty},
+            [
+                Freshness("f", "ts", 3600, "2024-01-01 12:00:00"),
+                Freshness("s", "ts", 3600, "2024-01-01 12:00:00"),
+                Freshness("e", "ts", 3600, "2024-01-01 12:00:00"),
+            ],
+        ).collect()
+    }
+    assert out["fresh:f.ts"]["passed"]
+    assert not out["fresh:s.ts"]["passed"]
+    assert not out["fresh:e.ts"]["passed"] and out["fresh:e.ts"]["n_rows"] == 0
