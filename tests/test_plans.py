@@ -282,3 +282,19 @@ def test_dd12_repeated_chunk_anti_join_broadcasts(spark):
     shuffle the whole chunk table."""
     plan = _plan(spark, "dd12_repeated_chunks")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_pq_encode_is_shuffle_free(spark):
+    """PQ encoding is pure per-row expression work — NO exchange anywhere:
+    the property that lets it run as a map-only pass over a 100 TB table."""
+    plan = _plan(spark, "ss07_pq_encode")
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_interval_overlap_join_single_chunk_exchange(spark):
+    """The blocked interval join shuffles ONCE on the chunk id (plus a
+    broadcast for the smaller exploded side) — never a nested-loop theta
+    join over the raw intervals."""
+    plan = _plan(spark, "q73_session_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
