@@ -416,8 +416,20 @@ def domain_mixture_sample(
     from pyspark.sql import Window
 
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    # z through DECIMAL: a plain double SUM is summation-order-dependent
+    # and this plan references it from TWO branches (quota + kept join) —
+    # at sf0.1 the quota expression lands EXACTLY on a ceil boundary
+    # (200/20 sources = 10.0), where a 1-ulp re-evaluation difference
+    # flips ceil and makes kept != quota (found by the sf0.1 sweep; the
+    # DuckDB oracle inlines its CTE and hit it first).
     wsum = counts.agg(
-        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))).alias("z")
+        F.sum(
+            F.pow(F.col("n_docs").cast("double"), F.lit(alpha)).cast(
+                "decimal(28,12)"
+            )
+        )
+        .cast("double")
+        .alias("z")
     )
     weights = counts.crossJoin(F.broadcast(wsum)).select(
         "source",

@@ -1773,7 +1773,9 @@ ORACLE_SQL: dict[str, str] = {
     # Temperature-weighted domain mixture: w_s ∝ n_s^0.5, md5-rank take.
     "tx13_domain_mixture": """
         WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
-        z AS (SELECT SUM(pow(CAST(n_docs AS DOUBLE), 0.5)) AS z FROM counts),
+        z AS (SELECT CAST(SUM(CAST(pow(CAST(n_docs AS DOUBLE), 0.5)
+                                   AS DECIMAL(28,12))) AS DOUBLE) AS z
+              FROM counts),
         weights AS (
             SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
                    round(pow(CAST(n_docs AS DOUBLE), 0.5) / z, 6) AS weight,
