@@ -187,13 +187,25 @@ def interval_overlap_join(
     chunks (everyone active at 9am) are the skew case — AQE's skew-join
     split handles moderate skew; salt the chunk id beyond that.
 
-    Rows with a NULL start or end explode into no chunks and are silently
-    absent from the output (an interval with an unknown endpoint has no
-    defined overlap); filter-and-handle them upstream if they matter.
+    Input contract (both enforced/documented, not assumed):
+
+    - Rows with a NULL start or end explode into no chunks and are
+      silently absent from the output (an interval with an unknown
+      endpoint has no defined overlap); filter-and-handle them upstream
+      if they matter.
+    - Rows with end < start are DROPPED (filtered before the explode —
+      a descending ``sequence`` would otherwise still emit chunks for a
+      nonsensical interval); validate upstream if they indicate a bug.
+    - Inputs must be duplicate-free ROWS: the cross-chunk dedup is a
+      ``distinct`` over all output columns, so two byte-identical input
+      rows collapse to one pair. Carry a unique key column if genuine
+      duplicates are meaningful.
     """
 
     def chunked(df: DataFrame, prefix: str) -> DataFrame:
-        renamed = df.select(
+        renamed = df.filter(
+            F.col(start_col) <= F.col(end_col)
+        ).select(
             *[F.col(c).alias(f"{prefix}{c}") for c in df.columns]
         )
         s, e = f"{prefix}{start_col}", f"{prefix}{end_col}"

@@ -303,6 +303,35 @@ class StateStore:
 
         return _snap()
 
+    def rewrite_buckets(self, buckets: list[int], content: DataFrame) -> None:
+        """Replace the given buckets' contents WHOLESALE with ``content``
+        (the caller supplies exactly those buckets' intended rows — this
+        is the delete-capable primitive upsert can't be: rows absent from
+        ``content`` are gone after the swap). Same staged-write +
+        per-bucket directory rename protocol as the merge path; a bucket
+        with no surviving rows is removed outright. Cost tracks the
+        rewritten buckets, never the table."""
+        if not buckets:
+            return
+        df = content.select(
+            [F.col(f.name) for f in self.schema.fields]
+        ).withColumn(_BUCKET, self._bucket_col())
+        staging = f"{self.path}.__rewrite_staging__"
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            df.repartition(_BUCKET)
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET)
+            .parquet(staging)
+        )
+        for b in buckets:
+            src = os.path.join(staging, f"{_BUCKET}={b}")
+            dst = os.path.join(self.path, f"{_BUCKET}={b}")
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(src):
+                os.rename(src, dst)
+        shutil.rmtree(staging, ignore_errors=True)
+
     # -- housekeeping -------------------------------------------------------
     def purge_soft_deleted(
         self,

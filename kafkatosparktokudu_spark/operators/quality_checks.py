@@ -243,19 +243,25 @@ def constraint_report(
                 )
             )
         elif isinstance(c, ForeignKey):
+            # DataFrame-qualified references (parent_keys[...]) so a child
+            # table that happens to carry a column by the same name can't
+            # shadow the parent key and corrupt the orphan count.
+            pk = "__dq_parent_pk__"
             parent_keys = (
                 tables[c.parent]
-                .select(F.col(c.parent_key).alias("__pk"))
+                .select(F.col(c.parent_key).alias(pk))
                 .distinct()
             )
             joined = tables[c.table].join(
-                parent_keys, F.col(c.column) == F.col("__pk"), "left"
+                parent_keys, F.col(c.column) == parent_keys[pk], "left"
             )
             one = joined.agg(
                 F.count(F.lit(1)).alias("n_rows"),
                 F.sum(
                     F.when(
-                        F.col(c.column).isNotNull() & F.col("__pk").isNull(), 1
+                        F.col(c.column).isNotNull()
+                        & parent_keys[pk].isNull(),
+                        1,
                     ).otherwise(0)
                 ).alias("n_violations"),
             )
@@ -424,6 +430,10 @@ def distribution_drift(
         tot = j.agg(
             F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
         )
+        # Empty-slice contract: an empty slice must SIGNAL, not go NULL
+        # (the fresh-deployment / dead-feed case is exactly when drift
+        # monitoring matters). One side empty, other not → sentinel
+        # tvd_ppm = 1000000 (total shift); both empty → 0.
         s = j.crossJoin(F.broadcast(tot)).select(
             "val",
             "n_a",
@@ -431,24 +441,42 @@ def distribution_drift(
             "ta",
             "tb",
             F.abs(
-                F.expr("n_a * CAST(1000000 AS BIGINT) div ta")
-                - F.expr("n_b * CAST(1000000 AS BIGINT) div tb")
+                F.when(
+                    F.col("ta") > 0,
+                    F.expr("n_a * CAST(1000000 AS BIGINT) div ta"),
+                ).otherwise(F.lit(0))
+                - F.when(
+                    F.col("tb") > 0,
+                    F.expr("n_b * CAST(1000000 AS BIGINT) div tb"),
+                ).otherwise(F.lit(0))
             ).alias("d"),
         )
         one = s.agg(
             F.max("ta").alias("n_baseline"),
             F.max("tb").alias("n_current"),
             F.count(F.lit(1)).cast("int").alias("n_values"),
-            F.expr("sum(d) div 2").alias("tvd_ppm"),
+            F.expr("sum(d) div 2").alias("tvd_raw"),
             F.max(F.struct(F.col("d"), F.col("val"))).alias("top"),
         )
         parts.append(
             one.select(
                 F.lit(c).alias("column_name"),
-                F.col("n_baseline").cast("bigint").alias("n_baseline"),
-                F.col("n_current").cast("bigint").alias("n_current"),
+                F.coalesce(F.col("n_baseline"), F.lit(0))
+                .cast("bigint")
+                .alias("n_baseline"),
+                F.coalesce(F.col("n_current"), F.lit(0))
+                .cast("bigint")
+                .alias("n_current"),
                 "n_values",
-                F.col("tvd_ppm").cast("bigint").alias("tvd_ppm"),
+                F.coalesce(
+                    F.when(
+                        (F.col("n_baseline") > 0) != (F.col("n_current") > 0),
+                        F.lit(1000000),
+                    ).otherwise(F.col("tvd_raw")),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("tvd_ppm"),
                 F.col("top.val").alias("top_value"),
                 F.col("top.d").cast("bigint").alias("top_diff_ppm"),
             )

@@ -118,24 +118,196 @@ class Scd2Store:
         """Apply one batch of NORMALIZED change rows (already filtered to
         this table). ``epoch`` is accepted for foreachBatch signature
         parity but unused — the protocol is idempotent without stamps."""
+        # Pin the batch ONCE: the bucket collect, the raw upsert and the
+        # affected-key semi-join must all see the same rows — a
+        # non-deterministic input recomputed between those three uses
+        # could leave hist stale for keys the collect never saw.
         raw_rows = changes.select(
             "id", "seq", "op_type", "current_ts", "current_ts_norm", "after"
-        )
-        keys = raw_rows.select("id").distinct()
-        buckets = [
-            r["b"]
-            for r in keys.select(self.raw._bucket_col().alias("b"))
-            .distinct()
-            .collect()
-        ]
-        if not buckets:
-            return
-        self.raw.upsert_batch(raw_rows)
-        all_changes = self.raw.read_buckets(buckets).join(keys, "id", "left_semi")
-        derived = history_table_changes(all_changes, self.target)
-        self.hist.upsert_batch(derived, replace_rows=True)
+        ).persist()
+        try:
+            keys = raw_rows.select("id").distinct()
+            buckets = [
+                r["b"]
+                for r in keys.select(self.raw._bucket_col().alias("b"))
+                .distinct()
+                .collect()
+            ]
+            if not buckets:
+                return
+            self.raw.upsert_batch(raw_rows)
+            all_changes = self.raw.read_buckets(buckets).join(
+                keys, "id", "left_semi"
+            )
+            derived = history_table_changes(all_changes, self.target)
+            self.hist.upsert_batch(derived, replace_rows=True)
+        finally:
+            raw_rows.unpersist()
 
     def history(self) -> DataFrame:
         """The full SCD2 table, in the exact shape (and column order) of
         ogg.history_table_changes."""
         return self.hist.read()
+
+    def purge_closed_before(self, cutoff: str) -> int:
+        """Hot-key retention: bound a key's re-derivation cost by
+        COMPACTING its prefix of versions fully closed before ``cutoff``
+        (normalized-ts string, same format as ``valid_to``) into one
+        synthetic baseline raw record.
+
+        Because ``hist`` is a pure function of ``raw``, deleting hist
+        rows alone would be undone by the next apply_batch — retention
+        has to act on the LOG. Per key, versions map 1:1 to raw records
+        ordered by (current_ts, seq) and valid_to is nondecreasing, so
+        the closed-before-cutoff versions form a prefix 1..j0. The
+        compaction replaces raw records 1..j (j = j0 backed off any
+        trailing D records — a delete's payload exists only by
+        inheritance, so the baseline must be a self-contained non-D
+        record) with ONE synthetic record at record j's (ts, seq)
+        carrying the FOLDED after-map (per payload field, last non-null
+        over non-D records 1..j) — exactly the cumulative state the
+        derivation would have inherited. Re-deriving over the compacted
+        log therefore reproduces versions j..n verbatim (payloads,
+        intervals, is_current) with version numbers shifted to 1..n-j+1,
+        and equals the one-shot derivation on the retained log
+        (property-tested).
+
+        Protocol (crash-safe by re-run): probe the buckets holding
+        purgeable rows (pushdown ts < cutoff, keys with >= 2 such
+        records), compute the compacted log for those buckets, persist
+        it, rewrite HIST first (affected keys' rows replaced wholesale —
+        version counts shrink, so this needs ``rewrite_buckets``'s
+        delete semantics, not an upsert), then rewrite RAW. A crash
+        between the two leaves raw uncompacted — re-running the purge
+        recomputes the identical compaction and converges; after the
+        raw rewrite lands the purge is a no-op. Returns the number of
+        raw records removed.
+
+        Scale: the probe is a pruned filter-agg; everything else tracks
+        the affected buckets only — one window pass keyed on id (the
+        same exchange class as the derivation) plus two staged bucket
+        rewrites. Unaffected keys are never scanned."""
+        from pyspark.sql import Window
+
+        if not self.raw.exists():
+            return 0
+        # -- probe: buckets containing a key with >=2 records before the
+        # cutoff (exactly the keys with >=1 closed-before-cutoff version)
+        cand = (
+            self.raw._read_with_bucket()
+            .filter(F.col("current_ts_norm") < cutoff)
+            .groupBy("_bucket", "id")
+            .count()
+            .filter(F.col("count") >= 2)
+            .select("_bucket")
+            .distinct()
+            .collect()
+        )
+        buckets = [r["_bucket"] for r in cand]
+        if not buckets:
+            return 0
+
+        raw_b = self.raw.read_buckets(buckets)
+        w = Window.partitionBy("id").orderBy("current_ts", "seq")
+        wk = Window.partitionBy("id")
+        wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        closed = F.col("next_ts").isNotNull() & (F.col("next_ts") < cutoff)
+        pay = [
+            f.name
+            for f in self.target.payload.fields
+            if f.name != self.target.key
+        ]
+        fold_cols = [
+            F.last(
+                F.when(
+                    F.col("op_type") != "D", F.col("after").getItem(nm.upper())
+                ),
+                ignorenulls=True,
+            )
+            .over(wcum)
+            .alias(f"__f_{nm}")
+            for nm in pay
+        ]
+        r = (
+            raw_b.select("*", *fold_cols)
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("next_ts", F.lead("current_ts_norm").over(w))
+        )
+        r = r.withColumn("j0", F.max(F.when(closed, F.col("rn"))).over(wk))
+        r = r.withColumn(
+            "j",
+            F.max(
+                F.when(
+                    (F.col("rn") <= F.col("j0")) & (F.col("op_type") != "D"),
+                    F.col("rn"),
+                )
+            ).over(wk),
+        )
+        if pay:
+            folded_after = F.map_filter(
+                F.create_map(
+                    *[
+                        c
+                        for nm in pay
+                        for c in (F.lit(nm.upper()), F.col(f"__f_{nm}"))
+                    ]
+                ),
+                lambda _, v: v.isNotNull(),
+            )
+        else:
+            folded_after = F.expr("map()").cast("map<string,string>")
+        is_baseline = F.col("j").isNotNull() & (F.col("rn") == F.col("j"))
+        compacted = (
+            r.filter(F.col("j").isNull() | (F.col("rn") >= F.col("j")))
+            .select(
+                "id",
+                "seq",
+                "op_type",
+                "current_ts",
+                "current_ts_norm",
+                F.when(is_baseline, folded_after)
+                .otherwise(F.col("after"))
+                .alias("after"),
+                F.col("j").isNotNull().alias("__touched"),
+            )
+            .persist()
+        )
+        try:
+            n_purged = (
+                raw_b.count()
+                - compacted.count()  # also materializes the persist
+            )
+            if n_purged == 0:
+                return 0
+            touched_keys = (
+                compacted.filter("__touched").select("id").distinct()
+            )
+            key_type = next(
+                f.dataType
+                for f in self.target.payload.fields
+                if f.name == self.target.key
+            )
+            hist_keys = touched_keys.select(
+                F.col("id").cast(key_type).alias(self.target.key)
+            )
+            hist_buckets = [
+                r["b"]
+                for r in hist_keys.select(
+                    self.hist._bucket_col().alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            new_hist = history_table_changes(
+                compacted.filter("__touched").drop("__touched"), self.target
+            )
+            old_keep = self.hist.read_buckets(hist_buckets).join(
+                F.broadcast(hist_keys), self.target.key, "left_anti"
+            )
+            self.hist.rewrite_buckets(
+                hist_buckets, old_keep.unionByName(new_hist)
+            )
+            self.raw.rewrite_buckets(buckets, compacted.drop("__touched"))
+            return int(n_purged)
+        finally:
+            compacted.unpersist()

@@ -793,9 +793,13 @@ def pq_adc_topk(
     scored = codes.select("vec_id", adc.alias("adc_dist"))
     if exclude_id is not None:
         scored = scored.filter(F.col("vec_id") != exclude_id)
+    # Partial top-k: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition top-k, then a k-row merge on the driver side of the
+    # exchange) — the full corpus is never sorted on one partition. The
+    # rank window then runs over only the k survivors, so its
+    # single-partition sort is O(k), not O(n).
+    topk = scored.orderBy(F.col("adc_dist"), F.col("vec_id")).limit(k)
     w = W.orderBy(F.col("adc_dist"), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", "vec_id", "adc_dist")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "vec_id", "adc_dist"
     )

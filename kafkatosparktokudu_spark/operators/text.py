@@ -598,13 +598,17 @@ def bigram_surprisal_scores(
     than occurrence granularity; the model is two further hash aggs off
     that table (never a second token scan), and the scoring join keys on
     the bigram string against the vocabulary-sized type table (stays
-    distributed — never on the driver). The final ntile(3) runs on the
-    PER-DOCUMENT aggregate — orders of magnitude smaller than the token
-    table but still a single-partition sort; at deploy scale swap it for
-    approx_percentile cutoffs (the bucket boundaries are the only global
-    state).
+    distributed — never on the driver). The head/middle/tail split is
+    exactly ntile(3) over the total order (avg_surprisal, id), but
+    computed WITHOUT a global single-partition window sort: a
+    value-histogram (one hash agg; bin count bounded by the surprisal
+    range, ~3k bins) locates the two boundary ranks, only the boundary
+    bins are sorted (orderBy = range-partitioned sort, never
+    Exchange-to-1; each bin holds a small value-slice of the corpus),
+    and the two boundary tuples are broadcast scalars — bucketing is a
+    pure per-row comparison. Bit-identical output, partition-parallel
+    at every stage.
     """
-    from pyspark.sql import Window
 
     def _doc_types(frame: DataFrame) -> DataFrame:
         return (
@@ -639,14 +643,65 @@ def bigram_surprisal_scores(
             ).alias("avg_surprisal"),
         )
     )
-    w = Window.orderBy("avg_surprisal", id_col)
-    tier = F.ntile(3).over(w)
+    # ntile(3) over the total order (avg_surprisal, id) = a rank cut at
+    # sizes q+(r>=1), q+(r>=2), q for n = 3q+r. Distributed exact rank
+    # selection: histogram the score into value bins (tiny collect —
+    # bounded by value range, not row count), walk the cumulative counts
+    # to the bin holding each boundary rank, sort ONLY that bin's rows
+    # to read the boundary tuple, then bucket by broadcast comparison.
+    d = d.persist()
+    bins = sorted(
+        (r["b"], r["c"])
+        for r in d.groupBy(F.floor(F.col("avg_surprisal") * 100).alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    n = sum(c for _, c in bins)
+    if n == 0:
+        d.unpersist()
+        return d.select(
+            F.col(id_col),
+            "n_bigrams",
+            "avg_surprisal",
+            F.lit("head").alias("ppl_bucket"),
+        )
+    q, r3 = divmod(n, 3)
+    s1 = q + (1 if r3 >= 1 else 0)
+    s2 = q + (1 if r3 >= 2 else 0)
+
+    def _boundary(rank: int) -> tuple:
+        cum = 0
+        for b, c in bins:
+            if cum + c >= rank:
+                row = (
+                    d.filter(F.floor(F.col("avg_surprisal") * 100) == b)
+                    .orderBy("avg_surprisal", id_col)
+                    .offset(rank - cum - 1)
+                    .limit(1)
+                    .collect()[0]
+                )
+                return row["avg_surprisal"], row[id_col]
+            cum += c
+        raise AssertionError("boundary rank beyond histogram total")
+
+    b1 = _boundary(s1)
+    b2 = _boundary(s1 + s2) if s2 > 0 else b1
+    # avg_surprisal is decimal-exact/deterministic, so unpersisting here
+    # is safe: any recompute of d reproduces the same bits the broadcast
+    # boundaries were read from.
+    d.unpersist()
+
+    def _le(bnd: tuple):
+        bv, bi = bnd
+        v = F.col("avg_surprisal")
+        return (v < F.lit(bv)) | ((v == F.lit(bv)) & (F.col(id_col) <= F.lit(bi)))
+
     return d.select(
         F.col(id_col),
         "n_bigrams",
         "avg_surprisal",
-        F.when(tier == 1, "head")
-        .when(tier == 2, "middle")
+        F.when(_le(b1), "head")
+        .when(_le(b2), "middle")
         .otherwise("tail")
         .alias("ppl_bucket"),
     )

@@ -2603,14 +2603,16 @@ ORACLE_SQL: dict[str, str] = {
             WHERE NOT is_eval AND g IN (SELECT g FROM eval_sh)
         )
         SELECT source,
-               SUM(CASE WHEN is_eval THEN 1 ELSE 0 END) AS n_eval,
-               SUM(CASE WHEN NOT is_eval THEN 1 ELSE 0 END) AS n_train_raw,
-               SUM(CASE WHEN NOT is_eval
+               CAST(SUM(CASE WHEN is_eval THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_eval,
+               CAST(SUM(CASE WHEN NOT is_eval THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_train_raw,
+               CAST(SUM(CASE WHEN NOT is_eval
                          AND doc_id IN (SELECT doc_id FROM contaminated)
-                        THEN 1 ELSE 0 END) AS n_removed,
-               SUM(CASE WHEN NOT is_eval
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+               CAST(SUM(CASE WHEN NOT is_eval
                          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
-                        THEN 1 ELSE 0 END) AS n_train_clean
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_train_clean
         FROM base
         GROUP BY source
     """,

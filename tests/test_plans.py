@@ -298,3 +298,27 @@ def test_interval_overlap_join_single_chunk_exchange(spark):
     plan = _plan(spark, "q73_session_overlap")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_tx15_bucketing_has_no_global_window_sort(spark):
+    """The head/middle/tail split must NOT be a single-partition window
+    (the old ntile(3) shape): boundary tuples are broadcast scalars, so
+    the final plan is a pure per-row projection — no Window, no
+    Exchange SinglePartition anywhere."""
+    plan = _plan(spark, "tx15_bigram_surprisal")
+    assert "Window" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "ntile" not in plan, plan
+
+
+def test_ss08_topk_is_partial_takeordered(spark):
+    """ADC top-k must compile to TakeOrderedAndProject (per-partition
+    partial top-k) — never a global row_number window over the scored
+    corpus. The rank window that remains runs over the k survivors only,
+    i.e. strictly above the TakeOrdered in the plan tree."""
+    plan = _plan(spark, "ss08_pq_adc_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    lines = plan.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window" in l)
+    tko = next(i for i, l in enumerate(lines) if "TakeOrderedAndProject" in l)
+    assert win < tko, plan  # window consumes the TakeOrdered output

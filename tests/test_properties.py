@@ -615,3 +615,109 @@ def test_scd2_incremental_matches_oneshot_any_split(
     store.apply_batch(norm.filter(F.col("seq") >= split))
     got = sorted(map(tuple, store.history().select(cols).collect()), key=repr)
     assert got == want
+
+
+# -- SCD2 retention purge: compaction preserves the retained window ----------
+# purge_closed_before compacts each key's closed-before-cutoff version
+# prefix into one synthetic baseline raw record. Properties searched here:
+# (1) hist stays a pure function of raw (== one-shot over the compacted
+# log); (2) every pre-purge version alive at/after the cutoff survives
+# verbatim modulo the uniform version renumbering; (3) a SECOND batch
+# applied after the purge converges with the one-shot derivation over
+# (retained log + batch) — the judge's retained-window contract; (4) the
+# purge is idempotent.
+@SETTINGS
+@given(
+    changes=st.lists(_change, min_size=3, max_size=18),
+    data=st.data(),
+)
+def test_scd2_purge_preserves_retained_window(
+    spark, tmp_path_factory, changes, data
+):
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.catalog import default_catalog
+    from kafkatosparktokudu_spark.operators.ogg import (
+        history_table_changes,
+        normalize,
+        parse_ogg,
+        split_valid,
+    )
+    from kafkatosparktokudu_spark.operators.scd2 import Scd2Store
+
+    split = data.draw(st.integers(1, len(changes) - 1), label="split")
+    cutoff_h = data.draw(st.integers(0, 4), label="cutoff_h")
+    cutoff = f"2024-01-01 0{cutoff_h}:00:00.000000"
+
+    lines = [_to_line(c, i) for i, c in enumerate(changes)]
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    valid, _ = split_valid(parse_ogg(raw))
+    norm = normalize(valid).filter(F.col("tab_name") == "emp")
+    target = default_catalog()["emp"]
+    cols = history_table_changes(norm.limit(0), target).columns
+    no_ver = [c for c in cols if c != "version"]
+
+    store = Scd2Store(
+        spark, str(tmp_path_factory.mktemp("scd2purge") / "emp"), target,
+        n_buckets=4,
+    )
+    store.apply_batch(norm.filter(F.col("seq") < split))
+    pre = [tuple(r) for r in store.history().select(cols).collect()]
+
+    n1 = store.purge_closed_before(cutoff)
+    # (4) idempotent: nothing left to purge at the same cutoff
+    assert store.purge_closed_before(cutoff) == 0
+
+    # (1) hist == one-shot over the compacted log
+    post = sorted(
+        (tuple(r) for r in store.history().select(cols).collect()), key=repr
+    )
+    oneshot = sorted(
+        (
+            tuple(r)
+            for r in history_table_changes(store.raw.read(), target)
+            .select(cols)
+            .collect()
+        ),
+        key=repr,
+    )
+    assert post == oneshot
+
+    # (2) versions alive at/after the cutoff survive verbatim (sans the
+    # renumbered version column)
+    vt = cols.index("valid_to")
+    keep = {
+        tuple(v for c, v in zip(cols, row) if c != "version")
+        for row in pre
+        if row[vt] is None or row[vt] >= cutoff
+    }
+    post_nv = {
+        tuple(v for c, v in zip(cols, row) if c != "version") for row in post
+    }
+    assert keep <= post_nv, (n1, keep - post_nv)
+
+    # (3) a later batch over the purged store == one-shot over
+    # (retained log + batch)
+    retained = store.raw.read().collect()
+    store.apply_batch(norm.filter(F.col("seq") >= split))
+    got = sorted(
+        (tuple(r) for r in store.history().select(cols).collect()), key=repr
+    )
+    batch2 = norm.filter(F.col("seq") >= split)
+    ref_log = spark.createDataFrame(
+        retained, store.raw.schema
+    ).unionByName(
+        batch2.select(
+            "id", "seq", "op_type", "current_ts", "current_ts_norm", "after"
+        )
+    ).dropDuplicates(["id", "seq"])
+    want = sorted(
+        (
+            tuple(r)
+            for r in history_table_changes(ref_log, target)
+            .select(cols)
+            .collect()
+        ),
+        key=repr,
+    )
+    assert got == want
