@@ -313,6 +313,91 @@ def seed_cell_assign(
     )
 
 
+def ivf_topk_seeded(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Oracle-reproducible IVF search — the ss03 graduation trick applied
+    to ss04: cells are anchored on the ``n_cells`` lowest-vec_id vectors
+    (the dd05/ss05 deterministic-anchor contract a SQL engine can
+    recompute), NOT on trained centroids.
+
+    - corpus side: every vector in exactly ONE cell — argmax rounded(6)
+      cosine with cell-ASC tie-break; at scale this is the table's
+      partition key (build_ivf_index layout), so non-probed cells prune
+      at the file level;
+    - query side: the ``nprobe`` best cells, computed THROUGH THE SAME
+      Spark expression tree over a one-row frame — the probe set comes
+      from the identical float ops the corpus assignment (and the DuckDB
+      oracle) runs, so the two engines cannot disagree on which cells a
+      query visits;
+    - re-rank: exact rounded cosine inside the probed cells, top-k via
+      orderBy+limit (TakeOrderedAndProject — partial per-partition
+      top-k, never a global sort).
+
+    ``ivf_topk`` (numpy-trained centroids, pandas_udf matmul assignment)
+    remains the deploy-scale variant — trained cells buy recall per
+    probe; this seeded twin trades that for cross-engine verifiability.
+    Recall-vs-exact for both variants is pinned in tests.
+    """
+    import math
+
+    from ..functions.vectors import dot_literal, norm
+
+    spark = emb.sparkSession
+    seeds = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(n_cells).collect()
+    )
+
+    def _score(c: int, q: list[float]) -> Column:
+        qn = math.sqrt(sum(float(x) * float(x) for x in q)) or 1e-12
+        sim = dot_literal(F.col("v"), q) / (F.col("nv") * F.lit(qn))
+        return F.struct((-F.round(sim, 6)).alias("ns"), F.lit(c).alias("cell"))
+
+    seed_vecs = [[float(x) for x in r["embedding"]] for r in seeds]
+    scored = F.array(*[_score(c, sv) for c, sv in enumerate(seed_vecs)])
+
+    qdf = spark.createDataFrame([(query_vec,)], "embedding array<double>")
+    qstaged = qdf.select(as_double(F.col("embedding")).alias("v")).select(
+        "v", norm(F.col("v")).alias("nv")
+    )
+    probe = [
+        r["cell"]
+        for r in qstaged.select(
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["cell"]
+                )
+            ).alias("cell")
+        ).collect()
+    ]
+
+    staged = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    ).select("vec_id", "label", "v", norm(F.col("v")).alias("nv"))
+    cand = staged.withColumn(
+        "cell", F.element_at(F.array_sort(scored), 1)["cell"]
+    ).filter(F.col("cell").isin(probe))
+    if exclude_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_id)
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1e-12
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            F.round(
+                dot_literal(F.col("v"), query_vec) / (F.col("nv") * F.lit(qn)), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def build_ivf_index(
     emb: DataFrame,
     path: str,
@@ -559,6 +644,16 @@ def kmeans_assign(
     seed_rows = (
         emb.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
     )
+    # Validate the dimension UP FRONT against a sampled embedding (the
+    # seeds are already on the driver): with n_iters=1 the centroid-update
+    # loop never runs, and a silent dim mismatch there would otherwise
+    # surface as null element_at terms / null cosines, not an error.
+    for r in seed_rows:
+        if len(r["embedding"]) != n_dims:
+            raise ValueError(
+                f"embedding dim {len(r['embedding'])} != n_dims {n_dims}; "
+                f"pass n_dims={len(r['embedding'])} (vec_id {r['vec_id']})"
+            )
     cents: list[tuple[int, list[float]]] = [
         (c, [float(x) for x in r["embedding"]]) for c, r in enumerate(seed_rows)
     ]
@@ -700,6 +795,59 @@ def pq_codebooks(
         [[float(x) for x in r["embedding"][s * d : (s + 1) * d]] for r in seeds]
         for s in range(m)
     ]
+
+
+def pq_codebooks_trained(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 4,
+    n_dims: int = 64,
+    iters: int = 5,
+    sample_mod: int = 7,
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd refinement over a bounded deterministic
+    hash-sample — the train_ivf_centroids machinery with squared-L2
+    instead of cosine (PQ quantizes raw subvectors). Seeds are the
+    seeded codebooks' own entries (first-k-by-vec_id subvectors), so
+    refinement starts from the oracle-checked init and monotonically
+    reduces sample distortion; no RNG anywhere. Returns the same
+    ``C[m][k][d]`` shape as ``pq_codebooks`` — encode/ADC are
+    codebook-agnostic, so this slots into the same API.
+
+    The DRIVER ORACLE stays pinned on the seeded variant (trained float
+    state isn't SQL-recomputable — the dd05 lesson); this is the
+    deploy-recall path, its recall-vs-exact bound pinned in
+    tests/test_extensions.py. Driver transfer is O(sample), independent
+    of table size."""
+    import numpy as np
+
+    d = n_dims // m
+    sample = (
+        emb.filter(md5_hash32(F.col("vec_id").cast("string")) % sample_mod == 0)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .limit(4096)
+        .collect()
+    )
+    x = np.array([[float(v) for v in r["embedding"]] for r in sample])
+    seeds = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
+    )
+    out: list[list[list[float]]] = []
+    for s in range(m):
+        xs = x[:, s * d : (s + 1) * d]
+        cents = np.array(
+            [[float(v) for v in r["embedding"][s * d : (s + 1) * d]] for r in seeds]
+        )
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        out.append([[float(v) for v in c] for c in cents])
+    return out
 
 
 def _sq_dist_flat(vec: Column, offset: int, q: list[float]) -> Column:

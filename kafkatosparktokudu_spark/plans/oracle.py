@@ -2502,6 +2502,45 @@ ORACLE_SQL: dict[str, str] = {
         FROM toks JOIN freq USING (term)
         GROUP BY doc_id
     """,
+    # Seeded IVF search (graduated from rows-only in r6): cells anchored
+    # on the 16 lowest-vec_id vectors, corpus in its argmax cell, query
+    # probes its 4 best cells, rounded-cosine re-rank — every stage uses
+    # the hash-proven round(list_cosine_similarity)/tie-break contract.
+    "ss04_ivf_topk": """
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS sv
+            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
+        ),
+        assigned AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, s.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(list_cosine_similarity(e.v, s.sv), 6) DESC,
+                                    s.cell
+                       ) AS rn
+                FROM e CROSS JOIN seeds s
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        probe AS (
+            SELECT cell FROM (
+                SELECT s.cell,
+                       row_number() OVER (
+                           ORDER BY round(list_cosine_similarity(q.qv, s.sv), 6) DESC,
+                                    s.cell
+                       ) AS rn
+                FROM seeds s, q
+            ) WHERE rn <= 4
+        )
+        SELECT e.vec_id, e.label,
+               round(list_cosine_similarity(e.v, qv), 6) AS cos_sim
+        FROM e JOIN assigned a ON a.vec_id = e.vec_id, q
+        WHERE a.cell IN (SELECT cell FROM probe) AND e.vec_id <> 0
+        ORDER BY cos_sim DESC, e.vec_id
+        LIMIT 10
+    """,
     # Batch kNN join: same seed-cell assignment as dd05, queries probe the
     # corpus cells, exact-cosine rank per query.
     "ss05_knn_join": """

@@ -1938,12 +1938,17 @@ def ss03_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ss04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: IVF ANN (sample-trained centroids + nprobe cell search);
-    recall vs brute force asserted in tests/test_extensions.py."""
-    from ..operators.similarity import ivf_topk
+    """IVF ANN search with a full hash oracle (graduated from rows-only
+    in r6 via the ss03 trick): cells anchored on the 16 lowest-vec_id
+    seed vectors — deterministic, SQL-recomputable — corpus assigned to
+    its argmax cell, query probes its 4 best cells, exact rounded-cosine
+    re-rank inside them (operators/similarity.py::ivf_topk_seeded). The
+    numpy-trained variant (ivf_topk) stays the deploy path; its recall
+    is asserted in tests/test_extensions.py."""
+    from ..operators.similarity import ivf_topk_seeded
 
     qv = _query_vec(spark, sf_dir, 0)
-    return ivf_topk(_t(spark, sf_dir, "embeddings"), qv, k=10, exclude_id=0)
+    return ivf_topk_seeded(_t(spark, sf_dir, "embeddings"), qv, k=10, exclude_id=0)
 
 
 def mm04_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

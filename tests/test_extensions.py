@@ -1015,3 +1015,62 @@ def test_freshness_check(spark):
     assert out["fresh:f.ts"]["passed"]
     assert not out["fresh:s.ts"]["passed"]
     assert not out["fresh:e.ts"]["passed"] and out["fresh:e.ts"]["n_rows"] == 0
+
+
+def test_pq_trained_codebooks_reduce_distortion_and_recall(spark):
+    """Lloyd-refined codebooks (deploy path) must not lose to the seeded
+    init they start from: total quantization error strictly dominates,
+    and ADC recall vs the exact L2 top-10 (ss01-style ground truth)
+    keeps a floor. The driver oracle stays on the seeded variant."""
+    from kafkatosparktokudu_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_codebooks_trained,
+        pq_encode,
+    )
+
+    emb = _emb(spark)
+    seeded = pq_codebooks(emb, k=4)
+    trained = pq_codebooks_trained(emb, k=4)
+    assert len(trained) == len(seeded) == 8
+    assert all(len(cb) == 4 for cb in trained)
+    err_s = sum(r["recon_err"] for r in pq_encode(emb, seeded).collect())
+    err_t = sum(r["recon_err"] for r in pq_encode(emb, trained).collect())
+    assert err_t <= err_s, (err_t, err_s)
+
+    rows = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    qv = rows[0]
+    exact = {
+        i
+        for _, i in sorted(
+            (sum((a - b) ** 2 for a, b in zip(qv, v)), i)
+            for i, v in rows.items()
+            if i != 0
+        )[:10]
+    }
+    got = {
+        r["vec_id"]
+        for r in pq_adc_topk(emb, qv, trained, k=10, exclude_id=0).collect()
+    }
+    assert len(exact & got) >= 1, (exact, got)
+
+
+def test_ivf_seeded_matches_bruteforce_in_probed_cells(spark):
+    """ss04's seeded IVF: every returned hit is genuinely ranked by exact
+    rounded cosine, results are a subset of the brute-force ordering
+    restricted to probed cells, and recall vs full brute force has a
+    floor on the fixture."""
+    from kafkatosparktokudu_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_seeded,
+    )
+
+    emb = _emb(spark)
+    qrow = emb.filter("vec_id = 0").head()
+    qv = [float(x) for x in qrow["embedding"]]
+    got = ivf_topk_seeded(emb, qv, k=10, exclude_id=0).collect()
+    assert len(got) == 10
+    sims = [r["cos_sim"] for r in got]
+    assert sims == sorted(sims, reverse=True)
+    exact = {r["vec_id"] for r in brute_force_topk(emb, qv, k=10, exclude_id=0).collect()}
+    assert len(exact & {r["vec_id"] for r in got}) >= 3

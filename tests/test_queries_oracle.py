@@ -51,3 +51,39 @@ def test_approx_distinct_error_bound(spark):
     assert set(exact) == set(approx)
     for et, n in exact.items():
         assert abs(approx[et] - n) / n <= 0.06, (et, approx[et], n)
+
+
+def test_approx_percentiles_error_bound(spark):
+    """q59 stays rows-only (Spark's KLL-style approx_percentile is not
+    bit-compatible with DuckDB's approx_quantile), so pin it against the
+    EXACT percentiles instead: with accuracy=10000 the rank error is
+    <= n/10000, comfortably within a 1% value-rank tolerance here."""
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.plans.queries import q59_approx_percentiles
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    got = q59_approx_percentiles(spark, SF_SMOKE).collect()
+    assert len(got) == 9  # 3 flags x 3 percentiles
+    by_flag = {}
+    for r in li.select("l_returnflag", "l_extendedprice").collect():
+        by_flag.setdefault(r["l_returnflag"], []).append(float(r["l_extendedprice"]))
+    for vals in by_flag.values():
+        vals.sort()
+    for r in got:
+        vals = by_flag[r["l_returnflag"]]
+        n = len(vals)
+        assert r["n"] == n
+        # approx value must sit within ±(n/10000 + 1) ranks of the
+        # exact percentile rank — the documented accuracy contract
+        import bisect
+
+        target = r["pct"] * (n - 1)
+        approx = float(r["approx_value"])
+        lo = bisect.bisect_left(vals, approx)
+        hi = bisect.bisect_right(vals, approx)
+        tol = n / 10000 + 1
+        assert lo - tol <= target <= hi + tol, (
+            r["l_returnflag"], r["pct"], approx, lo, hi, target,
+        )
