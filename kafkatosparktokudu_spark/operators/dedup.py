@@ -840,3 +840,49 @@ def remove_repeated_chunks(
         .alias("n_removed"),
         F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
     )
+
+
+def editdist_neardup_pairs(
+    docs: DataFrame,
+    head_len: int = 48,
+    block_len: int = 8,
+    max_dist: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs over the normalized document
+    HEAD — the classic title/lead-dedup recipe (catches OCR noise, typo
+    variants and re-crawls that shingle-Jaccard underweights because a
+    single in-word edit changes every overlapping shingle).
+
+    Head = lower(first ``head_len`` chars); candidates are generated by
+    BLOCKING on the head's first ``block_len`` chars — an equi-join key,
+    so the pair generator is one keyed shuffle, never all-pairs (same
+    contract as the MinHash bands / SimHash pigeonhole blocks: a pair
+    whose heads differ inside the block prefix is out of scope by
+    definition — documented recall bound, tune ``block_len`` like a band
+    width). Exact Levenshtein runs on candidates only; cost is
+    O(sum_blocks |b|^2) candidate DP computations of head_len^2 each.
+
+    Output: (doc_a, doc_b, edit_dist), doc_a < doc_b,
+    edit_dist <= max_dist.
+    """
+    h = docs.select(
+        F.col(id_col),
+        F.lower(F.substring("text", 1, head_len)).alias("head"),
+    ).withColumn("blk", F.substring("head", 1, block_len))
+    a = h.select(
+        F.col(id_col).alias("doc_a"), F.col("head").alias("head_a"), "blk"
+    )
+    b = h.select(
+        F.col(id_col).alias("doc_b"), F.col("head").alias("head_b"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("head_a", "head_b").cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )

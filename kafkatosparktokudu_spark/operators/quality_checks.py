@@ -485,3 +485,59 @@ def distribution_drift(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def robust_outlier_report(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: int = 3,
+) -> DataFrame:
+    """Median/MAD robust outlier gate (the Hampel-filter rule): per group,
+    an outlier is a row with |x - median| > k * MAD. Mean/stddev gates
+    break exactly when outliers are present (the outliers inflate the
+    spread that is supposed to catch them); median and MAD have a 50%
+    breakdown point, the standard robust alternative for data-quality
+    monitoring.
+
+    Exactness contract: the interpolated medians are pinned to
+    DECIMAL(18,4) (round-then-cast, the q65 rule), deviations are
+    decimal subtractions, and the gate compares decimals against
+    k * MAD — no float boundary can flip a count across engines.
+
+    Scale shape: two keyed median aggregations (sort-based within group)
+    + two joins back on the group key (all four stages share one hash
+    partitioning) + one final agg. Nothing global; groups are processed
+    independently, so skew follows the group sizes.
+    """
+    med = df.groupBy(*group_cols).agg(
+        F.round(F.median(value_col), 4).cast("decimal(18,4)").alias("__med")
+    )
+    dev = df.join(med, group_cols).withColumn(
+        "__adev",
+        F.abs(F.col(value_col).cast("decimal(18,4)") - F.col("__med")),
+    )
+    # median INPUT cast to double on both engines: DuckDB's median on
+    # DECIMAL is quantile_disc (lower middle value), on DOUBLE it
+    # interpolates like Spark — the double cast of a 4-dp decimal is the
+    # same IEEE rounding on both sides, and round(4)+decimal re-pin
+    # absorbs the interpolation ulp.
+    mad = dev.groupBy(*group_cols).agg(
+        F.round(F.median(F.col("__adev").cast("double")), 4)
+        .cast("decimal(18,4)")
+        .alias("__mad")
+    )
+    return (
+        dev.join(mad, group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("__adev") > k * F.col("__mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.max("__med").cast("double").alias("med"),
+            F.max("__mad").cast("double").alias("mad"),
+        )
+    )

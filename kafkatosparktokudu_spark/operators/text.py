@@ -705,3 +705,38 @@ def bigram_surprisal_scores(
         .otherwise("tail")
         .alias("ppl_bucket"),
     )
+
+
+def token_entropy(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits/token)
+    — the repetitiveness signal complementary to tx10's Gopher surface
+    ratios: templated or looped text scores low entropy for its length
+    even when no single n-gram dominates.
+
+    entropy = sum over token types of (c/n) * log2(n/c). Exactness
+    contract (the tx15 rounded-log2 rule): the per-type term
+    round(log2(n/c), 6) is the only float op; the per-doc reduction is
+    the DECIMAL-exact sum(c * term) / n, so both engines reduce
+    identical decimals in any order.
+
+    Scale shape: one token explode collapsed immediately to
+    per-(doc, type) counts, one per-doc total, one join back on the doc
+    id (reuses the same hash partitioning), one final agg — all keyed on
+    the doc id, nothing global.
+    """
+    t = docs.select(F.col(id_col), F.explode(tokens("text")).alias("tok"))
+    counts = t.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy(id_col).agg(F.sum("c").alias("n"))
+    term = F.round(F.log2(F.col("n").cast("double") / F.col("c")), 6)
+    return (
+        counts.join(tot, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("int").alias("n_tokens"),
+            F.count(F.lit(1)).cast("int").alias("n_types"),
+            (
+                F.sum(F.col("c") * term.cast("decimal(12,6)")).cast("double")
+                / F.sum("c")
+            ).alias("entropy_bits"),
+        )
+    )

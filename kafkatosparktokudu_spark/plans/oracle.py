@@ -1801,6 +1801,110 @@ ORACLE_SQL: dict[str, str] = {
         FROM weights w LEFT JOIN kept k ON w.source = k.source
     """,
     # Unpivot/melt: wide grouped agg → long (metric, value) rows.
+    # ROLLUP subtotals with GROUPING() flags (q74's Spark rollup twin).
+    "q74_rollup_revenue": f"""
+        SELECT r_name, n_name,
+               CAST(CAST(SUM({_DISC_PRICE}) AS DECIMAL(27,6)) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lineitems,
+               CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+               CAST(GROUPING(n_name) AS INTEGER) AS g_nation
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    # PIVOT as conditional aggregation (q75's explicit-values pivot twin).
+    "q75_pivot_priority": """
+        SELECT o_orderstatus,
+               CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS n_urgent,
+               CAST(COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS n_high,
+               CAST(COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS BIGINT) AS n_medium,
+               CAST(COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS BIGINT) AS n_unspecified,
+               CAST(COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT) AS n_low
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    # Per-customer rolling 90-day revenue: RANGE frame over order dates.
+    "q76_rolling_revenue": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+                   AS rolling_90d_total,
+               COUNT(*) OVER w AS n_orders_90d
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW
+        )
+    """,
+    # Edit-distance near-dup pairs, prefix-blocked (dd13's twin).
+    "dd13_editdist_neardup": """
+        WITH h AS (
+            SELECT doc_id, lower(substr(text, 1, 48)) AS head,
+                   lower(substr(text, 1, 8)) AS blk
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.head, b.head) AS INTEGER) AS edit_dist
+        FROM h a JOIN h b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.head, b.head) <= 8
+    """,
+    # Token-distribution Shannon entropy (tx16's twin): the per-type term
+    # is the only float op (rounded log2), the reduction is exact decimal.
+    "tx16_token_entropy": f"""
+        WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        counts AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1)
+        SELECT counts.doc_id,
+               CAST(t.n AS INTEGER) AS n_tokens,
+               CAST(count(*) AS INTEGER) AS n_types,
+               CAST(SUM(c * CAST(round(log2(CAST(t.n AS DOUBLE) / c), 6)
+                                 AS DECIMAL(12,6))) AS DOUBLE) / SUM(c)
+                   AS entropy_bits
+        FROM counts JOIN tot t USING (doc_id)
+        GROUP BY counts.doc_id, t.n
+    """,
+    # Median/MAD robust outlier gate (dq04's twin): medians pinned to
+    # DECIMAL(18,4) on both sides, gate compares decimals.
+    "dq04_robust_outliers": """
+        WITH med AS (
+            SELECT l_returnflag,
+                   CAST(round(median(l_extendedprice), 4) AS DECIMAL(18,4)) AS m
+            FROM lineitem GROUP BY l_returnflag
+        ),
+        dev AS (
+            SELECT l.l_returnflag,
+                   abs(CAST(l_extendedprice AS DECIMAL(18,4)) - m) AS adev
+            FROM lineitem l JOIN med USING (l_returnflag)
+        ),
+        mad AS (
+            -- median over DOUBLE: DuckDB's DECIMAL median is discrete
+            -- (lower middle), the double cast restores the interpolating
+            -- semantics Spark uses
+            SELECT l_returnflag,
+                   CAST(round(median(CAST(adev AS DOUBLE)), 4)
+                        AS DECIMAL(18,4)) AS md
+            FROM dev GROUP BY l_returnflag
+        )
+        SELECT d.l_returnflag,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN adev > 3 * md THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_outliers,
+               CAST(MAX(m) AS DOUBLE) AS med,
+               CAST(MAX(md) AS DOUBLE) AS mad
+        FROM dev d JOIN mad USING (l_returnflag) JOIN med USING (l_returnflag)
+        GROUP BY d.l_returnflag
+    """,
+    # Distribution windows partitioned by brand (q77's twin).
+    "q77_price_distribution": """
+        SELECT p_brand, p_partkey, p_retailprice,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               CAST(ntile(10) OVER w AS INTEGER) AS decile
+        FROM part
+        WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    """,
     "q56_unpivot_metrics": """
         SELECT o_orderstatus, 'sum_price' AS metric,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS value

@@ -2603,7 +2603,137 @@ def q66_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each round's sweep retires the remaining unverified set; the 50 entries that
 # hash-matched in round 1 follow (they stay covered by the in-repo oracle sweep
 # in tests/test_queries_oracle.py).
+# ROLLUP with grouping flags — the OLAP subtotal shape (Spark rollup ==
+# DuckDB GROUP BY ROLLUP; GROUPING() flags disambiguate rolled-up NULLs
+# from genuine NULL group values). One partial-aggregated shuffle.
+def q74_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    revenue = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"), RATE)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            prod_sum_double(F.sum(revenue)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+        )
+    )
+
+
+# Relational PIVOT (wide reshape) with EXPLICIT pivot values — the
+# deterministic single-pass form (value discovery would cost an extra
+# scan and make the output schema data-dependent). Missing cells
+# coalesce to 0 to match the oracle's conditional aggregation.
+def q75_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    vals = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    wide = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", vals)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {
+        "1-URGENT": "n_urgent",
+        "2-HIGH": "n_high",
+        "3-MEDIUM": "n_medium",
+        "4-NOT SPECIFIED": "n_unspecified",
+        "5-LOW": "n_low",
+    }
+    return wide.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("bigint").alias(renames[v])
+            for v in vals
+        ],
+    )
+
+
+# Event-time RANGE window: per-customer rolling 90-day order revenue —
+# the feature-store/fraud shape (partitioned window keyed on the
+# customer, order-date range frame; never a global sort).
+def q76_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice", MONEY))
+        .over(w)
+        .cast("double")
+        .alias("rolling_90d_total"),
+        F.count(F.lit(1)).over(w).alias("n_orders_90d"),
+    )
+
+
+def dd13_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs on normalized heads, prefix-blocked
+    (operators/dedup.py::editdist_neardup_pairs)."""
+    from ..operators.dedup import editdist_neardup_pairs
+
+    return editdist_neardup_pairs(_t(spark, sf_dir, "documents"))
+
+
+def tx16_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution
+    (operators/text.py::token_entropy)."""
+    from ..operators.text import token_entropy
+
+    return token_entropy(_t(spark, sf_dir, "documents"))
+
+
+def dq04_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier counts per return flag over extended
+    price (operators/quality_checks.py::robust_outlier_report)."""
+    from ..operators.quality_checks import robust_outlier_report
+
+    return robust_outlier_report(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", ["l_returnflag"]
+    )
+
+
+# Distribution windows — percent_rank / cume_dist / ntile(10), all
+# PARTITIONED by brand (per-group sorts, never a global one; the
+# p_partkey tie-break makes every rank-based value deterministic).
+def q77_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- round-6 front section: queries new this round, queries whose
+    # implementing code changed this round (tx15 rank-selection split,
+    # ss08 TakeOrdered top-k, ss04 seeded-IVF graduation, dq01/dq03
+    # guards, q73 end<start filter, scd2 purge-capable store), and px08
+    # whose oracle was fixed ---
+    "q74_rollup_revenue": q74_rollup_revenue,
+    "q75_pivot_priority": q75_pivot_priority,
+    "q76_rolling_revenue": q76_rolling_revenue,
+    "dd13_editdist_neardup": dd13_editdist_neardup,
+    "tx16_token_entropy": tx16_token_entropy,
+    "dq04_robust_outliers": dq04_robust_outliers,
+    "q77_price_distribution": q77_price_distribution,
+    "ss04_ivf_topk": ss04_ivf_topk,
     # --- round-5 front section (VERDICT.md r4 "Next round" #1/#4): queries
     # whose implementing code was rewritten in round 4 (cdc.py/merge.py/
     # ogg.py fused merge; streaming/pipeline.py event-time cast) but whose
@@ -2725,7 +2855,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd06_simhash": dd06_simhash,
     "ss01_knn_cosine": ss01_knn_cosine,
     "ss02_label_centroids": ss02_label_centroids,
-    "ss04_ivf_topk": ss04_ivf_topk,
     "mm01_binary_meta": mm01_binary_meta,
     "mm04_frame_sample": mm04_frame_sample,
     "mm02_byte_features": mm02_byte_features,

@@ -1074,3 +1074,68 @@ def test_ivf_seeded_matches_bruteforce_in_probed_cells(spark):
     assert sims == sorted(sims, reverse=True)
     exact = {r["vec_id"] for r in brute_force_topk(emb, qv, k=10, exclude_id=0).collect()}
     assert len(exact & {r["vec_id"] for r in got}) >= 3
+
+
+def test_editdist_neardup_finds_planted_typo(spark):
+    """A one-char typo variant sharing the block prefix is caught with
+    its exact edit distance; heads diverging inside the block prefix are
+    (by the documented blocking contract) out of scope."""
+    from kafkatosparktokudu_spark.operators.dedup import editdist_neardup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fax jumps over the lazy dog"),   # 1 edit
+            (3, "the quick brown fox jumps over the hazy dogs"),  # 2 edits
+            (4, "a totally different head that blocks elsewhere"),
+            (5, "the QUICK brown fox jumps over the lazy dog"),   # case-normalized dup
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_dist"]
+        for r in editdist_neardup_pairs(docs).collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(1, 5)] == 0
+    assert got[(1, 3)] == 2
+    assert not any(4 in p for p in got)
+
+
+def test_token_entropy_orders_repetitive_below_diverse(spark):
+    """A doc repeating one token has entropy 0; a doc of n distinct
+    tokens has entropy log2(n); mixed docs land in between."""
+    import math
+
+    from kafkatosparktokudu_spark.operators.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "a b c d e f g h"),
+            (3, "x x y y"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+    assert got[1]["entropy_bits"] == 0.0
+    assert abs(got[2]["entropy_bits"] - 3.0) < 1e-5
+    assert abs(got[3]["entropy_bits"] - 1.0) < 1e-5
+    assert got[2]["n_types"] == 8 and got[2]["n_tokens"] == 8
+
+
+def test_robust_outliers_resist_contamination(spark):
+    """The planted extreme value is flagged and does NOT drag the
+    median/MAD gate with it (the mean/stddev failure mode)."""
+    from kafkatosparktokudu_spark.operators.quality_checks import (
+        robust_outlier_report,
+    )
+
+    rows = [("g", float(v)) for v in [10, 11, 12, 13, 14, 15, 16, 17, 18]]
+    rows.append(("g", 1000.0))
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = robust_outlier_report(df, "v", ["grp"]).collect()[0]
+    assert r["n_rows"] == 10
+    assert r["n_outliers"] == 1          # only the planted extreme
+    assert abs(r["med"] - 14.5) < 1e-9   # median untouched by the outlier
+    assert abs(r["mad"] - 2.5) < 1e-9
