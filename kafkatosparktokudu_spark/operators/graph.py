@@ -141,3 +141,86 @@ def triangle_stats(edges: DataFrame, a: str = "doc_a", b: str = "doc_b") -> Data
             ),
         ).alias("clustering_coeff"),
     )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Integer FIXED-POINT PageRank — bit-exact across engines.
+
+    ``pagerank`` above is the float power method; its ranks depend on
+    partial-aggregation order, so it can only ever be rows-only checked.
+    This variant does every operation in BIGINT (ranks scaled by
+    ``scale``, integer ``div`` everywhere):
+
+        r0        = scale div n
+        contrib_i = SUM(r_{i-1} div out_deg) over in-edges
+        r_i       = ((den-num)*scale) div (den*n)
+                    + (num * contrib_i) div den
+
+    Floor division leaks rank mass deterministically (identically on
+    both engines), so ranks are an exact ORDERING signal, not a
+    probability mass — which is all the survivor-pick use case needs.
+    Requires no dangling nodes (any symmetrized graph qualifies);
+    dangling mass redistribution would reintroduce a global coupling
+    term that costs an extra aggregate per iteration — use ``pagerank``
+    for directed graphs with sinks.
+
+    Scale shape per iteration: one shuffle join (ranks ⋈ out-edges) +
+    one keyed aggregation — identical to ``pagerank``; localCheckpoint
+    keeps the plan linear in iterations.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_fp", F.lit(0).cast("long"))
+    out_deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    dangling = nodes.join(out_deg, "node", "left_anti").count()
+    if dangling:
+        raise ValueError(
+            f"pagerank_fixed_point requires no dangling nodes ({dangling} "
+            "found); symmetrize the graph or use pagerank()"
+        )
+    adj = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("to"))
+        .join(out_deg, "node")
+        .localCheckpoint(eager=True)
+    )
+    base = ((damping_den - damping_num) * scale) // (damping_den * n)
+    ranks = nodes.withColumn("rank_fp", F.lit(scale // n).cast("long"))
+    for _ in range(n_iter):
+        contribs = (
+            adj.join(ranks, "node")
+            .groupBy(F.col("to").alias("node"))
+            .agg(F.sum(F.expr("rank_fp div out_deg")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * coalesce(c, CAST(0 AS BIGINT)))"
+                        f" div {damping_den}"
+                    )
+                )
+                .cast("long")
+                .alias("rank_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -898,6 +898,54 @@ def pq_encode(
     return emb.select(*cols, err)
 
 
+def pq_encode_fast(
+    emb: DataFrame, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """Arrow-batched deploy twin of ``pq_encode``: per subspace one
+    vectorized numpy (batch × k × d) distance computation instead of
+    k×d-term literal expressions. ``pq_encode``'s literal codegen is
+    bit-pinned to the DuckDB oracle but pays a COMPILE wall that grows
+    with k (NOTES: ~11 s at sf0.1, compile-not-data); this path compiles
+    nothing and scales to k=256 codebooks — the shape real PQ deployments
+    use. Same output contract: rounded-6 squared distances, code-ASC
+    tie-break (argmin takes the first minimum), error = re-rounded sum of
+    the per-subspace rounded distances (recovers the decimal-exact sum —
+    8 six-dp terms in double err << 0.5e-6). Still one shuffle-free scan.
+    Fixture equivalence with pq_encode is pinned by test; the oracle
+    stays on pq_encode."""
+    import numpy as np
+    import pandas as pd  # noqa: F811
+
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    cbs = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    schema = (
+        "vec_id long, "
+        + ", ".join(f"code{s} int" for s in range(m))
+        + ", recon_err double"
+    )
+
+    def _enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            out = {"vec_id": pdf["vec_id"]}
+            err = np.zeros(len(pdf))
+            for s in range(m):
+                xs = x[:, s * d : (s + 1) * d]
+                d2 = np.round(
+                    ((xs[:, None, :] - cbs[s][None, :, :]) ** 2).sum(axis=2), 6
+                )
+                codes = d2.argmin(axis=1)
+                out[f"code{s}"] = codes.astype("int32")
+                err += d2[np.arange(len(pdf)), codes]
+            out["recon_err"] = np.round(err, 6)
+            yield pd.DataFrame(out)
+
+    return emb.select("vec_id", "embedding").mapInPandas(_enc, schema)
+
+
 def pq_adc_topk(
     emb: DataFrame,
     qv: list[float],

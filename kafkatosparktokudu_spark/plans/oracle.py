@@ -1896,6 +1896,67 @@ ORACLE_SQL: dict[str, str] = {
         FROM dev d JOIN mad USING (l_returnflag) JOIN med USING (l_returnflag)
         GROUP BY d.l_returnflag
     """,
+    # Integer fixed-point PageRank over the symmetrized dd04 near-dup
+    # graph (gr03's twin): three unrolled iterations, all BIGINT div
+    # arithmetic — bit-exact, no float anywhere.
+    "gr03_pagerank_fixed_point": f"""
+        WITH {_MINHASH_CTE},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.doc_id < b.doc_id
+             AND (a.band0 = b.band0 OR a.band1 = b.band1
+                  OR a.band2 = b.band2 OR a.band3 = b.band3)
+        ),
+        prs AS (
+            SELECT doc_a, doc_b FROM (
+                SELECT doc_a, doc_b,
+                       CAST(len(list_distinct(list_intersect(x.hs, y.hs))) AS DOUBLE)
+                           / len(list_distinct(x.hs || y.hs)) AS jaccard
+                FROM cand JOIN base x ON x.doc_id = doc_a
+                          JOIN base y ON y.doc_id = doc_b
+            ) WHERE jaccard >= 0.2
+        ),
+        sym AS (
+            SELECT doc_a AS src, doc_b AS dst FROM prs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM prs
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS od
+                FROM sym GROUP BY src),
+        r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) // n AS r
+               FROM nodes, nn),
+        c1 AS (SELECT s.dst AS node, SUM(r // od) AS c
+               FROM sym s JOIN deg d ON d.node = s.src
+                          JOIN r0 ON r0.node = s.src
+               GROUP BY s.dst),
+        r1 AS (SELECT nodes.node,
+                      CAST((15 * CAST(1000000000000 AS BIGINT)) // (100 * n)
+                           + (85 * COALESCE(c, 0)) // 100 AS BIGINT) AS r
+               FROM nodes CROSS JOIN nn
+               LEFT JOIN c1 ON c1.node = nodes.node),
+        c2 AS (SELECT s.dst AS node, SUM(r // od) AS c
+               FROM sym s JOIN deg d ON d.node = s.src
+                          JOIN r1 ON r1.node = s.src
+               GROUP BY s.dst),
+        r2 AS (SELECT nodes.node,
+                      CAST((15 * CAST(1000000000000 AS BIGINT)) // (100 * n)
+                           + (85 * COALESCE(c, 0)) // 100 AS BIGINT) AS r
+               FROM nodes CROSS JOIN nn
+               LEFT JOIN c2 ON c2.node = nodes.node),
+        c3 AS (SELECT s.dst AS node, SUM(r // od) AS c
+               FROM sym s JOIN deg d ON d.node = s.src
+                          JOIN r2 ON r2.node = s.src
+               GROUP BY s.dst),
+        r3 AS (SELECT nodes.node,
+                      CAST((15 * CAST(1000000000000 AS BIGINT)) // (100 * n)
+                           + (85 * COALESCE(c, 0)) // 100 AS BIGINT) AS r
+               FROM nodes CROSS JOIN nn
+               LEFT JOIN c3 ON c3.node = nodes.node)
+        SELECT node, r AS rank_fp FROM r3
+    """,
     # Distribution windows partitioned by brand (q77's twin).
     "q77_price_distribution": """
         SELECT p_brand, p_partkey, p_retailprice,

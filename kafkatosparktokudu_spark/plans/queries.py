@@ -2704,6 +2704,23 @@ def dq04_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gr03_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank over the symmetrized near-dup graph —
+    the hash-oracle-able twin of gr01's float power method (every op is
+    BIGINT div/mul/add; operators/graph.py::pagerank_fixed_point)."""
+    from ..operators.dedup import neardup_pairs_jaccard
+    from ..operators.graph import pagerank_fixed_point
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = neardup_pairs_jaccard(docs, threshold=0.2)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    return pagerank_fixed_point(edges, n_iter=3)
+
+
 # Distribution windows — percent_rank / cume_dist / ntile(10), all
 # PARTITIONED by brand (per-group sorts, never a global one; the
 # p_partkey tie-break makes every rank-based value deterministic).
@@ -2733,6 +2750,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx16_token_entropy": tx16_token_entropy,
     "dq04_robust_outliers": dq04_robust_outliers,
     "q77_price_distribution": q77_price_distribution,
+    "gr03_pagerank_fixed_point": gr03_pagerank_fixed_point,
     "ss04_ivf_topk": ss04_ivf_topk,
     # --- round-5 front section (VERDICT.md r4 "Next round" #1/#4): queries
     # whose implementing code was rewritten in round 4 (cdc.py/merge.py/

@@ -1139,3 +1139,40 @@ def test_robust_outliers_resist_contamination(spark):
     assert r["n_outliers"] == 1          # only the planted extreme
     assert abs(r["med"] - 14.5) < 1e-9   # median untouched by the outlier
     assert abs(r["mad"] - 2.5) < 1e-9
+
+
+def test_pagerank_fixed_point_known_graph(spark):
+    """Symmetrized star K1,3: the hub outranks the leaves, leaves tie
+    exactly (integer arithmetic — EQUALITY, not approximate); a dangling
+    node raises."""
+    import pytest
+
+    from kafkatosparktokudu_spark.operators.graph import pagerank_fixed_point
+
+    star = [(0, i) for i in (1, 2, 3)] + [(i, 0) for i in (1, 2, 3)]
+    edges = spark.createDataFrame(star, "src long, dst long")
+    r = {x["node"]: x["rank_fp"] for x in pagerank_fixed_point(edges).collect()}
+    assert r[0] > r[1]
+    assert r[1] == r[2] == r[3]
+
+    directed = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank_fixed_point(directed)
+
+
+def test_pq_encode_fast_equals_literal_path(spark):
+    """The Arrow-batched deploy encoder must reproduce the oracle-pinned
+    literal-expression encoder row for row (codes AND errors), with both
+    seeded and trained codebooks."""
+    from kafkatosparktokudu_spark.operators.similarity import (
+        pq_codebooks,
+        pq_codebooks_trained,
+        pq_encode,
+        pq_encode_fast,
+    )
+
+    emb = _emb(spark)
+    for cb in (pq_codebooks(emb, k=4), pq_codebooks_trained(emb, k=4)):
+        slow = sorted(map(tuple, pq_encode(emb, cb).collect()))
+        fast = sorted(map(tuple, pq_encode_fast(emb, cb).collect()))
+        assert slow == fast
