@@ -740,3 +740,38 @@ def token_entropy(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ).alias("entropy_bits"),
         )
     )
+
+
+def rag_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking — the retrieval/RAG ingestion
+    shape (chunk size W, stride S < W ⇒ W−S tokens of overlap so no
+    sentence is split across a hard boundary without context). One chunk
+    per start position 1, 1+S, 1+2S, … ≤ n; the final chunks are short
+    rather than padded (the embedder's tokenizer repads anyway).
+
+    Output: (id, chunk_id, n_chunk_tokens, chunk_md5) — the md5 stands in
+    for the chunk text so the result stays hashable/auditable without
+    shipping the text twice; real pipelines select the slice itself.
+
+    Scale shape: pure per-row expressions (sequence + explode + slice) —
+    no shuffle, no Python; output rows ≈ n_tokens/S per doc.
+    """
+    t = tokens("text")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(stride)
+    )
+    e = docs.select(
+        F.col(id_col), t.alias("toks"), F.posexplode(starts).alias("chunk_id", "start")
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), chunk_tokens)
+    return e.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )

@@ -1957,6 +1957,51 @@ ORACLE_SQL: dict[str, str] = {
                LEFT JOIN c3 ON c3.node = nodes.node)
         SELECT node, r AS rank_fp FROM r3
     """,
+    # Overlapping token-window chunking (tx17's twin): one chunk per
+    # start position 1, 1+S, ... <= n; md5 fingerprints the chunk text.
+    "tx17_rag_chunks": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+        st AS (
+            SELECT doc_id, l,
+                   unnest(generate_series(1, greatest(len(l), 1), 48)) AS start
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST((start - 1) // 48 AS INTEGER) AS chunk_id,
+               CAST(len(list_slice(l, start, least(start + 63, len(l))))
+                    AS INTEGER) AS n_chunk_tokens,
+               md5(array_to_string(
+                   list_slice(l, start, least(start + 63, len(l))), ' '))
+                   AS chunk_md5
+        FROM st
+    """,
+    # Symmetric per-vector int8 quantization (ss09's twin).
+    "ss09_int8_quantize": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        m AS (
+            SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS mx
+            FROM e
+        ),
+        q AS (
+            SELECT vec_id, mx, len(v) AS nd,
+                   list_transform(
+                       v,
+                       x -> CAST(CASE WHEN mx = 0 THEN 0
+                                      ELSE round(x * 127 / mx, 0) END
+                                 AS INTEGER)) AS codes
+            FROM m
+        )
+        SELECT vec_id,
+               round(mx, 9) AS mx,
+               md5(array_to_string(
+                   list_transform(codes, c -> CAST(c AS VARCHAR)), ','))
+                   AS codes_md5,
+               CAST(nd AS INTEGER) AS n_dims,
+               CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT)
+                   AS sum_abs_q
+        FROM q
+    """,
     # Distribution windows partitioned by brand (q77's twin).
     "q77_price_distribution": """
         SELECT p_brand, p_partkey, p_retailprice,

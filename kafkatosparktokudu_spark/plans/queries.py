@@ -2704,6 +2704,22 @@ def dq04_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx17_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking for retrieval ingestion
+    (operators/text.py::rag_chunks; W=64, stride=48)."""
+    from ..operators.text import rag_chunks
+
+    return rag_chunks(_t(spark, sf_dir, "documents"))
+
+
+def ss09_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 embedding quantization
+    (operators/similarity.py::int8_quantize)."""
+    from ..operators.similarity import int8_quantize
+
+    return int8_quantize(_t(spark, sf_dir, "embeddings"))
+
+
 def gr03_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer fixed-point PageRank over the symmetrized near-dup graph —
     the hash-oracle-able twin of gr01's float power method (every op is
@@ -2751,6 +2767,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq04_robust_outliers": dq04_robust_outliers,
     "q77_price_distribution": q77_price_distribution,
     "gr03_pagerank_fixed_point": gr03_pagerank_fixed_point,
+    "tx17_rag_chunks": tx17_rag_chunks,
+    "ss09_int8_quantize": ss09_int8_quantize,
     "ss04_ivf_topk": ss04_ivf_topk,
     # --- round-5 front section (VERDICT.md r4 "Next round" #1/#4): queries
     # whose implementing code was rewritten in round 4 (cdc.py/merge.py/

@@ -1176,3 +1176,43 @@ def test_pq_encode_fast_equals_literal_path(spark):
         slow = sorted(map(tuple, pq_encode(emb, cb).collect()))
         fast = sorted(map(tuple, pq_encode_fast(emb, cb).collect()))
         assert slow == fast
+
+
+def test_rag_chunks_cover_and_overlap(spark):
+    """Chunks start every `stride` tokens, the first has `chunk_tokens`
+    tokens, the tail is short not padded, and every token position is
+    covered by at least one chunk."""
+    import hashlib
+
+    from kafkatosparktokudu_spark.operators.text import rag_chunks
+
+    words = [f"w{i}" for i in range(100)]
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    got = sorted(
+        (r["chunk_id"], r["n_chunk_tokens"], r["chunk_md5"])
+        for r in rag_chunks(docs, chunk_tokens=64, stride=48).collect()
+    )
+    assert [(c, n) for c, n, _ in got] == [(0, 64), (1, 52), (2, 4)]
+    for cid, _, md5 in got:
+        start = cid * 48
+        want = hashlib.md5(" ".join(words[start : start + 64]).encode()).hexdigest()
+        assert md5 == want
+
+
+def test_int8_quantize_known_vectors(spark):
+    """Known vector quantizes to the hand-computed codes; an all-zero
+    vector is all-zero codes (guarded divide), not NaN."""
+    import hashlib
+
+    from kafkatosparktokudu_spark.operators.similarity import int8_quantize
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.5, -1.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in int8_quantize(emb).collect()}
+    # round(0.5*127) = round(63.5) = 64 HALF_UP; -1.0 -> -127
+    assert got[1]["codes_md5"] == hashlib.md5(b"0,64,-127").hexdigest()
+    assert got[1]["sum_abs_q"] == 191 and got[1]["mx"] == 1.0
+    assert got[2]["codes_md5"] == hashlib.md5(b"0,0,0").hexdigest()
+    assert got[2]["sum_abs_q"] == 0 and got[2]["mx"] == 0.0
