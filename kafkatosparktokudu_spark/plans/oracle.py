@@ -2002,6 +2002,14 @@ ORACLE_SQL: dict[str, str] = {
                    AS sum_abs_q
         FROM q
     """,
+    # WebDataset round-trip integrity (mm06's twin): the tar export +
+    # DataSource import must hand back exactly the source payload bytes.
+    "mm06_webdataset_roundtrip": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS payload_md5
+        FROM documents
+    """,
     # Distribution windows partitioned by brand (q77's twin).
     "q77_price_distribution": """
         SELECT p_brand, p_partkey, p_retailprice,

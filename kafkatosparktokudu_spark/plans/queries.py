@@ -2720,6 +2720,39 @@ def ss09_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_quantize(_t(spark, sf_dir, "embeddings"))
 
 
+def mm06_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full WebDataset round trip: payloads sharded into real USTAR tars
+    (operators/multimodal.py::write_webdataset), read back through the
+    Python DataSource (sources/webdataset.py::WebDatasetSource — one
+    InputPartition per shard), fingerprinted. Oracle checks every
+    payload's md5 against the source documents — end-to-end byte
+    integrity of the export+import path. Rows are materialized before
+    the temp shard dir is removed (the temp-store query pattern)."""
+    import shutil
+    import tempfile
+
+    from ..operators.multimodal import attach_binary, write_webdataset
+    from ..sources.webdataset import WebDatasetSource
+
+    media = attach_binary(_t(spark, sf_dir, "documents"))
+    out = tempfile.mkdtemp(prefix="wds_rt_")
+    try:
+        write_webdataset(media, out, n_shards=8).count()
+        try:
+            spark.dataSource.register(WebDatasetSource)
+        except Exception:
+            pass  # already registered in this session
+        back = spark.read.format("webdataset").option("path", out).load()
+        rows = back.select(
+            "doc_id", "n_bytes", F.md5("payload").alias("payload_md5")
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, n_bytes long, payload_md5 string"
+    )
+
+
 def gr03_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer fixed-point PageRank over the symmetrized near-dup graph —
     the hash-oracle-able twin of gr01's float power method (every op is
@@ -2769,6 +2802,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr03_pagerank_fixed_point": gr03_pagerank_fixed_point,
     "tx17_rag_chunks": tx17_rag_chunks,
     "ss09_int8_quantize": ss09_int8_quantize,
+    "mm06_webdataset_roundtrip": mm06_webdataset_roundtrip,
     "ss04_ivf_topk": ss04_ivf_topk,
     # --- round-5 front section (VERDICT.md r4 "Next round" #1/#4): queries
     # whose implementing code was rewritten in round 4 (cdc.py/merge.py/
