@@ -24,7 +24,12 @@ unique per shard).
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _SCHEMA = (
     "doc_id long, shard_id int, member_idx int, n_bytes long, payload binary"
@@ -41,6 +46,71 @@ class WebDatasetSource(DataSource):
 
     def reader(self, schema) -> "WebDatasetReader":
         return WebDatasetReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "WebDatasetStreamReader":
+        return WebDatasetStreamReader(self.options)
+
+
+class WebDatasetStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half: each micro-batch picks up shard tars that appeared
+    since the last committed offset — the "training shards land on the
+    store as they're produced" ingestion pattern.
+
+    Offset = {"seen": N} over the LEXICOGRAPHICALLY SORTED shard list;
+    the writer's shard-NNNNN.tar naming makes sort order == production
+    order, and shards are immutable once written (tar close is the
+    commit), so a count offset is exact. ``readBetweenOffsets`` replays
+    any [start, end) window from the same listing — checkpoint recovery
+    re-reads exactly the uncommitted shards, nothing twice. The simple
+    reader API runs on the driver; per batch it streams only the NEW
+    archives, so driver work is O(new shards) not O(directory)."""
+
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("webdataset source requires option('path', ...)")
+        self.path = path
+
+    def _shards(self):
+        import glob
+        import os
+
+        return sorted(glob.glob(os.path.join(self.path, "shard-*.tar")))
+
+    def initialOffset(self):
+        return {"seen": 0}
+
+    def read(self, start):
+        shards = self._shards()
+        rows = self._rows(shards[start["seen"] :])
+        return rows, {"seen": len(shards)}
+
+    def readBetweenOffsets(self, start, end):
+        shards = self._shards()
+        return self._rows(shards[start["seen"] : end["seen"]])
+
+    @staticmethod
+    def _rows(paths):
+        import os
+        import re
+        import tarfile
+
+        out = []
+        for path in paths:
+            shard = int(
+                re.search(r"shard-(\d+)\.tar$", os.path.basename(path)).group(1)
+            )
+            with tarfile.open(path, "r") as tf:
+                idx = 0
+                member = tf.next()
+                while member is not None:
+                    if member.isfile():
+                        data = tf.extractfile(member).read()
+                        doc_id = int(member.name.rsplit(".", 1)[0])
+                        out.append((doc_id, shard, idx, len(data), data))
+                        idx += 1
+                    member = tf.next()
+        return iter(out)
 
 
 class WebDatasetReader(DataSourceReader):

@@ -1044,3 +1044,62 @@ def test_stream_interval_full_outer_join(spark, tmp_path):
     assert got_click_null == want_click_null
     assert got_purch_null == want_purch_null
     assert all(r["user_id"] is not None for r in real)
+
+
+def test_webdataset_stream_source_incremental_shards(spark, tmp_path):
+    """Streaming WebDataset source: a first availableNow run ingests the
+    existing shards; a shard landing later is picked up by a SECOND run
+    on the SAME checkpoint with no re-read of the old ones (count-offset
+    exactly-once over immutable archives)."""
+    import io
+    import tarfile
+
+    from kafkatosparktokudu_spark.sources.webdataset import WebDatasetSource
+
+    src = tmp_path / "wds_stream"
+    src.mkdir()
+
+    def write_shard(i, ids):
+        with tarfile.open(
+            str(src / f"shard-{i:05d}.tar"), "w", format=tarfile.USTAR_FORMAT
+        ) as tf:
+            for d in ids:
+                payload = f"payload-{d}".encode()
+                info = tarfile.TarInfo(name=f"{d}.bin")
+                info.size = len(payload)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(payload))
+
+    write_shard(0, [1, 2])
+    write_shard(1, [3])
+    try:
+        spark.dataSource.register(WebDatasetSource)
+    except Exception:
+        pass
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("webdataset")
+            .option("path", str(src))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out).collect()
+    assert sorted(r["doc_id"] for r in first) == [1, 2, 3]
+
+    write_shard(2, [4, 5])
+    run_once()
+    second = spark.read.parquet(out).collect()
+    assert sorted(r["doc_id"] for r in second) == [1, 2, 3, 4, 5]
+    by_id = {r["doc_id"]: r for r in second}
+    assert bytes(by_id[4]["payload"]) == b"payload-4"
+    assert by_id[5]["shard_id"] == 2 and by_id[5]["member_idx"] == 1
