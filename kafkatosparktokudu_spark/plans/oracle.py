@@ -2010,6 +2010,35 @@ ORACLE_SQL: dict[str, str] = {
                md5(text) AS payload_md5
         FROM documents
     """,
+    # EXCEPT / INTERSECT cohort counts (q78's twin).
+    "q78_customer_cohorts": """
+        WITH c95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+             c96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        SELECT 'only_1995' AS cohort,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM (SELECT o_custkey FROM c95 EXCEPT SELECT o_custkey FROM c96)
+        UNION ALL
+        SELECT 'only_1996', CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT o_custkey FROM c96 EXCEPT SELECT o_custkey FROM c95)
+        UNION ALL
+        SELECT 'both', CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT o_custkey FROM c95 INTERSECT SELECT o_custkey FROM c96)
+    """,
+    # Deterministic per-stratum hash sampling (q79's twin).
+    "q79_stratified_sample": """
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               MIN(c_custkey) AS min_key,
+               MAX(c_custkey) AS max_key
+        FROM customer
+        WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 100
+              < CASE c_mktsegment
+                     WHEN 'BUILDING' THEN 10
+                     WHEN 'AUTOMOBILE' THEN 50
+                     WHEN 'MACHINERY' THEN 100
+                     ELSE 0 END
+        GROUP BY c_mktsegment
+    """,
     # Distribution windows partitioned by brand (q77's twin).
     "q77_price_distribution": """
         SELECT p_brand, p_partkey, p_retailprice,

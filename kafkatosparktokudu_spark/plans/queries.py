@@ -2720,6 +2720,59 @@ def ss09_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_quantize(_t(spark, sf_dir, "embeddings"))
 
 
+# Set operations EXCEPT / INTERSECT (distinct semantics) — the cohort
+# churn/retention shape; both compile to aggregate/join plans, no new
+# physical operator class.
+def q78_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    c95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    c96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+
+    def n(df):  # noqa: ANN001
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+
+    return (
+        n(c95.subtract(c96)).select(  # EXCEPT (distinct semantics)
+            F.lit("only_1995").alias("cohort"), "n_customers"
+        )
+        .unionByName(
+            n(c96.subtract(c95)).select(
+                F.lit("only_1996").alias("cohort"), "n_customers"
+            )
+        )
+        .unionByName(
+            n(c95.intersect(c96)).select(
+                F.lit("both").alias("cohort"), "n_customers"
+            )
+        )
+    )
+
+
+# Deterministic stratified sampling: per-stratum hash rates (train/eval
+# split construction). The hash gate is a pure per-row expression —
+# sampling runs inside the scan, no shuffle until the audit agg.
+def q79_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_hash32
+
+    rates = {"BUILDING": 10, "AUTOMOBILE": 50, "MACHINERY": 100}
+    cust = _t(spark, sf_dir, "customer")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("c_mktsegment") == seg, F.lit(pct))
+            for seg, pct in rates.items()
+        ],
+        F.lit(0),
+    )
+    sampled = cust.filter(
+        md5_hash32(F.col("c_custkey").cast("string")) % 100 < rate
+    )
+    return sampled.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
 def mm06_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full WebDataset round trip: payloads sharded into real USTAR tars
     (operators/multimodal.py::write_webdataset), read back through the
@@ -2803,6 +2856,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx17_rag_chunks": tx17_rag_chunks,
     "ss09_int8_quantize": ss09_int8_quantize,
     "mm06_webdataset_roundtrip": mm06_webdataset_roundtrip,
+    "q78_customer_cohorts": q78_customer_cohorts,
+    "q79_stratified_sample": q79_stratified_sample,
     "ss04_ivf_topk": ss04_ivf_topk,
     # --- round-5 front section (VERDICT.md r4 "Next round" #1/#4): queries
     # whose implementing code was rewritten in round 4 (cdc.py/merge.py/

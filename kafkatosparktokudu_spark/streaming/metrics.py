@@ -81,3 +81,19 @@ def attach_progress_logger(spark, out_dir: str):
     listener = _ProgressLogger()
     spark.streams.addListener(listener)
     return listener
+
+
+def observed(df, name: str, **metric_exprs):
+    """Attach ``Observation`` metrics to a batch DataFrame: the metrics
+    are computed DURING whatever action consumes the frame — zero extra
+    jobs, unlike a separate ``.agg()`` pass (the reference's per-batch
+    counts each cost a job; this is the free-rider upgrade). Returns
+    ``(df, observation)``; read ``observation.get`` AFTER an action.
+
+    For streams, pass the same exprs through ``DataFrame.observe`` and
+    read ``query.lastProgress['observedMetrics'][name]`` — wired in
+    ``attach_progress_logger``'s JSONL output when present."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[v.alias(k) for k, v in metric_exprs.items()]), obs

@@ -98,6 +98,7 @@ def main() -> None:
     store = Scd2Store(spark, f"{tmp}/emp", default_catalog()["emp"], N_BUCKETS)
     per = total // N_BATCHES
     walls = []
+    purge_cutoff = None
     for b in range(N_BATCHES):
         lo, hi = b * per, (b + 1) * per if b < N_BATCHES - 1 else total
         batch = changes.filter((F.col("seq") >= lo) & (F.col("seq") < hi))
@@ -105,24 +106,51 @@ def main() -> None:
         store.apply_batch(batch)
         walls.append(round(time.time() - t0, 2))
         print(f"batch {b}: rows={hi - lo} wall={walls[-1]}s", flush=True)
+        if b == 1:
+            # retention purge mid-stream: compact everything closed
+            # before the end of batch 1 (ts is monotone in seq here, so
+            # later batches never splice across the cutoff — the purge
+            # contract's supported regime)
+            purge_cutoff = (
+                batch.agg(F.max("current_ts_norm")).collect()[0][0]
+            )
+            t0 = time.time()
+            n_purged = store.purge_closed_before(purge_cutoff)
+            print(
+                f"purge@{purge_cutoff}: removed {n_purged} raw rows "
+                f"({time.time() - t0:.2f}s)",
+                flush=True,
+            )
     t0 = time.time()
     oneshot = history_table_changes(changes, default_catalog()["emp"])
-    n_hist = store.history().count()
-    n_ref = oneshot.count()
+    cols = oneshot.columns
+    # (1) pure-function invariant survives the purge: hist == one-shot
+    # over the COMPACTED raw log
+    recon = history_table_changes(store.raw.read(), default_catalog()["emp"])
+    hist = store.history().select(cols)
     mism = (
-        store.history()
-        .select(oneshot.columns)
-        .exceptAll(oneshot)
-        .unionAll(oneshot.exceptAll(store.history().select(oneshot.columns)))
+        hist.exceptAll(recon.select(cols))
+        .unionAll(recon.select(cols).exceptAll(hist))
         .count()
     )
+    # (2) the purge preserved everything at/after the cutoff: current
+    # rows and every version with valid_to >= cutoff match the FULL-log
+    # one-shot exactly (sans the uniform version renumbering)
+    keepc = [c for c in cols if c != "version"]
+    live_ref = oneshot.filter(
+        F.col("valid_to").isNull() | (F.col("valid_to") >= purge_cutoff)
+    ).select(keepc)
+    live_mism = live_ref.exceptAll(hist.select(keepc)).count()
+    n_hist = hist.count()
+    n_ref = oneshot.count()
     print(
-        f"verify: incr_rows={n_hist} oneshot_rows={n_ref} sym_diff={mism} "
+        f"verify: incr_rows={n_hist} oneshot_rows={n_ref} "
+        f"recon_sym_diff={mism} live_window_missing={live_mism} "
         f"({time.time() - t0:.1f}s)  walls={walls}  rate≈"
         f"{int(total / max(sum(walls), 0.01))} changes/s",
         flush=True,
     )
-    assert mism == 0 and n_hist == n_ref
+    assert mism == 0 and live_mism == 0
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)

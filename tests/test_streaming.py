@@ -1103,3 +1103,52 @@ def test_webdataset_stream_source_incremental_shards(spark, tmp_path):
     by_id = {r["doc_id"]: r for r in second}
     assert bytes(by_id[4]["payload"]) == b"payload-4"
     assert by_id[5]["shard_id"] == 2 and by_id[5]["member_idx"] == 1
+
+
+def test_observed_metrics_ride_the_action(spark, tmp_path):
+    """Observation metrics equal a separate aggregation's numbers but are
+    collected by the SAME job as the consuming action (no second scan),
+    batch and streaming."""
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.sources.batch import load_table
+    from kafkatosparktokudu_spark.streaming.metrics import observed
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    df, obs = observed(
+        events,
+        "batch_stats",
+        n_rows=F.count(F.lit(1)),
+        n_users=F.approx_count_distinct("user_id"),  # distinct aggs are
+        # disallowed inside CollectMetrics; the sketch form is the
+        # supported shape (and what a metrics channel wants anyway)
+        max_value=F.max("value"),
+    )
+    df.write.format("noop").mode("overwrite").save()
+    want = events.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct("user_id").alias("n_users"),
+        F.max("value").alias("max_value"),
+    ).collect()[0]
+    got = obs.get
+    assert got["n_rows"] == want["n_rows"]
+    assert got["n_users"] == want["n_users"]
+    assert got["max_value"] == want["max_value"]
+
+    # streaming: observe() metrics surface in progress events
+    src = str(tmp_path / "obs_src")
+    events.limit(200).write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        stream.observe("stream_stats", F.count(F.lit(1)).alias("n_rows"))
+        .writeStream.format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progresses = [p for p in q.recentProgress if p.get("observedMetrics")]
+    assert progresses, "no observedMetrics in any progress event"
+    total = sum(
+        p["observedMetrics"]["stream_stats"]["n_rows"] for p in progresses
+    )
+    assert total == 200
