@@ -721,3 +721,117 @@ def test_scd2_purge_preserves_retained_window(
         key=repr,
     )
     assert got == want
+
+
+# -- round-6 operators vs pure-Python oracles over GENERATED inputs ----------
+_word = st.sampled_from(["aa", "ab", "ba", "x", "yz", "longword"])
+
+
+@SETTINGS
+@given(docs=st.lists(st.lists(_word, min_size=0, max_size=30), max_size=8))
+def test_rag_chunks_match_python(spark, docs):
+    import hashlib
+
+    from kafkatosparktokudu_spark.operators.text import rag_chunks
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_chunk_tokens"], r["chunk_md5"])
+        for r in rag_chunks(df, chunk_tokens=5, stride=3).collect()
+    )
+    want = []
+    for i, ws in enumerate(docs):
+        # tokens('') == [''] — the split-of-empty contract
+        toks = " ".join(ws).strip().split() or [""]
+        if " ".join(ws).strip() == "":
+            toks = [""]
+        for cid, start in enumerate(range(0, max(len(toks), 1), 3)):
+            chunk = toks[start : start + 5]
+            want.append(
+                (
+                    i,
+                    cid,
+                    len(chunk),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+            )
+    assert got == sorted(want)
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc x", min_size=0, max_size=20), min_size=2, max_size=10
+    )
+)
+def test_editdist_pairs_match_python(spark, texts):
+    from kafkatosparktokudu_spark.operators.dedup import editdist_neardup_pairs
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["edit_dist"])
+        for r in editdist_neardup_pairs(
+            df, head_len=10, block_len=2, max_dist=4
+        ).collect()
+    )
+    heads = {i: t[:10].lower() for i, t in enumerate(texts)}
+    want = sorted(
+        (i, j, lev(heads[i], heads[j]))
+        for i in heads
+        for j in heads
+        if i < j
+        and heads[i][:2] == heads[j][:2]
+        and lev(heads[i], heads[j]) <= 4
+    )
+    assert got == want
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=15,
+        unique=True,
+    )
+)
+def test_pagerank_fixed_point_matches_python(spark, edges):
+    from kafkatosparktokudu_spark.operators.graph import pagerank_fixed_point
+
+    sym = sorted({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_fixed_point(df, n_iter=3).collect()
+    }
+
+    nodes = sorted({a for a, _ in sym} | {b for _, b in sym})
+    n = len(nodes)
+    out_deg = {v: sum(1 for a, _ in sym if a == v) for v in nodes}
+    scale = 10**12
+    r = {v: scale // n for v in nodes}
+    base = (15 * scale) // (100 * n)
+    for _ in range(3):
+        contrib = {v: 0 for v in nodes}
+        for a, b in sym:
+            contrib[b] += r[a] // out_deg[a]
+        r = {v: base + (85 * contrib[v]) // 100 for v in nodes}
+    assert got == r
