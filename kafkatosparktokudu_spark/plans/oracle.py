@@ -2010,6 +2010,45 @@ ORACLE_SQL: dict[str, str] = {
                md5(text) AS payload_md5
         FROM documents
     """,
+    # Composed RAG-corpus pipeline (px10's twin): tx02 score formula ->
+    # gate >= 0.5 -> fingerprint dedup -> tx17 chunking -> source stats.
+    "px10_rag_corpus": f"""
+        WITH scored AS (
+            SELECT doc_id, text, source,
+                   0.4 * least(CAST(n_chars AS DOUBLE) / 400.0, 1.0)
+                 + 0.3 * (CAST(len(list_distinct(l)) AS DOUBLE) / len(l))
+                 + 0.3 * (1.0 - CAST(len(list_filter(l, t -> t IN {_STOP_EN}))
+                                      AS DOUBLE) / len(l)) AS score
+            FROM (SELECT doc_id, text, n_chars, source, {_TOKS} AS l
+                  FROM documents)
+        ),
+        kept AS (SELECT * FROM scored WHERE score >= 0.5),
+        surv AS (
+            SELECT doc_id, text, source FROM (
+                SELECT doc_id, text, source,
+                       min(doc_id) OVER (PARTITION BY md5(lower(text)))
+                           AS keeper
+                FROM kept
+            ) WHERE doc_id = keeper
+        ),
+        toks AS (SELECT doc_id, source, {_TOKS} AS l FROM surv),
+        ch AS (
+            SELECT doc_id, source,
+                   len(list_slice(l, start, least(start + 63, len(l))))
+                       AS n_chunk_tokens
+            FROM (SELECT doc_id, source, l,
+                         unnest(generate_series(1, greatest(len(l), 1), 48))
+                             AS start
+                  FROM toks)
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chunk_tokens) AS BIGINT) AS n_chunk_tokens,
+               CAST(SUM(n_chunk_tokens) AS BIGINT) // COUNT(*)
+                   AS avg_tokens_per_chunk
+        FROM ch GROUP BY source
+    """,
     # EXCEPT / INTERSECT cohort counts (q78's twin).
     "q78_customer_cohorts": """
         WITH c95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),

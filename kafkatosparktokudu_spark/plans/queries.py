@@ -2720,6 +2720,39 @@ def ss09_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_quantize(_t(spark, sf_dir, "embeddings"))
 
 
+def px10_rag_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG corpus construction as ONE composed plan: quality gate (score
+    >= 0.5, the px01 contract) → exact dedup (min-id keeper window over
+    the content fingerprint) → overlapping chunking (tx17's W=64/S=48)
+    → per-source chunk stats. Catalyst fuses the gate into the scan and
+    nothing materializes between stages; the only shuffles are the
+    fingerprint window and the chunk→source stats join+agg."""
+    from ..operators.text import quality_scores, rag_chunks
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars", "source"
+    )
+    q = quality_scores(docs, keep=("text", "source"))
+    kept = q.filter(F.col("quality_score") >= 0.5)
+    w = W.partitionBy(F.md5(F.lower(F.col("text"))))
+    survivors = kept.withColumn("keeper", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("keeper")
+    )
+    chunks = rag_chunks(survivors)
+    return (
+        chunks.join(survivors.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum("n_chunk_tokens").cast("bigint").alias("n_chunk_tokens"),
+            F.expr("CAST(sum(n_chunk_tokens) AS BIGINT) div count(1)").alias(
+                "avg_tokens_per_chunk"
+            ),
+        )
+    )
+
+
 # Set operations EXCEPT / INTERSECT (distinct semantics) — the cohort
 # churn/retention shape; both compile to aggregate/join plans, no new
 # physical operator class.
@@ -2856,6 +2889,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx17_rag_chunks": tx17_rag_chunks,
     "ss09_int8_quantize": ss09_int8_quantize,
     "mm06_webdataset_roundtrip": mm06_webdataset_roundtrip,
+    "px10_rag_corpus": px10_rag_corpus,
     "q78_customer_cohorts": q78_customer_cohorts,
     "q79_stratified_sample": q79_stratified_sample,
     "ss04_ivf_topk": ss04_ivf_topk,
