@@ -1152,3 +1152,76 @@ def test_observed_metrics_ride_the_action(spark, tmp_path):
         p["observedMetrics"]["stream_stats"]["n_rows"] for p in progresses
     )
     assert total == 200
+
+
+def test_full_warehouse_concurrent_streams(spark, tmp_path):
+    """The full reference-replacement deployment shape: THREE streaming
+    queries over ONE source directory at once — latest-state sync with a
+    maintained rollup view, SCD2 history sync, and the dedup-style
+    parse path all share the session and the input files with separate
+    checkpoints. After a concurrent drain, every sink equals its batch
+    twin: no cross-talk, no lost or doubled records."""
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.catalog import default_catalog
+    from kafkatosparktokudu_spark.cdc import RollupSpec, apply_changes, read_fixture
+    from kafkatosparktokudu_spark.operators.merge import StateStore
+    from kafkatosparktokudu_spark.operators.scd2 import Scd2Store
+    from kafkatosparktokudu_spark.plans.queries import QUERIES
+    from kafkatosparktokudu_spark.streaming.pipeline import start_scd2_sync
+
+    src = tmp_path / "in"
+    src.mkdir()
+    shutil.copy(FIXTURE, src / "part-000.jsonl")
+    cfg = _cfg(tmp_path)
+    spec = RollupSpec(table="emp", group_col="dept_id", sum_col="salary")
+    store_dir = str(tmp_path / "scd2")
+
+    q1 = start_cdc_sync(
+        spark, file_source(spark, str(src)), cfg, available_now=True,
+        rollups=[spec],
+    )
+    q2 = start_scd2_sync(
+        spark, file_source(spark, str(src)), "emp", store_dir,
+        str(tmp_path / "ckpt_scd2"), available_now=True,
+    )
+    q1.awaitTermination(180)
+    q2.awaitTermination(180)
+
+    # state == batch fold
+    got_state = _emp_state(spark, cfg)
+    want_state = {
+        r["id"]: (r["name"], r["salary"], r["delete_state"])
+        for r in apply_changes(spark, read_fixture(spark))["emp"].collect()
+    }
+    assert got_state == want_state
+
+    # rollup view == from-scratch aggregation of the merged base
+    cat = default_catalog()
+    base = StateStore(
+        spark, f"{cfg.warehouse_dir}/emp", ["id"], cat["emp"].full_schema, 16
+    )
+    direct = {
+        r["dept_id"]: r["n"]
+        for r in base.read()
+        .filter((F.col("delete_state") != "1") & F.col("dept_id").isNotNull())
+        .groupBy("dept_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    view = {
+        r["dept_id"]: r["n_alive"]
+        for r in spec.store(spark, cfg.warehouse_dir, 16)
+        .read()
+        .filter(F.col("n_alive") > 0)
+        .collect()
+    }
+    assert view == direct
+
+    # SCD2 history == one-shot derivation
+    store = Scd2Store(spark, store_dir, cat["emp"])
+    ref_df = QUERIES["cdc_emp_history"](spark, "/root/testdata/sf0.001")
+    cols = [f.name for f in ref_df.schema.fields]
+    got = sorted(map(tuple, store.history().select(*cols).collect()), key=repr)
+    want = sorted(map(tuple, ref_df.collect()), key=repr)
+    assert got == want and len(got) > 0
