@@ -150,3 +150,88 @@ def bloom_prune(
         .filter(F.expr(" AND ".join(tests)))
         .drop("_bm")
     )
+
+
+def cms_expr_table(
+    df: DataFrame, col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Expression-level count-min sketch — the ORACLE-REPRODUCIBLE twin
+    of the JVM ``count_min_sketch`` aggregate (sk01 keeps that one;
+    its murmur hashing is library-internal so it can only ever be
+    bound-tested). Here the ``depth`` row hashes are md5-derived
+    (``H32('r{r}#' || value) % width``), so a SQL engine rebuilds the
+    identical table. Returns (row, bucket, c) — depth×width cells, the
+    same O(sketch) shuffle independence from row count: the explode
+    emits depth rows per input row but they hash-aggregate into at most
+    depth×width groups map-side."""
+    from ..functions.hashing import md5_hash32
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                (
+                    md5_hash32(
+                        F.concat(F.lit(f"r{r}#"), F.col(col).cast("string"))
+                    )
+                    % width
+                ).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_expr_heavy_hitters(
+    df: DataFrame, col: str, k: int = 10, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Top-k candidates (exact count, deterministic tie-break) probed
+    against the expression-level CMS: est_count = min over rows of the
+    candidate's cell — >= true_count always, with the overestimate
+    exercising the width-bounded collision behavior. Everything is
+    integer + md5, hence bit-exact cross-engine."""
+    from ..functions.hashing import md5_hash32
+
+    table = cms_expr_table(df, col, depth, width)
+    cand = (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), F.col(col))
+        .limit(k)
+    )
+    probes = cand.select(
+        col,
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        (
+                            md5_hash32(
+                                F.concat(
+                                    F.lit(f"r{r}#"), F.col(col).cast("string")
+                                )
+                            )
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    )
+    return (
+        probes.join(
+            table,
+            (F.col("rb.row") == table["row"])
+            & (F.col("rb.bucket") == table["bucket"]),
+        )
+        .groupBy(col, "true_count")
+        .agg(F.min("c").cast("bigint").alias("est_count"))
+    )

@@ -2010,6 +2010,31 @@ ORACLE_SQL: dict[str, str] = {
                md5(text) AS payload_md5
         FROM documents
     """,
+    # Expression-level CMS heavy hitters (sk03's twin): md5-derived row
+    # hashes, min-over-rows estimate — all integer, bit-exact.
+    "sk03_cms_expr": """
+        WITH t AS (SELECT o_custkey AS v FROM orders),
+        rb AS (
+            SELECT rr.r AS r,
+                   ('0x' || substr(md5('r' || rr.r || '#' ||
+                        CAST(v AS VARCHAR)), 1, 8))::BIGINT % 64 AS bucket,
+                   COUNT(*) AS c
+            FROM t CROSS JOIN range(4) rr(r)
+            GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT v, COUNT(*) AS true_count FROM t
+            GROUP BY v ORDER BY true_count DESC, v LIMIT 10
+        )
+        SELECT cand.v AS o_custkey,
+               CAST(true_count AS BIGINT) AS true_count,
+               CAST(MIN(c) AS BIGINT) AS est_count
+        FROM cand CROSS JOIN range(4) rr(r)
+        JOIN rb ON rb.r = rr.r
+               AND rb.bucket = ('0x' || substr(md5('r' || rr.r || '#' ||
+                        CAST(cand.v AS VARCHAR)), 1, 8))::BIGINT % 64
+        GROUP BY cand.v, true_count
+    """,
     # Composed RAG-corpus pipeline (px10's twin): tx02 score formula ->
     # gate >= 0.5 -> fingerprint dedup -> tx17 chunking -> source stats.
     "px10_rag_corpus": f"""

@@ -2720,6 +2720,15 @@ def ss09_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_quantize(_t(spark, sf_dir, "embeddings"))
 
 
+def sk03_cms_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-level count-min sketch heavy hitters — the
+    hash-oracle-able CMS twin (operators/sketch.py::cms_expr_heavy_hitters);
+    sk01 keeps the JVM sketch with bound tests."""
+    from ..operators.sketch import cms_expr_heavy_hitters
+
+    return cms_expr_heavy_hitters(_t(spark, sf_dir, "orders"), "o_custkey")
+
+
 def px10_rag_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG corpus construction as ONE composed plan: quality gate (score
     >= 0.5, the px01 contract) → exact dedup (min-id keeper window over
@@ -2890,6 +2899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss09_int8_quantize": ss09_int8_quantize,
     "mm06_webdataset_roundtrip": mm06_webdataset_roundtrip,
     "px10_rag_corpus": px10_rag_corpus,
+    "sk03_cms_expr": sk03_cms_expr,
     "q78_customer_cohorts": q78_customer_cohorts,
     "q79_stratified_sample": q79_stratified_sample,
     "ss04_ivf_topk": ss04_ivf_topk,

@@ -1216,3 +1216,23 @@ def test_int8_quantize_known_vectors(spark):
     assert got[1]["sum_abs_q"] == 191 and got[1]["mx"] == 1.0
     assert got[2]["codes_md5"] == hashlib.md5(b"0,0,0").hexdigest()
     assert got[2]["sum_abs_q"] == 0 and got[2]["mx"] == 0.0
+
+
+def test_cms_expr_overestimates_bounded(spark):
+    """The expression-level CMS never underestimates, matches exact
+    counts when width >> distinct values, and its overestimate is
+    explained by bucket collisions when width is squeezed."""
+    from kafkatosparktokudu_spark.operators.sketch import (
+        cms_expr_heavy_hitters,
+    )
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [(f"x{i}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "v string")
+    wide = {
+        r["v"]: (r["true_count"], r["est_count"])
+        for r in cms_expr_heavy_hitters(df, "v", k=5, width=4096).collect()
+    }
+    assert wide["a"] == (50, 50) and wide["b"] == (30, 30)
+    narrow = cms_expr_heavy_hitters(df, "v", k=5, width=4).collect()
+    assert all(r["est_count"] >= r["true_count"] for r in narrow)
+    assert any(r["est_count"] > r["true_count"] for r in narrow)
