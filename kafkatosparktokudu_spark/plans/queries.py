@@ -2720,6 +2720,18 @@ def ss09_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_quantize(_t(spark, sf_dir, "embeddings"))
 
 
+def ss10_ivf_deploy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the DEPLOY-path IVF search — numpy-trained centroids +
+    Arrow-batched assignment (pre-r6 ss04 semantics, kept under its own
+    name so the bench measures the path a cluster actually runs; the
+    oracle-checked seeded twin is ss04). Recall vs brute force is
+    asserted in tests/test_extensions.py."""
+    from ..operators.similarity import ivf_topk
+
+    qv = _query_vec(spark, sf_dir, 0)
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), qv, k=10, exclude_id=0)
+
+
 def sk03_cms_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expression-level count-min sketch heavy hitters — the
     hash-oracle-able CMS twin (operators/sketch.py::cms_expr_heavy_hitters);
@@ -2900,6 +2912,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm06_webdataset_roundtrip": mm06_webdataset_roundtrip,
     "px10_rag_corpus": px10_rag_corpus,
     "sk03_cms_expr": sk03_cms_expr,
+    "ss10_ivf_deploy_topk": ss10_ivf_deploy_topk,
     "q78_customer_cohorts": q78_customer_cohorts,
     "q79_stratified_sample": q79_stratified_sample,
     "ss04_ivf_topk": ss04_ivf_topk,
