@@ -2010,6 +2010,81 @@ ORACLE_SQL: dict[str, str] = {
                md5(text) AS payload_md5
         FROM documents
     """,
+    # Ordered funnel view -> click -> purchase (q80's twin).
+    "q80_event_funnel": """
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(ts) AS t2
+            FROM events e JOIN s1 USING (user_id)
+            WHERE event_type = 'click' AND ts > t1
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(ts) AS t3
+            FROM events e JOIN s2 USING (user_id)
+            WHERE event_type = 'purchase' AND ts > t2
+            GROUP BY e.user_id
+        )
+        SELECT CAST(COUNT(t1) AS BIGINT) AS n_view,
+               CAST(COUNT(t2) AS BIGINT) AS n_view_click,
+               CAST(COUNT(t3) AS BIGINT) AS n_full_funnel
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+    # Weekly retention cohorts (q81's twin).
+    "q81_retention_cohorts": """
+        WITH w AS (
+            SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+            FROM events
+        ),
+        f AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY user_id)
+        SELECT cohort_week,
+               CAST(datediff('day', cohort_week, week) // 7 AS INTEGER)
+                   AS week_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM w JOIN f USING (user_id)
+        GROUP BY 1, 2
+    """,
+    # Per-user event transition counts (q82's twin).
+    "q82_event_transitions": """
+        SELECT event_type, next_type, COUNT(*) AS n FROM (
+            SELECT event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        ) WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+        ORDER BY n DESC, event_type, next_type
+        LIMIT 20
+    """,
+    # Daily gap-fill + LOCF per user (q83's twin).
+    "q83_locf_gapfill": """
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+            FROM daily GROUP BY user_id
+        ),
+        spine AS (
+            SELECT user_id, CAST(unnest(generate_series(d0, d1,
+                       INTERVAL 1 DAY)) AS DATE) AS day
+            FROM span
+        )
+        SELECT s.user_id, s.day,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY s.user_id ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS v_filled,
+               v IS NOT NULL AS is_observed
+        FROM spine s LEFT JOIN daily d
+          ON d.user_id = s.user_id AND d.day = s.day
+    """,
     # Expression-level CMS heavy hitters (sk03's twin): md5-derived row
     # hashes, min-over-rows estimate — all integer, bit-exact.
     "sk03_cms_expr": """

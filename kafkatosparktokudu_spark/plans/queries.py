@@ -2720,6 +2720,115 @@ def ss09_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_quantize(_t(spark, sf_dir, "embeddings"))
 
 
+# Ordered event funnel view -> click -> purchase: each step's timestamp
+# must follow the previous step's. Three keyed aggs chained by joins on
+# the user id — one partitioning reused, no windows over the full table.
+def q80_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .agg(
+            F.count("t1").cast("bigint").alias("n_view"),
+            F.count("t2").cast("bigint").alias("n_view_click"),
+            F.count("t3").cast("bigint").alias("n_full_funnel"),
+        )
+    )
+
+
+# Weekly retention cohorts: cohort = the user's first-event ISO week,
+# cell = distinct users active in cohort-week + offset. Two keyed aggs.
+def q81_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    )
+    first = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.expr("datediff(week, cohort_week) div 7")
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+# Per-user event-type transition counts (Markov edge list): lead() over
+# the (ts, event_id)-ordered per-user stream — a partitioned window.
+def q82_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    return (
+        pairs.groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "event_type", "next_type")
+        .limit(20)
+    )
+
+
+# Daily gap-fill + LOCF (last observation carried forward) per user —
+# the feature-store shape: a per-user date spine from first to last
+# event day, observed daily sums (DECIMAL-exact), missing days filled by
+# the partitioned last-ignore-nulls window. Never a global sort; output
+# tracks users x days.
+def q83_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("v")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v").isNotNull().alias("is_observed"),
+    )
+
+
 def ss10_ivf_deploy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the DEPLOY-path IVF search — numpy-trained centroids +
     Arrow-batched assignment (pre-r6 ss04 semantics, kept under its own
@@ -2913,6 +3022,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "px10_rag_corpus": px10_rag_corpus,
     "sk03_cms_expr": sk03_cms_expr,
     "ss10_ivf_deploy_topk": ss10_ivf_deploy_topk,
+    "q80_event_funnel": q80_event_funnel,
+    "q81_retention_cohorts": q81_retention_cohorts,
+    "q82_event_transitions": q82_event_transitions,
+    "q83_locf_gapfill": q83_locf_gapfill,
     "q78_customer_cohorts": q78_customer_cohorts,
     "q79_stratified_sample": q79_stratified_sample,
     "ss04_ivf_topk": ss04_ivf_topk,
