@@ -3029,6 +3029,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_customer_cohorts": q78_customer_cohorts,
     "q79_stratified_sample": q79_stratified_sample,
     "ss04_ivf_topk": ss04_ivf_topk,
+    "px08_decontaminated_split": px08_decontaminated_split,
     # --- round-5 front section (VERDICT.md r4 "Next round" #1/#4): queries
     # whose implementing code was rewritten in round 4 (cdc.py/merge.py/
     # ogg.py fused merge; streaming/pipeline.py event-time cast) but whose
@@ -3072,7 +3073,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss05_knn_join": ss05_knn_join,
     "mm05_shard_manifest": mm05_shard_manifest,
     "px07_multimodal_curation": px07_multimodal_curation,
-    "px08_decontaminated_split": px08_decontaminated_split,
     "q67_min_cost_supplier": q67_min_cost_supplier,
     "q68_forecast_revenue": q68_forecast_revenue,
     "q69_product_profit": q69_product_profit,
