@@ -322,3 +322,21 @@ def test_ss08_topk_is_partial_takeordered(spark):
     win = next(i for i, l in enumerate(lines) if "Window" in l)
     tko = next(i for i, l in enumerate(lines) if "TakeOrderedAndProject" in l)
     assert win < tko, plan  # window consumes the TakeOrdered output
+
+
+def test_new_window_queries_stay_partitioned(spark):
+    """Every round-6 window/analytics query must run its sorts inside a
+    keyed partition — no Exchange SinglePartition anywhere (the tx15/ss08
+    lesson, asserted for the whole batch)."""
+    for name in [
+        "q76_rolling_revenue",
+        "q77_price_distribution",
+        "q82_event_transitions",
+        "q83_locf_gapfill",
+        # q80 is excluded: its output is ONE scalar row, so the final
+        # partial-count -> Exchange SinglePartition -> merge is the
+        # correct plan (1 row per partition crosses it, not the data)
+        "q81_retention_cohorts",
+    ]:
+        plan = _plan(spark, name)
+        assert "Exchange SinglePartition" not in plan, (name, plan)
