@@ -324,6 +324,23 @@ class StateStore:
             .partitionBy(_BUCKET)
             .parquet(staging)
         )
+        # Guard against silent loss: a content row hashing OUTSIDE the
+        # bucket list would be written to staging and then deleted with
+        # the staging dir. The staged directory listing is the cheap,
+        # job-free place to catch that caller bug as an error.
+        staged = {
+            int(e.split("=", 1)[1])
+            for e in os.listdir(staging)
+            if e.startswith(f"{_BUCKET}=")
+        }
+        extra = staged - set(buckets)
+        if extra:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ValueError(
+                f"rewrite_buckets: content contains rows for buckets "
+                f"{sorted(extra)} not in the rewrite list {sorted(buckets)} "
+                "— refusing to drop them"
+            )
         for b in buckets:
             src = os.path.join(staging, f"{_BUCKET}={b}")
             dst = os.path.join(self.path, f"{_BUCKET}={b}")

@@ -253,8 +253,14 @@ def write_webdataset(
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         shard = int(pdf["shard_id"].iloc[0])
         rows = []
+        # stage + rename-on-close: a tar matching shard-*.tar is COMPLETE
+        # by construction, so a concurrent reader (the webdataset source's
+        # presence-is-commit contract) can never stream a half-written
+        # archive
+        final = os.path.join(out_dir, f"shard-{shard:05d}.tar")
+        staging = final + ".tmp"
         with tarfile.open(
-            os.path.join(out_dir, f"shard-{shard:05d}.tar"),
+            staging,
             "w",
             format=tarfile.USTAR_FORMAT,
         ) as tf:
@@ -273,6 +279,7 @@ def write_webdataset(
                         int(tf.fileobj.tell()) - _padded(len(payload)),
                     )
                 )
+        os.replace(staging, final)
         return pd.DataFrame(
             rows,
             columns=[

@@ -144,6 +144,14 @@ def train_ivf_centroids(
         .limit(4096)
         .collect()
     )
+    if not sample:
+        # tiny tables can miss the hash gate entirely — deterministic
+        # unfiltered head sample instead of a shape-(0,) ndarray crash
+        sample = (
+            emb.orderBy("vec_id").select("vec_id", "embedding").limit(4096).collect()
+        )
+    if not sample:
+        raise ValueError("train_ivf_centroids: embeddings table is empty")
     x = np.array([[float(v) for v in r["embedding"]] for r in sample])
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     cents = x[:n_cells].copy()
@@ -829,10 +837,17 @@ def pq_codebooks_trained(
         .limit(4096)
         .collect()
     )
-    x = np.array([[float(v) for v in r["embedding"]] for r in sample])
     seeds = (
         emb.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
     )
+    if not sample:
+        # a tiny table can miss the 1-in-sample_mod hash gate entirely —
+        # fall back to the (deterministic) seed rows rather than crash
+        # on a 1-D empty ndarray slice
+        sample = seeds
+    if not sample:
+        raise ValueError("pq_codebooks_trained: embeddings table is empty")
+    x = np.array([[float(v) for v in r["embedding"]] for r in sample])
     out: list[list[list[float]]] = []
     for s in range(m):
         xs = x[:, s * d : (s + 1) * d]

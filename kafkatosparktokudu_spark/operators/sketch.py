@@ -152,21 +152,15 @@ def bloom_prune(
     )
 
 
-def cms_expr_table(
-    df: DataFrame, col: str, depth: int = 4, width: int = 64
-) -> DataFrame:
-    """Expression-level count-min sketch — the ORACLE-REPRODUCIBLE twin
-    of the JVM ``count_min_sketch`` aggregate (sk01 keeps that one;
-    its murmur hashing is library-internal so it can only ever be
-    bound-tested). Here the ``depth`` row hashes are md5-derived
-    (``H32('r{r}#' || value) % width``), so a SQL engine rebuilds the
-    identical table. Returns (row, bucket, c) — depth×width cells, the
-    same O(sketch) shuffle independence from row count: the explode
-    emits depth rows per input row but they hash-aggregate into at most
-    depth×width groups map-side."""
+def _cms_cells(col: str, depth: int, width: int) -> F.Column:
+    """The (row, bucket) struct array of a value's CMS cells — the ONE
+    place the hash layout lives: build (cms_expr_table) and probe
+    (cms_expr_heavy_hitters) must agree bit-for-bit, so they both call
+    this. The DuckDB oracle mirrors the same H32('r{r}#'||value) % width
+    formula."""
     from ..functions.hashing import md5_hash32
 
-    cells = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(r).alias("row"),
@@ -180,8 +174,22 @@ def cms_expr_table(
             for r in range(depth)
         ]
     )
+
+
+def cms_expr_table(
+    df: DataFrame, col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Expression-level count-min sketch — the ORACLE-REPRODUCIBLE twin
+    of the JVM ``count_min_sketch`` aggregate (sk01 keeps that one;
+    its murmur hashing is library-internal so it can only ever be
+    bound-tested). Here the ``depth`` row hashes are md5-derived
+    (``H32('r{r}#' || value) % width``), so a SQL engine rebuilds the
+    identical table. Returns (row, bucket, c) — depth×width cells, the
+    same O(sketch) shuffle independence from row count: the explode
+    emits depth rows per input row but they hash-aggregate into at most
+    depth×width groups map-side."""
     return (
-        df.select(F.explode(cells).alias("rb"))
+        df.select(F.explode(_cms_cells(col, depth, width)).alias("rb"))
         .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -195,8 +203,6 @@ def cms_expr_heavy_hitters(
     candidate's cell — >= true_count always, with the overestimate
     exercising the width-bounded collision behavior. Everything is
     integer + md5, hence bit-exact cross-engine."""
-    from ..functions.hashing import md5_hash32
-
     table = cms_expr_table(df, col, depth, width)
     cand = (
         df.groupBy(col)
@@ -207,24 +213,7 @@ def cms_expr_heavy_hitters(
     probes = cand.select(
         col,
         "true_count",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("row"),
-                        (
-                            md5_hash32(
-                                F.concat(
-                                    F.lit(f"r{r}#"), F.col(col).cast("string")
-                                )
-                            )
-                            % width
-                        ).alias("bucket"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("rb"),
+        F.explode(_cms_cells(col, depth, width)).alias("rb"),
     )
     return (
         probes.join(

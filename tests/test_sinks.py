@@ -207,3 +207,55 @@ def test_webdataset_source_roundtrip(spark, tmp_path):
     }
     for m in manifest:
         assert got_order[(m["shard_id"], m["member_idx"])] == m["doc_id"]
+
+
+def test_webdataset_batch_empty_dir_and_missing_dir(spark, tmp_path):
+    """An existing directory with zero shards reads as an EMPTY typed
+    frame (the StateStore.read contract); a missing directory still
+    raises (config typo, not empty data)."""
+    import pytest
+
+    from kafkatosparktokudu_spark.sources.webdataset import WebDatasetSource
+
+    try:
+        spark.dataSource.register(WebDatasetSource)
+    except Exception:
+        pass
+    empty = tmp_path / "empty_wds"
+    empty.mkdir()
+    df = spark.read.format("webdataset").option("path", str(empty)).load()
+    assert df.count() == 0
+    assert df.columns == ["doc_id", "shard_id", "member_idx", "n_bytes", "payload"]
+
+    missing = spark.read.format("webdataset").option(
+        "path", str(tmp_path / "nope")
+    ).load()
+    with pytest.raises(Exception, match="not a directory"):
+        missing.count()
+
+
+def test_rewrite_buckets_refuses_out_of_list_rows(spark, tmp_path):
+    """The review-found silent-loss trap: content hashing outside the
+    rewrite list must ERROR, not vanish with the staging dir."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from kafkatosparktokudu_spark.operators.merge import StateStore
+
+    schema = T.StructType([
+        T.StructField("id", T.StringType(), False),
+        T.StructField("v", T.LongType(), True),
+    ])
+    store = StateStore(spark, str(tmp_path / "st"), ["id"], schema, 8)
+    rows = spark.createDataFrame([(str(i), i) for i in range(40)], schema)
+    store.upsert_batch(rows)
+    all_buckets = sorted(
+        {r["b"] for r in rows.select(store._bucket_col().alias("b")).collect()}
+    )
+    with pytest.raises(ValueError, match="refusing to drop"):
+        store.rewrite_buckets(all_buckets[:1], rows)
+    # store unchanged after the refused rewrite
+    assert store.read().count() == 40
+    # a correct wholesale rewrite still works
+    store.rewrite_buckets(all_buckets, rows.filter("v < 10"))
+    assert store.read().count() == 10

@@ -1225,3 +1225,60 @@ def test_full_warehouse_concurrent_streams(spark, tmp_path):
     got = sorted(map(tuple, store.history().select(*cols).collect()), key=repr)
     want = sorted(map(tuple, ref_df.collect()), key=repr)
     assert got == want and len(got) > 0
+
+
+def test_webdataset_stream_out_of_order_shard_landing(spark, tmp_path):
+    """The review-found count-offset trap: shard-00005 lands and is
+    consumed FIRST; shard-00001 (lexicographically earlier) lands later.
+    The filename-set offset must still pick it up — nothing skipped,
+    nothing doubled."""
+    import io
+    import tarfile
+
+    from kafkatosparktokudu_spark.sources.webdataset import WebDatasetSource
+
+    src = tmp_path / "wds_ooo"
+    src.mkdir()
+
+    def write_shard(i, ids):
+        with tarfile.open(
+            str(src / f"shard-{i:05d}.tar"), "w", format=tarfile.USTAR_FORMAT
+        ) as tf:
+            for d in ids:
+                payload = f"p{d}".encode()
+                info = tarfile.TarInfo(name=f"{d}.bin")
+                info.size = len(payload)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(payload))
+
+    write_shard(5, [50, 51])  # higher-numbered shard finishes first
+    try:
+        spark.dataSource.register(WebDatasetSource)
+    except Exception:
+        pass
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("webdataset")
+            .option("path", str(src))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [50, 51]
+
+    write_shard(1, [10])  # the straggler lands AFTER shard 5 was consumed
+    run_once()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [10, 50, 51]
