@@ -686,10 +686,11 @@ def bigram_surprisal_scores(
 
     b1 = _boundary(s1)
     b2 = _boundary(s1 + s2) if s2 > 0 else b1
-    # avg_surprisal is decimal-exact/deterministic, so unpersisting here
-    # is safe: any recompute of d reproduces the same bits the broadcast
-    # boundaries were read from.
-    d.unpersist()
+    # d stays persisted: the returned projection reads it — unpersisting
+    # here would make the final select recompute the entire bigram
+    # pipeline a second time (measured 2× the query cost at sf0.1). The
+    # dd04/px02 convention: the cache lives as long as the returned
+    # frame; callers/bench clearCache between queries.
 
     def _le(bnd: tuple):
         bv, bi = bnd

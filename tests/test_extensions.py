@@ -1236,3 +1236,40 @@ def test_cms_expr_overestimates_bounded(spark):
     narrow = cms_expr_heavy_hitters(df, "v", k=5, width=4).collect()
     assert all(r["est_count"] >= r["true_count"] for r in narrow)
     assert any(r["est_count"] > r["true_count"] for r in narrow)
+
+
+def test_event_funnel_strict_ordering(spark):
+    """Funnel steps must FOLLOW the prior step in time: a purchase that
+    precedes the user's first view does not complete the funnel, and a
+    click with no later purchase stops at step 2."""
+    from datetime import datetime as dt
+
+    from kafkatosparktokudu_spark.plans.queries import q80_event_funnel
+
+    def t(m):
+        return dt(2024, 1, 1, 0, m)
+
+    rows = [
+        # A: purchase BEFORE view -> only steps 1-2 count
+        (1, "purchase", t(0)), (1, "view", t(1)), (1, "click", t(2)),
+        # B: full ordered funnel
+        (2, "view", t(0)), (2, "click", t(1)), (2, "purchase", t(2)),
+        # C: view only
+        (3, "view", t(0)),
+        # D: click before view, none after -> stops at step 1
+        (4, "click", t(0)), (4, "view", t(1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    df.createOrReplaceTempView("__funnel_ev")
+
+    import kafkatosparktokudu_spark.plans.queries as Q
+
+    orig = Q._t
+    try:
+        Q._t = lambda spark, sf_dir, name: df
+        r = q80_event_funnel(spark, "unused").collect()[0]
+    finally:
+        Q._t = orig
+    assert r["n_view"] == 4
+    assert r["n_view_click"] == 2      # A and B
+    assert r["n_full_funnel"] == 1     # only B
