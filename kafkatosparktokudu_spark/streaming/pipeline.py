@@ -496,3 +496,56 @@ def start_quality_monitor(
     else:
         writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()
+
+
+def stream_topk_per_key(
+    events: DataFrame, k: int = 3, key_col: str = "event_type"
+) -> DataFrame:
+    """Stateful streaming top-k per key via ``applyInPandasWithState``:
+    each group's state is its current top-``k`` (value, event_id) heap —
+    the continuous-leaderboard shape (biggest transactions per type,
+    worst latencies per endpoint) that no built-in windowed agg expresses
+    because the RANKING must survive across micro-batches.
+
+    Ties break on the lower event_id (deterministic, replay-stable).
+    Emits the full current top-k per group per batch (append mode) — the
+    LAST emission per group equals the batch top-k over everything seen,
+    which is what the equality test pins.
+
+    Scale: state is k tuples per key, partitioned by the groupBy hash;
+    per batch each group folds its new rows into the k-heap — O(k) state
+    regardless of stream length.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} string, rank int, value double, event_id bigint"
+    )
+    state_schema = "vals array<double>, ids array<bigint>"
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        top: list[tuple[float, int]] = []
+        if state.exists:
+            vals, ids = state.get
+            top = list(zip(vals, ids))
+        for pdf in pdfs:
+            top.extend(
+                zip(pdf["value"].astype(float), pdf["event_id"].astype(int))
+            )
+        # descending value, ascending event_id tie-break; keep k
+        top.sort(key=lambda t: (-t[0], t[1]))
+        top = top[:k]
+        state.update(([v for v, _ in top], [i for _, i in top]))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(top),
+                "rank": list(range(1, len(top) + 1)),
+                "value": [v for v, _ in top],
+                "event_id": [i for _, i in top],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

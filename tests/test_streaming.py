@@ -1282,3 +1282,63 @@ def test_webdataset_stream_out_of_order_shard_landing(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(out).collect()
     ) == [10, 50, 51]
+
+
+def test_stream_topk_per_key_across_restarts(spark, tmp_path):
+    """Streaming top-k leaderboard: after two checkpointed availableNow
+    runs over split halves, each key's LAST emitted top-3 equals the
+    batch top-3 over all events (value desc, event_id tie-break)."""
+    from kafkatosparktokudu_spark.streaming.pipeline import stream_topk_per_key
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = tmp_path / "topk_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "topk_ckpt")
+    out = str(tmp_path / "topk_out")
+    events.filter(F.col("event_id") % 2 == 0).write.parquet(str(src / "a"))
+
+    def run():
+        stream = spark.readStream.schema(events.schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = (
+            stream_topk_per_key(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    events.filter(F.col("event_id") % 2 == 1).write.parquet(str(src / "b"))
+    run()
+
+    # last emission per key: the rows from the final batch that touched
+    # the key; reconstruct per-key latest = max batch — use the fact that
+    # re-emissions only improve (value-desc prefix), so take per (key,
+    # rank) the best value seen
+    emitted = spark.read.parquet(out)
+    best = {
+        (r["event_type"], r["rank"]): (r["value"], r["event_id"])
+        for r in emitted.groupBy("event_type", "rank")
+        .agg(F.max(F.struct(F.col("value"), (-F.col("event_id")).alias("nid"))).alias("m"))
+        .select(
+            "event_type", "rank", F.col("m.value").alias("value"),
+            (-F.col("m.nid")).cast("bigint").alias("event_id"),
+        )
+        .collect()
+    }
+    rows = events.select("event_type", "value", "event_id").collect()
+    per_key: dict = {}
+    for r in rows:
+        per_key.setdefault(r["event_type"], []).append(
+            (float(r["value"]), r["event_id"])
+        )
+    for key, vals in per_key.items():
+        vals.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (v, i) in enumerate(vals[:3], 1):
+            bv, bi = best[(key, rank)]
+            assert (bv, bi) == (v, i), (key, rank, (bv, bi), (v, i))
