@@ -776,3 +776,84 @@ def rag_chunks(
         F.size(chunk).cast("int").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
     )
+
+
+def dsir_importance_scores(
+    docs: DataFrame,
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much more likely its hashed-n-gram features are under the TARGET
+    distribution than under the raw corpus, then keep the target-like
+    ones. Here features are unigram tokens hashed into ``n_buckets``
+    (DSIR's hashed feature space), the target slice is
+    ``docs[target_col] == target_value``, and
+
+        w_b   = round(log2( ((t_b+1)·(R+B)) / ((r_b+1)·(T+B)) ), 6)
+        score = Σ_doc n_b · w_b / Σ_doc n_b   (DECIMAL-exact mean)
+
+    with t_b/r_b the bucket's target/raw occurrence counts, T/R the
+    totals, B the Laplace smoothing mass — the log importance ratio of
+    Laplace-smoothed bucket probabilities. ``selected`` = score > 0
+    (more target-like than corpus-average). The only float op is the
+    rounded log2 of an exact integer ratio (the tx15 contract), so both
+    engines agree bit-for-bit.
+
+    Scale shape: one token explode collapsed to per-(doc, bucket)
+    counts; bucket stats are ONE further agg over at most n_buckets
+    groups (broadcast back as a 256-row join); the per-doc mean is one
+    keyed agg. Integer-product bound: (t+1)·(R+B) must stay < 2^63 —
+    fine to ~3e9 target tokens; beyond that switch the oracle-free
+    deploy path to the difference-of-logs form.
+    """
+    from ..functions.hashing import md5_hash32
+
+    occ = (
+        docs.select(
+            F.col(id_col),
+            (F.col(target_col) == target_value).alias("__is_t"),
+            F.explode(tokens("text")).alias("tok"),
+        )
+        .withColumn("bucket", md5_hash32(F.col("tok")) % n_buckets)
+        .groupBy(id_col, "__is_t", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = occ.groupBy("bucket").agg(
+        F.sum("n").alias("r_b"),
+        F.sum(F.when(F.col("__is_t"), F.col("n")).otherwise(0)).alias("t_b"),
+    )
+    tot = stats.agg(
+        F.sum("r_b").alias("R"), F.sum("t_b").alias("T")
+    )
+    w = stats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log2(
+                ((F.col("t_b") + 1) * (F.col("R") + n_buckets)).cast("double")
+                / ((F.col("r_b") + 1) * (F.col("T") + n_buckets)).cast("double")
+            ),
+            6,
+        ).alias("w"),
+    )
+    return (
+        occ.join(w, "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").cast("int").alias("n_tokens"),
+            (
+                F.sum(F.col("n") * F.col("w").cast("decimal(12,6)"))
+                .cast("double")
+                / F.sum("n")
+            ).alias("dsir_score"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "dsir_score",
+            (F.col("dsir_score") > 0).alias("selected"),
+        )
+    )

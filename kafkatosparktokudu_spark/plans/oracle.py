@@ -2110,6 +2110,45 @@ ORACLE_SQL: dict[str, str] = {
                         CAST(cand.v AS VARCHAR)), 1, 8))::BIGINT % 64
         GROUP BY cand.v, true_count
     """,
+    # DSIR importance-ratio selection (px11's twin): Laplace-smoothed
+    # hashed-bucket log ratio — the only float op is the rounded log2 of
+    # an exact integer ratio.
+    "px11_dsir_selection": f"""
+        WITH occ AS (
+            SELECT doc_id, is_t, bucket, COUNT(*) AS n FROM (
+                SELECT doc_id, lang = 'en' AS is_t,
+                       {_H32.format(x='tok')} % 256 AS bucket
+                FROM (SELECT doc_id, lang, unnest({_TOKS}) AS tok
+                      FROM documents)
+            ) GROUP BY 1, 2, 3
+        ),
+        stats AS (
+            SELECT bucket, CAST(SUM(n) AS BIGINT) AS r_b,
+                   CAST(SUM(CASE WHEN is_t THEN n ELSE 0 END) AS BIGINT)
+                       AS t_b
+            FROM occ GROUP BY bucket
+        ),
+        tot AS (
+            SELECT CAST(SUM(r_b) AS BIGINT) AS r_tot,
+                   CAST(SUM(t_b) AS BIGINT) AS t_tot
+            FROM stats
+        ),
+        w AS (
+            SELECT bucket,
+                   round(log2(CAST((t_b + 1) * (r_tot + 256) AS DOUBLE)
+                              / CAST((r_b + 1) * (t_tot + 256) AS DOUBLE)),
+                         6) AS w
+            FROM stats CROSS JOIN tot
+        )
+        SELECT occ.doc_id,
+               CAST(SUM(n) AS INTEGER) AS n_tokens,
+               CAST(SUM(n * CAST(w AS DECIMAL(12,6))) AS DOUBLE) / SUM(n)
+                   AS dsir_score,
+               (CAST(SUM(n * CAST(w AS DECIMAL(12,6))) AS DOUBLE) / SUM(n))
+                   > 0 AS selected
+        FROM occ JOIN w USING (bucket)
+        GROUP BY occ.doc_id
+    """,
     # Composed RAG-corpus pipeline (px10's twin): tx02 score formula ->
     # gate >= 0.5 -> fingerprint dedup -> tx17 chunking -> source stats.
     "px10_rag_corpus": f"""

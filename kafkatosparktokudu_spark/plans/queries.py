@@ -2850,6 +2850,16 @@ def sk03_cms_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_expr_heavy_hitters(_t(spark, sf_dir, "orders"), "o_custkey")
 
 
+def px11_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance-ratio data selection (Xie et al. 2023):
+    hashed-unigram log importance weights of the lang='en' target slice
+    vs the raw corpus, DECIMAL-exact per-doc mean, selected = score > 0
+    (operators/text.py::dsir_importance_scores)."""
+    from ..operators.text import dsir_importance_scores
+
+    return dsir_importance_scores(_t(spark, sf_dir, "documents"))
+
+
 def px10_rag_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG corpus construction as ONE composed plan: quality gate (score
     >= 0.5, the px01 contract) → exact dedup (min-id keeper window over
@@ -3020,6 +3030,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss09_int8_quantize": ss09_int8_quantize,
     "mm06_webdataset_roundtrip": mm06_webdataset_roundtrip,
     "px10_rag_corpus": px10_rag_corpus,
+    "px11_dsir_selection": px11_dsir_selection,
     "sk03_cms_expr": sk03_cms_expr,
     "ss10_ivf_deploy_topk": ss10_ivf_deploy_topk,
     "q80_event_funnel": q80_event_funnel,

@@ -1273,3 +1273,25 @@ def test_event_funnel_strict_ordering(spark):
     assert r["n_view"] == 4
     assert r["n_view_click"] == 2      # A and B
     assert r["n_full_funnel"] == 1     # only B
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Docs made of target-slice vocabulary score positive (selected);
+    docs of never-in-target vocabulary score negative."""
+    from kafkatosparktokudu_spark.operators.text import dsir_importance_scores
+
+    # corpus large enough that the Laplace mass (B=256) doesn't drown the
+    # signal: T ~ 200 target tokens
+    rows = (
+        [(i, "en", "alpha beta gamma delta") for i in range(50)]
+        + [(1000 + i, "de", "zeta eta theta iota") for i in range(50)]
+        + [(2000, "de", "alpha beta alpha beta"), (2001, "en", "zeta eta zeta eta")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r for r in dsir_importance_scores(docs).collect()}
+    # target-vocab doc (even though labeled de) is selected; and a doc of
+    # pure non-target vocab (even labeled en) is not
+    assert got[2000]["selected"] and got[2000]["dsir_score"] > 0
+    assert not got[2001]["selected"] and got[2001]["dsir_score"] < 0
+    assert all(got[i]["selected"] for i in range(50))
+    assert not any(got[1000 + i]["selected"] for i in range(50))
