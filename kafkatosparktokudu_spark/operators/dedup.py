@@ -886,3 +886,62 @@ def editdist_neardup_pairs(
         )
         .filter(F.col("edit_dist") <= max_dist)
     )
+
+
+def event_debounce(
+    events: DataFrame,
+    gap_seconds: int = 300,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Debounce repeated events: collapse each BURST (a run of same-key
+    events with < ``gap_seconds`` between consecutive ones) to its first
+    event — the telemetry-cleaning twin of exact dedup (double-clicks,
+    retry storms, at-least-once duplicates with drifting payloads that
+    content-hash dedup can't catch).
+
+    Burst boundaries via the q17 sessionize recipe: flag rows whose gap
+    from the previous same-key event is >= gap (or first), running-sum
+    the flags into a burst id, keep row_number 1 per (keys, burst).
+    Microsecond-exact gap arithmetic (unix_micros — integer on both
+    engines), (ts, id) tie-break, all inside ONE partitioned window
+    chain (the flag sum and the rank share the same sort — one exchange
+    keyed on the debounce keys, never a global sort).
+
+    Output: the kept events (keys + ts + id + burst_id + n_collapsed =
+    how many raw events the burst absorbed).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(ts_col, id_col)
+    # NTZ-safe: the loader yields TIMESTAMP_NTZ; the session TZ is
+    # pinned UTC, so the cast matches DuckDB epoch_us on naive timestamps
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap_us = gap_seconds * 1_000_000
+    new_burst = (
+        F.when(F.lag(ts_col).over(w).isNull(), 1)
+        .when(us - F.unix_micros(F.lag(ts_col).over(w).cast("timestamp")) >= gap_us, 1)
+        .otherwise(0)
+    )
+    flagged = events.select(
+        *keys, ts_col, id_col, new_burst.alias("__nb")
+    ).withColumn(
+        "burst_id",
+        F.sum("__nb").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    wb = Window.partitionBy(*keys, "burst_id").orderBy(ts_col, id_col)
+    return (
+        flagged.withColumn("__rn", F.row_number().over(wb))
+        .withColumn(
+            "n_collapsed", F.count(F.lit(1)).over(Window.partitionBy(*keys, "burst_id"))
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            *keys,
+            ts_col,
+            id_col,
+            F.col("burst_id").cast("int").alias("burst_id"),
+            F.col("n_collapsed").cast("int").alias("n_collapsed"),
+        )
+    )

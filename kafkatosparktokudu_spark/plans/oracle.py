@@ -2110,6 +2110,40 @@ ORACLE_SQL: dict[str, str] = {
                         CAST(cand.v AS VARCHAR)), 1, 8))::BIGINT % 64
         GROUP BY cand.v, true_count
     """,
+    # Burst-collapse debounce (dd14's twin): sessionize-style burst ids,
+    # first event per burst, microsecond-exact gaps.
+    "dd14_event_debounce": """
+        WITH flagged AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                        WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             >= 300000000 THEN 1
+                        ELSE 0 END AS nb
+            FROM events
+            WINDOW w AS (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id)
+        ),
+        bursts AS (
+            SELECT user_id, event_type, ts, event_id,
+                   SUM(nb) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS burst_id
+            FROM flagged
+        )
+        SELECT user_id, event_type, ts, event_id,
+               CAST(burst_id AS INTEGER) AS burst_id,
+               CAST(n_collapsed AS INTEGER) AS n_collapsed
+        FROM (
+            SELECT *,
+                   row_number() OVER (PARTITION BY user_id, event_type,
+                                          burst_id
+                                      ORDER BY ts, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id, event_type,
+                                      burst_id) AS n_collapsed
+            FROM bursts
+        ) WHERE rn = 1
+    """,
     # DSIR importance-ratio selection (px11's twin): Laplace-smoothed
     # hashed-bucket log ratio — the only float op is the rounded log2 of
     # an exact integer ratio.

@@ -2850,6 +2850,15 @@ def sk03_cms_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_expr_heavy_hitters(_t(spark, sf_dir, "orders"), "o_custkey")
 
 
+def dd14_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-collapse debounce over the event stream: same-(user, type)
+    events closer than 5 min collapse to their first occurrence
+    (operators/dedup.py::event_debounce)."""
+    from ..operators.dedup import event_debounce
+
+    return event_debounce(_t(spark, sf_dir, "events"))
+
+
 def px11_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance-ratio data selection (Xie et al. 2023):
     hashed-unigram log importance weights of the lang='en' target slice
@@ -3031,6 +3040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm06_webdataset_roundtrip": mm06_webdataset_roundtrip,
     "px10_rag_corpus": px10_rag_corpus,
     "px11_dsir_selection": px11_dsir_selection,
+    "dd14_event_debounce": dd14_event_debounce,
     "sk03_cms_expr": sk03_cms_expr,
     "ss10_ivf_deploy_topk": ss10_ivf_deploy_topk,
     "q80_event_funnel": q80_event_funnel,

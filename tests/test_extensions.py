@@ -1295,3 +1295,29 @@ def test_dsir_prefers_target_like_docs(spark):
     assert not got[2001]["selected"] and got[2001]["dsir_score"] < 0
     assert all(got[i]["selected"] for i in range(50))
     assert not any(got[1000 + i]["selected"] for i in range(50))
+
+
+def test_event_debounce_collapses_bursts(spark):
+    """Planted bursts: three events 1s apart collapse to the first (with
+    n_collapsed=3), a fourth event past the gap starts burst 2; other
+    keys are untouched."""
+    from datetime import datetime as dt
+
+    from kafkatosparktokudu_spark.operators.dedup import event_debounce
+
+    rows = [
+        (1, "click", dt(2024, 1, 1, 0, 0, 0), 1),
+        (1, "click", dt(2024, 1, 1, 0, 0, 1), 2),
+        (1, "click", dt(2024, 1, 1, 0, 0, 2), 3),
+        (1, "click", dt(2024, 1, 1, 0, 10, 0), 4),   # past the 5-min gap
+        (1, "view", dt(2024, 1, 1, 0, 0, 1), 5),     # other key untouched
+        (2, "click", dt(2024, 1, 1, 0, 0, 0), 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    got = {
+        r["event_id"]: (r["burst_id"], r["n_collapsed"])
+        for r in event_debounce(df).collect()
+    }
+    assert got == {1: (1, 3), 4: (2, 1), 5: (1, 1), 6: (1, 1)}
