@@ -2110,6 +2110,20 @@ ORACLE_SQL: dict[str, str] = {
                         CAST(cand.v AS VARCHAR)), 1, 8))::BIGINT % 64
         GROUP BY cand.v, true_count
     """,
+    # Deterministic-sample quantile estimates (q85's twin).
+    "q85_sampled_quantiles": """
+        WITH s AS (
+            SELECT o_orderpriority, o_totalprice FROM orders
+            WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                  % 16 = 0
+        )
+        SELECT o_orderpriority,
+               unnest([0.25, 0.5, 0.75]) AS pct,
+               round(unnest(quantile_cont(o_totalprice, [0.25, 0.5, 0.75])), 4)
+                   AS est_value,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled
+        FROM s GROUP BY o_orderpriority
+    """,
     # Burst-collapse debounce (dd14's twin): sessionize-style burst ids,
     # first event per burst, microsecond-exact gaps.
     "dd14_event_debounce": """

@@ -2850,6 +2850,40 @@ def sk03_cms_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_expr_heavy_hitters(_t(spark, sf_dir, "orders"), "o_custkey")
 
 
+# Sampling-estimator quantiles: EXACT quantiles of a deterministic
+# 1-in-16 hash sample as estimates of the population's — the third
+# quantile strategy next to exact (q65) and KLL-sketch (q59), and the
+# only approximate one that is bit-reproducible cross-engine (the
+# sample is a pure hash predicate, the estimator is exact percentile
+# over it). Error vs exact is bound-tested in test_queries_oracle.
+def q85_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_hash32
+
+    orders = _t(spark, sf_dir, "orders")
+    sampled = orders.filter(
+        md5_hash32(F.col("o_orderkey").cast("string")) % 16 == 0
+    )
+    pcts = [0.25, 0.5, 0.75]
+    agg = sampled.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.array(*[F.lit(p) for p in pcts])).alias(
+            "qs"
+        ),
+        F.count(F.lit(1)).alias("n_sampled"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.posexplode("qs").alias("pos", "qv"),
+        "n_sampled",
+    ).select(
+        "o_orderpriority",
+        F.element_at(F.array(*[F.lit(p) for p in pcts]), F.col("pos") + 1).alias(
+            "pct"
+        ),
+        F.round("qv", 4).alias("est_value"),
+        "n_sampled",
+    )
+
+
 def dd14_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burst-collapse debounce over the event stream: same-(user, type)
     events closer than 5 min collapse to their first occurrence
@@ -3041,6 +3075,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "px10_rag_corpus": px10_rag_corpus,
     "px11_dsir_selection": px11_dsir_selection,
     "dd14_event_debounce": dd14_event_debounce,
+    "q85_sampled_quantiles": q85_sampled_quantiles,
     "sk03_cms_expr": sk03_cms_expr,
     "ss10_ivf_deploy_topk": ss10_ivf_deploy_topk,
     "q80_event_funnel": q80_event_funnel,

@@ -87,3 +87,32 @@ def test_approx_percentiles_error_bound(spark):
         assert lo - tol <= target <= hi + tol, (
             r["l_returnflag"], r["pct"], approx, lo, hi, target,
         )
+
+
+def test_sampled_quantiles_error_bound(spark):
+    """q85's 1-in-16 deterministic-sample quantile estimates, judged the
+    statistically meaningful way: each estimate's PERCENTILE RANK within
+    its group's exact value list must sit within 0.25 of the target
+    fraction (the sample is ~14-29 rows per group at sf0.001, so the
+    rank std error is ~0.10; the sample is hash-fixed, not random, and
+    the fixture's worst observed deviation is 0.19). A value-relative
+    bound would conflate sampling error with the distribution's spread."""
+    import bisect
+
+    from kafkatosparktokudu_spark.plans.queries import q85_sampled_quantiles
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    vals: dict = {}
+    for r in orders.select("o_orderpriority", "o_totalprice").collect():
+        vals.setdefault(r[0], []).append(float(r[1]))
+    for v in vals.values():
+        v.sort()
+    got = q85_sampled_quantiles(spark, SF_SMOKE).collect()
+    assert len(got) == 15  # 5 priorities x 3 percentiles
+    for r in got:
+        g = vals[r["o_orderpriority"]]
+        rank = bisect.bisect_left(g, float(r["est_value"])) / len(g)
+        assert abs(rank - float(r["pct"])) <= 0.25, (
+            r["o_orderpriority"], r["pct"], r["est_value"], rank,
+        )
