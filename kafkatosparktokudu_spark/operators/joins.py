@@ -103,6 +103,88 @@ def asof_join(
     )
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    right_value_cols: list[str],
+    tolerance_us: int,
+) -> DataFrame:
+    """pandas ``merge_asof(direction="nearest", tolerance=...)`` parity:
+    for each left row, the right row (same ``on`` keys, unique per
+    (*on, ts)) with the smallest |Δts|, at most ``tolerance_us``
+    microseconds away; equidistant candidates break BACKWARD.
+
+    Plan shape: one union + ONE key-partitioned sort carrying BOTH the
+    backward candidate (``last ignorenulls`` over RANGE(-∞, 0]) and the
+    forward candidate (``first ignorenulls`` over RANGE[0, +∞)) — range
+    frames on epoch microseconds make equal-ts rows frame members in
+    both directions regardless of intra-tie sort order, and the right
+    side's (*on, ts) uniqueness makes each pick deterministic. No pair
+    join, no O(matches) blowup; same single-shuffle cost as the
+    one-direction ``asof_join``.
+    """
+    payload = F.struct(
+        F.col(ts_col).alias("_ts"), *[F.col(c) for c in right_value_cols]
+    )
+    r = right.select(
+        *on,
+        F.col(ts_col),
+        payload.alias(_PAYLOAD),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in on and c != ts_col
+        ],
+    )
+    l = left.select(
+        *on,
+        F.col(ts_col),
+        F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+        *[c for c in left.columns if c not in on and c != ts_col],
+    )
+    # session TZ is pinned UTC by the loader, so the NTZ->TS cast
+    # matches DuckDB epoch_us on naive timestamps
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = W.partitionBy(*on).orderBy(epoch)
+    back = F.last(_PAYLOAD, ignorenulls=True).over(
+        base.rangeBetween(W.unboundedPreceding, 0)
+    )
+    fwd = F.first(_PAYLOAD, ignorenulls=True).over(
+        base.rangeBetween(0, W.unboundedFollowing)
+    )
+    cand = (
+        l.unionByName(r)
+        .withColumn("_bk", back)
+        .withColumn("_fw", fwd)
+        # left rows are the ones that carried no payload of their own
+        .filter(F.col(_PAYLOAD).isNull())
+    )
+    bk_gap = epoch - F.unix_micros(F.col("_bk._ts").cast("timestamp"))
+    fw_gap = F.unix_micros(F.col("_fw._ts").cast("timestamp")) - epoch
+    bk_ok = F.col("_bk").isNotNull() & (bk_gap <= F.lit(tolerance_us))
+    fw_ok = F.col("_fw").isNotNull() & (fw_gap <= F.lit(tolerance_us))
+    pick = (
+        F.when(bk_ok & (~fw_ok | (bk_gap <= fw_gap)), F.col("_bk"))
+        .when(fw_ok, F.col("_fw"))
+    )
+    out = cand.withColumn(_PAYLOAD, pick)
+    return out.select(
+        *on,
+        ts_col,
+        *[c for c in left.columns if c not in on and c != ts_col],
+        *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in right_value_cols],
+        F.when(
+            F.col(_PAYLOAD).isNotNull(),
+            F.abs(
+                F.unix_micros(F.col(f"{_PAYLOAD}._ts").cast("timestamp"))
+                - epoch
+            ),
+        ).alias("asof_gap_us"),
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

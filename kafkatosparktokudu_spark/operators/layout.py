@@ -1,0 +1,109 @@
+"""Data-layout optimization: Z-order (Morton) clustering keys.
+
+The reference pipeline writes row-by-row into Kudu, whose primary-key
+range partitioning gives one-dimensional locality only
+(KuduManager.scala:21-60 — upserts keyed on the table's PK). At lakehouse
+scale the analogous problem is laying out 100 TB of parquet so that file
+min/max statistics prune scans on MORE THAN ONE column: that is what
+Delta/Iceberg `OPTIMIZE ZORDER BY` does, and this module re-expresses it
+as a pure Catalyst column expression.
+
+Design for 100 TB:
+- ``zorder_key`` is scalar integer arithmetic (magic-number bit
+  spreading), so it fuses into whole-stage codegen with ZERO shuffle —
+  the key costs the same as a projection.
+- the actual rewrite at scale is ``df.repartitionByRange(n_files,
+  zkey).sortWithinPartitions(zkey)`` — Spark's range partitioner SAMPLES
+  the key distribution (no global single-partition sort), and each task
+  writes one clustered file.
+- ``zorder_layout_stats`` reports per-target-file min/max of each input
+  dimension — exactly the footer statistics a scan would prune on — so
+  layout quality is measurable, not asserted.
+
+All arithmetic is int64-exact, so a DuckDB oracle can replay it
+bit-for-bit (the driver's hash gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Morton magic masks: spread a 16-bit int so its bits occupy even
+# positions of a 32-bit int (Hacker's Delight §7-2 / public-domain
+# "Interleave bits by Binary Magic Numbers").
+_MASKS = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread16(c: Column) -> Column:
+    for shift, mask in _MASKS:
+        c = (c.bitwiseOR(F.shiftleft(c, shift))).bitwiseAND(F.lit(mask))
+    return c
+
+
+def normalize16(c: Column, lo: Column, hi: Column) -> Column:
+    """Scale ``c`` from [lo, hi] into [0, 65535] (floor division;
+    degenerate lo==hi maps everything to 0).
+
+    Exactness bound: the quotient goes through a double, which floors
+    correctly while ``(c-lo)*65535 < 2^52`` — i.e. any dimension span
+    below ~7e10 (epoch days, order/part keys at any TPC-H SF). Wider
+    domains should be pre-bucketed before z-ordering."""
+    span = hi - lo
+    return F.when(span <= 0, F.lit(0).cast("bigint")).otherwise(
+        ((c - lo).cast("bigint") * F.lit(65535)) / span
+    ).cast("bigint")
+
+
+def zorder_key(x16: Column, y16: Column) -> Column:
+    """Interleave two 16-bit normalized dimensions into a 32-bit Morton
+    key: bit i of x lands at position 2i, bit i of y at 2i+1. Rows close
+    in EITHER dimension get close keys, which is why sorting by the key
+    clusters both columns' min/max ranges at once."""
+    return _spread16(x16).bitwiseOR(F.shiftleft(_spread16(y16), 1))
+
+
+def zorder_layout_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_files: int = 64,
+) -> DataFrame:
+    """Assign every row to a target file by fixed-width Z-key range and
+    report the per-file footer stats (min/max of both raw dimensions +
+    row count). Two jobs total: one tiny global min/max agg (broadcast
+    back as scalars), one groupBy(file_id) agg.
+
+    ``x_col``/``y_col`` must be integer-valued columns (cast dates to
+    epoch days first)."""
+    bounds = df.agg(
+        F.min(x_col).cast("bigint").alias("x_lo"),
+        F.max(x_col).cast("bigint").alias("x_hi"),
+        F.min(y_col).cast("bigint").alias("y_lo"),
+        F.max(y_col).cast("bigint").alias("y_hi"),
+    )
+    keyed = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "zkey",
+        zorder_key(
+            normalize16(F.col(x_col).cast("bigint"), F.col("x_lo"), F.col("x_hi")),
+            normalize16(F.col(y_col).cast("bigint"), F.col("y_lo"), F.col("y_hi")),
+        ),
+    )
+    # fixed-width key ranges, not ntile: file assignment is a scalar
+    # expression (zkey * n / 2^32), so no global sort anywhere.
+    keyed = keyed.withColumn(
+        "file_id",
+        (F.col("zkey") * F.lit(n_files) / F.lit(1 << 32)).cast("bigint"),
+    )
+    return keyed.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min(x_col).cast("bigint").alias(f"min_{x_col}"),
+        F.max(x_col).cast("bigint").alias(f"max_{x_col}"),
+        F.min(y_col).cast("bigint").alias(f"min_{y_col}"),
+        F.max(y_col).cast("bigint").alias(f"max_{y_col}"),
+    )

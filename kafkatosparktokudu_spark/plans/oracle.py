@@ -2111,6 +2111,124 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY cand.v, true_count
     """,
     # Deterministic-sample quantile estimates (q85's twin).
+    # Z-order layout twin: same magic-number Morton spread, same
+    # fixed-width file ranges — all int64 math, bit-for-bit.
+    "q86_zorder_layout": """
+        WITH base AS (
+            SELECT l_partkey,
+                   datediff('day', DATE '1992-01-01',
+                            CAST(l_shipdate AS DATE)) AS ship_day
+            FROM lineitem
+        ),
+        b AS (
+            SELECT min(l_partkey) AS x_lo, max(l_partkey) AS x_hi,
+                   min(ship_day) AS y_lo, max(ship_day) AS y_hi
+            FROM base
+        ),
+        norm AS (
+            SELECT l_partkey, ship_day,
+                   CASE WHEN x_hi - x_lo <= 0 THEN 0
+                        ELSE (l_partkey - x_lo) * 65535 // (x_hi - x_lo)
+                   END AS xn,
+                   CASE WHEN y_hi - y_lo <= 0 THEN 0
+                        ELSE (ship_day - y_lo) * 65535 // (y_hi - y_lo)
+                   END AS yn
+            FROM base CROSS JOIN b
+        ),
+        s1 AS (SELECT l_partkey, ship_day,
+                      (xn | (xn << 8)) & 16711935 AS xa,
+                      (yn | (yn << 8)) & 16711935 AS ya FROM norm),
+        s2 AS (SELECT l_partkey, ship_day,
+                      (xa | (xa << 4)) & 252645135 AS xb,
+                      (ya | (ya << 4)) & 252645135 AS yb FROM s1),
+        s3 AS (SELECT l_partkey, ship_day,
+                      (xb | (xb << 2)) & 858993459 AS xc,
+                      (yb | (yb << 2)) & 858993459 AS yc FROM s2),
+        s4 AS (SELECT l_partkey, ship_day,
+                      (xc | (xc << 1)) & 1431655765 AS xs,
+                      (yc | (yc << 1)) & 1431655765 AS ys FROM s3),
+        z AS (SELECT l_partkey, ship_day, (xs | (ys << 1)) AS zkey FROM s4)
+        SELECT zkey * 64 // 4294967296 AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(min(l_partkey) AS BIGINT) AS min_l_partkey,
+               CAST(max(l_partkey) AS BIGINT) AS max_l_partkey,
+               CAST(min(ship_day) AS BIGINT) AS min_ship_day,
+               CAST(max(ship_day) AS BIGINT) AS max_ship_day
+        FROM z GROUP BY 1
+    """,
+    # Efraimidis-Spirakis twin: identical md5-derived uniform, identical
+    # ln(u)/w priority; LIMIT is the oracle's global sort, the engine's
+    # TakeOrdered.
+    "q87_weighted_sample": """
+        WITH scored AS (
+            SELECT doc_id, n_chars,
+                   ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        ::BIGINT + 1) / 4294967296.0) / n_chars AS es_key
+            FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, n_chars,
+               round(es_key, 6) AS es_key_r,
+               CAST(row_number() OVER (ORDER BY es_key DESC, doc_id)
+                    AS INTEGER) AS sample_rank
+        FROM scored
+        ORDER BY es_key DESC, doc_id
+        LIMIT 50
+    """,
+    # Nearest-direction as-of twin: brute-force LATERAL argmin per click
+    # (gap, then backward-first on ties) — the O(n·m) plan the engine's
+    # single-sort union avoids.
+    "q88_asof_nearest": """
+        WITH clicks AS (
+            SELECT user_id, ts, event_id AS click_id
+            FROM events WHERE event_type = 'click'
+        ),
+        purch AS (
+            SELECT user_id, ts,
+                   max(event_id) AS p_event_id,
+                   arg_max(value, event_id) AS p_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
+        )
+        SELECT c.user_id, c.ts, c.click_id,
+               p.p_event_id, p.p_value, p.gap AS asof_gap_us
+        FROM clicks c LEFT JOIN LATERAL (
+            SELECT p.p_event_id, p.p_value,
+                   abs(epoch_us(p.ts) - epoch_us(c.ts)) AS gap,
+                   CASE WHEN epoch_us(p.ts) <= epoch_us(c.ts)
+                        THEN 0 ELSE 1 END AS fwd
+            FROM purch p
+            WHERE p.user_id = c.user_id
+              AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 3600000000
+            ORDER BY gap, fwd LIMIT 1
+        ) p ON TRUE
+    """,
+    # TWAP twin: identical DECIMAL numerator ((12,2) value x integer µs,
+    # reduced to (27,2) before the double cast) and double division.
+    "q89_twap": """
+        WITH seg AS (
+            SELECT user_id,
+                   CAST(value AS DECIMAL(12,2)) AS v,
+                   epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id))
+                   - epoch_us(ts) AS dt_us
+            FROM events
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(dt_us) AS BIGINT) AS span_us,
+               round(CAST(CAST(SUM(v * dt_us) AS DECIMAL(27,2)) AS DOUBLE)
+                     / CAST(SUM(dt_us) AS DOUBLE), 6) AS twap
+        FROM seg WHERE dt_us IS NOT NULL
+        GROUP BY user_id
+    """,
+    # Distributed-rank twin: the single-partition row_number the cluster
+    # never runs.
+    "q90_distributed_rank": """
+        SELECT doc_id, n_chars,
+               CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                    AS BIGINT) AS global_rank
+        FROM documents
+    """,
     "q85_sampled_quantiles": """
         WITH s AS (
             SELECT o_orderpriority, o_totalprice FROM orders

@@ -3055,7 +3055,147 @@ def q77_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Z-order data layout (operators/layout.py): Morton-key clustering of
+# lineitem on (part, ship-day) + the per-target-file min/max footer
+# stats a 100 TB scan would prune on. Key computation is scalar integer
+# arithmetic (zero shuffle); file assignment is a fixed-width key range
+# (zkey*n div 2^32), NOT ntile — no global sort anywhere.
+def q86_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import zorder_layout_stats
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).cast("bigint").alias("ship_day"),
+    )
+    return zorder_layout_stats(li, "l_partkey", "ship_day", n_files=64)
+
+
+# Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006):
+# priority key ln(u)/w with a deterministic md5-derived uniform, top-50
+# by key. Selection is orderBy().limit(k) — TakeOrdered, a per-partition
+# partial top-k, never a global single-partition sort; the rank window
+# runs on the 50 survivors only (ss01's pattern).
+def q87_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_hash32
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (md5_hash32(F.col("doc_id").cast("string")) + 1) / F.lit(4294967296.0)
+    scored = docs.select(
+        "doc_id",
+        "n_chars",
+        (F.log(u) / F.col("n_chars")).alias("es_key"),
+    )
+    topk = scored.orderBy(F.col("es_key").desc(), "doc_id").limit(50)
+    w = W.orderBy(F.col("es_key").desc(), "doc_id")
+    return topk.select(
+        "doc_id",
+        "n_chars",
+        F.round("es_key", 6).alias("es_key_r"),
+        F.row_number().over(w).alias("sample_rank"),
+    )
+
+
+# pandas merge_asof(direction="nearest", tolerance=1h) parity: each
+# click matched to its nearest purchase within the hour, equidistant →
+# backward. One union + one key-partitioned sort (operators/joins.py::
+# asof_join_nearest) — no pair join.
+def q88_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join_nearest
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("p_event_id"),
+            F.max_by("value", "event_id").alias("p_value"),
+        )
+    )
+    return asof_join_nearest(
+        clicks,
+        purchases,
+        on=["user_id"],
+        ts_col="ts",
+        right_value_cols=["p_event_id", "p_value"],
+        tolerance_us=3_600_000_000,
+    )
+
+
+# Time-weighted average over each user's irregular event series:
+# value_i held until the next observation, weighted by the microsecond
+# gap. DECIMAL-exact numerator (value(2dp) × integer µs), one
+# partitioned window + one groupBy — no global sort, no float
+# accumulation-order hazard.
+def q89_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = events.select(
+        "user_id",
+        dec("value").alias("v"),
+        (
+            F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum("dt_us").cast("bigint").alias("span_us"),
+        F.round(
+            F.sum(F.col("v") * F.col("dt_us"))
+            .cast("decimal(27,2)")
+            .cast("double")
+            / F.sum("dt_us").cast("double"),
+            6,
+        ).alias("twap"),
+    )
+
+
+# Global dense ranking WITHOUT a global sort — the canonical distributed
+# rank pattern: value-range buckets get per-bucket counts (one tiny agg,
+# bounded driver cumsum over <= a few hundred ranges), then each bucket
+# ranks locally under a PARTITIONED window and adds its broadcast
+# offset. The oracle is the single-partition row_number the cluster
+# never runs.
+def q90_distributed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = docs.withColumn(
+        "_rng", (F.col("n_chars") / F.lit(256)).cast("bigint")
+    )
+    # bounded collect: one row per 256-wide n_chars range (documents cap
+    # out at a few thousand chars → tens of rows at any SF)
+    counts = sorted(
+        (r["_rng"], r["n"])
+        for r in docs.groupBy("_rng").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for rng, n in counts:
+        offsets.append((rng, acc))
+        acc += n
+    off_df = spark.createDataFrame(offsets, "_rng bigint, _offset bigint")
+    w = W.partitionBy("_rng").orderBy("n_chars", "doc_id")
+    return (
+        docs.join(F.broadcast(off_df), "_rng")
+        .select(
+            "doc_id",
+            "n_chars",
+            (F.row_number().over(w) + F.col("_offset")).alias("global_rank"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- round-6 late additions (this session): data-layout zorder,
+    # weighted sampling, nearest as-of, TWAP, distributed rank ---
+    "q86_zorder_layout": q86_zorder_layout,
+    "q87_weighted_sample": q87_weighted_sample,
+    "q88_asof_nearest": q88_asof_nearest,
+    "q89_twap": q89_twap,
+    "q90_distributed_rank": q90_distributed_rank,
     # --- round-6 front section: queries new this round, queries whose
     # implementing code changed this round (tx15 rank-selection split,
     # ss08 TakeOrdered top-k, ss04 seeded-IVF graduation, dq01/dq03

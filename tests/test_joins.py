@@ -176,3 +176,80 @@ def test_interval_overlap_join_planted(spark):
     # each pair exactly once despite the 5h interval hitting many chunks
     rows = interval_overlap_join(left, right, "s", "e", 3600).collect()
     assert len(rows) == 2
+
+
+# --- asof_join_nearest (pandas merge_asof direction="nearest" parity) ---
+
+
+def _nearest_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "n1"),  # back 30m vs fwd 60m → back
+            (1, _ts("2024-01-01 10:50:00"), "n2"),  # back 80m vs fwd 10m → fwd
+            (1, _ts("2024-01-01 09:00:00"), "n3"),  # only fwd (30m)
+            (2, _ts("2024-01-01 10:30:00"), "n4"),  # equidistant 30m → backward
+            (3, _ts("2024-01-01 10:00:00"), "n5"),  # key absent on right
+            (4, _ts("2024-01-01 10:00:00"), "n6"),  # equal-ts right row → gap 0
+        ],
+        "k int, ts timestamp, lval string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:30:00"), 10.0),
+            (1, _ts("2024-01-01 11:00:00"), 20.0),
+            (2, _ts("2024-01-01 10:00:00"), 30.0),
+            (2, _ts("2024-01-01 11:00:00"), 40.0),
+            (4, _ts("2024-01-01 10:00:00"), 50.0),
+        ],
+        "k int, ts timestamp, rval double",
+    )
+    return left, right
+
+
+def test_asof_nearest_directions_and_ties(spark):
+    from kafkatosparktokudu_spark.operators.joins import asof_join_nearest
+
+    left, right = _nearest_frames(spark)
+    out = asof_join_nearest(
+        left, right, on=["k"], ts_col="ts", right_value_cols=["rval"],
+        tolerance_us=24 * 3600 * 1_000_000,
+    )
+    got = {r["lval"]: (r["rval"], r["asof_gap_us"]) for r in out.collect()}
+    assert got == {
+        "n1": (10.0, 30 * 60 * 1_000_000),
+        "n2": (20.0, 10 * 60 * 1_000_000),
+        "n3": (10.0, 30 * 60 * 1_000_000),
+        "n4": (30.0, 30 * 60 * 1_000_000),  # equidistant → BACKWARD
+        "n5": (None, None),
+        "n6": (50.0, 0),
+    }
+    assert out.count() == left.count()
+
+
+def test_asof_nearest_tolerance(spark):
+    from kafkatosparktokudu_spark.operators.joins import asof_join_nearest
+
+    left, right = _nearest_frames(spark)
+    out = asof_join_nearest(
+        left, right, on=["k"], ts_col="ts", right_value_cols=["rval"],
+        tolerance_us=15 * 60 * 1_000_000,  # 15 minutes
+    )
+    got = {r["lval"]: r["rval"] for r in out.collect()}
+    # n1's best candidate is 30m away → nulled; n2's fwd 10m survives
+    assert got["n1"] is None
+    assert got["n2"] == 20.0
+    assert got["n4"] is None
+    assert got["n6"] == 50.0
+
+
+def test_asof_nearest_plan_single_shuffle(spark):
+    from kafkatosparktokudu_spark.operators.joins import asof_join_nearest
+
+    left, right = _nearest_frames(spark)
+    out = asof_join_nearest(
+        left, right, on=["k"], ts_col="ts", right_value_cols=["rval"],
+        tolerance_us=3_600_000_000,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # both directions from ONE union+window pass
+    assert plan.count("Exchange hashpartitioning") == 1

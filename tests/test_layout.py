@@ -1,0 +1,86 @@
+"""Z-order layout operator (operators/layout.py) against pure-Python oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafkatosparktokudu_spark.operators.layout import (
+    normalize16,
+    zorder_key,
+    zorder_layout_stats,
+)
+
+
+def _py_spread16(x: int) -> int:
+    out = 0
+    for i in range(16):
+        out |= ((x >> i) & 1) << (2 * i)
+    return out
+
+
+def _py_zkey(x: int, y: int) -> int:
+    return _py_spread16(x) | (_py_spread16(y) << 1)
+
+
+def test_zorder_key_matches_bitwise_oracle(spark):
+    # corners, bit patterns, and a spread of interior points
+    pts = [
+        (0, 0), (65535, 65535), (65535, 0), (0, 65535),
+        (0xAAAA, 0x5555), (0x00FF, 0xFF00), (1, 2), (12345, 54321),
+        (32768, 1), (255, 256),
+    ]
+    df = spark.createDataFrame(pts, "x bigint, y bigint").withColumn(
+        "z", zorder_key(F.col("x"), F.col("y"))
+    )
+    got = {(r["x"], r["y"]): r["z"] for r in df.collect()}
+    for x, y in pts:
+        assert got[(x, y)] == _py_zkey(x, y), (x, y)
+
+
+def test_zorder_locality():
+    # the property the layout exists for: keys of points close in BOTH
+    # dims are closer than keys of points far in one dim
+    near = _py_zkey(100, 100) ^ _py_zkey(101, 101)
+    far = _py_zkey(100, 100) ^ _py_zkey(100, 40000)
+    assert near < far
+
+
+def test_normalize16_bounds_and_degenerate(spark):
+    df = spark.createDataFrame(
+        [(0,), (50,), (100,)], "v bigint"
+    ).select(
+        "v",
+        normalize16(F.col("v"), F.lit(0), F.lit(100)).alias("n"),
+        normalize16(F.col("v"), F.lit(7), F.lit(7)).alias("deg"),
+    )
+    rows = {r["v"]: (r["n"], r["deg"]) for r in df.collect()}
+    assert rows[0] == (0, 0)
+    assert rows[100] == (65535, 0)
+    assert rows[50] == (50 * 65535 // 100, 0)  # floor semantics
+
+
+def test_layout_stats_files_partition_rows(spark):
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 1000) for i in range(1000)], "a bigint, b bigint"
+    )
+    stats = zorder_layout_stats(df, "a", "b", n_files=16)
+    rows = stats.collect()
+    assert sum(r["n_rows"] for r in rows) == 1000
+    assert {r["file_id"] for r in rows} <= set(range(16))
+    for r in rows:  # footer stats are genuine min/max
+        assert r["min_a"] <= r["max_a"] and r["min_b"] <= r["max_b"]
+
+
+def test_layout_stats_no_global_sort(spark):
+    """Scale contract: the whole layout-stats plan has no single-partition
+    Exchange and no Sort — key + file assignment are scalar expressions."""
+    df = spark.createDataFrame(
+        [(i, i % 97) for i in range(500)], "a bigint, b bigint"
+    )
+    plan = (
+        zorder_layout_stats(df, "a", "b", n_files=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the only SinglePartition exchange allowed is the global min/max agg
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "Sort " not in plan

@@ -340,3 +340,34 @@ def test_new_window_queries_stay_partitioned(spark):
     ]:
         plan = _plan(spark, name)
         assert "Exchange SinglePartition" not in plan, (name, plan)
+
+
+def test_q87_weighted_sample_is_takeordered(spark):
+    """ES weighted sampling must select its top-50 via
+    TakeOrderedAndProject (partial per-partition top-k), never a global
+    row_number window over every scored document; the rank window runs
+    on the 50 survivors above the TakeOrdered."""
+    plan = _plan(spark, "q87_weighted_sample")
+    assert "TakeOrderedAndProject" in plan, plan
+    lines = plan.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window" in l)
+    tko = next(i for i, l in enumerate(lines) if "TakeOrderedAndProject" in l)
+    assert win < tko, plan
+
+
+def test_q90_distributed_rank_window_stays_partitioned(spark):
+    """The distributed-rank pattern's whole point: the ranking window is
+    PARTITIONED by the value-range bucket and the offsets join is a
+    broadcast — no Exchange SinglePartition in the final plan."""
+    plan = _plan(spark, "q90_distributed_rank")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q86_zorder_key_fuses_into_scan_stage(spark):
+    """Morton key + file assignment are scalar expressions: the only
+    exchanges in the layout-stats plan are the two aggregations (global
+    min/max, per-file stats) — no Sort, no window."""
+    plan = _plan(spark, "q86_zorder_layout")
+    assert "Sort " not in plan, plan
+    assert "Window" not in plan, plan
