@@ -541,3 +541,43 @@ def robust_outlier_report(
             F.max("__mad").cast("double").alias("mad"),
         )
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Shuffle-key skew diagnosis — the operational pre-check before any
+    big groupBy/join on ``key_cols``: the ``top_n`` heaviest keys with
+    their exact integer-ppm share of all rows and their x100 ratio to
+    the uniform per-key mean (200 = this key carries 2x its fair share;
+    the classic salting trigger is >> 100).
+
+    Plan shape: one groupBy(keys) count, a broadcast of the two global
+    scalars (total rows, distinct keys — both from the SAME aggregated
+    frame, no second scan), and TakeOrdered for the top-N — no global
+    sort, no second pass over the data.
+    """
+    counts = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").cast("bigint").alias("_total"),
+        F.count(F.lit(1)).cast("bigint").alias("_n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "n_rows",
+            F.expr("n_rows * CAST(1000000 AS BIGINT) div _total").alias(
+                "share_ppm"
+            ),
+            F.expr("n_rows * _n_keys * CAST(100 AS BIGINT) div _total").alias(
+                "skew_x100"
+            ),
+        )
+        .orderBy(F.col("n_rows").desc(), *key_cols)
+        .limit(top_n)
+    )

@@ -1053,3 +1053,47 @@ def int8_quantize(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
             q, F.lit(0).cast("bigint"), lambda acc, c: acc + F.abs(c)
         ).alias("sum_abs_q"),
     )
+
+
+def negative_pairs(
+    df: DataFrame,
+    id_col: str,
+    k: int = 4,
+    seed: str = "neg",
+) -> DataFrame:
+    """Deterministic in-batch negative sampling for contrastive training
+    data (the (anchor, negative) pairs a CLIP/SimCSE-style run consumes):
+    every row gets ``k`` pseudo-random partner ids drawn WITHOUT ever
+    hitting itself.
+
+    Contract: ``id_col`` must be DENSE ``0..N-1`` (the standard corpus
+    shape after an id-assignment pass — ``q90_distributed_rank`` is this
+    repo's scale-safe way to mint such ids). For anchor ``a`` and slot
+    ``j``: ``neg = (a + 1 + h(a‖seed‖j) mod (N-1)) mod N`` — the offset
+    lands in ``1..N-1``, so ``neg != a`` by construction, and the md5
+    base keeps both engines bit-identical.
+
+    100 TB shape: generation is ONE tiny count (broadcast scalar) + a
+    scalar projection exploded k-fold — zero shuffles; materializing
+    partner features afterwards is a single equi-join on the dense id.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n = df.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    a = F.col(id_col).cast("bigint")
+    slots = F.explode(
+        F.sequence(F.lit(1), F.lit(k))
+    ).alias("pair_j")
+    out = df.select(a.alias("anchor_id")).crossJoin(F.broadcast(n)).select(
+        "anchor_id", "_n", slots
+    )
+    h = md5_hash32(
+        F.concat_ws("#", F.col("anchor_id"), F.lit(seed), F.col("pair_j"))
+    )
+    return out.select(
+        "anchor_id",
+        "pair_j",
+        (
+            (F.col("anchor_id") + 1 + h % (F.col("_n") - 1)) % F.col("_n")
+        ).alias("neg_id"),
+    )

@@ -2111,6 +2111,42 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY cand.v, true_count
     """,
     # Deterministic-sample quantile estimates (q85's twin).
+    # Negative-sampling twin: same md5 offset into the dense id ring,
+    # same materialization join.
+    "px12_negative_pairs": """
+        WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS _n FROM documents),
+        pairs AS (
+            SELECT d.doc_id AS anchor_id,
+                   CAST(j.pair_j AS INTEGER) AS pair_j,
+                   (d.doc_id + 1 +
+                    (('0x' || substr(md5(d.doc_id || '#neg#' || j.pair_j),
+                                     1, 8))::BIGINT % (n._n - 1))) % n._n
+                       AS neg_id
+            FROM documents d
+            CROSS JOIN n
+            CROSS JOIN (SELECT unnest(range(1, 5)) AS pair_j) j
+        )
+        SELECT p.anchor_id, p.pair_j, p.neg_id, d.source AS neg_source
+        FROM pairs p JOIN documents d ON d.doc_id = p.neg_id
+    """,
+    # Skew-report twin: exact integer ppm/ratio arithmetic, same
+    # (count desc, key) tie-break.
+    "dq05_skew_report": """
+        WITH c AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM events GROUP BY user_id
+        ),
+        t AS (
+            SELECT CAST(SUM(n_rows) AS BIGINT) AS _total,
+                   CAST(COUNT(*) AS BIGINT) AS _n_keys
+            FROM c
+        )
+        SELECT user_id, n_rows,
+               n_rows * 1000000 // _total AS share_ppm,
+               n_rows * _n_keys * 100 // _total AS skew_x100
+        FROM c CROSS JOIN t
+        ORDER BY n_rows DESC, user_id LIMIT 20
+    """,
     # Z-order layout twin: same magic-number Morton spread, same
     # fixed-width file ranges — all int64 math, bit-for-bit.
     "q86_zorder_layout": """

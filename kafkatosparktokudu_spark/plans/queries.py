@@ -3188,9 +3188,37 @@ def q90_distributed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Contrastive-training negative pairs (operators/similarity.py::
+# negative_pairs): k=4 deterministic non-self partners per document over
+# the dense doc_id space, materialized with the partner's source via one
+# equi-join. Generation itself is shuffle-free scalar arithmetic.
+def px12_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import negative_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = negative_pairs(docs, "doc_id", k=4, seed="neg")
+    return pairs.join(
+        docs.select(F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")),
+        "neg_id",
+    ).select("anchor_id", "pair_j", "neg_id", "neg_source")
+
+
+# Shuffle-key skew diagnosis (operators/quality_checks.py::skew_report):
+# the top-20 heaviest event users with exact integer-ppm share and x100
+# ratio to the uniform mean — the pre-check that decides when a join
+# needs salting (operators/joins.py::salted_join).
+def dq05_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality_checks import skew_report
+
+    return skew_report(_t(spark, sf_dir, "events"), ["user_id"], top_n=20)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-6 late additions (this session): data-layout zorder,
-    # weighted sampling, nearest as-of, TWAP, distributed rank ---
+    # weighted sampling, nearest as-of, TWAP, distributed rank,
+    # negative sampling, skew diagnosis ---
+    "px12_negative_pairs": px12_negative_pairs,
+    "dq05_skew_report": dq05_skew_report,
     "q86_zorder_layout": q86_zorder_layout,
     "q87_weighted_sample": q87_weighted_sample,
     "q88_asof_nearest": q88_asof_nearest,
@@ -3237,8 +3265,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_dept_state": cdc_dept_state,
     "cdc_pub_event": cdc_pub_event,
     "cdc_stream_emp_state": cdc_stream_emp_state,
-    "st01_sliding_rollup": st01_sliding_rollup,
-    "st02_session_rollup": st02_session_rollup,
     "ss08_pq_adc_topk": ss08_pq_adc_topk,
     "q73_session_overlap": q73_session_overlap,
     # --- new in round 5 ---
@@ -3264,6 +3290,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq02_column_profile": dq02_column_profile,
     "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,
     "q62_exclusive_parts": q62_exclusive_parts,
+    "st01_sliding_rollup": st01_sliding_rollup,
+    "st02_session_rollup": st02_session_rollup,
     # ss03 gained a full hash oracle late in round 5 (shared plane
     # literals) — rotated forward for a fresh driver row
     "ss03_ann_lsh_topk": ss03_ann_lsh_topk,

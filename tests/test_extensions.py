@@ -1321,3 +1321,67 @@ def test_event_debounce_collapses_bursts(spark):
         for r in event_debounce(df).collect()
     }
     assert got == {1: (1, 3), 4: (2, 1), 5: (1, 1), 6: (1, 1)}
+
+
+# --- negative_pairs (contrastive training negatives) ---
+
+
+def test_negative_pairs_never_self_and_k_per_anchor(spark):
+    from kafkatosparktokudu_spark.operators.similarity import negative_pairs
+
+    df = spark.createDataFrame([(i,) for i in range(37)], "doc_id bigint")
+    out = negative_pairs(df, "doc_id", k=5).collect()
+    assert len(out) == 37 * 5
+    per_anchor = {}
+    for r in out:
+        assert r["neg_id"] != r["anchor_id"]  # the whole contract
+        assert 0 <= r["neg_id"] < 37
+        per_anchor.setdefault(r["anchor_id"], set()).add(r["pair_j"])
+    assert all(js == {1, 2, 3, 4, 5} for js in per_anchor.values())
+
+
+def test_negative_pairs_deterministic_and_seed_sensitive(spark):
+    from kafkatosparktokudu_spark.operators.similarity import negative_pairs
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id bigint")
+    a = sorted(map(tuple, negative_pairs(df, "doc_id", k=3).collect()))
+    b = sorted(map(tuple, negative_pairs(df, "doc_id", k=3).collect()))
+    c = sorted(map(tuple, negative_pairs(df, "doc_id", k=3, seed="other").collect()))
+    assert a == b  # same seed → bit-identical
+    assert a != c  # different seed → different partners
+
+
+def test_negative_pairs_two_rows_edge(spark):
+    from kafkatosparktokudu_spark.operators.similarity import negative_pairs
+
+    # N=2: the only legal negative for each anchor is the other row
+    df = spark.createDataFrame([(0,), (1,)], "doc_id bigint")
+    out = {(r["anchor_id"], r["neg_id"]) for r in negative_pairs(df, "doc_id", k=3).collect()}
+    assert out == {(0, 1), (1, 0)}
+
+
+# --- skew_report ---
+
+
+def test_skew_report_math_and_tiebreak(spark):
+    from kafkatosparktokudu_spark.operators.quality_checks import skew_report
+
+    rows = [("hot",)] * 60 + [("a",)] * 20 + [("b",)] * 20
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_report(df, ["k"], top_n=2).collect()
+    assert [r["k"] for r in out] == ["hot", "a"]  # count desc, then key asc
+    hot = out[0]
+    assert hot["n_rows"] == 60
+    assert hot["share_ppm"] == 600000
+    assert hot["skew_x100"] == 180  # 60 * 3 keys * 100 // 100 rows
+
+
+def test_skew_report_no_global_sort_of_data(spark):
+    from kafkatosparktokudu_spark.operators.quality_checks import skew_report
+
+    df = spark.createDataFrame([(i % 7,) for i in range(1000)], "k bigint")
+    plan = (
+        skew_report(df, ["k"], top_n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # top-N is a partial sort
