@@ -2111,6 +2111,24 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY cand.v, true_count
     """,
     # Deterministic-sample quantile estimates (q85's twin).
+    # Compaction-bins twin: one global sorted prefix sum — the
+    # single-partition plan the engine's two-stage pattern avoids.
+    "q91_compaction_bins": """
+        WITH ordered AS (
+            SELECT doc_id, n_chars,
+                   COALESCE(SUM(n_chars) OVER (
+                       ORDER BY n_chars DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cum_before
+            FROM documents
+        )
+        SELECT cum_before // 32768 AS bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(n_chars) AS BIGINT) AS bin_bytes,
+               CAST(MIN(n_chars) AS BIGINT) AS min_file,
+               CAST(MAX(n_chars) AS BIGINT) AS max_file
+        FROM ordered GROUP BY 1
+    """,
     # Negative-sampling twin: same md5 offset into the dense id ring,
     # same materialization join.
     "px12_negative_pairs": """

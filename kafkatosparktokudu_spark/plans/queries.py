@@ -3213,7 +3213,56 @@ def dq05_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_report(_t(spark, sf_dir, "events"), ["user_id"], top_n=20)
 
 
+# Small-file compaction planning — the other half of lakehouse table
+# maintenance next to q86's z-order: treat each document as a "file"
+# (n_chars = bytes), order size-descending, and cut the stream into
+# contiguous ~32 KiB coalesce groups by START offset (Spark's own file
+# coalescing rule). The global prefix sum uses the q90 two-stage
+# pattern — per-size-range subtotals (bounded driver cumsum) + a
+# PARTITIONED window — so no single-partition sort ever materializes.
+def q91_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = 32768
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = docs.withColumn(
+        "_rng", (F.col("n_chars") / F.lit(1024)).cast("bigint")
+    )
+    sums = sorted(
+        (
+            (r["_rng"], r["s"])
+            for r in docs.groupBy("_rng")
+            .agg(F.sum("n_chars").cast("bigint").alias("s"))
+            .collect()
+        ),
+        key=lambda t: -t[0],  # size-descending range order
+    )
+    offsets, acc = [], 0
+    for rng, s in sums:
+        offsets.append((rng, acc))
+        acc += s
+    off_df = spark.createDataFrame(offsets, "_rng bigint, _offset bigint")
+    w = (
+        W.partitionBy("_rng")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_chars").over(w), F.lit(0)) + F.col(
+        "_offset"
+    )
+    binned = docs.join(F.broadcast(off_df), "_rng").select(
+        "doc_id",
+        "n_chars",
+        (cum_before / F.lit(target)).cast("bigint").alias("bin_id"),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("n_chars").cast("bigint").alias("bin_bytes"),
+        F.min("n_chars").cast("bigint").alias("min_file"),
+        F.max("n_chars").cast("bigint").alias("max_file"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q91_compaction_bins": q91_compaction_bins,
     # --- round-6 late additions (this session): data-layout zorder,
     # weighted sampling, nearest as-of, TWAP, distributed rank,
     # negative sampling, skew diagnosis ---
@@ -3270,7 +3319,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 5 ---
     "dd09_dup_spans": dd09_dup_spans,
     "px05_exactsubstr_scrub": px05_exactsubstr_scrub,
-    "px06_incremental_ingest": px06_incremental_ingest,
     "dd10_simhash_neardup": dd10_simhash_neardup,
     "dd11_jaccard_estimate": dd11_jaccard_estimate,
     "dd12_repeated_chunks": dd12_repeated_chunks,
@@ -3290,6 +3338,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq02_column_profile": dq02_column_profile,
     "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,
     "q62_exclusive_parts": q62_exclusive_parts,
+    "px06_incremental_ingest": px06_incremental_ingest,
     "st01_sliding_rollup": st01_sliding_rollup,
     "st02_session_rollup": st02_session_rollup,
     # ss03 gained a full hash oracle late in round 5 (shared plane

@@ -371,3 +371,12 @@ def test_q86_zorder_key_fuses_into_scan_stage(spark):
     plan = _plan(spark, "q86_zorder_layout")
     assert "Sort " not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_q91_compaction_bins_no_global_prefix_sum(spark):
+    """The global sorted prefix sum must come from range-bucketed
+    PARTITIONED windows + a broadcast offset join — never a
+    single-partition cumsum over the file list."""
+    plan = _plan(spark, "q91_compaction_bins")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
