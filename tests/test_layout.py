@@ -84,3 +84,36 @@ def test_layout_stats_no_global_sort(spark):
     # the only SinglePartition exchange allowed is the global min/max agg
     assert plan.count("Exchange SinglePartition") <= 1
     assert "Sort " not in plan
+
+
+def test_zorder_key_paths_agree(spark):
+    """The magic-number spread (operators/layout.py) and the generic
+    per-bit loop (sources/sink.py) must be bit-identical for two 16-bit
+    dims — sink.zorder_key delegates to the fast path on that shape."""
+    import random
+
+    from kafkatosparktokudu_spark.sources import sink
+
+    rnd = random.Random(7)
+    pts = [(rnd.randrange(0, 65536), rnd.randrange(0, 65536)) for _ in range(200)]
+    pts += [(0, 0), (65535, 65535), (-1, 3), (70000, 5)]  # mask edges
+    df = spark.createDataFrame(pts, "x bigint, y bigint")
+    # the generic loop path, forced (3 dims then ignore the third would
+    # change the layout — instead call the loop body via bits != 16)
+    fast = df.select("x", "y", sink.zorder_key("x", "y", bits=16).alias("k"))
+    slow_rows = df.select(
+        "x", "y", sink.zorder_key("x", "y", "x", bits=16).alias("k3")
+    )
+    got_fast = {(r["x"], r["y"]): r["k"] for r in fast.collect()}
+
+    def py_loop(x, y, bits=16, n=2):
+        key = 0
+        for dim, v in enumerate((x, y)):
+            for b in range(bits):
+                key |= ((v >> b) & 1) << (b * n + dim)
+        return key
+
+    for x, y in pts:
+        assert got_fast[(x, y)] == py_loop(x, y), (x, y)
+    # and the 3-dim generic path still works (clamped bits)
+    assert slow_rows.count() == len(pts)
