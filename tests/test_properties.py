@@ -835,3 +835,109 @@ def test_pagerank_fixed_point_matches_python(spark, edges):
             contrib[b] += r[a] // out_deg[a]
         r = {v: base + (85 * contrib[v]) // 100 for v in nodes}
     assert got == r
+
+
+# --- asof_join_nearest vs the REAL pandas merge_asof ---
+
+_asof_left = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 500)), min_size=1, max_size=30
+)
+_asof_right = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 500)), min_size=1, max_size=30
+)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left=_asof_left, right=_asof_right, tol_s=st.sampled_from([5, 30, 1000]))
+def test_asof_nearest_matches_pandas_merge_asof(spark, left, right, tol_s):
+    """Differential test against pandas itself: merge_asof(by=key,
+    direction="nearest", tolerance=...) — including the backward
+    equidistant-tie rule, which pandas empirically shares."""
+    import pandas as pd
+
+    from kafkatosparktokudu_spark.operators.joins import asof_join_nearest
+
+    # right must be unique per (key, ts) — the operator's contract
+    rdedup = {}
+    for i, (k, t) in enumerate(right):
+        rdedup[(k, t)] = float(i)
+    rrows = [(k, t, v) for (k, t), v in sorted(rdedup.items())]
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid int, k int, tsec long"
+    ).select("lid", "k", F.timestamp_seconds("tsec").alias("ts"))
+    rdf = spark.createDataFrame(
+        rrows, "k int, tsec long, rval double"
+    ).select("k", F.timestamp_seconds("tsec").alias("ts"), "rval")
+
+    got = {
+        r["lid"]: r["rval"]
+        for r in asof_join_nearest(
+            ldf, rdf, on=["k"], ts_col="ts", right_value_cols=["rval"],
+            tolerance_us=tol_s * 1_000_000,
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        {"lid": range(len(left)),
+         "k": [k for k, _ in left],
+         "ts": pd.to_datetime([t for _, t in left], unit="s")}
+    ).sort_values(["ts", "lid"], kind="mergesort")
+    rp = pd.DataFrame(
+        {"k": [k for k, _, _ in rrows],
+         "ts": pd.to_datetime([t for _, t, _ in rrows], unit="s"),
+         "rval": [v for _, _, v in rrows]}
+    ).sort_values("ts", kind="mergesort")
+    want_df = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction="nearest",
+        tolerance=pd.Timedelta(seconds=tol_s),
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.rval) else float(r.rval))
+        for r in want_df.itertuples()
+    }
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(sizes=st.lists(st.integers(1, 5000), min_size=1, max_size=120),
+       target=st.sampled_from([1000, 4096, 100000]))
+def test_compaction_bins_match_sequential_oracle(spark, sizes, target):
+    """q91's two-stage distributed prefix sum must assign every file to
+    exactly the bin a sequential size-descending scan would."""
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)], "doc_id bigint, n_chars bigint"
+    )
+    # engine path: the q91 shape, parameterized
+    rng = (F.col("n_chars") / F.lit(1024)).cast("bigint")
+    d2 = df.withColumn("_rng", rng)
+    sums = sorted(
+        ((r["_rng"], r["s"]) for r in
+         d2.groupBy("_rng").agg(F.sum("n_chars").alias("s")).collect()),
+        key=lambda t: -t[0],
+    )
+    offsets, acc = [], 0
+    for g, s in sums:
+        offsets.append((g, acc))
+        acc += s
+    off = spark.createDataFrame(offsets, "_rng bigint, _offset bigint")
+    from pyspark.sql import Window as W
+
+    w = (W.partitionBy("_rng").orderBy(F.col("n_chars").desc(), "doc_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    got = {
+        r["doc_id"]: r["bin"]
+        for r in d2.join(F.broadcast(off), "_rng").select(
+            "doc_id",
+            ((F.coalesce(F.sum("n_chars").over(w), F.lit(0)) + F.col("_offset"))
+             / F.lit(target)).cast("bigint").alias("bin"),
+        ).collect()
+    }
+    # oracle: one sequential sorted scan
+    cum, want = 0, {}
+    for i, s in sorted(enumerate(sizes), key=lambda t: (-t[1], t[0])):
+        want[i] = cum // target
+        cum += s
+    assert got == want
