@@ -107,3 +107,114 @@ def zorder_layout_stats(
         F.min(y_col).cast("bigint").alias(f"min_{y_col}"),
         F.max(y_col).cast("bigint").alias(f"max_{y_col}"),
     )
+
+
+def with_hilbert_key(
+    df: DataFrame,
+    x16_col: str,
+    y16_col: str,
+    out: str = "hkey",
+    bits: int = 16,
+) -> DataFrame:
+    """Hilbert-curve index of two ``bits``-bit dimensions (the curve
+    Delta's liquid clustering uses): strictly better locality than
+    Z-order — every unit step along the key moves exactly one unit in
+    (x, y), so per-file min/max boxes are tighter for the same file
+    count.
+
+    Unlike the Morton key, the Hilbert transform carries STATE across
+    bit levels (each level conditionally flips/swaps the remaining
+    low bits), so it cannot be one scalar expression. It unrolls here
+    as ``bits`` chained projections over named columns — Catalyst keeps
+    the chain linear (each step's CASE expressions reference the prior
+    step's columns more than once, which blocks CollapseProject from
+    inlining them exponentially), and the whole chain is still
+    shuffle-free whole-stage-codegen arithmetic.
+
+    Classic xy2d formulation (public domain, e.g. Wikipedia "Hilbert
+    curve"): d += s^2 * ((3*rx) XOR ry), then the (ry==0) quadrant
+    rotation. Inputs must already be in [0, 2^bits) — use
+    ``normalize16`` for arbitrary domains.
+    """
+    d = (
+        df.withColumn("_hx", F.col(x16_col).cast("bigint"))
+        .withColumn("_hy", F.col(y16_col).cast("bigint"))
+        .withColumn(out, F.lit(0).cast("bigint"))
+    )
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        d = d.withColumn(
+            "_rx",
+            F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        ).withColumn(
+            "_ry",
+            F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        d = d.withColumn(
+            out,
+            F.col(out)
+            + F.lit(s).cast("bigint")
+            * F.lit(s)
+            * (F.lit(3) * F.col("_rx")).bitwiseXOR(F.col("_ry")).cast("bigint"),
+        )
+        # quadrant rotation: ry==0 → (flip if rx) then swap x/y
+        nx = F.when(
+            F.col("_ry") == 0,
+            F.when(F.col("_rx") == 1, F.lit(s - 1) - F.col("_hy")).otherwise(
+                F.col("_hy")
+            ),
+        ).otherwise(F.col("_hx"))
+        ny = F.when(
+            F.col("_ry") == 0,
+            F.when(F.col("_rx") == 1, F.lit(s - 1) - F.col("_hx")).otherwise(
+                F.col("_hx")
+            ),
+        ).otherwise(F.col("_hy"))
+        d = d.withColumn("_nhx", nx).withColumn("_nhy", ny).withColumn(
+            "_hx", F.col("_nhx")
+        ).withColumn("_hy", F.col("_nhy"))
+    return d.drop("_hx", "_hy", "_nhx", "_nhy", "_rx", "_ry")
+
+
+def hilbert_layout_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_files: int = 64,
+) -> DataFrame:
+    """``zorder_layout_stats``'s Hilbert twin: normalize both dims to
+    16 bits, index on the Hilbert curve, assign fixed-width key-range
+    files, report per-file footer stats. Same two-job shape (tiny
+    global min/max agg + one groupBy) — no sort anywhere."""
+    bounds = df.agg(
+        F.min(x_col).cast("bigint").alias("x_lo"),
+        F.max(x_col).cast("bigint").alias("x_hi"),
+        F.min(y_col).cast("bigint").alias("y_lo"),
+        F.max(y_col).cast("bigint").alias("y_hi"),
+    )
+    keyed = df.crossJoin(F.broadcast(bounds)).select(
+        F.col(x_col),
+        F.col(y_col),
+        normalize16(
+            F.col(x_col).cast("bigint"), F.col("x_lo"), F.col("x_hi")
+        ).alias("_x16"),
+        normalize16(
+            F.col(y_col).cast("bigint"), F.col("y_lo"), F.col("y_hi")
+        ).alias("_y16"),
+    )
+    keyed = with_hilbert_key(keyed, "_x16", "_y16", out="hkey")
+    keyed = keyed.withColumn(
+        "file_id",
+        (F.col("hkey") * F.lit(n_files) / F.lit(1 << 32)).cast("bigint"),
+    )
+    return keyed.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min(x_col).cast("bigint").alias(f"min_{x_col}"),
+        F.max(x_col).cast("bigint").alias(f"max_{x_col}"),
+        F.min(y_col).cast("bigint").alias(f"min_{y_col}"),
+        F.max(y_col).cast("bigint").alias(f"max_{y_col}"),
+    )

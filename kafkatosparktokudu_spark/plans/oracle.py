@@ -3496,3 +3496,65 @@ ORACLE_SQL: dict[str, str] = {
         FROM months LEFT JOIN rev ON months.m = rev.m
     """,
 }
+
+
+def _hilbert_layout_sql(bits: int = 16) -> str:
+    """Generate the q92 oracle: the same xy2d Hilbert unroll as
+    operators/layout.py::with_hilbert_key, as one chained-CTE pipeline —
+    every step pure int64 (CASE/&/xor), bit-for-bit with Spark."""
+    steps = []
+    prev = "h_in"
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        cur = f"h{i}"
+        steps.append(f"""{cur} AS (
+            SELECT l_partkey, ship_day,
+                   hd + {s * s}::BIGINT * xor(3 * rx, ry) AS hd,
+                   CASE WHEN ry = 0 THEN
+                        CASE WHEN rx = 1 THEN {s - 1} - hy ELSE hy END
+                        ELSE hx END AS hx,
+                   CASE WHEN ry = 0 THEN
+                        CASE WHEN rx = 1 THEN {s - 1} - hx ELSE hx END
+                        ELSE hy END AS hy
+            FROM (SELECT *,
+                         CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+                         CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry
+                  FROM {prev})
+        )""")
+        prev = cur
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH base AS (
+            SELECT l_partkey,
+                   datediff('day', DATE '1992-01-01',
+                            CAST(l_shipdate AS DATE)) AS ship_day
+            FROM lineitem
+        ),
+        b AS (
+            SELECT min(l_partkey) AS x_lo, max(l_partkey) AS x_hi,
+                   min(ship_day) AS y_lo, max(ship_day) AS y_hi
+            FROM base
+        ),
+        h_in AS (
+            SELECT l_partkey, ship_day,
+                   CAST(0 AS BIGINT) AS hd,
+                   CASE WHEN x_hi - x_lo <= 0 THEN 0
+                        ELSE (l_partkey - x_lo) * 65535 // (x_hi - x_lo)
+                   END AS hx,
+                   CASE WHEN y_hi - y_lo <= 0 THEN 0
+                        ELSE (ship_day - y_lo) * 65535 // (y_hi - y_lo)
+                   END AS hy
+            FROM base CROSS JOIN b
+        ),
+        {chain}
+        SELECT hd * 64 // 4294967296 AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(min(l_partkey) AS BIGINT) AS min_l_partkey,
+               CAST(max(l_partkey) AS BIGINT) AS max_l_partkey,
+               CAST(min(ship_day) AS BIGINT) AS min_ship_day,
+               CAST(max(ship_day) AS BIGINT) AS max_ship_day
+        FROM {prev} GROUP BY 1
+    """
+
+
+ORACLE_SQL["q92_hilbert_layout"] = _hilbert_layout_sql()

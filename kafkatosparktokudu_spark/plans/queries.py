@@ -3261,7 +3261,24 @@ def q91_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hilbert-curve layout — q86's stronger sibling (operators/layout.py::
+# hilbert_layout_stats): the state-carrying xy2d unroll as 16 chained
+# shuffle-free projections; same two-job stats shape, tighter per-file
+# boxes than the Morton curve for the same file count.
+def q92_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import hilbert_layout_stats
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).cast("bigint").alias("ship_day"),
+    )
+    return hilbert_layout_stats(li, "l_partkey", "ship_day", n_files=64)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q92_hilbert_layout": q92_hilbert_layout,
     "q91_compaction_bins": q91_compaction_bins,
     # --- round-6 late additions (this session): data-layout zorder,
     # weighted sampling, nearest as-of, TWAP, distributed rank,
@@ -3321,7 +3338,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "px05_exactsubstr_scrub": px05_exactsubstr_scrub,
     "dd10_simhash_neardup": dd10_simhash_neardup,
     "dd11_jaccard_estimate": dd11_jaccard_estimate,
-    "dd12_repeated_chunks": dd12_repeated_chunks,
     # changed-this-round queries stay INSIDE the driver's 50-query
     # window (tx15 persist fix, dq01/dq03 guards, scd2.py persist+purge
     # behind the three cdc_emp_history* rows); ss06/px09/gr02/dq02 are
@@ -3338,6 +3354,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq02_column_profile": dq02_column_profile,
     "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,
     "q62_exclusive_parts": q62_exclusive_parts,
+    "dd12_repeated_chunks": dd12_repeated_chunks,
     "px06_incremental_ingest": px06_incremental_ingest,
     "st01_sliding_rollup": st01_sliding_rollup,
     "st02_session_rollup": st02_session_rollup,

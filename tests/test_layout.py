@@ -117,3 +117,98 @@ def test_zorder_key_paths_agree(spark):
         assert got_fast[(x, y)] == py_loop(x, y), (x, y)
     # and the 3-dim generic path still works (clamped bits)
     assert slow_rows.count() == len(pts)
+
+
+# --- Hilbert curve ---
+
+
+def _py_hilbert(x: int, y: int, bits: int = 16) -> int:
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def test_hilbert_key_matches_xy2d_reference(spark):
+    import random
+
+    from kafkatosparktokudu_spark.operators.layout import with_hilbert_key
+
+    rnd = random.Random(3)
+    pts = [(rnd.randrange(65536), rnd.randrange(65536)) for _ in range(150)]
+    pts += [(0, 0), (65535, 65535), (65535, 0), (0, 65535), (32768, 32767)]
+    df = spark.createDataFrame(pts, "x bigint, y bigint")
+    got = {
+        (r["x"], r["y"]): r["hkey"]
+        for r in with_hilbert_key(df, "x", "y").collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == _py_hilbert(x, y), (x, y)
+
+
+def test_hilbert_adjacency_property():
+    """THE Hilbert guarantee (what Z-order lacks): consecutive key values
+    are Manhattan-adjacent cells — no long jumps anywhere on the curve."""
+    n = 32  # full 5-bit curve
+    cells = {}
+    for x in range(n):
+        for y in range(n):
+            cells[_py_hilbert(x, y, bits=5)] = (x, y)
+    assert sorted(cells) == list(range(n * n))
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = cells[d], cells[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+
+def test_hilbert_tighter_boxes_than_zorder():
+    """On a uniform grid cut into equal key ranges, Hilbert's per-file
+    bounding boxes have at most Z-order's total perimeter — the
+    measurable reason to prefer it for multi-dim pruning."""
+    n, files = 64, 16
+    cells_h, cells_z = {}, {}
+    for x in range(n):
+        for y in range(n):
+            cells_h.setdefault(_py_hilbert(x, y, bits=6) * files // (n * n), []).append((x, y))
+            z = _py_zkey(x, y) * files  # 6-bit coords still interleave fine
+            cells_z.setdefault(z // (n * n), []).append((x, y))
+
+    def perimeter(groups):
+        tot = 0
+        for pts in groups.values():
+            xs = [p[0] for p in pts]
+            ys = [p[1] for p in pts]
+            tot += (max(xs) - min(xs)) + (max(ys) - min(ys))
+        return tot
+
+    assert perimeter(cells_h) <= perimeter(cells_z)
+
+
+def test_hilbert_layout_stats_no_shuffle_in_key_chain(spark):
+    from kafkatosparktokudu_spark.operators.layout import hilbert_layout_stats
+
+    df = spark.createDataFrame(
+        [(i, (i * 31) % 511) for i in range(400)], "a bigint, b bigint"
+    )
+    stats = hilbert_layout_stats(df, "a", "b", n_files=8)
+    rows = stats.collect()
+    assert sum(r["n_rows"] for r in rows) == 400
+    # AQE's finalized toString repeats the tree ("Final Plan" then
+    # "Initial Plan") — count only the final section
+    plan = (
+        stats._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # data path: exactly ONE hash exchange (the file_id groupBy) and no
+    # sort anywhere; the SinglePartition exchange belongs to the 1-row
+    # bounds agg only
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "Sort " not in plan
