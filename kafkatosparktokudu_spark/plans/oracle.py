@@ -2122,7 +2122,7 @@ ORACLE_SQL: dict[str, str] = {
                                 AND 1 PRECEDING), 0) AS cum_before
             FROM documents
         )
-        SELECT cum_before // 32768 AS bin_id,
+        SELECT CAST(cum_before // 32768 AS BIGINT) AS bin_id,
                CAST(COUNT(*) AS BIGINT) AS n_files,
                CAST(SUM(n_chars) AS BIGINT) AS bin_bytes,
                CAST(MIN(n_chars) AS BIGINT) AS min_file,
