@@ -1076,6 +1076,36 @@ def test_ivf_seeded_matches_bruteforce_in_probed_cells(spark):
     assert len(exact & {r["vec_id"] for r in got}) >= 3
 
 
+def test_ivf_deploy_matches_seeded_twin_with_injected_centroids(spark):
+    """ss10's determinism pin: inject ss04's seed anchors (unit-normalized)
+    as the deploy path's centroids and assert the returned neighbor id SET
+    equals the seeded twin's hash-green ids. Rank-insensitive set compare
+    absorbs numpy float non-associativity; any drift in the deploy path's
+    candidate generation (assignment, probe, re-rank) breaks it."""
+    import math
+
+    from kafkatosparktokudu_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_seeded,
+    )
+
+    emb = _emb(spark)
+    qrow = emb.filter("vec_id = 0").head()
+    qv = [float(x) for x in qrow["embedding"]]
+    seeds = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(16).collect()
+    )
+    cents = []
+    for r in seeds:
+        v = [float(x) for x in r["embedding"]]
+        n = math.sqrt(sum(x * x for x in v)) or 1e-12
+        cents.append([x / n for x in v])
+
+    deploy = ivf_topk(emb, qv, k=10, exclude_id=0, centroids=cents).collect()
+    seeded = ivf_topk_seeded(emb, qv, k=10, exclude_id=0).collect()
+    assert {r["vec_id"] for r in deploy} == {r["vec_id"] for r in seeded}
+
+
 def test_editdist_neardup_finds_planted_typo(spark):
     """A one-char typo variant sharing the block prefix is caught with
     its exact edit distance; heads diverging inside the block prefix are
