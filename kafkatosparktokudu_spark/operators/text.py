@@ -110,13 +110,15 @@ def fingerprints(docs: DataFrame) -> DataFrame:
 def top_bigrams(docs: DataFrame, k: int = 20) -> DataFrame:
     """Global top-k bigram counts (explode → count → top-k with
     deterministic tiebreak)."""
-    t = tokens("text")
-    bigrams = F.transform(
-        F.slice(t, 1, F.size(t) - 1),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(t, i + 2)),
-    )
+    # Stage the token array as a named column BEFORE building bigrams:
+    # inside the transform lambda, `element_at(t, i + 2)` over the raw
+    # split expression re-splits the whole text per element (O(n^2) per
+    # document — measured 3x the query cost at sf0.1); over a bound
+    # column it's an O(1) array access. The multi-reference blocks
+    # CollapseProject from inlining the split back in.
+    staged = docs.select(tokens("text").alias("_toks"))
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        staged.select(F.explode(_bigrams(F.col("_toks"))).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram"))
@@ -260,8 +262,11 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             1.0 - F.size(F.array_distinct(t)).cast("double") / F.size(t), 6
         ).alias("dup_token_frac"),
     )
+    # Token array staged as a column first — the top_bigrams lesson: the
+    # lambda's element_at over the raw split expression is O(n^2)/doc.
     counts = (
-        docs.select("doc_id", F.explode(_bigrams(t)).alias("bigram"))
+        docs.select("doc_id", tokens("text").alias("_toks"))
+        .select("doc_id", F.explode(_bigrams(F.col("_toks"))).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -570,7 +575,10 @@ def token_freq_scores(docs: DataFrame, common_ppm: int = 1000) -> DataFrame:
 
 
 def bigram_surprisal_scores(
-    docs: DataFrame, id_col: str = "doc_id", model_docs: DataFrame | None = None
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    model_docs: DataFrame | None = None,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """CCNet-style LM-perplexity quality buckets (Wenzek et al. 2020:
     score each document with a language-model perplexity, split the
@@ -611,15 +619,24 @@ def bigram_surprisal_scores(
     """
 
     def _doc_types(frame: DataFrame) -> DataFrame:
+        # Token array staged as a column first (the top_bigrams lesson):
+        # _bigrams over the raw split expression re-splits the text per
+        # lambda element — O(n^2) per document, ~3s of the ~5s this
+        # query used to cost at sf0.1.
         return (
-            frame.select(
-                F.col(id_col), F.explode(_bigrams(tokens("text"))).alias("bigram")
+            frame.select(F.col(id_col), tokens("text").alias("_toks"))
+            .select(
+                F.col(id_col), F.explode(_bigrams(F.col("_toks"))).alias("bigram")
             )
             .groupBy(id_col, "bigram")
             .agg(F.count(F.lit(1)).alias("n"))
         )
 
     dtypes = _doc_types(docs)
+    if model_docs is None:
+        # Self-trained: dtypes feeds BOTH the model aggs and the scoring
+        # join — persist it so the token explode runs once, not twice.
+        dtypes = dtypes.persist()
     model_types = dtypes if model_docs is None else _doc_types(model_docs)
     c2 = (
         model_types.groupBy("bigram")
@@ -631,8 +648,16 @@ def bigram_surprisal_scores(
         "bigram",
         F.round(F.log2(F.col("cl").cast("double") / F.col("c2")), 6).alias("s"),
     )
+    # The model is vocabulary-bounded (bigram TYPES, not occurrences) —
+    # broadcast it so scoring is a map-side hash join instead of
+    # shuffling the much larger per-(doc, type) frame. A reference-corpus
+    # model (CCNet's actual setup) is small by construction; a
+    # self-trained-at-open-web-scale caller whose type table outgrows the
+    # broadcast limit passes broadcast_model=False to fall back to the
+    # shuffle join.
+    scoring = F.broadcast(s) if broadcast_model else s
     d = (
-        dtypes.join(s, "bigram")
+        dtypes.join(scoring, "bigram")
         .groupBy(id_col)
         .agg(
             F.sum("n").cast("int").alias("n_bigrams"),
