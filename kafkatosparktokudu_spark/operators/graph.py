@@ -80,24 +80,53 @@ def pagerank(
     return ranks
 
 
+def orient_by_degree(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Reorient an undirected edge list (columns ``ea``/``eb``) so each
+    edge points from the (degree ASC, node ASC)-smaller endpoint to the
+    larger: the classic degree-ordered orientation (Chiba–Nishizeki /
+    Schank–Wagner). Every node's OUT-degree in the result is O(sqrt(|E|))
+    — a hub of degree d only ever sources edges toward even-higher-degree
+    nodes, of which there are at most ~sqrt(2|E|) — so the triangle
+    join's per-key fan-out is bounded regardless of skew. The triangle
+    COUNT is invariant: any total order counts each triangle exactly once
+    (at its smallest vertex).
+
+    ``deg`` is the (node, d) degree table of the same edge list. Cost:
+    two keyed joins attaching endpoint degrees — cheap next to the
+    unbounded fan-out a hub causes in an id-ordered self-join.
+    """
+    da = deg.select(F.col("node").alias("ea"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("eb"), F.col("d").alias("db"))
+    j = e.join(da, "ea").join(db, "eb")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("ea") < F.col("eb"))
+    )
+    return j.select(
+        F.when(a_first, F.col("ea")).otherwise(F.col("eb")).alias("src"),
+        F.when(a_first, F.col("eb")).otherwise(F.col("ea")).alias("dst"),
+    )
+
+
 def triangle_stats(edges: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
     """Global triangle census over an UNDIRECTED edge list given as
     id-ordered pairs (a < b, deduplicated — the near-dup pair shape):
     one row with node/edge/wedge/triangle counts and the global
     clustering coefficient 3·triangles / wedges.
 
-    Triangles are counted once each via the ordered orientation: for
-    a < b < c, the join matches e1=(a,b) ⋈ e2=(b,c) on the middle vertex
-    and closes with e3=(a,c). Wedges are exact integer arithmetic:
-    Σ d·(d−1) over nodes, halved with integer division (the sum is even).
-    The coefficient is one double division, rounded 6 — oracle-stable.
+    Triangles are counted once each via the DEGREE-ORDERED orientation
+    (``orient_by_degree``): for a ≺ b ≺ c in (degree, node) order, the
+    join matches e1=(a,b) ⋈ e2=(b,c) on the middle vertex and closes
+    with e3=(a,c). Degree-ordering bounds every join key's fan-out at
+    O(sqrt(|E|)) even on hub-skewed graphs (an id-ordered orientation
+    lets a low-id hub source its whole neighborhood, making the
+    self-join quadratic in the hub degree). Wedges are exact integer
+    arithmetic: Σ d·(d−1) over nodes, halved with integer division (the
+    sum is even). The coefficient is one double division, rounded 6 —
+    oracle-stable.
 
-    Scale shape: two shuffle joins over the (sparse) edge list plus two
-    hash aggs — no step touches the underlying corpus. The id-ordered
-    orientation already bounds the join fan-out on skewed graphs; the
-    standard refinement at extreme skew is degree-ordering the
-    orientation (relabel nodes by ascending degree) so every join side
-    fans out O(sqrt(|E|)) — a relabel pass, same plan afterwards.
+    Scale shape: two degree-attach joins + two shuffle joins over the
+    (sparse) oriented edge list plus two hash aggs — no step touches the
+    underlying corpus, and no join key fans out beyond O(sqrt(|E|)).
     """
     # PIN the edge list: it feeds five plan positions (degree union ×2,
     # triangle join ×3) — without the pin each one re-expands the full
@@ -116,13 +145,15 @@ def triangle_stats(edges: DataFrame, a: str = "doc_a", b: str = "doc_b") -> Data
         F.coalesce(F.expr("sum(d * (d - 1)) div 2"), F.lit(0)).alias("n_wedges"),
     )
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    # Degree-ordered orientation, pinned: it feeds three join positions.
+    o = orient_by_degree(e, deg).persist()
+    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
     tri = (
-        e1.join(e2, F.col("e1.eb") == F.col("e2.ea"))
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
         .join(
             e3,
-            (F.col("e3.ea") == F.col("e1.ea"))
-            & (F.col("e3.eb") == F.col("e2.eb")),
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )

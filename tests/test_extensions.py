@@ -863,6 +863,47 @@ def test_triangle_stats_known_graphs(spark):
     assert abs(r2["clustering_coeff"] - round(12 / 15, 6)) < 1e-12
 
 
+def test_triangle_orientation_bounds_hub_fanout(spark):
+    """Planted hub graph: node 0 (lowest id) connected to 200 leaves, plus
+    triangles among a few leaf pairs. Id-ordered orientation would give the
+    hub out-degree 200 (quadratic join fan-out); degree-ordering points
+    every star edge AT the hub, so max out-degree stays O(sqrt(|E|)) — and
+    the triangle count is unchanged."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.operators.graph import (
+        orient_by_degree,
+        triangle_stats,
+    )
+
+    star = [(0, i) for i in range(1, 201)]
+    closers = [(1, 2), (3, 4), (5, 6)]  # 3 triangles through the hub
+    df = spark.createDataFrame(star + closers, "doc_a long, doc_b long")
+
+    r = triangle_stats(df).head()
+    assert r["n_triangles"] == 3
+    assert r["n_edges"] == 203
+
+    e = df.select(F.col("doc_a").alias("ea"), F.col("doc_b").alias("eb"))
+    deg = (
+        e.select(F.col("ea").alias("node"))
+        .unionAll(e.select(F.col("eb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    fanout = (
+        orient_by_degree(e, deg)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("out"))
+        .agg(F.max("out").alias("m"))
+        .head()["m"]
+    )
+    # id-ordering would give 200; sqrt(2|E|) ~ 20
+    assert fanout <= int(math.sqrt(2 * 203)) + 1, fanout
+
+
 def test_column_profile_null_handling(spark):
     """All-null column: mean/avg_len NULL, n_distinct 0, n_nulls = n_rows;
     mixed column divides by NON-NULL count."""
