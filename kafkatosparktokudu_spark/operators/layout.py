@@ -218,3 +218,61 @@ def hilbert_layout_stats(
         F.min(y_col).cast("bigint").alias(f"min_{y_col}"),
         F.max(y_col).cast("bigint").alias(f"max_{y_col}"),
     )
+
+
+def two_stage_offsets(
+    df: DataFrame,
+    value_col: str,
+    width: int,
+    weight_col: str | None = None,
+    descending: bool = False,
+    max_ranges: int = 4096,
+):
+    """The q90/q91 two-stage prefix-sum primitive with a GUARDED driver
+    collect: bucket ``value_col`` into ``width``-wide ranges, collect one
+    (range, subtotal) row per range, and cumulative-sum them on the driver
+    into broadcastable offsets. The driver-side set is provably bounded:
+    if the value distribution produces more than ``max_ranges`` distinct
+    ranges, the width is COARSENED (x16 per retry) until it fits — range
+    contiguity means any width yields the same global order, so outputs
+    are identical; only the per-range parallelism granularity changes.
+    A pathological distribution therefore cannot blow the driver; it just
+    lands on wider buckets.
+
+    Returns ``(keyed_df, offsets_df, width_used)``: ``keyed_df`` is ``df``
+    plus the ``_rng`` column, ``offsets_df`` is the tiny (_rng, _offset)
+    frame to broadcast-join, and ``_offset`` is the sum of subtotals of
+    all ranges strictly before ``_rng`` in ascending (or descending)
+    range order. ``weight_col=None`` counts rows (rank offsets);
+    otherwise sums the column (byte offsets).
+    """
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    spark = df.sparkSession
+    while True:
+        keyed = df.withColumn(
+            "_rng", (F.col(value_col) / F.lit(width)).cast("bigint")
+        )
+        agg = (
+            F.count(F.lit(1))
+            if weight_col is None
+            else F.sum(weight_col)
+        )
+        grouped = keyed.groupBy("_rng").agg(agg.cast("bigint").alias("_n"))
+        # limit(max_ranges + 1): the probe job never ships an unbounded
+        # result — overflow is detected from ONE extra row, not by
+        # collecting the whole pathological range set.
+        rows = grouped.limit(max_ranges + 1).collect()
+        if len(rows) <= max_ranges:
+            break
+        width *= 16
+    subtotals = sorted(
+        ((r["_rng"], r["_n"]) for r in rows),
+        key=(lambda t: -t[0]) if descending else (lambda t: t[0]),
+    )
+    offsets, acc = [], 0
+    for rng, n in subtotals:
+        offsets.append((rng, acc))
+        acc += n
+    off_df = spark.createDataFrame(offsets, "_rng bigint, _offset bigint")
+    return keyed, off_df, width

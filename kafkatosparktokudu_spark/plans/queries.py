@@ -3162,24 +3162,16 @@ def q89_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # offset. The oracle is the single-partition row_number the cluster
 # never runs.
 def q90_distributed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import two_stage_offsets
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    docs = docs.withColumn(
-        "_rng", (F.col("n_chars") / F.lit(256)).cast("bigint")
-    )
-    # bounded collect: one row per 256-wide n_chars range (documents cap
-    # out at a few thousand chars → tens of rows at any SF)
-    counts = sorted(
-        (r["_rng"], r["n"])
-        for r in docs.groupBy("_rng").agg(F.count(F.lit(1)).alias("n")).collect()
-    )
-    offsets, acc = [], 0
-    for rng, n in counts:
-        offsets.append((rng, acc))
-        acc += n
-    off_df = spark.createDataFrame(offsets, "_rng bigint, _offset bigint")
+    # guarded collect: one row per 256-wide n_chars range (tens of rows
+    # at any SF); two_stage_offsets coarsens the width automatically if
+    # a pathological distribution ever exceeds its range bound.
+    keyed, off_df, _ = two_stage_offsets(docs, "n_chars", width=256)
     w = W.partitionBy("_rng").orderBy("n_chars", "doc_id")
     return (
-        docs.join(F.broadcast(off_df), "_rng")
+        keyed.join(F.broadcast(off_df), "_rng")
         .select(
             "doc_id",
             "n_chars",
@@ -3221,25 +3213,15 @@ def dq05_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pattern — per-size-range subtotals (bounded driver cumsum) + a
 # PARTITIONED window — so no single-partition sort ever materializes.
 def q91_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import two_stage_offsets
+
     target = 32768
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    docs = docs.withColumn(
-        "_rng", (F.col("n_chars") / F.lit(1024)).cast("bigint")
+    # size-descending range order; the guarded helper bounds the driver
+    # cumsum and coarsens the width on pathological distributions.
+    keyed, off_df, _ = two_stage_offsets(
+        docs, "n_chars", width=1024, weight_col="n_chars", descending=True
     )
-    sums = sorted(
-        (
-            (r["_rng"], r["s"])
-            for r in docs.groupBy("_rng")
-            .agg(F.sum("n_chars").cast("bigint").alias("s"))
-            .collect()
-        ),
-        key=lambda t: -t[0],  # size-descending range order
-    )
-    offsets, acc = [], 0
-    for rng, s in sums:
-        offsets.append((rng, acc))
-        acc += s
-    off_df = spark.createDataFrame(offsets, "_rng bigint, _offset bigint")
     w = (
         W.partitionBy("_rng")
         .orderBy(F.col("n_chars").desc(), "doc_id")
@@ -3248,7 +3230,7 @@ def q91_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum_before = F.coalesce(F.sum("n_chars").over(w), F.lit(0)) + F.col(
         "_offset"
     )
-    binned = docs.join(F.broadcast(off_df), "_rng").select(
+    binned = keyed.join(F.broadcast(off_df), "_rng").select(
         "doc_id",
         "n_chars",
         (cum_before / F.lit(target)).cast("bigint").alias("bin_id"),

@@ -380,3 +380,37 @@ def test_q91_compaction_bins_no_global_prefix_sum(spark):
     plan = _plan(spark, "q91_compaction_bins")
     assert "Exchange SinglePartition" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_two_stage_offsets_coarsens_wide_ranges(spark):
+    """Range-cardinality guard: a value distribution spanning far more
+    distinct ranges than max_ranges must NOT blow the driver collect —
+    the helper widens the bucket until the range set fits, and the
+    resulting global ranks are identical to the sequential oracle."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.operators.layout import two_stage_offsets
+
+    # 5000 distinct values, width=1 → 5000 ranges >> max_ranges=64
+    rows = [(i, (i * 2654435761) % 1_000_003) for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, v long")
+    keyed, off_df, width_used = two_stage_offsets(
+        df, "v", width=1, max_ranges=64
+    )
+    assert width_used > 1  # coarsening kicked in
+    assert off_df.count() <= 64
+    w = W.partitionBy("_rng").orderBy("v", "doc_id")
+    got = {
+        r["doc_id"]: r["rk"]
+        for r in keyed.join(F.broadcast(off_df), "_rng")
+        .select(
+            "doc_id", (F.row_number().over(w) + F.col("_offset")).alias("rk")
+        )
+        .collect()
+    }
+    expected = {
+        doc_id: rk + 1
+        for rk, (v, doc_id) in enumerate(sorted((v, d) for d, v in rows))
+    }
+    assert got == expected
