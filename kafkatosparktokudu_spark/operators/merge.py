@@ -310,7 +310,20 @@ class StateStore:
         ``content`` are gone after the swap). Same staged-write +
         per-bucket directory rename protocol as the merge path; a bucket
         with no surviving rows is removed outright. Cost tracks the
-        rewritten buckets, never the table."""
+        rewritten buckets, never the table.
+
+        Crash contract — atomic PER BUCKET, not across buckets: the final
+        swap is a loop of rmtree+rename, so a crash mid-loop leaves some
+        buckets rewritten and the rest at their prior contents, with no
+        marker distinguishing the two. Callers must therefore be
+        idempotent-by-re-run — ``content`` must be recomputable from the
+        (possibly half-swapped) store such that re-running the whole
+        operation converges (``purge_closed_before`` documents exactly
+        this property: a close-date predicate is true of both old and new
+        bucket states). Do NOT build on this primitive if a half-applied
+        rewrite would be unrecoverable; that caller needs a commit-marker
+        protocol (write all staged buckets, fsync a manifest, then swap)
+        this local-FS store deliberately keeps out of scope."""
         if not buckets:
             return
         df = content.select(

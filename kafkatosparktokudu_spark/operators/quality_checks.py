@@ -571,12 +571,20 @@ def skew_report(
         .select(
             *key_cols,
             "n_rows",
-            F.expr("n_rows * CAST(1000000 AS BIGINT) div _total").alias(
-                "share_ppm"
-            ),
-            F.expr("n_rows * _n_keys * CAST(100 AS BIGINT) div _total").alias(
-                "skew_x100"
-            ),
+            F.expr(
+                "CAST(CAST(n_rows AS DECIMAL(38,0)) * 1000000"
+                " div _total AS BIGINT)"
+            ).alias("share_ppm"),
+            # DECIMAL(38,0) product: n_rows * _n_keys alone exceeds int64
+            # at the very scale this report targets (a ~1e8-row hot key
+            # over ~1e9 distinct keys is ~1e19) — under ANSI mode the
+            # BIGINT product would abort the job. The 38-digit decimal
+            # holds any product of two int64s; the quotient is floored
+            # identically, and DuckDB's HUGEINT oracle arithmetic agrees.
+            F.expr(
+                "CAST(CAST(n_rows AS DECIMAL(38,0)) * _n_keys * 100"
+                " div _total AS BIGINT)"
+            ).alias("skew_x100"),
         )
         .orderBy(F.col("n_rows").desc(), *key_cols)
         .limit(top_n)

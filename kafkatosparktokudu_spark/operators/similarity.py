@@ -1113,10 +1113,19 @@ def negative_pairs(
     h = md5_hash32(
         F.concat_ws("#", F.col("anchor_id"), F.lit(seed), F.col("pair_j"))
     )
+    # Degenerate-corpus guard: with N < 2 the ring offset `h % (_n - 1)`
+    # is a modulo by zero, which non-ANSI Spark would silently NULL out.
+    # assert_true is fused into the neg_id expression (not a separate
+    # column the optimizer could prune), so a 0/1-row corpus fails loudly
+    # with a contract error instead of emitting NULL pairs — and the
+    # check stays lazy: no extra driver-side count action.
+    guard = F.assert_true(
+        F.col("_n") >= 2,
+        F.lit("negative_pairs requires a corpus of at least 2 rows"),
+    )
+    neg = (F.col("anchor_id") + 1 + h % (F.col("_n") - 1)) % F.col("_n")
     return out.select(
         "anchor_id",
         "pair_j",
-        (
-            (F.col("anchor_id") + 1 + h % (F.col("_n") - 1)) % F.col("_n")
-        ).alias("neg_id"),
+        F.when(guard.isNull(), neg).alias("neg_id"),
     )

@@ -1431,7 +1431,42 @@ def test_negative_pairs_two_rows_edge(spark):
     assert out == {(0, 1), (1, 0)}
 
 
+def test_negative_pairs_rejects_degenerate_corpus(spark):
+    """N<2: the ring offset would be a modulo by zero — the fused
+    assert_true turns that into a loud contract error instead of NULL
+    neg_ids (non-ANSI) or an opaque arithmetic error (ANSI)."""
+    import pytest as _pytest
+
+    from kafkatosparktokudu_spark.operators.similarity import negative_pairs
+
+    one = spark.createDataFrame([(0,)], "doc_id bigint")
+    with _pytest.raises(Exception, match="at least 2 rows"):
+        negative_pairs(one, "doc_id", k=2).collect()
+
+
 # --- skew_report ---
+
+
+def test_skew_report_decimal_ratio_survives_hot_key_at_scale(spark):
+    """The x100-vs-uniform ratio is computed in DECIMAL(38,0): a planted
+    count table whose n_rows * _n_keys product exceeds int64 must yield
+    the exact ratio, not an ANSI overflow abort."""
+    from pyspark.sql import functions as F
+
+    # skew_report aggregates raw rows; to exercise the overflow regime
+    # without 1e8 real rows, drive the same expression over a synthetic
+    # counts/totals frame mirroring quality_checks' internals.
+    df = spark.createDataFrame(
+        [(100_000_000, 1_000_000_000, 10_000_000_000)],
+        "n_rows long, _n_keys long, _total long",
+    )
+    r = df.select(
+        F.expr(
+            "CAST(CAST(n_rows AS DECIMAL(38,0)) * _n_keys * 100"
+            " div _total AS BIGINT)"
+        ).alias("skew_x100")
+    ).head()
+    assert r["skew_x100"] == 1_000_000_000
 
 
 def test_skew_report_math_and_tiebreak(spark):
