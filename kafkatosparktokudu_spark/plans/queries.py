@@ -3262,15 +3262,19 @@ def q92_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92_hilbert_layout": q92_hilbert_layout,
     "q91_compaction_bins": q91_compaction_bins,
-    # --- round-6 late additions (this session): data-layout zorder,
-    # weighted sampling, nearest as-of, TWAP, distributed rank,
-    # negative sampling, skew diagnosis ---
+    # --- round-7 front section: every query whose implementing code (or
+    # oracle) changed this round sits inside the driver's 50-query window
+    # — q91 (oracle CAST), ss04/ss10 (IVF rebuild + twin pin), tx05/tx10/
+    # tx15 (staged-token bigram fix), gr02 (degree-ordered orientation),
+    # q90/q91 (two_stage_offsets), px12 (N<2 guard), dq05 (DECIMAL
+    # ratios). Displaced to the back: q87/q88/q89 — unchanged, fresh
+    # green r06 rows. ---
+    "tx10_repetition_stats": tx10_repetition_stats,
+    "tx05_top_bigrams": tx05_top_bigrams,
+    "gr02_triangle_stats": gr02_triangle_stats,
     "px12_negative_pairs": px12_negative_pairs,
     "dq05_skew_report": dq05_skew_report,
     "q86_zorder_layout": q86_zorder_layout,
-    "q87_weighted_sample": q87_weighted_sample,
-    "q88_asof_nearest": q88_asof_nearest,
-    "q89_twap": q89_twap,
     "q90_distributed_rank": q90_distributed_rank,
     # --- round-6 front section: queries new this round, queries whose
     # implementing code changed this round (tx15 rank-selection split,
@@ -3332,7 +3336,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_emp_asof_enrich": cdc_emp_asof_enrich,
     "ss06_kmeans_clusters": ss06_kmeans_clusters,
     "px09_semdedup": px09_semdedup,
-    "gr02_triangle_stats": gr02_triangle_stats,
+    "q87_weighted_sample": q87_weighted_sample,
+    "q88_asof_nearest": q88_asof_nearest,
+    "q89_twap": q89_twap,
     "dq02_column_profile": dq02_column_profile,
     "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,
     "q62_exclusive_parts": q62_exclusive_parts,
@@ -3361,7 +3367,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 front section: fresh green driver rows in r04 ---
     "dd05_embedding_neardup": dd05_embedding_neardup,
     "q59_approx_percentiles": q59_approx_percentiles,
-    "tx10_repetition_stats": tx10_repetition_stats,
     "tx11_pii_scrub": tx11_pii_scrub,
     "tx12_contamination": tx12_contamination,
     "tx13_domain_mixture": tx13_domain_mixture,
@@ -3417,7 +3422,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx02_quality_scores": tx02_quality_scores,
     "tx03_lang_id": tx03_lang_id,
     "tx04_fingerprints": tx04_fingerprints,
-    "tx05_top_bigrams": tx05_top_bigrams,
     "tx06_subword_counts": tx06_subword_counts,
     "dd01_exact_dup_groups": dd01_exact_dup_groups,
     "dd02_exact_dedup_survivors": dd02_exact_dedup_survivors,
