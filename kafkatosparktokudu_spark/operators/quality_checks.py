@@ -589,3 +589,81 @@ def skew_report(
         .orderBy(F.col("n_rows").desc(), *key_cols)
         .limit(top_n)
     )
+
+
+def rolling_zscore_anomalies(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lookback: int = 20,
+    min_window: int = 5,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly detection — the streaming-metrics
+    shape of data-quality monitoring (flag a value that breaks out of its
+    own recent distribution), computed batch-side over keyed ROWS frames:
+    for each event, mean/std over the previous ``lookback`` events of the
+    same key (strictly BEFORE the current row — no self-inclusion bias),
+    flag |z| >= threshold.
+
+    Exactness contract (the q89 DECIMAL convention): the value enters as
+    DECIMAL(12,2); windowed sums of v and v² are exact decimals, and the
+    z-score algebra is arranged so every intermediate stays exact until
+    one final double expression:
+
+        num    = n·v − Σv              (exact decimal)
+        varnum = n·Σv² − (Σv)²         (exact decimal, >= 0 by C-S)
+        z      = num · sqrt((n−1) / (n · varnum))   (double, round 6)
+
+    Both engines evaluate the identical double sequence, so the rounded
+    z hash-matches. Decimal headroom is sized for |v| <= ~2e6 and
+    lookback <= 99 (casts below: sums (12,2), squares (18,4)) — ANSI
+    overflow fails loudly beyond.
+
+    Scale shape: ONE keyed window (hash-partition by key, sort by ts
+    within partition) computing both sums in the same frame pass; no
+    join, no global sort, no driver state. 100 TB: partition count
+    follows the key cardinality; a hot key is bounded by its own event
+    count, and the frame is O(lookback) per row.
+    """
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(ts_col, "event_id")
+        .rowsBetween(-lookback, -1)
+    )
+    v = F.col(value_col).cast("decimal(12,2)")
+    d = events.select(
+        "event_id", F.col(key_col), F.col(ts_col), v.alias("_v")
+    ).select(
+        "event_id",
+        key_col,
+        ts_col,
+        "_v",
+        F.count("_v").over(w).cast("decimal(2,0)").alias("_n"),
+        F.sum("_v").over(w).cast("decimal(12,2)").alias("_s1"),
+        F.sum(F.col("_v") * F.col("_v")).over(w).cast("decimal(18,4)").alias("_s2"),
+    ).filter(F.col("_n") >= min_window)
+    num = (F.col("_n") * F.col("_v")) - F.col("_s1")
+    varnum = (F.col("_n") * F.col("_s2")) - (F.col("_s1") * F.col("_s1"))
+    z = F.round(
+        num.cast("double")
+        * F.sqrt(
+            (F.col("_n").cast("double") - 1.0)
+            / (F.col("_n").cast("double") * varnum.cast("double"))
+        ),
+        6,
+    )
+    return (
+        d.withColumn("zscore", F.when(varnum.cast("double") > 0, z))
+        .filter(F.abs(F.col("zscore")) >= threshold)
+        .select(
+            "event_id",
+            key_col,
+            F.col("_v").cast("double").alias("value"),
+            F.col("_n").cast("bigint").alias("n_window"),
+            "zscore",
+        )
+    )

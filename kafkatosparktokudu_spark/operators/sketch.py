@@ -224,3 +224,78 @@ def cms_expr_heavy_hitters(
         .groupBy(col, "true_count")
         .agg(F.min("c").cast("bigint").alias("est_count"))
     )
+
+
+def _bitlen_case_sql(x_sql: str, w: int) -> str:
+    """Integer bit-length of a ``w``-bit non-negative value as a generated
+    CASE chain — no float log2, so both engines agree at exact powers of
+    two (where ``floor(log2(2^k))`` can land on k-epsilon in one engine
+    and k in the other)."""
+    branches = " ".join(
+        f"WHEN {x_sql} >= {1 << (k - 1)} THEN {k}" for k in range(w, 0, -1)
+    )
+    return f"(CASE {branches} ELSE 0 END)"
+
+
+def hll_expr_estimate(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """Expression-level HyperLogLog distinct-count estimate — the
+    oracle-reproducible twin of ``approx_count_distinct`` (whose
+    HLL++ registers live in opaque JVM state a SQL engine can't replay).
+
+    Flajolet et al. 2007 estimator over ``m = 2^p`` registers fed by
+    the 32-bit md5 hash: bucket = h mod m, suffix = h div m (a
+    ``32-p``-bit value), register = max over values of
+    rho(suffix) = (32-p) + 1 - bitlen(suffix), WITH the paper's
+    small-range correction (raw <= 2.5m and empty buckets present ->
+    linear counting m*ln(m/V)) — without it the sparse regime reads
+    ~2.5x high. No large-range correction (it needs the 32-bit hash
+    collision term; irrelevant below ~1e8 distinct).
+
+    Cross-engine exactness: bucket/suffix/rho are pure integer md5
+    arithmetic; the harmonic sum Σ 2^-rho is a sum of dyadic rationals
+    with denominators <= 2^(33-p) over <= 2^p registers, so every partial
+    double sum is EXACT (fits 53 mantissa bits) — order-independent,
+    hash-stable. The only rounding is the final round(estimate, 6).
+
+    Scale shape: one scan -> 2^p-key hash agg (map-side combine) -> one
+    1-row agg. The register table is the shuffle bound: 4096 rows at
+    p=12, independent of input size. Emits (m, n_exact, hll_estimate,
+    rel_err); n_exact is a COUNT(DISTINCT) the driver-side compare needs
+    anyway — drop it at 100 TB and the plan is sketch-only.
+    """
+    from ..functions.hashing import md5_hash32
+
+    m = 1 << p
+    w = 32 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = md5_hash32(F.col(col).cast("string"))
+    keyed = df.select((h % m).alias("bucket"), h.alias("_h")).select(
+        "bucket", F.expr(f"_h div {m}").alias("suffix")
+    )
+    rho = F.expr(f"{w + 1} - {_bitlen_case_sql('suffix', w)}")
+    regs = keyed.withColumn("rho", rho).groupBy("bucket").agg(
+        F.max("rho").alias("reg")
+    )
+    harm = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("_s"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    exact = df.agg(F.countDistinct(col).cast("bigint").alias("n_exact"))
+    raw = F.lit(alpha * m * m) / (F.col("_s") + (F.lit(m) - F.col("_nb")))
+    empty = F.lit(m) - F.col("_nb")
+    est = F.round(
+        F.when(
+            (raw <= F.lit(2.5 * m)) & (empty > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / empty),
+        ).otherwise(raw),
+        6,
+    )
+    return (
+        harm.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(m).cast("bigint").alias("m"),
+            "n_exact",
+            est.alias("hll_estimate"),
+            F.round(est / F.col("n_exact") - 1.0, 6).alias("rel_err"),
+        )
+    )

@@ -882,3 +882,57 @@ def dsir_importance_scores(
             (F.col("dsir_score") > 0).alias("selected"),
         )
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.7,
+    budget: int = 100_000,
+) -> DataFrame:
+    """Temperature-scaled sampling weights per corpus stratum — the
+    multilingual-LM mixing rule (XLM-R, Conneau et al. 2020 §3.1: sample
+    language i with q_i ∝ p_i^α, α<1 flattening the head so low-resource
+    strata are up-sampled). Emits per stratum the exact share, the
+    α-tempered weight, and the document budget it buys.
+
+    Exactness contract: share_ppm is integer arithmetic; the α power is
+    the one float op and is rounded to 12 decimals THEN summed as
+    DECIMAL(18,12) — the normalizer is an exact, order-independent
+    decimal sum, so cross-engine equality only needs pow() to agree to
+    12 decimals (it does — both engines' pow is correctly rounded to
+    well under 1e-13 relative, and the q87 ln() convention applies).
+    Weights round to 6; the budget allocation floors w_raw * budget with
+    both engines flooring the identical double product.
+
+    Scale shape: one hash agg to stratum granularity (bounded by
+    |strata|, e.g. languages or sources), then two broadcast scalars —
+    the corpus is scanned once, nothing else leaves the executors.
+    """
+    counts = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = counts.agg(F.sum("n_docs").cast("bigint").alias("_total"))
+    scored = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "_pa",
+        F.round(
+            F.pow(F.col("n_docs").cast("double") / F.col("_total"), F.lit(alpha)),
+            12,
+        ).cast("decimal(18,12)"),
+    )
+    z = scored.agg(F.sum("_pa").alias("_z"))
+    w_raw = F.col("_pa").cast("double") / F.col("_z").cast("double")
+    return (
+        scored.crossJoin(F.broadcast(z))
+        .select(
+            F.col(group_col),
+            "n_docs",
+            F.expr(
+                "CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000"
+                " div _total AS BIGINT)"
+            ).alias("share_ppm"),
+            F.round(w_raw, 6).alias("weight"),
+            F.floor(w_raw * F.lit(budget)).cast("bigint").alias("budget_docs"),
+        )
+        .orderBy(F.col("n_docs").desc(), F.col(group_col))
+    )

@@ -3558,3 +3558,99 @@ def _hilbert_layout_sql(bits: int = 16) -> str:
 
 
 ORACLE_SQL["q92_hilbert_layout"] = _hilbert_layout_sql()
+
+
+def _hll_distinct_sql(p: int = 12) -> str:
+    """sk04 twin: identical md5 registers, identical integer bit-length
+    CASE (no float log2), identical linear-counting switch. The harmonic
+    sum is exact-dyadic (see operators/sketch.py::hll_expr_estimate), so
+    the only float ops are the final division / ln / round — all
+    correctly rounded in both engines."""
+    from ..operators.sketch import _bitlen_case_sql
+
+    m = 1 << p
+    w = 32 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    bitlen = _bitlen_case_sql("suffix", w)
+    est = (
+        f"CASE WHEN raw <= {2.5 * m!r} AND empty > 0 "
+        f"THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / empty) "
+        f"ELSE raw END"
+    )
+    return f"""
+        WITH h AS (
+            SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS h32
+            FROM orders
+        ),
+        k AS (SELECT h32 % {m} AS bucket, h32 // {m} AS suffix FROM h),
+        r AS (SELECT bucket, MAX({w + 1} - {bitlen}) AS reg FROM k GROUP BY bucket),
+        s AS (SELECT SUM(power(2.0, -reg)) AS _s, CAST(COUNT(*) AS BIGINT) AS _nb FROM r),
+        x AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact FROM orders),
+        e AS (
+            SELECT CAST({alpha!r} AS DOUBLE) * {m} * {m} / (_s + ({m} - _nb)) AS raw,
+                   ({m} - _nb) AS empty
+            FROM s
+        )
+        SELECT CAST({m} AS BIGINT) AS m, n_exact,
+               round({est}, 6) AS hll_estimate,
+               round(round({est}, 6) / n_exact - 1.0, 6) AS rel_err
+        FROM e CROSS JOIN x
+    """
+
+
+ORACLE_SQL["sk04_hll_distinct"] = _hll_distinct_sql()
+
+# px13 twin: integer share, pow rounded to 12 then summed as
+# DECIMAL(18,12) (exact order-independent normalizer), floor of the
+# identical double product for the budget.
+ORACLE_SQL["px13_temperature_mixture"] = """
+    WITH c AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS _total FROM c),
+    s AS (
+        SELECT c.lang, c.n_docs, t._total,
+               CAST(round(pow(CAST(c.n_docs AS DOUBLE) / t._total, 0.7), 12)
+                    AS DECIMAL(18,12)) AS _pa
+        FROM c CROSS JOIN t
+    ),
+    z AS (SELECT CAST(SUM(_pa) AS DECIMAL(18,12)) AS _z FROM s)
+    SELECT s.lang, s.n_docs,
+           CAST(CAST(s.n_docs AS DECIMAL(38,0)) * 1000000 // s._total AS BIGINT)
+               AS share_ppm,
+           round(CAST(s._pa AS DOUBLE) / CAST(z._z AS DOUBLE), 6) AS weight,
+           CAST(floor(CAST(s._pa AS DOUBLE) / CAST(z._z AS DOUBLE) * 100000)
+                AS BIGINT) AS budget_docs
+    FROM s CROSS JOIN z
+"""
+
+# q93 twin: identical DECIMAL casts at every step (the q89 convention),
+# identical ROWS frame, identical final double sequence.
+ORACLE_SQL["q93_rolling_zscore"] = """
+    WITH d AS (
+        SELECT event_id, user_id, ts, CAST(value AS DECIMAL(12,2)) AS _v
+        FROM events
+    ),
+    wdw AS (
+        SELECT event_id, user_id, _v,
+               CAST(COUNT(_v) OVER w AS DECIMAL(2,0)) AS _n,
+               CAST(SUM(_v) OVER w AS DECIMAL(12,2)) AS _s1,
+               CAST(SUM(_v * _v) OVER w AS DECIMAL(18,4)) AS _s2
+        FROM d
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ),
+    zs AS (
+        SELECT event_id, user_id,
+               CAST(_v AS DOUBLE) AS value,
+               CAST(_n AS BIGINT) AS n_window,
+               CASE WHEN CAST(_n * _s2 - _s1 * _s1 AS DOUBLE) > 0 THEN
+                   round(CAST(_n * _v - _s1 AS DOUBLE)
+                         * sqrt((CAST(_n AS DOUBLE) - 1.0)
+                                / (CAST(_n AS DOUBLE)
+                                   * CAST(_n * _s2 - _s1 * _s1 AS DOUBLE))), 6)
+               END AS zscore
+        FROM wdw WHERE _n >= 5
+    )
+    SELECT * FROM zs WHERE abs(zscore) >= 3.0
+"""

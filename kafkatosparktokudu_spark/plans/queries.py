@@ -3259,7 +3259,43 @@ def q92_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hilbert_layout_stats(li, "l_partkey", "ship_day", n_files=64)
 
 
+# Expression-level HyperLogLog distinct count (operators/sketch.py::
+# hll_expr_estimate) — the oracle-reproducible twin of
+# approx_count_distinct, completing the sketch family (sk01/sk03 CMS,
+# q59 KLL): integer md5 registers, exact dyadic harmonic sum,
+# small-range linear counting. sf0.01 exercises the linear-counting
+# branch, sf0.1 the raw estimator.
+def sk04_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import hll_expr_estimate
+
+    return hll_expr_estimate(_t(spark, sf_dir, "orders"), "o_custkey")
+
+
+# Temperature-scaled language mixing (operators/text.py::
+# temperature_mixture) — the XLM-R α=0.7 sampling rule over the skewed
+# lang distribution; completes the data-selection family (tx13 quota
+# mixture, px11 DSIR, tx15 CCNet buckets) with the power-law
+# reweighting every multilingual pretraining run uses.
+def px13_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import temperature_mixture
+
+    return temperature_mixture(_t(spark, sf_dir, "documents"), "lang")
+
+
+# Per-key rolling z-score anomalies (operators/quality_checks.py::
+# rolling_zscore_anomalies) — data-quality monitoring over the event
+# stream: one keyed ROWS-frame window, DECIMAL-exact moment sums, one
+# final rounded double. The anomaly feed a metrics pipeline alerts on.
+def q93_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality_checks import rolling_zscore_anomalies
+
+    return rolling_zscore_anomalies(_t(spark, sf_dir, "events"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sk04_hll_distinct": sk04_hll_distinct,
+    "px13_temperature_mixture": px13_temperature_mixture,
+    "q93_rolling_zscore": q93_rolling_zscore,
     "q92_hilbert_layout": q92_hilbert_layout,
     "q91_compaction_bins": q91_compaction_bins,
     # --- round-7 front section: every query whose implementing code (or

@@ -1491,3 +1491,67 @@ def test_skew_report_no_global_sort_of_data(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan  # top-N is a partial sort
+
+
+# --- sk04 / px13 / q93 (round-7 additions) ---
+
+
+def test_hll_estimate_error_bound(spark):
+    """HLL with p=12 has theoretical RSE 1.04/sqrt(4096) ~ 1.6%; assert
+    the estimate lands within 5 sigma on the fixture, and that a doubled
+    corpus (same distinct set) gives the IDENTICAL estimate — the sketch
+    depends on the distinct set only."""
+    from kafkatosparktokudu_spark.operators.sketch import hll_expr_estimate
+
+    orders = load_table(spark, SF, "orders")
+    r = hll_expr_estimate(orders, "o_custkey").head()
+    assert abs(r["rel_err"]) <= 5 * 1.04 / (4096 ** 0.5), r
+    doubled = orders.unionByName(orders)
+    r2 = hll_expr_estimate(doubled, "o_custkey").head()
+    assert r2["hll_estimate"] == r["hll_estimate"]
+
+
+def test_temperature_mixture_flattens_head(spark):
+    """alpha<1 must shrink the majority stratum's weight below its raw
+    share and raise every minority's above it; weights sum to ~1; alpha=1
+    degenerates to raw shares."""
+    from kafkatosparktokudu_spark.operators.text import temperature_mixture
+
+    docs = load_table(spark, SF, "documents")
+    out = {r["lang"]: r for r in temperature_mixture(docs, "lang").collect()}
+    total = sum(r["n_docs"] for r in out.values())
+    for lang, r in out.items():
+        share = r["n_docs"] / total
+        if share == max(x["n_docs"] for x in out.values()) / total:
+            assert r["weight"] < share, (lang, r)
+        else:
+            assert r["weight"] > share, (lang, r)
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-4
+    flat = {r["lang"]: r for r in temperature_mixture(docs, "lang", alpha=1.0).collect()}
+    for lang, r in flat.items():
+        assert abs(r["weight"] - r["n_docs"] / total) < 1e-6
+
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    """A flat-ish series with one 100x spike: exactly the spike is
+    flagged; the window excludes the current row, so the spike can't
+    suppress its own score; rows before min_window are never scored."""
+    import datetime as dt
+
+    from kafkatosparktokudu_spark.operators.quality_checks import (
+        rolling_zscore_anomalies,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        v = 100.0 + (i % 3)  # 100/101/102 cycle: nonzero variance
+        if i == 25:
+            v = 10000.0
+        rows.append((i, base + dt.timedelta(seconds=i), 7, "t", v, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = rolling_zscore_anomalies(df).collect()
+    assert [r["event_id"] for r in got] == [25], got
+    assert got[0]["zscore"] > 100  # ~1e4 deviation over ~0.8 std
