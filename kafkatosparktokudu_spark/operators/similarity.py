@@ -888,20 +888,6 @@ def pq_codebooks_trained(
     return out
 
 
-def _sq_dist_flat(vec: Column, offset: int, q: list[float]) -> Column:
-    """Squared L2 distance of vec[offset : offset+len(q)] to the literal
-    subvector, as a flat left-assoc sum (bit-stable across engines when
-    the oracle generates the same term order)."""
-    from functools import reduce
-
-    terms = [
-        (F.element_at(vec, offset + i + 1) - F.lit(float(x)))
-        * (F.element_at(vec, offset + i + 1) - F.lit(float(x)))
-        for i, x in enumerate(q)
-    ]
-    return reduce(lambda a, b: a + b, terms)
-
-
 def pq_encode(
     emb: DataFrame, codebooks: list[list[list[float]]]
 ) -> DataFrame:
@@ -911,29 +897,48 @@ def pq_encode(
     expressions only — no shuffle, no Python; codes are the compressed
     representation (m·log2(k) bits per vector).
 
-    Output: (vec_id, code0..code{m-1}, recon_err)."""
+    Output: (vec_id, code0..code{m-1}, recon_err).
+
+    Round-7 rebuild (the ss04 lesson, same outputs bit-for-bit): the
+    m·k·d-term distance expressions used to be built term-by-term through
+    the Column API — thousands of Py4J round-trips on the driver plus a
+    single giant codegen tree. Each subspace is now ONE generated SQL
+    string over a staged `v` column; the per-subspace best struct is a
+    named column referenced twice (code + err), which both bounds each
+    stage's codegen and blocks CollapseProject from inlining the
+    array_sort twice. Identical literals, fold order, rounding, and
+    array_sort total order — the ss07 oracle is untouched."""
     m = len(codebooks)
     d = len(codebooks[0][0])
-    v = as_double(F.col("embedding"))
-    cols: list[Column] = [F.col("vec_id")]
-    err_terms: list[Column] = []
-    for s in range(m):
-        scored = F.array(
-            *[
-                F.struct(
-                    F.round(_sq_dist_flat(v, s * d, q), 6).alias("d"),
-                    F.lit(c).alias("code"),
-                )
-                for c, q in enumerate(codebooks[s])
-            ]
-        )
-        best = F.element_at(F.array_sort(scored), 1)
-        cols.append(best["code"].cast("int").alias(f"code{s}"))
-        err_terms.append(best["d"].cast("decimal(12,6)"))
-    from functools import reduce
 
-    err = reduce(lambda a, b: a + b, err_terms).cast("double").alias("recon_err")
-    return emb.select(*cols, err)
+    def _sq_sql(s: int, q: list[float]) -> str:
+        terms = [
+            f"(element_at(v, {s * d + i + 1}) - {float(x)!r}D)"
+            f" * (element_at(v, {s * d + i + 1}) - {float(x)!r}D)"
+            for i, x in enumerate(q)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    def _best_sql(s: int) -> str:
+        structs = ", ".join(
+            f"named_struct('d', round({_sq_sql(s, q)}, 6), 'code', {c})"
+            for c, q in enumerate(codebooks[s])
+        )
+        return f"element_at(array_sort(array({structs})), 1)"
+
+    staged = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).select(
+        "vec_id", *[F.expr(_best_sql(s)).alias(f"_b{s}") for s in range(m)]
+    )
+    err_sql = "CAST(" + " + ".join(
+        f"CAST(_b{s}.d AS DECIMAL(12,6))" for s in range(m)
+    ) + " AS DOUBLE)"
+    return staged.select(
+        "vec_id",
+        *[F.expr(f"CAST(_b{s}.code AS INT)").alias(f"code{s}") for s in range(m)],
+        F.expr(err_sql).alias("recon_err"),
+    )
 
 
 def pq_encode_fast(
