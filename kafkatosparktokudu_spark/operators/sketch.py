@@ -299,3 +299,86 @@ def hll_expr_estimate(df: DataFrame, col: str, p: int = 12) -> DataFrame:
             F.round(est / F.col("n_exact") - 1.0, 6).alias("rel_err"),
         )
     )
+
+
+def hll_union_by_group(
+    df: DataFrame,
+    col: str,
+    group_expr: str,
+    group_alias: str = "grp",
+    p: int = 12,
+) -> DataFrame:
+    """HLL register MERGEABILITY — the property that makes the sketch the
+    100 TB distinct-count tool: per-group register tables (one max-rho per
+    bucket) union into the EXACT register table of the combined stream by
+    a plain per-bucket max, so the merged estimate is the estimate of the
+    set-union — NOT the sum of group estimates (which double-counts every
+    cross-group repeat). This is how a cluster counts distincts per
+    partition/day/shard and folds them without ever re-reading data.
+
+    Output: one row per group (the per-group estimate) plus one
+    ``__union__`` row whose registers are the bucket-wise max across all
+    groups. Each row carries the exact distinct count of its slice, so
+    the driver compare pins both the register math and the union
+    semantics. Same estimator as ``hll_expr_estimate`` (small-range
+    linear counting included); same exact-dyadic cross-engine argument.
+
+    Scale shape: one scan -> (group, bucket) hash agg (bounded by
+    |groups|·2^p) -> per-group 1-row aggs + one bucket-wise re-agg. The
+    union NEVER rescans the input — that is the point.
+    """
+    from ..functions.hashing import md5_hash32
+
+    m = 1 << p
+    w = 32 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = md5_hash32(F.col(col).cast("string"))
+    keyed = df.select(
+        F.expr(group_expr).cast("string").alias(group_alias),
+        F.col(col).alias("_val"),
+        (h % m).alias("bucket"),
+        h.alias("_h"),
+    ).select(
+        group_alias, "_val", "bucket", F.expr(f"_h div {m}").alias("suffix")
+    )
+    rho = F.expr(f"{w + 1} - {_bitlen_case_sql('suffix', w)}")
+    base = keyed.withColumn("rho", rho)
+    per_group_regs = base.groupBy(group_alias, "bucket").agg(
+        F.max("rho").alias("reg")
+    )
+    union_regs = per_group_regs.groupBy("bucket").agg(
+        F.max("reg").alias("reg"), F.lit("__union__").alias(group_alias)
+    )
+    all_regs = per_group_regs.unionByName(
+        union_regs.select(group_alias, "bucket", "reg")
+    )
+
+    def _estimate(grouped: DataFrame) -> DataFrame:
+        raw = F.lit(alpha * m * m) / (F.col("_s") + (F.lit(m) - F.col("_nb")))
+        empty = F.lit(m) - F.col("_nb")
+        est = F.round(
+            F.when(
+                (raw <= F.lit(2.5 * m)) & (empty > 0),
+                F.lit(float(m)) * F.log(F.lit(float(m)) / empty),
+            ).otherwise(raw),
+            6,
+        )
+        return grouped.select(group_alias, est.alias("hll_estimate"))
+
+    ests = _estimate(
+        all_regs.groupBy(group_alias).agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("_s"),
+            F.count(F.lit(1)).alias("_nb"),
+        )
+    )
+    exact_groups = base.groupBy(group_alias).agg(
+        F.countDistinct("_val").cast("bigint").alias("n_exact")
+    )
+    exact_union = base.agg(
+        F.countDistinct("_val").cast("bigint").alias("n_exact"),
+        F.lit("__union__").alias(group_alias),
+    ).select(group_alias, "n_exact")
+    exact = exact_groups.unionByName(exact_union)
+    return ests.join(exact, group_alias).select(
+        group_alias, "n_exact", "hll_estimate"
+    )

@@ -3654,3 +3654,52 @@ ORACLE_SQL["q93_rolling_zscore"] = """
     )
     SELECT * FROM zs WHERE abs(zscore) >= 3.0
 """
+
+
+def _hll_union_daily_sql(p: int = 12) -> str:
+    """sk05 twin: identical per-(day, bucket) registers, identical
+    bucket-wise-max union row, identical estimator (see _hll_distinct_sql)."""
+    from ..operators.sketch import _bitlen_case_sql
+
+    m = 1 << p
+    w = 32 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    bitlen = _bitlen_case_sql("suffix", w)
+    est = (
+        f"CASE WHEN raw <= {2.5 * m!r} AND empty > 0 "
+        f"THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / empty) "
+        f"ELSE raw END"
+    )
+    return f"""
+        WITH base AS (
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h32
+            FROM events
+        ),
+        k AS (SELECT day, user_id, h32 % {m} AS bucket, h32 // {m} AS suffix FROM base),
+        r AS (SELECT day, bucket, MAX({w + 1} - {bitlen}) AS reg
+              FROM k GROUP BY day, bucket),
+        u AS (SELECT '__union__' AS day, bucket, MAX(reg) AS reg
+              FROM r GROUP BY bucket),
+        allr AS (SELECT day, bucket, reg FROM r
+                 UNION ALL SELECT day, bucket, reg FROM u),
+        s AS (SELECT day, SUM(power(2.0, -reg)) AS _s,
+                     CAST(COUNT(*) AS BIGINT) AS _nb
+              FROM allr GROUP BY day),
+        x AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+              FROM k GROUP BY day
+              UNION ALL
+              SELECT '__union__', CAST(COUNT(DISTINCT user_id) AS BIGINT)
+              FROM k),
+        e AS (
+            SELECT day,
+                   CAST({alpha!r} AS DOUBLE) * {m} * {m} / (_s + ({m} - _nb)) AS raw,
+                   ({m} - _nb) AS empty
+            FROM s
+        )
+        SELECT e.day AS day, x.n_exact, round({est}, 6) AS hll_estimate
+        FROM e JOIN x ON x.day = e.day
+    """
+
+
+ORACLE_SQL["sk05_hll_union_daily"] = _hll_union_daily_sql()

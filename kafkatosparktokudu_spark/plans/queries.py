@@ -3271,6 +3271,20 @@ def sk04_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_expr_estimate(_t(spark, sf_dir, "orders"), "o_custkey")
 
 
+# HLL register mergeability (operators/sketch.py::hll_union_by_group):
+# per-day register tables fold into the union's registers by bucket-wise
+# max — the estimate of the combined stream WITHOUT rescanning, which is
+# why a 100 TB pipeline counts distincts with sketches per shard/day and
+# merges. The fixture's heavy day-overlap makes the point measurable:
+# the union row estimates ~|all users|, nowhere near the per-day sum.
+def sk05_hll_union_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import hll_union_by_group
+
+    return hll_union_by_group(
+        _t(spark, sf_dir, "events"), "user_id", "CAST(ts AS DATE)", "day"
+    )
+
+
 # Temperature-scaled language mixing (operators/text.py::
 # temperature_mixture) — the XLM-R α=0.7 sampling rule over the skewed
 # lang distribution; completes the data-selection family (tx13 quota
@@ -3294,6 +3308,7 @@ def q93_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sk04_hll_distinct": sk04_hll_distinct,
+    "sk05_hll_union_daily": sk05_hll_union_daily,
     "px13_temperature_mixture": px13_temperature_mixture,
     "q93_rolling_zscore": q93_rolling_zscore,
     "q92_hilbert_layout": q92_hilbert_layout,

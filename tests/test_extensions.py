@@ -1555,3 +1555,24 @@ def test_rolling_zscore_flags_planted_spike(spark):
     got = rolling_zscore_anomalies(df).collect()
     assert [r["event_id"] for r in got] == [25], got
     assert got[0]["zscore"] > 100  # ~1e4 deviation over ~0.8 std
+
+
+def test_hll_union_matches_direct_estimate_and_not_sum(spark):
+    """Bucket-wise max of per-day registers IS the register table of the
+    whole stream: the __union__ estimate must equal hll_expr_estimate run
+    directly on the column — and sit far below the sum of per-day
+    estimates (which double-counts returning users)."""
+    from kafkatosparktokudu_spark.operators.sketch import (
+        hll_expr_estimate,
+        hll_union_by_group,
+    )
+
+    ev = load_table(spark, SF, "events")
+    rows = {r["day"]: r for r in hll_union_by_group(
+        ev, "user_id", "CAST(ts AS DATE)", "day").collect()}
+    direct = hll_expr_estimate(ev, "user_id").head()
+    union = rows.pop("__union__")
+    assert union["hll_estimate"] == direct["hll_estimate"]
+    assert union["n_exact"] == direct["n_exact"]
+    day_sum = sum(r["hll_estimate"] for r in rows.values())
+    assert day_sum > 5 * union["hll_estimate"]  # heavy overlap on fixture
