@@ -936,3 +936,56 @@ def temperature_mixture(
         )
         .orderBy(F.col("n_docs").desc(), F.col(group_col))
     )
+
+
+# Fixed, documented surrogate weights for the expression-level quality
+# classifier: chosen so the score rewards lexical diversity and length
+# and penalizes stopword saturation — the same signal mix a trained
+# fastText quality model (GPT-3 / CCNet setups) learns. A real deployment
+# swaps in learned weights (same plan) or a pandas_udf model; the
+# decision PLUMBING — per-row linear score, sigmoid calibration,
+# threshold gate — is what this operator pins.
+QUALITY_LOGIT_WEIGHTS = {
+    "uniq_ratio": 3.0,
+    "stop_ratio": -2.0,
+    "len_score": 1.5,
+    "bias": -1.0,
+}
+
+
+def quality_classifier_scores(
+    docs: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Model-based quality filtering — the classifier stage of a curation
+    pipeline (Brown et al. 2020 §A: a linear classifier over document
+    features gates pretraining data): p(keep) = sigmoid(w·x + b) over the
+    tx02 quality features, with the keep decision at ``threshold`` (default 0.8 — near the
+    fixture's median, so the gate genuinely splits the corpus).
+
+    Exactness contract: features are the deterministic tx02 ratios; the
+    logit is a fixed-literal dot product (exact double sequence); sigmoid
+    is one exp() — correctly rounded in both engines — and the score
+    rounds to 6. The keep flag compares the ROUNDED score to the
+    threshold, so the gate itself is hash-stable.
+
+    Scale shape: pure per-row expressions fused into the scan — the
+    classifier costs a projection, exactly like the real fastText hashing
+    trick does at inference time.
+    """
+    w = QUALITY_LOGIT_WEIGHTS
+    feats = quality_scores(docs)
+    logit = (
+        F.lit(w["uniq_ratio"]) * F.col("uniq_ratio")
+        + F.lit(w["stop_ratio"]) * F.col("stop_ratio")
+        + F.lit(w["len_score"]) * F.col("len_score")
+        + F.lit(w["bias"])
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return feats.select(
+        "doc_id",
+        "uniq_ratio",
+        "stop_ratio",
+        "len_score",
+        score.alias("p_keep"),
+        (score >= F.lit(threshold)).alias("keep"),
+    )

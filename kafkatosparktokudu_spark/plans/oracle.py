@@ -3703,3 +3703,21 @@ def _hll_union_daily_sql(p: int = 12) -> str:
 
 
 ORACLE_SQL["sk05_hll_union_daily"] = _hll_union_daily_sql()
+
+# px14 twin: tx02's feature SQL + the fixed-literal logistic gate
+# (identical left-assoc logit, one exp, round 6; keep compares the
+# ROUNDED score so the boolean is hash-stable).
+ORACLE_SQL["px14_quality_classifier"] = f"""
+    SELECT doc_id, uniq_ratio, stop_ratio, len_score,
+           round(1.0 / (1.0 + exp(-(3.0 * uniq_ratio + -2.0 * stop_ratio
+                 + 1.5 * len_score + -1.0))), 6) AS p_keep,
+           round(1.0 / (1.0 + exp(-(3.0 * uniq_ratio + -2.0 * stop_ratio
+                 + 1.5 * len_score + -1.0))), 6) >= 0.8 AS keep
+    FROM (
+        SELECT doc_id,
+               CAST(len(list_distinct(l)) AS DOUBLE) / len(l) AS uniq_ratio,
+               CAST(len(list_filter(l, t -> t IN {_STOP_EN})) AS DOUBLE) / len(l) AS stop_ratio,
+               least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) AS len_score
+        FROM (SELECT doc_id, n_chars, {_TOKS} AS l FROM documents)
+    )
+"""

@@ -3296,6 +3296,17 @@ def px13_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture(_t(spark, sf_dir, "documents"), "lang")
 
 
+# Model-based quality gate (operators/text.py::quality_classifier_scores)
+# — the classifier stage of GPT-3-style curation as a fixed-weight
+# logistic over the tx02 features: per-row linear score + sigmoid +
+# threshold, fused into the scan. Real deployments swap learned weights
+# or a pandas_udf model into the same plan.
+def px14_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_classifier_scores
+
+    return quality_classifier_scores(_t(spark, sf_dir, "documents"))
+
+
 # Per-key rolling z-score anomalies (operators/quality_checks.py::
 # rolling_zscore_anomalies) — data-quality monitoring over the event
 # stream: one keyed ROWS-frame window, DECIMAL-exact moment sums, one
@@ -3310,6 +3321,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sk04_hll_distinct": sk04_hll_distinct,
     "sk05_hll_union_daily": sk05_hll_union_daily,
     "px13_temperature_mixture": px13_temperature_mixture,
+    "px14_quality_classifier": px14_quality_classifier,
     "q93_rolling_zscore": q93_rolling_zscore,
     "q92_hilbert_layout": q92_hilbert_layout,
     "q91_compaction_bins": q91_compaction_bins,

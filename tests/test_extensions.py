@@ -1576,3 +1576,25 @@ def test_hll_union_matches_direct_estimate_and_not_sum(spark):
     assert union["n_exact"] == direct["n_exact"]
     day_sum = sum(r["hll_estimate"] for r in rows.values())
     assert day_sum > 5 * union["hll_estimate"]  # heavy overlap on fixture
+
+
+def test_quality_classifier_monotone_and_splits(spark):
+    """The logistic gate must be monotone in its features (higher
+    diversity -> higher p_keep, more stopword saturation -> lower) and
+    must actually split the fixture corpus at the default threshold."""
+    from kafkatosparktokudu_spark.operators.text import quality_classifier_scores
+
+    docs = load_table(spark, SF, "documents")
+    rows = quality_classifier_scores(docs).collect()
+    kept = sum(1 for r in rows if r["keep"])
+    assert 0 < kept < len(rows)
+    # monotonicity on synthetic extremes
+    probe = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en", "s", 400),
+            (2, "the the the the the the", "en", "s", 400),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    p = {r["doc_id"]: r["p_keep"] for r in quality_classifier_scores(probe).collect()}
+    assert p[1] > p[2]
