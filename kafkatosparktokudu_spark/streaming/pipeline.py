@@ -549,3 +549,92 @@ def stream_topk_per_key(
     return events.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_zscore_anomalies(
+    events: DataFrame,
+    lookback: int = 20,
+    min_window: int = 5,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming twin of the batch rolling z-score monitor
+    (operators/quality_checks.py::rolling_zscore_anomalies): per-user
+    state is the last ``lookback`` values; each arriving event is scored
+    against the state BEFORE being folded in (the batch operator's
+    strictly-preceding frame), and anomalies stream out continuously —
+    the alerting feed a metrics pipeline actually runs, vs the batch
+    operator's retrospective sweep.
+
+    VALUE-EXACT parity with the batch operator (pinned by test): the
+    batch side computes moments in DECIMAL(12,2)/(18,4); here values are
+    held as integer cents (scale 2) and squared cents (scale 4), so
+    num/varnum are the same exact integers, the /100 and /10000 descales
+    are the same correctly-rounded double conversions, and the final
+    round-half-up(6) replays Spark's BigDecimal rounding. Parity holds
+    whenever arrival order respects event time per user (in-order
+    micro-batches); late data degrades gracefully (scored against the
+    state as-of arrival — the streaming-vs-batch difference that
+    watermarking, not this operator, addresses).
+
+    Scale: O(lookback) state per user, hash-partitioned by the groupBy;
+    each micro-batch folds its rows in (ts, event_id) order.
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "event_id bigint, user_id bigint, value double, "
+        "n_window bigint, zscore double"
+    )
+    state_schema = "cents array<bigint>"
+
+    def _round6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+        )
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        hist: list[int] = list(state.get[0]) if state.exists else []
+        out_rows = []
+        frames = [p for p in pdfs]
+        if frames:
+            pdf = pd.concat(frames).sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                cents = int(round(float(row["value"]) * 100))
+                n = len(hist)
+                if n >= min_window:
+                    s1 = sum(hist)                      # scale-2 integer
+                    s2 = sum(c * c for c in hist)       # scale-4 integer
+                    num = n * cents - s1
+                    varnum = n * s2 - s1 * s1
+                    if varnum > 0:
+                        num_d = num / 100.0
+                        var_d = varnum / 10000.0
+                        z = _round6(
+                            num_d * math.sqrt((n - 1.0) / (n * var_d))
+                        )
+                        if abs(z) >= threshold:
+                            out_rows.append(
+                                (
+                                    int(row["event_id"]),
+                                    int(key[0]),
+                                    cents / 100.0,
+                                    n,
+                                    z,
+                                )
+                            )
+                hist.append(cents)
+                if len(hist) > lookback:
+                    hist = hist[-lookback:]
+        state.update((hist,))
+        yield pd.DataFrame(
+            out_rows,
+            columns=["event_id", "user_id", "value", "n_window", "zscore"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -1342,3 +1342,51 @@ def test_stream_topk_per_key_across_restarts(spark, tmp_path):
         for rank, (v, i) in enumerate(vals[:3], 1):
             bv, bi = best[(key, rank)]
             assert (bv, bi) == (v, i), (key, rank, (bv, bi), (v, i))
+
+
+def test_stream_zscore_matches_batch_across_restart(spark, tmp_path):
+    """Streaming z-score monitor == batch rolling_zscore_anomalies when
+    arrival order respects event time: two checkpointed availableNow runs
+    over a TIME-split corpus (first half of days, then the rest) must
+    emit exactly the batch operator's anomaly set, values bit-equal."""
+    from kafkatosparktokudu_spark.operators.quality_checks import (
+        rolling_zscore_anomalies,
+    )
+    from kafkatosparktokudu_spark.streaming.pipeline import stream_zscore_anomalies
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    cut = "2024-01-16"
+    src = tmp_path / "zs_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "zs_ckpt")
+    out = str(tmp_path / "zs_out")
+    events.filter(F.col("ts") < cut).write.parquet(str(src / "a"))
+
+    def run():
+        stream = spark.readStream.schema(events.schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = (
+            stream_zscore_anomalies(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    events.filter(F.col("ts") >= cut).write.parquet(str(src / "b"))
+    run()
+
+    got = sorted(
+        (r["event_id"], r["user_id"], r["value"], r["n_window"], r["zscore"])
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r["event_id"], r["user_id"], r["value"], r["n_window"], r["zscore"])
+        for r in rolling_zscore_anomalies(events).collect()
+    )
+    assert got == want
