@@ -3358,7 +3358,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "px10_rag_corpus": px10_rag_corpus,
     "px11_dsir_selection": px11_dsir_selection,
     "dd14_event_debounce": dd14_event_debounce,
-    "q85_sampled_quantiles": q85_sampled_quantiles,
+    "ss07_pq_encode": ss07_pq_encode,
     "sk03_cms_expr": sk03_cms_expr,
     "ss10_ivf_deploy_topk": ss10_ivf_deploy_topk,
     "q80_event_funnel": q80_event_funnel,
@@ -3412,7 +3412,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ss03 gained a full hash oracle late in round 5 (shared plane
     # literals) — rotated forward for a fresh driver row
     "ss03_ann_lsh_topk": ss03_ann_lsh_topk,
-    "ss07_pq_encode": ss07_pq_encode,
+    "q85_sampled_quantiles": q85_sampled_quantiles,
     "tx14_token_freq": tx14_token_freq,
     "sk02_bloom_semijoin": sk02_bloom_semijoin,
     "ss05_knn_join": ss05_knn_join,
