@@ -33,7 +33,7 @@ BENCH_QUERIES = [
     "dd04_neardup_pairs",       # LSH + Jaccard verify
     "dd06_simhash",             # SimHash (explode + 32-way agg)
     "ss01_knn_cosine",          # brute-force cosine top-k
-    "ss10_ivf_deploy_topk",     # IVF ANN deploy path (numpy-trained; the oracle twin ss04 is compile-bound seed-cell apparatus)
+    "ss10_ivf_deploy_topk",     # IVF ANN deploy path (numpy-trained; kept from r6 so totals stay comparable — the oracle twin ss04 is no longer compile-bound after the r7 generated-SQL rebuild)
     "q22_asof_join",            # as-of join (union + single window pass)
     "q54_market_share",         # TPC-H Q8 6-table star (all dims broadcast)
     "tx07_keyterms",            # tf-idf keyterms (explode + 2 aggs + window)
