@@ -414,3 +414,27 @@ def test_two_stage_offsets_coarsens_wide_ranges(spark):
         for rk, (v, doc_id) in enumerate(sorted((v, d) for d, v in rows))
     }
     assert got == expected
+
+
+def test_q93_single_keyed_exchange(spark):
+    """Rolling z-score is ONE keyed window: exactly one hash exchange
+    (the user_id partition), no join, no single-partition stage."""
+    plan = _plan(spark, "q93_rolling_zscore")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_px14_classifier_fuses_into_scan(spark):
+    """The logistic gate is pure per-row expressions: zero exchanges —
+    the classifier costs a projection."""
+    plan = _plan(spark, "px14_quality_classifier")
+    assert "Exchange" not in plan, plan
+
+
+def test_sk04_driver_sees_only_registers(spark):
+    """HLL: the only SinglePartition stages aggregate the REGISTER table
+    (<= 2^p rows) / 1-row frames — the input-sized shuffle is the
+    bucket hash agg, bounded at 4096 groups."""
+    plan = _plan(spark, "sk04_hll_distinct")
+    assert "Exchange hashpartitioning(bucket" in plan, plan
