@@ -59,15 +59,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def shingles(text_col: Column | str, k: int = SHINGLE_K) -> Column:
-    """Distinct k-token shingles as an array column (no explode)."""
+    """Distinct k-token shingles as an array column (no explode).
+
+    Built from ``k`` SHIFTED SLICES zipped together, NOT from
+    ``element_at(t, i+j)`` inside the transform lambda: a lambda
+    referencing the raw split expression re-evaluates the whole
+    tokenization per element — O(n·k·split) per document, measured 7x
+    this construction's cost at sf0.1 (the tx05/tx15 staging lesson,
+    applied where a Column-returning helper can't stage a named column).
+    Slices evaluate the tokenizer a constant k times; identical output
+    strings."""
     t = tokens(text_col)
+    n_sh = F.greatest(F.size(t) - (k - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(t, j + 1, n_sh) for j in range(k)])
     parts = F.transform(
-        F.slice(t, 1, F.greatest(F.size(t) - (k - 1), F.lit(0))),
-        # transform's i is 0-based; x sits at 1-based position i+1, so the
-        # following shingle members are element_at(t, i+2) .. element_at(t, i+k)
-        lambda x, i: F.concat_ws(
-            " ", *([x] + [F.element_at(t, i + j + 1) for j in range(1, k)])
-        ),
+        z, lambda x: F.concat_ws(" ", *[x[str(j)] for j in range(k)])
     )
     return F.array_distinct(parts)
 
@@ -82,11 +88,17 @@ def char_shingles(text_col: Column | str, k: int = CHAR_SHINGLE_K) -> Column:
     ``sequence(1, 0)`` would otherwise DESCEND, not return empty."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     t = F.trim(c)
-    n = F.length(t)
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.array().cast("array<int>")
+    # Char-array slices zipped, not substr(t, i, k) in the lambda — the
+    # lambda form re-trims the text per character position (O(len^2)/doc;
+    # see shingles() for the general rule). The zip evaluates trim+split
+    # a constant k times and concatenates single chars to the identical
+    # substrings.
+    chars = F.split(t, "")
+    n_sh = F.greatest(F.length(t) - (k - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(chars, j + 1, n_sh) for j in range(k)])
+    return F.array_distinct(
+        F.transform(z, lambda x: F.concat(*[x[str(j)] for j in range(k)]))
     )
-    return F.array_distinct(F.transform(idx, lambda i: F.substr(t, i, F.lit(k))))
 
 
 def hashed_shingles(

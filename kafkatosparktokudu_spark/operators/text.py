@@ -989,3 +989,50 @@ def quality_classifier_scores(
         score.alias("p_keep"),
         (score >= F.lit(threshold)).alias("keep"),
     )
+
+
+def ngram_novelty_scores(
+    docs: DataFrame, id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty — the memorization/boilerplate-risk
+    signal beside tx10's within-doc repetition: what fraction of a
+    document's DISTINCT k-gram shingles appears in no other document?
+    Low novelty = the document is assembled from corpus-common phrasing
+    (template/boilerplate/near-copy); high = original text. The
+    standard triage column for "which docs does dedup threaten" before
+    running the expensive pair pipelines.
+
+    Exactness: counts and an integer-ppm ratio (the dq05 convention) —
+    no floats anywhere.
+
+    Scale shape: one shingle pass collapsed to (doc, shingle-hash) TYPES
+    (the dedup.hashed_shingles int64 staging — shingle strings never
+    shuffle), one vocabulary-keyed doc-frequency agg, one join back on
+    the hash, one per-doc agg. All keys are content hashes: uniformly
+    distributed, no hot keys.
+    """
+    from .dedup import hashed_shingles
+
+    hs = hashed_shingles(docs, id_col).select(
+        F.col(id_col), F.explode("hs").alias("h")
+    ).distinct()
+    df_counts = hs.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        hs.join(df_counts, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            "n_unique",
+            F.expr(
+                "CAST(n_unique * CAST(1000000 AS BIGINT) div n_shingles"
+                " AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+    )

@@ -3721,3 +3721,39 @@ ORACLE_SQL["px14_quality_classifier"] = f"""
         FROM (SELECT doc_id, n_chars, {_TOKS} AS l FROM documents)
     )
 """
+
+
+def _ngram_novelty_sql() -> str:
+    """tx18 twin: the dd03 shingle/hash CTEs -> distinct (doc, hash) ->
+    vocabulary doc-frequency -> integer-ppm novelty (all-integer; the
+    CASE sum CAST keeps HUGEINT out of the result schema)."""
+    from ..functions.hashing import MERSENNE31
+
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct(list_transform(l[1:len(l)-2],
+                          (x,i) -> x || ' ' || l[i+1] || ' ' || l[i+2])) AS s
+               FROM toks),
+        base AS (SELECT doc_id,
+                        list_transform(s, x -> {_H32.format(x='x')} % {MERSENNE31}) AS hs
+                 FROM sh),
+        e AS (SELECT DISTINCT doc_id, h
+              FROM (SELECT doc_id, unnest(hs) AS h FROM base)),
+        dfc AS (SELECT h, COUNT(*) AS df FROM e GROUP BY h),
+        agg AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(SUM(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_unique
+            FROM e JOIN dfc USING (h)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_shingles, n_unique,
+               CAST(n_unique * CAST(1000000 AS BIGINT) // n_shingles AS BIGINT)
+                   AS novelty_ppm
+        FROM agg
+    """
+
+
+ORACLE_SQL["tx18_ngram_novelty"] = _ngram_novelty_sql()

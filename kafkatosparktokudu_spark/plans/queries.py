@@ -3296,6 +3296,15 @@ def px13_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture(_t(spark, sf_dir, "documents"), "lang")
 
 
+# Per-document n-gram novelty (operators/text.py::ngram_novelty_scores)
+# — the memorization/boilerplate triage column: fraction of a doc's
+# distinct shingles appearing in no other document, all-integer ppm.
+def tx18_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import ngram_novelty_scores
+
+    return ngram_novelty_scores(_t(spark, sf_dir, "documents"))
+
+
 # Model-based quality gate (operators/text.py::quality_classifier_scores)
 # — the classifier stage of GPT-3-style curation as a fixed-weight
 # logistic over the tx02 features: per-row linear score + sigmoid +
@@ -3322,16 +3331,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sk05_hll_union_daily": sk05_hll_union_daily,
     "px13_temperature_mixture": px13_temperature_mixture,
     "px14_quality_classifier": px14_quality_classifier,
+    "tx18_ngram_novelty": tx18_ngram_novelty,
     "q93_rolling_zscore": q93_rolling_zscore,
     "q92_hilbert_layout": q92_hilbert_layout,
     "q91_compaction_bins": q91_compaction_bins,
     # --- round-7 front section: every query whose implementing code (or
     # oracle) changed this round sits inside the driver's 50-query window
-    # — q91 (oracle CAST), ss04/ss10 (IVF rebuild + twin pin), tx05/tx10/
-    # tx15 (staged-token bigram fix), gr02 (degree-ordered orientation),
-    # q90/q91 (two_stage_offsets), px12 (N<2 guard), dq05 (DECIMAL
-    # ratios). Displaced to the back: q87/q88/q89 — unchanged, fresh
-    # green r06 rows. ---
+    # — q91 (oracle CAST), ss04/ss07/ss08/ss10 (IVF + PQ generated-SQL
+    # rebuilds + twin pin), tx05/tx10/tx15 (staged-token bigram fix),
+    # dd03/dd04/dd08/dd11/px02/tx12/px06/px08 (arrays_zip shingle
+    # rebuild), gr02 (degree-ordered orientation), q90/q91
+    # (two_stage_offsets), px12 (N<2 guard), dq05 (DECIMAL ratios).
+    # Displaced to the back: q74-q77, dd13, tx16, dq04, q85, q87-q89 —
+    # all unchanged with fresh green r06 (or r07-informal) rows. ---
     "tx10_repetition_stats": tx10_repetition_stats,
     "tx05_top_bigrams": tx05_top_bigrams,
     "gr02_triangle_stats": gr02_triangle_stats,
@@ -3339,18 +3351,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq05_skew_report": dq05_skew_report,
     "q86_zorder_layout": q86_zorder_layout,
     "q90_distributed_rank": q90_distributed_rank,
-    # --- round-6 front section: queries new this round, queries whose
-    # implementing code changed this round (tx15 rank-selection split,
-    # ss08 TakeOrdered top-k, ss04 seeded-IVF graduation, dq01/dq03
-    # guards, q73 end<start filter, scd2 purge-capable store), and px08
-    # whose oracle was fixed ---
-    "q74_rollup_revenue": q74_rollup_revenue,
-    "q75_pivot_priority": q75_pivot_priority,
-    "q76_rolling_revenue": q76_rolling_revenue,
-    "dd13_editdist_neardup": dd13_editdist_neardup,
-    "tx16_token_entropy": tx16_token_entropy,
-    "dq04_robust_outliers": dq04_robust_outliers,
-    "q77_price_distribution": q77_price_distribution,
+    "dd03_minhash_bands": dd03_minhash_bands,
+    "dd04_neardup_pairs": dd04_neardup_pairs,
+    "dd08_char_neardup_pairs": dd08_char_neardup_pairs,
+    "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,
+    "tx12_contamination": tx12_contamination,
+    "px06_incremental_ingest": px06_incremental_ingest,
     "gr03_pagerank_fixed_point": gr03_pagerank_fixed_point,
     "tx17_rag_chunks": tx17_rag_chunks,
     "ss09_int8_quantize": ss09_int8_quantize,
@@ -3406,13 +3412,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,
     "q62_exclusive_parts": q62_exclusive_parts,
     "dd12_repeated_chunks": dd12_repeated_chunks,
-    "px06_incremental_ingest": px06_incremental_ingest,
     "st01_sliding_rollup": st01_sliding_rollup,
     "st02_session_rollup": st02_session_rollup,
     # ss03 gained a full hash oracle late in round 5 (shared plane
     # literals) — rotated forward for a fresh driver row
     "ss03_ann_lsh_topk": ss03_ann_lsh_topk,
     "q85_sampled_quantiles": q85_sampled_quantiles,
+    "q74_rollup_revenue": q74_rollup_revenue,
+    "q75_pivot_priority": q75_pivot_priority,
+    "q76_rolling_revenue": q76_rolling_revenue,
+    "dd13_editdist_neardup": dd13_editdist_neardup,
+    "tx16_token_entropy": tx16_token_entropy,
+    "dq04_robust_outliers": dq04_robust_outliers,
+    "q77_price_distribution": q77_price_distribution,
     "tx14_token_freq": tx14_token_freq,
     "sk02_bloom_semijoin": sk02_bloom_semijoin,
     "ss05_knn_join": ss05_knn_join,
@@ -3431,7 +3443,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd05_embedding_neardup": dd05_embedding_neardup,
     "q59_approx_percentiles": q59_approx_percentiles,
     "tx11_pii_scrub": tx11_pii_scrub,
-    "tx12_contamination": tx12_contamination,
     "tx13_domain_mixture": tx13_domain_mixture,
     "px04_pretraining_curation": px04_pretraining_curation,
     "cdc_dept_rollup": cdc_dept_rollup,
@@ -3477,8 +3488,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx09_packing_index": tx09_packing_index,
     "sk01_cms_heavy_hitters": sk01_cms_heavy_hitters,
     "px01_curation_pipeline": px01_curation_pipeline,
-    "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,
-    "dd08_char_neardup_pairs": dd08_char_neardup_pairs,
     "gr01_pagerank_neardup": gr01_pagerank_neardup,
     # --- green driver rows in CORRECTNESS_r01.json ---
     "tx01_token_stats": tx01_token_stats,
@@ -3488,8 +3497,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx06_subword_counts": tx06_subword_counts,
     "dd01_exact_dup_groups": dd01_exact_dup_groups,
     "dd02_exact_dedup_survivors": dd02_exact_dedup_survivors,
-    "dd03_minhash_bands": dd03_minhash_bands,
-    "dd04_neardup_pairs": dd04_neardup_pairs,
     "dd06_simhash": dd06_simhash,
     "ss01_knn_cosine": ss01_knn_cosine,
     "ss02_label_centroids": ss02_label_centroids,

@@ -1598,3 +1598,24 @@ def test_quality_classifier_monotone_and_splits(spark):
     )
     p = {r["doc_id"]: r["p_keep"] for r in quality_classifier_scores(probe).collect()}
     assert p[1] > p[2]
+
+
+def test_ngram_novelty_planted_copy(spark):
+    """A doc duplicated verbatim has ZERO unique shingles (novelty 0);
+    an unrelated doc keeps novelty 1e6; short docs (<k tokens) are
+    absent from the output."""
+    from kafkatosparktokudu_spark.operators.text import ngram_novelty_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),     # verbatim copy
+            (3, "totally different words entirely here"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty_scores(docs).collect()}
+    assert 4 not in out
+    assert out[1]["novelty_ppm"] == 0 and out[2]["novelty_ppm"] == 0
+    assert out[3]["novelty_ppm"] == 1_000_000
