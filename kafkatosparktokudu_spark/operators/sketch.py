@@ -382,3 +382,122 @@ def hll_union_by_group(
     return ests.join(exact, group_alias).select(
         group_alias, "n_exact", "hll_estimate"
     )
+
+
+def kmv_overlap(
+    df: DataFrame,
+    key_sql: str,
+    cond_a_sql: str,
+    cond_b_sql: str,
+    k: int = 128,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketches with theta-style set
+    overlap — the audience-overlap estimator (Beyer et al. 2007; the
+    DataSketches theta-sketch intersection): keep each side's ``k``
+    smallest md5 hashes, combine at ``theta = min(theta_A, theta_B)``,
+    and scale the below-theta sample by ``M / theta``.
+
+    Returns ONE row: exact distinct counts per side + intersection
+    (driver-compare companions; drop them at 100 TB and the plan is
+    sketch-only), the combined theta, sample sizes, and integer
+    estimates ``est_union`` / ``est_inter`` / ``jaccard_est_ppm``.
+
+    Cross-engine exactness: hashes are 60-bit md5 integers; a side with
+    fewer than ``k`` distinct keys sets its theta to ``M = 2^60`` (its
+    sketch is exact). Estimates are pure integer arithmetic —
+    ``n * M // theta`` in DECIMAL(38,0)/HUGEINT intermediates (the
+    dq05 convention; n*M overflows int64) — so the row is value-hash
+    stable. Hash collisions merge keys at odds ~n^2/2^61: irrelevant
+    below ~1e8 keys per side.
+
+    Scale shape: one scan -> one keyed agg on the key (the exact
+    columns' requirement; the sketch path alone needs only the per-side
+    TakeOrdered top-k, never a global sort) -> two k-row TakeOrdereds
+    -> one k-row join. Sketch state is O(k) per side and mergeable:
+    union-of-sketches = k smallest of the concatenation.
+    """
+    from ..functions.hashing import md5_hash60
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    M = 1 << 60
+    per_key = (
+        df.select(
+            F.expr(key_sql).alias("key"),
+            F.expr(cond_a_sql).alias("ia"),
+            F.expr(cond_b_sql).alias("ib"),
+        )
+        .filter(F.col("ia") | F.col("ib"))
+        .groupBy("key")
+        .agg(
+            F.max(F.col("ia").cast("int")).alias("ia"),
+            F.max(F.col("ib").cast("int")).alias("ib"),
+        )
+        .select(md5_hash60(F.col("key")).alias("h"), "ia", "ib")
+    )
+    exact = per_key.agg(
+        F.sum("ia").cast("bigint").alias("n_a_exact"),
+        F.sum("ib").cast("bigint").alias("n_b_exact"),
+        F.sum((F.col("ia") + F.col("ib") == 2).cast("int"))
+        .cast("bigint")
+        .alias("n_inter_exact"),
+    )
+    ka = per_key.filter("ia = 1").select("h").orderBy("h").limit(k)
+    kb = per_key.filter("ib = 1").select("h").orderBy("h").limit(k)
+    sa = ka.agg(F.max("h").alias("mxa"), F.count(F.lit(1)).alias("ca"))
+    sb = kb.agg(F.max("h").alias("mxb"), F.count(F.lit(1)).alias("cb"))
+    th = (
+        sa.crossJoin(F.broadcast(sb))
+        .select(
+            F.least(
+                F.when(F.col("ca") == k, F.col("mxa")).otherwise(F.lit(M)),
+                F.when(F.col("cb") == k, F.col("mxb")).otherwise(F.lit(M)),
+            ).alias("theta")
+        )
+    )
+    u = (
+        ka.select("h", F.lit(1).alias("in_a"))
+        .join(kb.select("h", F.lit(1).alias("in_b")), "h", "full_outer")
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("h") < F.col("theta"))
+    )
+    samp = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+        F.coalesce(
+            F.sum(
+                (F.col("in_a").isNotNull() & F.col("in_b").isNotNull()).cast(
+                    "int"
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_inter_sample"),
+    ).crossJoin(F.broadcast(th))
+
+    def _scale(n: str) -> F.Column:
+        return F.expr(
+            f"CAST(CASE WHEN {n} = 0 THEN 0 ELSE"
+            f" CAST({n} AS DECIMAL(38,0))"
+            f" * CAST({M} AS DECIMAL(38,0))"
+            f" div CAST(theta AS DECIMAL(38,0)) END AS BIGINT)"
+        )
+
+    return (
+        samp.crossJoin(F.broadcast(exact))
+        .select(
+            "n_a_exact",
+            "n_b_exact",
+            "n_inter_exact",
+            F.col("theta").cast("bigint").alias("theta"),
+            "n_sample",
+            "n_inter_sample",
+            _scale("n_sample").alias("est_union"),
+            _scale("n_inter_sample").alias("est_inter"),
+            F.expr(
+                "CAST(CASE WHEN n_sample = 0 THEN 0 ELSE"
+                " n_inter_sample * CAST(1000000 AS BIGINT) div n_sample"
+                " END AS BIGINT)"
+            ).alias("jaccard_est_ppm"),
+        )
+    )

@@ -1036,3 +1036,94 @@ def ngram_novelty_scores(
             ).alias("novelty_ppm"),
         )
     )
+
+
+def bpe_train_merges(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Distributed BPE vocabulary induction (Sennrich et al. 2016) — the
+    tokenizer-training pass of an LLM data pipeline: learn the first
+    ``n_merges`` merge rules from the corpus and report each rule with
+    its pair frequency.
+
+    Returns one row per merge step:
+    ``(step, left_sym, right_sym, pair_count)``.
+
+    Algorithm (the standard word-frequency formulation every BPE trainer
+    uses): aggregate the corpus to a (word, freq) table once; represent
+    each word as a delimited symbol sequence; per iteration, count
+    adjacent symbol pairs weighted by word frequency (overlapping
+    occurrences count, as in the reference implementation), take the
+    most frequent pair (ties broken by (left, right) ascending), and
+    merge it everywhere.
+
+    Scale shape: the ONLY pass that sees corpus-sized data is the word
+    count (one shuffle, map-side combined). Every merge iteration runs
+    on the persisted vocabulary-bounded frame — distinct words, not
+    documents — so iteration cost is independent of corpus size; this
+    is exactly how production tokenizer trainers scale. The per-step
+    best-pair ``collect()`` is one row (bounded driver materialization,
+    the k-means-seed convention).
+
+    Exactness: symbols are wrapped as ``(sym)(sym)…`` so the merge is a
+    plain ``replace`` of ``(l)(r)`` with ``(lr)`` — left-to-right
+    non-overlapping, probe-verified identical in Spark and DuckDB (a
+    space-joined form shares delimiters between matches and diverges on
+    runs). Words are extracted as raw ``[A-Za-z]+`` then lowercased:
+    lowercasing BEFORE extraction diverges cross-engine on chars like
+    'İ' (Java lower() emits a combining dot that splits the match).
+    All counts are BIGINT; no floats anywhere.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all({text_col}, '[A-Za-z]+', 0)")
+            ).alias("w")
+        )
+        .groupBy(F.lower("w").alias("word"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = words.select(
+        F.regexp_replace("word", "(.)", r"($1)").alias("sym"), "freq"
+    ).persist()
+    try:
+        cur = syms
+        out: list[tuple[int, str, str, int]] = []
+        for step in range(1, n_merges + 1):
+            arr = F.split(
+                F.expr("substring(sym, 2, length(sym) - 2)"), r"\)\("
+            )
+            n_pairs = F.greatest(F.size(arr) - 1, F.lit(0))
+            z = F.arrays_zip(
+                F.slice(arr, 1, n_pairs), F.slice(arr, 2, n_pairs)
+            )
+            best = (
+                cur.select("freq", F.explode(z).alias("p"))
+                .groupBy(
+                    F.col("p")["0"].alias("left_sym"),
+                    F.col("p")["1"].alias("right_sym"),
+                )
+                .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+                .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            l, r, c = best[0]
+            out.append((step, l, r, int(c)))
+            cur = cur.withColumn(
+                "sym",
+                F.replace(
+                    F.col("sym"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")
+                ),
+            )
+        return spark.createDataFrame(
+            out,
+            "step INT, left_sym STRING, right_sym STRING, pair_count BIGINT",
+        )
+    finally:
+        syms.unpersist(blocking=True)

@@ -3757,3 +3757,168 @@ def _ngram_novelty_sql() -> str:
 
 
 ORACLE_SQL["tx18_ngram_novelty"] = _ngram_novelty_sql()
+
+
+def _bpe_merges_sql(n_merges: int = 8) -> str:
+    """tx19 twin: chained-CTE BPE (the q92 generated-oracle pattern).
+
+    Per step i: split the delimited symbol string, count adjacent pairs
+    weighted by word freq (overlapping occurrences, as in reference
+    BPE), pick the (count DESC, left, right) best via LIMIT 1, and
+    replace ``(l)(r)`` with ``(lr)`` — DuckDB's replace is left-to-right
+    non-overlapping, probe-verified identical to Spark's. Words are
+    extracted as raw [A-Za-z]+ then lowercased (lower-before-extract
+    diverges cross-engine on 'İ'). All counts CAST BIGINT.
+    """
+    ctes = [
+        "w AS MATERIALIZED (SELECT lower(x) AS word, CAST(COUNT(*) AS BIGINT) AS freq"
+        " FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS x"
+        " FROM documents) GROUP BY 1)",
+        r"s0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '(\1)', 'g') AS sym,"
+        " freq FROM w)",
+    ]
+    finals = []
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT str_split(substring(sym, 2, length(sym) - 2),"
+            f" ')(') AS arr, freq FROM s{p})"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT arr, freq,"
+            f" unnest(generate_series(1, len(arr) - 1)) AS i FROM a{i})"
+        )
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT arr[i] AS left_sym, arr[i+1] AS right_sym,"
+            f" CAST(SUM(freq) AS BIGINT) AS pair_count FROM e{i}"
+            f" GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"b{i} AS MATERIALIZED (SELECT left_sym, right_sym, pair_count FROM p{i}"
+            f" ORDER BY pair_count DESC, left_sym ASC, right_sym ASC"
+            f" LIMIT 1)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT replace(sym,"
+            f" '(' || (SELECT left_sym FROM b{i}) || ')('"
+            f" || (SELECT right_sym FROM b{i}) || ')',"
+            f" '(' || (SELECT left_sym FROM b{i})"
+            f" || (SELECT right_sym FROM b{i}) || ')') AS sym, freq"
+            f" FROM s{p})"
+        )
+        finals.append(
+            f"SELECT CAST({i} AS INTEGER) AS step, left_sym, right_sym,"
+            f" pair_count FROM b{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+ORACLE_SQL["tx19_bpe_merges"] = _bpe_merges_sql()
+
+
+# q94 twin: the same two derived snapshots, one FULL OUTER JOIN, per-row
+# IS DISTINCT FROM cell comparison (null-safe, matching eqNullSafe), per
+# class rollup. All counts CAST BIGINT.
+_Q94_CELLS = [
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+_Q94_DIFF = " + ".join(
+    f"(CASE WHEN a.{c} IS DISTINCT FROM b.{c} THEN 1 ELSE 0 END)"
+    for c in _Q94_CELLS
+)
+_Q94_ANY = " OR ".join(
+    f"(a.{c} IS DISTINCT FROM b.{c})" for c in _Q94_CELLS
+)
+ORACLE_SQL["q94_snapshot_diff"] = f"""
+    WITH a AS (
+        SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'
+    ),
+    b AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderstatus = 'O' THEN floor(o_totalprice)
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    ),
+    j AS (
+        SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                    WHEN b.o_orderkey IS NULL THEN 'removed'
+                    WHEN {_Q94_ANY} THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               CASE WHEN a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+                    THEN 0 ELSE {_Q94_DIFF} END AS n_diff
+        FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_diff) AS BIGINT) AS n_cells_changed
+    FROM j GROUP BY change_type
+"""
+
+
+# sk06 twin: identical md5-60 hashing, k-min via ORDER BY/LIMIT,
+# theta = least of the per-side k-th minima (M = 2^60 when a side holds
+# fewer than k), HUGEINT intermediates for n*M//theta (int64 overflows;
+# CAST BIGINT out per the lint).
+_KMV_M = 1 << 60
+_KMV_K = 128
+ORACLE_SQL["sk06_kmv_overlap"] = f"""
+    WITH pk AS MATERIALIZED (
+        SELECT CAST(('0x' || substr(md5(key), 1, 15)) AS BIGINT) AS h,
+               MAX(CASE WHEN ia THEN 1 ELSE 0 END) AS ia,
+               MAX(CASE WHEN ib THEN 1 ELSE 0 END) AS ib
+        FROM (
+            SELECT CAST(user_id AS VARCHAR) || '@'
+                       || CAST(CAST(ts AS DATE) AS VARCHAR) AS key,
+                   event_type = 'click' AS ia,
+                   event_type = 'purchase' AS ib
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ) GROUP BY key
+    ),
+    ex AS (
+        SELECT CAST(SUM(ia) AS BIGINT) AS n_a_exact,
+               CAST(SUM(ib) AS BIGINT) AS n_b_exact,
+               CAST(SUM(CASE WHEN ia + ib = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_inter_exact
+        FROM pk
+    ),
+    ka AS MATERIALIZED (
+        SELECT h FROM pk WHERE ia = 1 ORDER BY h LIMIT {_KMV_K}
+    ),
+    kb AS MATERIALIZED (
+        SELECT h FROM pk WHERE ib = 1 ORDER BY h LIMIT {_KMV_K}
+    ),
+    th AS (
+        SELECT least(
+            (SELECT CASE WHEN COUNT(*) = {_KMV_K} THEN MAX(h)
+                         ELSE {_KMV_M} END FROM ka),
+            (SELECT CASE WHEN COUNT(*) = {_KMV_K} THEN MAX(h)
+                         ELSE {_KMV_M} END FROM kb)) AS theta
+    ),
+    u AS (
+        SELECT COALESCE(ka.h, kb.h) AS h,
+               ka.h IS NOT NULL AS in_a, kb.h IS NOT NULL AS in_b
+        FROM ka FULL OUTER JOIN kb ON ka.h = kb.h
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+               CAST(COALESCE(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END),
+                             0) AS BIGINT) AS n_inter_sample
+        FROM u, th WHERE u.h < th.theta
+    )
+    SELECT n_a_exact, n_b_exact, n_inter_exact,
+           CAST(theta AS BIGINT) AS theta, n_sample, n_inter_sample,
+           CAST(CASE WHEN n_sample = 0 THEN 0
+                ELSE CAST(n_sample AS HUGEINT) * {_KMV_M} // theta
+                END AS BIGINT) AS est_union,
+           CAST(CASE WHEN n_inter_sample = 0 THEN 0
+                ELSE CAST(n_inter_sample AS HUGEINT) * {_KMV_M} // theta
+                END AS BIGINT) AS est_inter,
+           CAST(CASE WHEN n_sample = 0 THEN 0
+                ELSE n_inter_sample * CAST(1000000 AS BIGINT) // n_sample
+                END AS BIGINT) AS jaccard_est_ppm
+    FROM s, th, ex
+"""

@@ -1619,3 +1619,146 @@ def test_ngram_novelty_planted_copy(spark):
     assert 4 not in out
     assert out[1]["novelty_ppm"] == 0 and out[2]["novelty_ppm"] == 0
     assert out[3]["novelty_ppm"] == 1_000_000
+
+
+def test_bpe_merges_match_reference_implementation(spark):
+    """bpe_train_merges == the Sennrich reference algorithm (pure-Python
+    get_stats/merge_vocab with overlapping pair counts and greedy
+    left-to-right merge), on a corpus with a planted same-pair run
+    ('aaaa') that distinguishes greedy non-overlap from naive replace."""
+    import collections
+    import re
+
+    from kafkatosparktokudu_spark.operators.text import bpe_train_merges
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat aaaa aaa",
+        "low lower lowest newest",
+        "newer news the lowly aaaa",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_train_merges(docs, 8).collect()
+    ]
+
+    words = collections.Counter()
+    for t in texts:
+        for w in re.findall(r"[A-Za-z]+", t):
+            words[w.lower()] += 1
+    vocab = {tuple(w): f for w, f in words.items()}
+    ref = []
+    for step in range(1, 9):
+        stats = collections.Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += f
+        if not stats:
+            break
+        (l, r), c = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        ref.append((step, l, r, c))
+        new: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        vocab = new
+    assert got == ref
+    assert len(got) == 8
+
+
+def test_bpe_merges_rejects_bad_n_and_stops_when_exhausted(spark):
+    import pytest as _pytest
+
+    from kafkatosparktokudu_spark.operators.text import bpe_train_merges
+
+    docs = spark.createDataFrame([(0, "ab ab")], "doc_id INT, text STRING")
+    with _pytest.raises(ValueError):
+        bpe_train_merges(docs, 0)
+    # 'ab' exhausts after one merge (single symbol left) — no phantom rows.
+    rows = bpe_train_merges(docs, 5).collect()
+    assert [(r.step, r.left_sym, r.right_sym, r.pair_count) for r in rows] == [
+        (1, "a", "b", 2)
+    ]
+
+
+def test_snapshot_diff_classes_and_null_semantics(spark):
+    """added/removed/changed/unchanged classification; NULL vs NULL is
+    equal, NULL vs value differs; diff_cols names exactly the differing
+    columns (sorted); schema-evolved extra column is ignored."""
+    import pytest as _pytest
+
+    from kafkatosparktokudu_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 20.0), (3, "c", None), (4, "d", 40.0)],
+        "id INT, s STRING, v DOUBLE",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 21.0), (3, None, None), (5, "e", 50.0)],
+        "id INT, s STRING, v DOUBLE",
+    ).withColumn("extra", F.lit(1))
+    out = {
+        r["id"]: (r["change_type"], list(r["diff_cols"]))
+        for r in snapshot_diff(old, new, ["id"]).collect()
+    }
+    assert out == {
+        1: ("unchanged", []),  # exact match
+        2: ("changed", ["v"]),  # NULL s == NULL s; v differs
+        3: ("changed", ["s"]),  # 'c' vs NULL differs; NULL v == NULL v
+        4: ("removed", []),
+        5: ("added", []),
+    }
+    with _pytest.raises(ValueError):
+        snapshot_diff(old, new, [])
+    with _pytest.raises(ValueError):
+        snapshot_diff(old, new, ["id"], compare_cols=["extra"])
+
+
+def test_kmv_overlap_estimates_within_bound_and_exact_when_small(spark):
+    """Planted overlap: A = ids 0..999, B = ids 500..1499 (exact overlap
+    500). KMV k=128 estimates must land within the ~3/sqrt(k) relative
+    envelope; with k > |A u B| the sketch path must be EXACT (theta=M)."""
+    import pytest as _pytest
+
+    from kafkatosparktokudu_spark.operators.sketch import kmv_overlap
+
+    rows = [(i, "a") for i in range(1000)] + [
+        (i, "b") for i in range(500, 1500)
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, side STRING")
+    out = kmv_overlap(
+        df, "CAST(id AS STRING)", "side = 'a'", "side = 'b'", k=128
+    ).collect()[0]
+    assert (out.n_a_exact, out.n_b_exact, out.n_inter_exact) == (
+        1000,
+        1000,
+        500,
+    )
+    # union exact = 1500, inter exact = 500; 3/sqrt(128) ~ 0.27
+    assert abs(out.est_union - 1500) <= 0.30 * 1500
+    assert abs(out.est_inter - 500) <= 0.30 * 1500
+    # exact regime: k larger than both sides -> theta = 2^60, estimates exact
+    small = kmv_overlap(
+        df.filter("id < 50 OR (id >= 500 AND id < 520)"),
+        "CAST(id AS STRING)",
+        "side = 'a'",
+        "side = 'b'",
+        k=128,
+    ).collect()[0]
+    assert small.theta == 1 << 60
+    assert small.est_union == small.n_sample
+    assert small.est_inter == small.n_inter_exact
+    with _pytest.raises(ValueError):
+        kmv_overlap(df, "CAST(id AS STRING)", "side='a'", "side='b'", k=1)
