@@ -442,8 +442,20 @@ def kmv_overlap(
         .cast("bigint")
         .alias("n_inter_exact"),
     )
-    ka = per_key.filter("ia = 1").select("h").orderBy("h").limit(k)
-    kb = per_key.filter("ib = 1").select("h").orderBy("h").limit(k)
+    # Each side's sketch is a k-row TakeOrdered over the hashed key
+    # stream. Pin both (persist + materialize): theta, the union sample
+    # AND the side stats all read them — unpinned, every consumer
+    # re-runs the corpus scan (the px09/gr02 multi-reference lesson;
+    # measured 5 scans of events instead of 3). k rows each, so the
+    # cache is O(k) — nothing at corpus scale is cached.
+    ka = (
+        per_key.filter("ia = 1").select("h").orderBy("h").limit(k).persist()
+    )
+    kb = (
+        per_key.filter("ib = 1").select("h").orderBy("h").limit(k).persist()
+    )
+    ka.count()
+    kb.count()
     sa = ka.agg(F.max("h").alias("mxa"), F.count(F.lit(1)).alias("ca"))
     sb = kb.agg(F.max("h").alias("mxb"), F.count(F.lit(1)).alias("cb"))
     th = (

@@ -438,3 +438,27 @@ def test_sk04_driver_sees_only_registers(spark):
     bucket hash agg, bounded at 4096 groups."""
     plan = _plan(spark, "sk04_hll_distinct")
     assert "Exchange hashpartitioning(bucket" in plan, plan
+
+
+def test_q94_snapshot_diff_single_keyed_join_no_nested_loop(spark):
+    """The snapshot diff is ONE keyed full-outer join (SortMergeJoin on
+    the key) + a hash rollup — never a nested-loop/cartesian shape, and
+    the per-column compare is a projection, not extra joins."""
+    plan = _plan(spark, "q94_snapshot_diff")
+    assert plan.count("SortMergeJoin") == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sk06_kmv_sketch_uses_takeordered_kmin(spark):
+    """Each side's k-minimum-values sketch must compile to
+    TakeOrderedAndProject (per-partition partial top-k) — never a global
+    Sort of the hashed key stream — and the k-row sketches must be
+    PINNED (InMemoryTableScan) so theta/sample/stats consumers don't
+    re-run the corpus scan. (Counting TakeOrdered nodes in the
+    treeString would double-count InMemoryRelation build-lineage
+    prints — the NOTES plan-audit trap — so assert presence + pin.)"""
+    plan = _plan(spark, "sk06_kmv_overlap")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
