@@ -638,3 +638,60 @@ def stream_zscore_anomalies(
     return events.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Streaming funnel tracker — the live twin of the batch strict-order
+    funnel (plans/queries.py::q80_event_funnel): per-user state is the
+    first completion time of each step; a stage-advancement row
+    ``(user_id, stage, ts)`` streams out the moment a user first reaches
+    each stage, with step N only reachable STRICTLY AFTER step N-1
+    (q80's ``ts > t_prev`` rule).
+
+    Parity with the batch funnel (pinned by test): processing each
+    micro-batch in (ts, event_id) order makes greedy first-match
+    identical to batch's min-over-qualifying — ``min(ts of step-N
+    events with ts > t_{N-1})`` is exactly the first qualifying event
+    in time order. Parity holds when arrival order respects event time
+    per user (the stream_zscore_anomalies caveat); late data advances
+    stages as-of arrival.
+
+    Scale: O(len(steps)) bigint state per user — the smallest possible
+    funnel state — hash-partitioned by the groupBy; emissions are
+    append-only and at most len(steps) rows per user ever.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n_steps = len(steps)
+    if n_steps < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    step_idx = {s: i for i, s in enumerate(steps)}
+    out_schema = "user_id bigint, stage int, ts timestamp"
+    state_schema = "t array<bigint>"  # -1 = stage not reached
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        t = list(state.get[0]) if state.exists else [-1] * n_steps
+        out_rows = []
+        frames = [p for p in pdfs]
+        if frames:
+            pdf = pd.concat(frames).sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                i = step_idx.get(row["event_type"])
+                if i is None or t[i] >= 0:
+                    continue
+                us = int(pd.Timestamp(row["ts"]).value // 1000)
+                if i == 0 or (t[i - 1] >= 0 and us > t[i - 1]):
+                    t[i] = us
+                    out_rows.append(
+                        (int(key[0]), i + 1, pd.Timestamp(us * 1000))
+                    )
+        state.update((t,))
+        yield pd.DataFrame(out_rows, columns=["user_id", "stage", "ts"])
+
+    return _event_time(events, "ts").groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

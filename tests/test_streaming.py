@@ -1390,3 +1390,70 @@ def test_stream_zscore_matches_batch_across_restart(spark, tmp_path):
         for r in rolling_zscore_anomalies(events).collect()
     )
     assert got == want
+
+
+def test_stream_funnel_matches_batch_across_restart(spark, tmp_path):
+    """Streaming funnel == the batch q80 strict-order funnel per user:
+    two checkpointed availableNow runs over a time-split corpus must
+    emit exactly the batch (user, stage, ts) advancement set."""
+    from kafkatosparktokudu_spark.streaming.pipeline import stream_funnel
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    cut = "2024-01-16"
+    src = tmp_path / "fn_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "fn_ckpt")
+    out = str(tmp_path / "fn_out")
+    events.filter(F.col("ts") < cut).write.parquet(str(src / "a"))
+
+    def run():
+        stream = spark.readStream.schema(events.schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = (
+            stream_funnel(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    events.filter(F.col("ts") >= cut).write.parquet(str(src / "b"))
+    run()
+
+    got = sorted(
+        (r["user_id"], r["stage"], r["ts"])
+        for r in spark.read.parquet(out).collect()
+    )
+
+    e = events.select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    want = sorted(
+        [(r["user_id"], 1, r["t1"]) for r in s1.collect()]
+        + [(r["user_id"], 2, r["t2"]) for r in s2.collect()]
+        + [(r["user_id"], 3, r["t3"]) for r in s3.collect()]
+    )
+    assert got == want
+    assert len(got) == 45  # all 15 sf0.001 users complete all 3 stages
