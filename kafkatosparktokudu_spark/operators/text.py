@@ -1090,40 +1090,145 @@ def bpe_train_merges(
         F.regexp_replace("word", "(.)", r"($1)").alias("sym"), "freq"
     ).persist()
     try:
-        cur = syms
-        out: list[tuple[int, str, str, int]] = []
-        for step in range(1, n_merges + 1):
-            arr = F.split(
-                F.expr("substring(sym, 2, length(sym) - 2)"), r"\)\("
-            )
-            n_pairs = F.greatest(F.size(arr) - 1, F.lit(0))
-            z = F.arrays_zip(
-                F.slice(arr, 1, n_pairs), F.slice(arr, 2, n_pairs)
-            )
-            best = (
-                cur.select("freq", F.explode(z).alias("p"))
-                .groupBy(
-                    F.col("p")["0"].alias("left_sym"),
-                    F.col("p")["1"].alias("right_sym"),
-                )
-                .agg(F.sum("freq").cast("bigint").alias("pair_count"))
-                .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
-                .limit(1)
-                .collect()
-            )
-            if not best:
-                break
-            l, r, c = best[0]
-            out.append((step, l, r, int(c)))
-            cur = cur.withColumn(
-                "sym",
-                F.replace(
-                    F.col("sym"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")
-                ),
-            )
+        out, _ = _bpe_merge_loop(syms, n_merges)
         return spark.createDataFrame(
             out,
             "step INT, left_sym STRING, right_sym STRING, pair_count BIGINT",
         )
     finally:
         syms.unpersist(blocking=True)
+
+
+def _bpe_merge_loop(
+    syms: DataFrame, n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """The BPE merge iterations shared by train (tx19) and encode (tx20).
+
+    ``syms`` must carry ``sym`` (delimited ``(s)(s)…`` symbol string) and
+    ``freq``; any other columns (e.g. ``word``) ride along untouched.
+    Returns the merge rows and the frame with every learned merge
+    applied — the latter IS the vocabulary's tokenization. Each step's
+    best-pair ``collect()`` is one row (bounded driver materialization,
+    the k-means-seed convention)."""
+    cur = syms
+    out: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        arr = F.split(
+            F.expr("substring(sym, 2, length(sym) - 2)"), r"\)\("
+        )
+        n_pairs = F.greatest(F.size(arr) - 1, F.lit(0))
+        z = F.arrays_zip(
+            F.slice(arr, 1, n_pairs), F.slice(arr, 2, n_pairs)
+        )
+        best = (
+            cur.select("freq", F.explode(z).alias("p"))
+            .groupBy(
+                F.col("p")["0"].alias("left_sym"),
+                F.col("p")["1"].alias("right_sym"),
+            )
+            .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, c = best[0]
+        out.append((step, l, r, int(c)))
+        cur = cur.withColumn(
+            "sym",
+            F.replace(
+                F.col("sym"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")
+            ),
+        )
+    return out, cur
+
+
+def bpe_encode_stats(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Apply a corpus-trained BPE tokenizer to every document (tx20) —
+    the tokenizer-APPLICATION pass that follows tx19's training pass:
+    learn ``n_merges`` merge rules from the corpus itself, tokenize each
+    document with them, and report per-document token statistics.
+
+    Returns one row per document:
+    ``(doc_id, n_words, n_tokens, n_chars_alpha, cpt_ppm)`` where
+    ``cpt_ppm`` is alphabetic-chars-per-token in parts-per-million — the
+    compression ratio tokenizer teams track; documents with no
+    ``[A-Za-z]+`` words report all-zero stats.
+
+    Scale shape (the production tokenizer-apply shape): the ONLY
+    corpus-sized work is one (doc_id, word) count shuffle; the merge
+    loop and the per-word token counts run on the vocabulary-bounded
+    distinct-word frame, and encoding is a word-keyed join of the doc
+    word counts against that vocabulary — never a per-document scan of
+    the merge table. The (doc_id, word) frame is persisted and reused
+    by the vocabulary derivation and the final join, so the raw corpus
+    is tokenized exactly once.
+
+    Exactness: token counts are ``(``-delimiter counts on the merged
+    symbol string — all BIGINT, no floats; the ratio is integer ppm.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    dw = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"regexp_extract_all({text_col}, '[A-Za-z]+', 0)")
+            ).alias("w"),
+        )
+        .groupBy("doc_id", F.lower("w").alias("word"))
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .persist()
+    )
+    words = dw.groupBy("word").agg(
+        F.sum("n_occ").cast("bigint").alias("freq")
+    )
+    # Persisted like tx19's syms: every merge iteration (and the final
+    # join's recompute of the merged chain) reads the vocabulary-bounded
+    # cache instead of re-running the word-count shuffle per step.
+    syms = words.select(
+        "word",
+        F.regexp_replace("word", "(.)", r"($1)").alias("sym"),
+        "freq",
+    ).persist()
+    _, merged = _bpe_merge_loop(syms, n_merges)
+    vocab_tok = merged.select(
+        "word",
+        (
+            F.length("sym")
+            - F.length(F.replace(F.col("sym"), F.lit("("), F.lit("")))
+        )
+        .cast("bigint")
+        .alias("n_tok_word"),
+    )
+    agg = (
+        dw.join(vocab_tok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("bigint").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("n_tok_word"))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.sum(F.col("n_occ") * F.length("word"))
+            .cast("bigint")
+            .alias("n_chars_alpha"),
+        )
+    )
+    filled = docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce("n_chars_alpha", F.lit(0))
+        .cast("bigint")
+        .alias("n_chars_alpha"),
+    )
+    return filled.withColumn(
+        "cpt_ppm",
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE n_chars_alpha * CAST(1000000 AS BIGINT) div n_tokens END"
+        ),
+    )

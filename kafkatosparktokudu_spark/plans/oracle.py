@@ -3759,25 +3759,13 @@ def _ngram_novelty_sql() -> str:
 ORACLE_SQL["tx18_ngram_novelty"] = _ngram_novelty_sql()
 
 
-def _bpe_merges_sql(n_merges: int = 8) -> str:
-    """tx19 twin: chained-CTE BPE (the q92 generated-oracle pattern).
-
-    Per step i: split the delimited symbol string, count adjacent pairs
-    weighted by word freq (overlapping occurrences, as in reference
-    BPE), pick the (count DESC, left, right) best via LIMIT 1, and
-    replace ``(l)(r)`` with ``(lr)`` — DuckDB's replace is left-to-right
-    non-overlapping, probe-verified identical to Spark's. Words are
-    extracted as raw [A-Za-z]+ then lowercased (lower-before-extract
-    diverges cross-engine on 'İ'). All counts CAST BIGINT.
-    """
-    ctes = [
-        "w AS MATERIALIZED (SELECT lower(x) AS word, CAST(COUNT(*) AS BIGINT) AS freq"
-        " FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS x"
-        " FROM documents) GROUP BY 1)",
-        r"s0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '(\1)', 'g') AS sym,"
-        " freq FROM w)",
-    ]
-    finals = []
+def _bpe_iter_ctes(n_merges: int, carry: str = "") -> tuple[list[str], list[str]]:
+    """The per-step BPE CTE block shared by tx19 (train) and tx20
+    (encode): count adjacent pairs weighted by freq, pick the
+    (count DESC, left, right) best via LIMIT 1, replace ``(l)(r)`` with
+    ``(lr)``. ``carry`` prefixes extra columns (e.g. ``"word, "``) that
+    ride through the s-chain. Returns (ctes, per-step final selects)."""
+    ctes, finals = [], []
     for i in range(1, n_merges + 1):
         p = i - 1
         ctes.append(
@@ -3799,7 +3787,7 @@ def _bpe_merges_sql(n_merges: int = 8) -> str:
             f" LIMIT 1)"
         )
         ctes.append(
-            f"s{i} AS MATERIALIZED (SELECT replace(sym,"
+            f"s{i} AS MATERIALIZED (SELECT {carry}replace(sym,"
             f" '(' || (SELECT left_sym FROM b{i}) || ')('"
             f" || (SELECT right_sym FROM b{i}) || ')',"
             f" '(' || (SELECT left_sym FROM b{i})"
@@ -3810,10 +3798,79 @@ def _bpe_merges_sql(n_merges: int = 8) -> str:
             f"SELECT CAST({i} AS INTEGER) AS step, left_sym, right_sym,"
             f" pair_count FROM b{i}"
         )
+    return ctes, finals
+
+
+def _bpe_merges_sql(n_merges: int = 8) -> str:
+    """tx19 twin: chained-CTE BPE (the q92 generated-oracle pattern).
+
+    Per step i: split the delimited symbol string, count adjacent pairs
+    weighted by word freq (overlapping occurrences, as in reference
+    BPE), pick the (count DESC, left, right) best via LIMIT 1, and
+    replace ``(l)(r)`` with ``(lr)`` — DuckDB's replace is left-to-right
+    non-overlapping, probe-verified identical to Spark's. Words are
+    extracted as raw [A-Za-z]+ then lowercased (lower-before-extract
+    diverges cross-engine on 'İ'). All counts CAST BIGINT.
+    """
+    ctes = [
+        "w AS MATERIALIZED (SELECT lower(x) AS word, CAST(COUNT(*) AS BIGINT) AS freq"
+        " FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS x"
+        " FROM documents) GROUP BY 1)",
+        r"s0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '(\1)', 'g') AS sym,"
+        " freq FROM w)",
+    ]
+    iters, finals = _bpe_iter_ctes(n_merges)
+    ctes += iters
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
 
 
 ORACLE_SQL["tx19_bpe_merges"] = _bpe_merges_sql()
+
+
+def _bpe_encode_sql(n_merges: int = 8) -> str:
+    """tx20 twin: the tx19 merge chain carrying ``word`` through the
+    s-CTEs, then per-word token counts = ``(``-delimiter counts on the
+    final symbol string, joined back to the per-document word counts.
+    Documents with no alphabetic words report all-zero stats (LEFT JOIN
+    + COALESCE). All counts CAST BIGINT; the ratio is integer ppm."""
+    ctes = [
+        "dw AS MATERIALIZED (SELECT doc_id, lower(x) AS word,"
+        " CAST(COUNT(*) AS BIGINT) AS n_occ FROM"
+        " (SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS x"
+        " FROM documents) GROUP BY 1, 2)",
+        "w AS MATERIALIZED (SELECT word, CAST(SUM(n_occ) AS BIGINT) AS freq"
+        " FROM dw GROUP BY 1)",
+        r"s0 AS MATERIALIZED (SELECT word, regexp_replace(word, '(.)', '(\1)', 'g')"
+        " AS sym, freq FROM w)",
+    ]
+    iters, _ = _bpe_iter_ctes(n_merges, carry="word, ")
+    ctes += iters
+    ctes.append(
+        f"tok AS (SELECT word, CAST(length(sym)"
+        f" - length(replace(sym, '(', '')) AS BIGINT) AS n_tok_word"
+        f" FROM s{n_merges})"
+    )
+    ctes.append(
+        "agg AS (SELECT doc_id, CAST(SUM(n_occ) AS BIGINT) AS n_words,"
+        " CAST(SUM(n_occ * n_tok_word) AS BIGINT) AS n_tokens,"
+        " CAST(SUM(n_occ * length(word)) AS BIGINT) AS n_chars_alpha"
+        " FROM dw JOIN tok USING (word) GROUP BY 1)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT d.doc_id,"
+        " CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,"
+        " CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,"
+        " CAST(COALESCE(n_chars_alpha, 0) AS BIGINT) AS n_chars_alpha,"
+        " CAST(CASE WHEN COALESCE(n_tokens, 0) = 0 THEN 0"
+        " ELSE COALESCE(n_chars_alpha, 0) * CAST(1000000 AS BIGINT)"
+        " // n_tokens END AS BIGINT) AS cpt_ppm"
+        "\nFROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"
+    )
+
+
+ORACLE_SQL["tx20_bpe_encode"] = _bpe_encode_sql()
 
 
 # q94 twin: the same two derived snapshots, one FULL OUTER JOIN, per-row

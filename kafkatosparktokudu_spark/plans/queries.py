@@ -3378,7 +3378,20 @@ def tx19_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(_t(spark, sf_dir, "documents"))
 
 
+# BPE tokenizer application (operators/text.py::bpe_encode_stats) — the
+# pass that follows tx19: tokenize every document with the corpus-trained
+# merges and report per-doc token counts + chars-per-token compression.
+# One corpus-sized (doc_id, word) shuffle; the merge loop and per-word
+# token counts run on the vocabulary-bounded frame; encoding is a
+# word-keyed join, never a per-document merge-table scan.
+def tx20_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_encode_stats
+
+    return bpe_encode_stats(_t(spark, sf_dir, "documents"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tx20_bpe_encode": tx20_bpe_encode,
     "tx19_bpe_merges": tx19_bpe_merges,
     "q94_snapshot_diff": q94_snapshot_diff,
     "sk06_kmv_overlap": sk06_kmv_overlap,
@@ -3439,7 +3452,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_pub_event": cdc_pub_event,
     "cdc_stream_emp_state": cdc_stream_emp_state,
     "ss08_pq_adc_topk": ss08_pq_adc_topk,
-    "q73_session_overlap": q73_session_overlap,
     # --- new in round 5 ---
     "dd09_dup_spans": dd09_dup_spans,
     "px05_exactsubstr_scrub": px05_exactsubstr_scrub,
@@ -3450,8 +3462,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # behind the three cdc_emp_history* rows); ss06/px09/gr02/dq02 are
     # unchanged with fresh green r05 rows, so they yield their slots
     "tx15_bigram_surprisal": tx15_bigram_surprisal,
-    # q80-q82 displaced below the window by the round-7 additions
-    # (tx19/q94/sk06): unchanged since their green r06 rows.
+    # q80-q82 + q73 displaced below the window by the round-7 additions
+    # (tx19/q94/sk06/tx20): unchanged since their green r06 rows.
+    "q73_session_overlap": q73_session_overlap,
     "q80_event_funnel": q80_event_funnel,
     "q81_retention_cohorts": q81_retention_cohorts,
     "q82_event_transitions": q82_event_transitions,

@@ -1693,6 +1693,91 @@ def test_bpe_merges_rejects_bad_n_and_stops_when_exhausted(spark):
     ]
 
 
+def test_bpe_encode_matches_reference_implementation(spark):
+    """bpe_encode_stats == pure-Python train-then-encode: learn 8 merges
+    (Sennrich reference), greedily apply them in order to every word,
+    and count tokens per document. Includes a doc with no alphabetic
+    words (all-zero stats) and the planted 'aaaa' same-pair run."""
+    import collections
+    import re
+
+    import pytest as _pytest
+
+    from kafkatosparktokudu_spark.operators.text import bpe_encode_stats
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat aaaa aaa",
+        "low lower lowest newest",
+        "newer news the lowly aaaa",
+        "123 456 --- !!!",  # no [A-Za-z]+ words
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    with _pytest.raises(ValueError):
+        bpe_encode_stats(docs, 0)
+    got = sorted(
+        (r.doc_id, r.n_words, r.n_tokens, r.n_chars_alpha, r.cpt_ppm)
+        for r in bpe_encode_stats(docs, 8).collect()
+    )
+
+    words = collections.Counter()
+    for t in texts:
+        for w in re.findall(r"[A-Za-z]+", t):
+            words[w.lower()] += 1
+    vocab = {tuple(w): f for w, f in words.items()}
+    merges = []
+    for _ in range(8):
+        stats = collections.Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += f
+        if not stats:
+            break
+        (l, r), _c = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((l, r))
+        new: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        vocab = new
+
+    def encode_len(w):
+        syms = list(w)
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    ref = []
+    for d, t in enumerate(texts):
+        ws = [w.lower() for w in re.findall(r"[A-Za-z]+", t)]
+        n_words = len(ws)
+        n_tokens = sum(encode_len(w) for w in ws)
+        n_chars = sum(len(w) for w in ws)
+        cpt = n_chars * 1_000_000 // n_tokens if n_tokens else 0
+        ref.append((d, n_words, n_tokens, n_chars, cpt))
+    assert got == sorted(ref)
+    assert got[5 - 1][1:] == (0, 0, 0, 0)
+
+
 def test_snapshot_diff_classes_and_null_semantics(spark):
     """added/removed/changed/unchanged classification; NULL vs NULL is
     equal, NULL vs value differs; diff_cols names exactly the differing
