@@ -513,3 +513,152 @@ def kmv_overlap(
             ).alias("jaccard_est_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram quantile sketch (sk07) — the mergeable quantile
+# summary every metrics/percentile system keeps (equi-width variant of the
+# t-digest/KLL role, chosen here because its state and its estimates are
+# INTEGER-exact and therefore cross-engine oracle-able; q59 covers Spark's
+# built-in approx_percentile as the rows-only twin). State is (bin_id,
+# bin_n) — O(domain / bin_w) rows regardless of input size — and merging
+# partial histograms is a plain per-bin SUM, so per-day/per-shard sketches
+# fold without rescanning data (the sk05 HLL-union argument, for ranks).
+# ---------------------------------------------------------------------------
+
+
+def histogram_bins(
+    df: DataFrame,
+    value_sql: str,
+    bin_w: int = 65536,
+    max_bins: int = 1 << 20,
+) -> DataFrame:
+    """One-pass histogram state: ``(bin_id, bin_n)`` with
+    ``bin_id = value div bin_w``.
+
+    Contract: ``value_sql`` must evaluate to a NON-NEGATIVE BIGINT
+    (integer units, e.g. cents — Spark's ``div`` truncates toward zero
+    while DuckDB's ``//`` floors, so negatives would diverge); a negative
+    value or a bin beyond ``max_bins`` raises instead of silently
+    producing an unbounded-domain histogram (the single-partition
+    cumulative window downstream is only safe because the bin count is
+    bounded).
+
+    Scale shape: one scan, one map-side-combined hash agg on bin_id —
+    the shuffle carries at most ``max_bins`` rows.
+    """
+    return (
+        df.select(F.expr(value_sql).cast("bigint").alias("_c"))
+        .select(
+            F.expr(
+                f"CASE WHEN _c >= 0 AND _c div {bin_w} <= {max_bins}"
+                f" THEN _c div {bin_w}"
+                f" ELSE raise_error('histogram_bins: value out of"
+                f" [0, bin_w*max_bins] domain') END"
+            ).alias("bin_id")
+        )
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("bin_n"))
+    )
+
+
+def histogram_quantiles_from_bins(
+    bins: DataFrame,
+    quantiles_ppm: tuple[int, ...] = (
+        250000,
+        500000,
+        750000,
+        900000,
+        990000,
+    ),
+    bin_w: int = 65536,
+) -> DataFrame:
+    """Quantile estimates from (possibly pre-merged partial) histogram
+    state: partials re-aggregate by per-bin SUM — the mergeability that
+    makes this the 100 TB percentile tool — then for each requested
+    quantile ``q_ppm`` the target rank is ``ceil(q·n)`` and the estimate
+    interpolates inside the covering bin:
+
+        est = bin_lo + (rank − cum_before) · bin_w div (bin_n + 1)
+
+    All integer arithmetic (exact cross-engine); headroom: rank·bin_w
+    <= n·2^16 stays far inside int64 at 10^12 rows.
+
+    The cumulative window and the rank join run on the BOUNDED histogram
+    frame (<= max_bins rows — a single-partition window over sketch
+    state, never over data), with the 5-row quantile frame broadcast.
+    """
+    from pyspark.sql import Window
+
+    # Pin the bounded sketch state (the sk06 KMV convention): the
+    # cumulative-window branch and the total-count branch both reference
+    # this frame — unpinned, each consumer would re-run the corpus scan.
+    hist = (
+        bins.groupBy("bin_id")
+        .agg(F.sum("bin_n").cast("bigint").alias("bin_n"))
+        .persist()
+    )
+    hist.count()
+    w = Window.orderBy("bin_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    hist = hist.select(
+        "bin_id",
+        "bin_n",
+        F.coalesce(F.sum("bin_n").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("cum_before"),
+    )
+    total = hist.agg(F.sum("bin_n").cast("bigint").alias("_n"))
+    ranks = total.select(
+        F.explode(
+            F.array(*[F.lit(q).cast("bigint") for q in quantiles_ppm])
+        ).alias("q_ppm"),
+        "_n",
+    ).select(
+        "q_ppm",
+        F.expr(
+            "(q_ppm * _n + CAST(999999 AS BIGINT))"
+            " div CAST(1000000 AS BIGINT)"
+        )
+        .cast("bigint")
+        .alias("target_rank"),
+    )
+    j = hist.join(
+        F.broadcast(ranks),
+        (F.col("cum_before") < F.col("target_rank"))
+        & (F.col("cum_before") + F.col("bin_n") >= F.col("target_rank")),
+    )
+    return j.select(
+        "q_ppm",
+        "target_rank",
+        "bin_id",
+        (F.col("bin_id") * bin_w).cast("bigint").alias("bin_lo_cents"),
+        "bin_n",
+        "cum_before",
+        F.expr(
+            f"CAST(bin_id * {bin_w} + (target_rank - cum_before)"
+            f" * {bin_w} div (bin_n + 1) AS BIGINT)"
+        ).alias("est_cents"),
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_sql: str,
+    quantiles_ppm: tuple[int, ...] = (
+        250000,
+        500000,
+        750000,
+        900000,
+        990000,
+    ),
+    bin_w: int = 65536,
+) -> DataFrame:
+    """Build the histogram sketch and estimate quantiles in one plan
+    (sk07). See histogram_bins / histogram_quantiles_from_bins."""
+    return histogram_quantiles_from_bins(
+        histogram_bins(df, value_sql, bin_w=bin_w),
+        quantiles_ppm=quantiles_ppm,
+        bin_w=bin_w,
+    )

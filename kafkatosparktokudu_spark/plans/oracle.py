@@ -3979,3 +3979,44 @@ ORACLE_SQL["sk06_kmv_overlap"] = f"""
                 END AS BIGINT) AS jaccard_est_ppm
     FROM s, th, ex
 """
+
+
+# sk07 twin: identical integer histogram arithmetic — DECIMAL(12,2) cents,
+# 2^16-cent bins, ceil-rank targets, in-bin integer interpolation. The
+# cumulative window runs over the bounded bin frame; `//` floors but every
+# operand is non-negative, matching Spark's `div`. All outputs CAST BIGINT.
+_SK07_W = 65536
+ORACLE_SQL["sk07_histogram_quantiles"] = f"""
+    WITH h AS MATERIALIZED (
+        SELECT CAST(c // {_SK07_W} AS BIGINT) AS bin_id,
+               CAST(COUNT(*) AS BIGINT) AS bin_n
+        FROM (
+            SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS c
+            FROM lineitem
+        ) GROUP BY 1
+    ),
+    ch AS (
+        SELECT bin_id, bin_n,
+               CAST(COALESCE(SUM(bin_n) OVER (ORDER BY bin_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+        FROM h
+    ),
+    t AS (SELECT CAST(SUM(bin_n) AS BIGINT) AS _n FROM h),
+    r AS (
+        SELECT CAST(q_ppm AS BIGINT) AS q_ppm,
+               CAST((CAST(q_ppm AS BIGINT) * _n + 999999) // 1000000
+                   AS BIGINT) AS target_rank
+        FROM (SELECT unnest([250000, 500000, 750000, 900000, 990000])
+                  AS q_ppm), t
+    )
+    SELECT r.q_ppm, r.target_rank, ch.bin_id,
+           CAST(ch.bin_id * {_SK07_W} AS BIGINT) AS bin_lo_cents,
+           ch.bin_n, ch.cum_before,
+           CAST(ch.bin_id * {_SK07_W} + (r.target_rank - ch.cum_before)
+                * {_SK07_W} // (ch.bin_n + 1) AS BIGINT) AS est_cents
+    FROM r JOIN ch
+      ON ch.cum_before < r.target_rank
+     AND ch.cum_before + ch.bin_n >= r.target_rank
+"""

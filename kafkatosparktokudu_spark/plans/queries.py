@@ -3332,6 +3332,23 @@ def q93_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # estimates from two O(k) mergeable sketches. Completes the sketch
 # family with the SET-OPERATION estimator (HLL can union but never
 # intersect; KMV/theta does both).
+# Mergeable histogram quantile sketch (operators/sketch.py::
+# histogram_quantiles) — price percentiles from O(bins) sketch state:
+# one map-side-combined bin count, a cumulative window over the BOUNDED
+# histogram frame, integer-interpolated estimates. Partial histograms
+# merge by per-bin SUM (pinned by the mergeability test), the property
+# that folds per-day sketches without rescanning — the rank analogue of
+# sk05's HLL register union. q59 (approx_percentile) stays the
+# rows-only built-in twin.
+def sk07_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import histogram_quantiles
+
+    return histogram_quantiles(
+        _t(spark, sf_dir, "lineitem"),
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)",
+    )
+
+
 def sk06_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketch import kmv_overlap
 
@@ -3392,6 +3409,7 @@ def tx20_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx20_bpe_encode": tx20_bpe_encode,
+    "sk07_histogram_quantiles": sk07_histogram_quantiles,
     "tx19_bpe_merges": tx19_bpe_merges,
     "q94_snapshot_diff": q94_snapshot_diff,
     "sk06_kmv_overlap": sk06_kmv_overlap,
@@ -3435,7 +3453,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss07_pq_encode": ss07_pq_encode,
     "sk03_cms_expr": sk03_cms_expr,
     "ss10_ivf_deploy_topk": ss10_ivf_deploy_topk,
-    "q83_locf_gapfill": q83_locf_gapfill,
     "q78_customer_cohorts": q78_customer_cohorts,
     "q79_stratified_sample": q79_stratified_sample,
     "ss04_ivf_topk": ss04_ivf_topk,
@@ -3462,9 +3479,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # behind the three cdc_emp_history* rows); ss06/px09/gr02/dq02 are
     # unchanged with fresh green r05 rows, so they yield their slots
     "tx15_bigram_surprisal": tx15_bigram_surprisal,
-    # q80-q82 + q73 displaced below the window by the round-7 additions
-    # (tx19/q94/sk06/tx20): unchanged since their green r06 rows.
+    # q80-q83 + q73 displaced below the window by the round-7 additions
+    # (tx19/q94/sk06/tx20/sk07): unchanged since their green r06 rows.
     "q73_session_overlap": q73_session_overlap,
+    "q83_locf_gapfill": q83_locf_gapfill,
     "q80_event_funnel": q80_event_funnel,
     "q81_retention_cohorts": q81_retention_cohorts,
     "q82_event_transitions": q82_event_transitions,

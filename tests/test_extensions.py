@@ -1847,3 +1847,53 @@ def test_kmv_overlap_estimates_within_bound_and_exact_when_small(spark):
     assert small.est_inter == small.n_inter_exact
     with _pytest.raises(ValueError):
         kmv_overlap(df, "CAST(id AS STRING)", "side='a'", "side='b'", k=1)
+
+
+def test_histogram_quantiles_mergeable_and_within_bin(spark):
+    """sk07: (1) per-shard partial histograms folded by per-bin SUM give
+    IDENTICAL estimates to the direct sketch (mergeability — the reason
+    the sketch exists); (2) every estimate lands inside the covering bin
+    of the true quantile, so |est - exact| < bin_w; (3) the domain guard
+    raises on negative values."""
+    import pytest as _pytest
+
+    from kafkatosparktokudu_spark.operators.sketch import (
+        histogram_bins,
+        histogram_quantiles,
+        histogram_quantiles_from_bins,
+    )
+
+    vals = [(i, (i * 7919) % 100000) for i in range(2000)]
+    df = spark.createDataFrame(vals, "id INT, v INT")
+    direct = sorted(
+        tuple(r) for r in histogram_quantiles(
+            df, "CAST(v AS BIGINT)", bin_w=1024
+        ).collect()
+    )
+
+    # mergeability: three disjoint shards, unioned partial state
+    parts = [
+        histogram_bins(df.filter(f"id % 3 = {m}"), "CAST(v AS BIGINT)", bin_w=1024)
+        for m in range(3)
+    ]
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    merged = sorted(
+        tuple(r)
+        for r in histogram_quantiles_from_bins(u, bin_w=1024).collect()
+    )
+    assert merged == direct
+
+    # within-bin error bound vs the exact lower quantile
+    xs = sorted(v for _, v in vals)
+    n = len(xs)
+    for q_ppm, target_rank, bin_id, lo, bin_n, cum_before, est in direct:
+        r = (q_ppm * n + 999999) // 1000000
+        assert target_rank == r
+        exact = xs[r - 1]
+        assert lo <= exact < lo + 1024
+        assert lo <= est < lo + 1024
+
+    # domain guard
+    bad = spark.createDataFrame([(-5,)], "v INT")
+    with _pytest.raises(Exception, match="histogram_bins"):
+        histogram_bins(bad, "CAST(v AS BIGINT)").collect()

@@ -462,3 +462,16 @@ def test_sk06_kmv_sketch_uses_takeordered_kmin(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "InMemoryTableScan" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_sk07_histogram_scan_pruned_and_state_pinned(spark):
+    """sk07: the corpus scan reads ONLY the value column (ReadSchema
+    pruned to l_extendedprice), the bin count is a map-side-combined
+    hash agg on bin_id, and the bounded histogram state is PINNED
+    (InMemoryTableScan) so the cumulative-window branch and the
+    total-count branch don't each re-run the corpus scan. The only
+    SinglePartition stages operate on sketch state, never on data."""
+    plan = _plan(spark, "sk07_histogram_quantiles")
+    assert "Exchange hashpartitioning(bin_id" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "struct<l_extendedprice:double>" in plan, plan
