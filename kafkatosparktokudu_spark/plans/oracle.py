@@ -4020,3 +4020,31 @@ ORACLE_SQL["sk07_histogram_quantiles"] = f"""
       ON ch.cum_before < r.target_rank
      AND ch.cum_before + ch.bin_n >= r.target_rank
 """
+
+
+# q95 twin: row_number endpoints instead of struct min/max — same
+# deterministic (ts, event_id) ordering, identical DECIMAL(12,2) values,
+# one final double cast per output. dsum convention for v_sum.
+ORACLE_SQL["q95_ohlc_candles"] = """
+    WITH b AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+               CAST(value AS DECIMAL(12,2)) AS v, ts, event_id
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, bucket_ts, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket_ts
+                   ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket_ts
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM b
+    )
+    SELECT event_type, bucket_ts,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN v END) AS DOUBLE) AS open_v,
+           CAST(MAX(v) AS DOUBLE) AS high_v,
+           CAST(MIN(v) AS DOUBLE) AS low_v,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN v END) AS DOUBLE) AS close_v,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS v_sum
+    FROM r GROUP BY 1, 2
+"""

@@ -3326,6 +3326,39 @@ def q93_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_zscore_anomalies(_t(spark, sf_dir, "events"))
 
 
+# Hourly OHLC candles per event type — the time-bucket first/last/
+# extremes rollup every market-data / metrics pipeline runs. ONE
+# map-side-combined hash aggregation: open/close ride as min/max over a
+# (ts, event_id, v) struct (lexicographic struct ordering — event_id
+# uniqueness makes the endpoints deterministic without a window), so
+# there is no corpus-wide sort and no per-bucket row_number pass —
+# partials combine associatively, the 100 TB shape. DECIMAL(12,2)
+# values; final doubles are single deterministic roundings.
+def q95_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    v = dec("value")
+    base = events.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias(
+            "bucket_ts"
+        ),
+        F.struct(
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event_id").alias("event_id"),
+            v.alias("v"),
+        ).alias("s"),
+        v.alias("v"),
+    )
+    return base.groupBy("event_type", "bucket_ts").agg(
+        F.min("s").getField("v").cast("double").alias("open_v"),
+        F.max("v").cast("double").alias("high_v"),
+        F.min("v").cast("double").alias("low_v"),
+        F.max("s").getField("v").cast("double").alias("close_v"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("v").cast("double").alias("v_sum"),
+    )
+
+
 # KMV / theta-sketch audience overlap (operators/sketch.py::
 # kmv_overlap) — distinct (user, active-day) pairs of the click vs
 # purchase streams, their intersection, and the k-minimum-values
@@ -3410,6 +3443,7 @@ def tx20_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx20_bpe_encode": tx20_bpe_encode,
     "sk07_histogram_quantiles": sk07_histogram_quantiles,
+    "q95_ohlc_candles": q95_ohlc_candles,
     "tx19_bpe_merges": tx19_bpe_merges,
     "q94_snapshot_diff": q94_snapshot_diff,
     "sk06_kmv_overlap": sk06_kmv_overlap,
@@ -3453,7 +3487,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss07_pq_encode": ss07_pq_encode,
     "sk03_cms_expr": sk03_cms_expr,
     "ss10_ivf_deploy_topk": ss10_ivf_deploy_topk,
-    "q78_customer_cohorts": q78_customer_cohorts,
     "q79_stratified_sample": q79_stratified_sample,
     "ss04_ivf_topk": ss04_ivf_topk,
     "px08_decontaminated_split": px08_decontaminated_split,
@@ -3483,6 +3516,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (tx19/q94/sk06/tx20/sk07): unchanged since their green r06 rows.
     "q73_session_overlap": q73_session_overlap,
     "q83_locf_gapfill": q83_locf_gapfill,
+    "q78_customer_cohorts": q78_customer_cohorts,
     "q80_event_funnel": q80_event_funnel,
     "q81_retention_cohorts": q81_retention_cohorts,
     "q82_event_transitions": q82_event_transitions,

@@ -1897,3 +1897,48 @@ def test_histogram_quantiles_mergeable_and_within_bin(spark):
     bad = spark.createDataFrame([(-5,)], "v INT")
     with _pytest.raises(Exception, match="histogram_bins"):
         histogram_bins(bad, "CAST(v AS BIGINT)").collect()
+
+
+def test_ohlc_candles_endpoints_deterministic(spark):
+    """q95 semantics on a hand-built hour: open = value at min
+    (ts, event_id), close at max, equal-ts ties broken by event_id."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        # (event_id, ts, value) — two events share ts 10:00:05
+        (1, "2024-01-01 10:00:05", 5.0),
+        (2, "2024-01-01 10:00:05", 7.0),
+        (3, "2024-01-01 10:30:00", 1.0),
+        (4, "2024-01-01 10:59:59", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts STRING, value DOUBLE"
+    ).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.lit("click").alias("event_type"),
+        "value",
+    )
+    base = df.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket_ts"),
+        F.struct(
+            F.col("ts"), F.col("event_id"),
+            F.col("value").cast("decimal(12,2)").alias("v"),
+        ).alias("s"),
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    out = base.groupBy("event_type", "bucket_ts").agg(
+        F.min("s").getField("v").cast("double").alias("open_v"),
+        F.max("v").cast("double").alias("high_v"),
+        F.min("v").cast("double").alias("low_v"),
+        F.max("s").getField("v").cast("double").alias("close_v"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("v").cast("double").alias("v_sum"),
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # event_id 1 (not 2) opens the equal-ts pair; 4 closes the hour
+    assert (r.open_v, r.high_v, r.low_v, r.close_v, r.n_events, r.v_sum) == (
+        5.0, 9.0, 1.0, 9.0, 4, 22.0
+    )

@@ -475,3 +475,14 @@ def test_sk07_histogram_scan_pruned_and_state_pinned(spark):
     assert "Exchange hashpartitioning(bin_id" in plan, plan
     assert "InMemoryTableScan" in plan, plan
     assert "struct<l_extendedprice:double>" in plan, plan
+
+
+def test_q95_ohlc_single_hash_agg_no_window(spark):
+    """q95: open/close ride as struct min/max inside ONE map-side-
+    combined hash aggregation — no Window node, no corpus-wide sort
+    (rangepartitioning), exactly one keyed exchange."""
+    plan = _plan(spark, "q95_ohlc_candles")
+    assert "Window" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_min" in plan and "partial_max" in plan, plan
