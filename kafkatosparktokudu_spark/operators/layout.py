@@ -276,3 +276,62 @@ def two_stage_offsets(
         acc += n
     off_df = spark.createDataFrame(offsets, "_rng bigint, _offset bigint")
     return keyed, off_df, width
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    epoch: int = 1,
+    n_shards: int = 8,
+    seed: str = "epoch",
+) -> DataFrame:
+    """Deterministic epoch shuffle + shard assignment (px15) — the
+    "shuffle the corpus every epoch, reproducibly" step of a training
+    data-loader: each row gets a pseudo-random md5 key from
+    ``(seed, epoch, id)``, a global 1-based ``position`` in key order,
+    and a round-robin ``(shard_id, pos_in_shard)``. Same epoch → same
+    permutation on any cluster size; different epoch → a fresh one.
+
+    Scale shape: the q90 two-stage rank — NO global sort. Hash-range
+    subtotals go through the GUARDED ``two_stage_offsets`` collect
+    (2^24-wide ranges over the 2^32 hash space = at most 256 rows, with
+    automatic coarsening), then each range ranks locally under a keyed
+    window and adds its broadcast offset. The md5 key is uniform, so
+    ranges are balanced by construction — this is also the anti-skew
+    argument: the shuffle key never inherits data skew.
+
+    All arithmetic int64; ties on the 32-bit key break by ``id_col``,
+    so the permutation is total and engine-reproducible.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_hash32
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = md5_hash32(
+        F.concat(
+            F.lit(f"{seed}{epoch}:"), F.col(id_col).cast("string")
+        )
+    )
+    keyed0 = df.select(F.col(id_col), h.alias("_h"))
+    keyed, off_df, _ = two_stage_offsets(keyed0, "_h", width=1 << 24)
+    w = Window.partitionBy("_rng").orderBy("_h", id_col)
+    ranked = keyed.join(F.broadcast(off_df), "_rng").select(
+        id_col,
+        F.col("_h").alias("shuffle_key"),
+        (F.row_number().over(w) + F.col("_offset"))
+        .cast("bigint")
+        .alias("position"),
+    )
+    return ranked.select(
+        id_col,
+        "shuffle_key",
+        "position",
+        F.expr(f"CAST((position - 1) % {n_shards} AS BIGINT)").alias(
+            "shard_id"
+        ),
+        F.expr(f"CAST((position - 1) div {n_shards} AS BIGINT)").alias(
+            "pos_in_shard"
+        ),
+    )

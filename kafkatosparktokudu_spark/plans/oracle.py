@@ -4048,3 +4048,26 @@ ORACLE_SQL["q95_ohlc_candles"] = """
            CAST(SUM(v) AS DOUBLE) AS v_sum
     FROM r GROUP BY 1, 2
 """
+
+
+# px15 twin: identical md5-32 epoch key, one global ROW_NUMBER over
+# (key, doc_id) (the oracle may sort globally; the engine must not),
+# round-robin shard arithmetic. All BIGINT.
+ORACLE_SQL["px15_epoch_shuffle"] = """
+    WITH k AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)),
+                   1, 8)) AS BIGINT) AS shuffle_key
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, shuffle_key,
+               CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id)
+                   AS BIGINT) AS position
+        FROM k
+    )
+    SELECT doc_id, shuffle_key, position,
+           CAST((position - 1) % 8 AS BIGINT) AS shard_id,
+           CAST((position - 1) // 8 AS BIGINT) AS pos_in_shard
+    FROM r
+"""

@@ -3326,6 +3326,21 @@ def q93_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_zscore_anomalies(_t(spark, sf_dir, "events"))
 
 
+# Deterministic epoch shuffle + shard assignment (operators/layout.py::
+# epoch_shuffle) — the reproducible "shuffle the corpus every epoch"
+# pass of a training data-loader, as the q90 two-stage rank over a
+# uniform md5 key (guarded bounded collect, keyed window + broadcast
+# offsets — no global sort; the hash key can't inherit data skew).
+def px15_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import epoch_shuffle
+
+    return epoch_shuffle(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        epoch=1,
+        n_shards=8,
+    )
+
+
 # Hourly OHLC candles per event type — the time-bucket first/last/
 # extremes rollup every market-data / metrics pipeline runs. ONE
 # map-side-combined hash aggregation: open/close ride as min/max over a
@@ -3444,6 +3459,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx20_bpe_encode": tx20_bpe_encode,
     "sk07_histogram_quantiles": sk07_histogram_quantiles,
     "q95_ohlc_candles": q95_ohlc_candles,
+    "px15_epoch_shuffle": px15_epoch_shuffle,
     "tx19_bpe_merges": tx19_bpe_merges,
     "q94_snapshot_diff": q94_snapshot_diff,
     "sk06_kmv_overlap": sk06_kmv_overlap,
@@ -3487,7 +3503,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss07_pq_encode": ss07_pq_encode,
     "sk03_cms_expr": sk03_cms_expr,
     "ss10_ivf_deploy_topk": ss10_ivf_deploy_topk,
-    "q79_stratified_sample": q79_stratified_sample,
     "ss04_ivf_topk": ss04_ivf_topk,
     "px08_decontaminated_split": px08_decontaminated_split,
     # --- round-5 front section (VERDICT.md r4 "Next round" #1/#4): queries
@@ -3517,6 +3532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q73_session_overlap": q73_session_overlap,
     "q83_locf_gapfill": q83_locf_gapfill,
     "q78_customer_cohorts": q78_customer_cohorts,
+    "q79_stratified_sample": q79_stratified_sample,
     "q80_event_funnel": q80_event_funnel,
     "q81_retention_cohorts": q81_retention_cohorts,
     "q82_event_transitions": q82_event_transitions,

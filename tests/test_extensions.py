@@ -1942,3 +1942,35 @@ def test_ohlc_candles_endpoints_deterministic(spark):
     assert (r.open_v, r.high_v, r.low_v, r.close_v, r.n_events, r.v_sum) == (
         5.0, 9.0, 1.0, 9.0, 4, 22.0
     )
+
+
+def test_epoch_shuffle_is_balanced_reproducible_permutation(spark):
+    """px15: positions are exactly 1..N (a bijection), shard sizes are
+    balanced to within 1, the same epoch reproduces identically, a
+    different epoch yields a different permutation, and n_shards < 1
+    raises."""
+    import pytest as _pytest
+
+    from kafkatosparktokudu_spark.operators.layout import epoch_shuffle
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(501)], "doc_id BIGINT"
+    )
+    with _pytest.raises(ValueError):
+        epoch_shuffle(df, n_shards=0)
+    a = {r.doc_id: (r.position, r.shard_id, r.pos_in_shard)
+         for r in epoch_shuffle(df, epoch=1, n_shards=8).collect()}
+    assert sorted(p for p, _, _ in a.values()) == list(range(1, 502))
+    for d, (p, s, ps) in a.items():
+        assert s == (p - 1) % 8 and ps == (p - 1) // 8
+    counts = [0] * 8
+    for _, s, _ in a.values():
+        counts[s] += 1
+    assert max(counts) - min(counts) <= 1
+    b = {r.doc_id: r.position
+         for r in epoch_shuffle(df, epoch=1, n_shards=8).collect()}
+    assert b == {d: p for d, (p, _, _) in a.items()}
+    c = {r.doc_id: r.position
+         for r in epoch_shuffle(df, epoch=2, n_shards=8).collect()}
+    assert c != b
+    assert sorted(c.values()) == list(range(1, 502))

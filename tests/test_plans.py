@@ -486,3 +486,13 @@ def test_q95_ohlc_single_hash_agg_no_window(spark):
     assert "Exchange rangepartitioning" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "partial_min" in plan and "partial_max" in plan, plan
+
+
+def test_px15_epoch_shuffle_no_global_sort(spark):
+    """px15: the permutation must come from the two-stage rank — a keyed
+    window per hash range plus broadcast offsets — never a global
+    rangepartitioning sort or a corpus-sized single partition."""
+    plan = _plan(spark, "px15_epoch_shuffle")
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange hashpartitioning(_rng" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
