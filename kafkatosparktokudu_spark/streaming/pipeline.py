@@ -695,3 +695,83 @@ def stream_funnel(
     return _event_time(events, "ts").groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Streaming sessionization — the live twin of the batch gap
+    sessionizer (plans/queries.py::q17_sessionize, lag + running sum):
+    per-user state is the OPEN session (index, start, last-event time,
+    count); an event arriving more than ``gap_minutes`` after the
+    previous one CLOSES the open session — which streams out as one
+    ``(user_id, session_idx, n_events, session_start, session_end)``
+    row — and opens the next. The still-open tail session never emits
+    (that is the defining streaming/batch difference: batch sees the
+    corpus end, a stream never does; an event-time timeout would close
+    it operationally, at the cost of reopening on a late event).
+
+    Parity with q17 (pinned by test): processing each micro-batch in
+    (ts, event_id) order reproduces the batch window's lag chain, so
+    after any sequence of checkpointed runs the emission set equals the
+    batch result MINUS each user's last (open) session. The gap rule is
+    strictly-greater (batch: ``ts > prev + INTERVAL``), microsecond
+    exact via integer-µs state.
+
+    Scale: O(1) state per user (4 bigints) — sessionization as cheap as
+    state gets; hash-partitioned by the groupBy, append-only output.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60_000_000
+    out_schema = (
+        "user_id bigint, session_idx bigint, n_events bigint, "
+        "session_start timestamp, session_end timestamp"
+    )
+    state_schema = "idx bigint, start bigint, last bigint, n bigint"
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        if state.exists:
+            idx, start, last, n = state.get
+        else:
+            idx, start, last, n = 0, -1, -1, 0
+        out_rows = []
+        frames = [p for p in pdfs]
+        if frames:
+            pdf = pd.concat(frames).sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                us = int(pd.Timestamp(row["ts"]).value // 1000)
+                if start < 0:
+                    idx, start, last, n = 1, us, us, 1
+                elif us - last > gap_us:
+                    out_rows.append(
+                        (
+                            int(key[0]),
+                            idx,
+                            n,
+                            pd.Timestamp(start * 1000),
+                            pd.Timestamp(last * 1000),
+                        )
+                    )
+                    idx, start, last, n = idx + 1, us, us, 1
+                else:
+                    n += 1
+                    if us > last:
+                        last = us
+        state.update((idx, start, last, n))
+        yield pd.DataFrame(
+            out_rows,
+            columns=[
+                "user_id",
+                "session_idx",
+                "n_events",
+                "session_start",
+                "session_end",
+            ],
+        )
+
+    return _event_time(events, "ts").groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

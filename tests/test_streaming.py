@@ -1457,3 +1457,78 @@ def test_stream_funnel_matches_batch_across_restart(spark, tmp_path):
     )
     assert got == want
     assert len(got) == 45  # all 15 sf0.001 users complete all 3 stages
+
+
+def test_stream_sessionize_matches_batch_closed_sessions_across_restart(
+    spark, tmp_path
+):
+    """Streaming sessionizer == batch q17 (lag + running sum, 30-min
+    gap) on every CLOSED session: two checkpointed availableNow runs
+    over a time-split corpus — including sessions that straddle the
+    split — must emit exactly the batch session set minus each user's
+    final (still-open) session, timestamps microsecond-exact."""
+    from pyspark.sql import Window
+
+    from kafkatosparktokudu_spark.streaming.pipeline import stream_sessionize
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    cut = "2024-01-16"
+    src = tmp_path / "ss_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ss_ckpt")
+    out = str(tmp_path / "ss_out")
+    events.filter(F.col("ts") < cut).write.parquet(str(src / "a"))
+
+    def run():
+        stream = spark.readStream.schema(events.schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = (
+            stream_sessionize(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    events.filter(F.col("ts") >= cut).write.parquet(str(src / "b"))
+    run()
+
+    got = sorted(
+        (r["user_id"], r["session_idx"], r["n_events"],
+         r["session_start"], r["session_end"])
+        for r in spark.read.parquet(out).collect()
+    )
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    batch = (
+        events.withColumn("session_idx", F.sum(new_session).over(w))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+    last = batch.groupBy("user_id").agg(
+        F.max("session_idx").alias("last_idx")
+    )
+    want = sorted(
+        (r["user_id"], r["session_idx"], r["n_events"],
+         r["session_start"], r["session_end"])
+        for r in batch.join(last, "user_id")
+        .filter(F.col("session_idx") < F.col("last_idx"))
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
