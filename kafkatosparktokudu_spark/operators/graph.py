@@ -255,3 +255,64 @@ def pagerank_fixed_point(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    a: str = "a",
+    b: str = "b",
+    rounds: int = 12,
+) -> DataFrame:
+    """k-core decomposition by SYNCHRONOUS peeling (gr04) — the third
+    iterative-graph shape next to CC's fixpoint and PageRank's fixed
+    iteration count: each round drops every node whose CURRENT degree is
+    below ``k`` (and the edges touching it), simultaneously.
+
+    Returns ``(node, core_deg)`` for the nodes remaining after
+    ``rounds`` peels, with their degree inside the surviving subgraph.
+    Semantics are "exactly ``rounds`` synchronous peels": when the
+    fixpoint arrives earlier the remaining rounds are no-ops (the loop
+    early-stops on a stable edge count purely as an optimization), so
+    with ``rounds`` at or above the convergence depth this IS the exact
+    k-core — the planted-graph test pins that; a pathological peel
+    chain deeper than ``rounds`` yields the (still deterministic,
+    still oracle-equal) N-round approximation.
+
+    Scale shape per round: one union-all degree aggregation and two
+    keyed semi-joins filtering the edge list — all hash-partitioned on
+    node ids, no driver data beyond the per-round edge COUNT scalar;
+    ``localCheckpoint`` keeps the plan linear across rounds (the
+    pagerank convention). Peeling only ever SHRINKS the frame, so round
+    cost is monotonically non-increasing.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = edges.select(a, b).localCheckpoint(eager=True)
+    prev = e.count()
+    for _ in range(rounds):
+        if prev == 0:
+            break
+        deg = (
+            e.select(F.col(a).alias("node"))
+            .unionByName(e.select(F.col(b).alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("node")
+        e2 = (
+            e.join(keep.withColumnRenamed("node", a), a, "left_semi")
+            .join(keep.withColumnRenamed("node", b), b, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        cur = e2.count()
+        e = e2
+        if cur == prev:
+            break
+        prev = cur
+    return (
+        e.select(F.col(a).alias("node"))
+        .unionByName(e.select(F.col(b).alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+    )

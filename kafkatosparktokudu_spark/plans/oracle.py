@@ -4071,3 +4071,45 @@ ORACLE_SQL["px15_epoch_shuffle"] = """
            CAST((position - 1) // 8 AS BIGINT) AS pos_in_shard
     FROM r
 """
+
+
+def _kcore_sql(k: int = 3, rounds: int = 12) -> str:
+    """gr04 twin: the same support>=2 co-purchase edge list, then
+    ``rounds`` chained synchronous peel rounds (the tx19/q92 generated-
+    oracle pattern; MATERIALIZED so each round evaluates once). Round i
+    drops every node whose degree in e{i-1} is below k, and the edges
+    touching it — identical N-round semantics to kcore_peel, which
+    early-stops only on no-op rounds."""
+    ctes = [
+        "li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,"
+        " l_partkey AS p FROM lineitem)",
+        "e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x"
+        " JOIN li y USING (o) WHERE x.p < y.p"
+        " GROUP BY 1, 2 HAVING COUNT(*) >= 2)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM"
+            f" (SELECT a AS node FROM e{p}"
+            f" UNION ALL SELECT b AS node FROM e{p}) GROUP BY 1)"
+        )
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT node FROM d{i}"
+            f" WHERE d >= {k})"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT a, b FROM e{p}"
+            f" WHERE a IN (SELECT node FROM k{i})"
+            f" AND b IN (SELECT node FROM k{i}))"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM"
+        f" (SELECT a AS node FROM e{rounds}"
+        f" UNION ALL SELECT b AS node FROM e{rounds}) GROUP BY 1"
+    )
+
+
+ORACLE_SQL["gr04_kcore"] = _kcore_sql()

@@ -3326,6 +3326,34 @@ def q93_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_zscore_anomalies(_t(spark, sf_dir, "events"))
 
 
+# k-core decomposition of the co-purchase graph (operators/graph.py::
+# kcore_peel) — parts co-ordered in >= 2 distinct orders form the edge
+# list (self-join keyed on orderkey, fan-out bounded by order size);
+# 12 synchronous peel rounds drop every node below degree 3 together
+# with its edges. The third iterative-graph shape next to CC (fixpoint)
+# and PageRank (fixed-iteration numeric): peeling strictly shrinks, so
+# round cost is monotonically non-increasing and the loop early-stops
+# on a stable edge count.
+def gr04_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import kcore_peel
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pairs = (
+        li.withColumnRenamed("p", "pa")
+        .join(li.withColumnRenamed("p", "pb"), "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= 2)
+        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    )
+    return kcore_peel(pairs, k=3, rounds=12)
+
+
 # Deterministic epoch shuffle + shard assignment (operators/layout.py::
 # epoch_shuffle) — the reproducible "shuffle the corpus every epoch"
 # pass of a training data-loader, as the q90 two-stage rank over a
@@ -3460,6 +3488,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sk07_histogram_quantiles": sk07_histogram_quantiles,
     "q95_ohlc_candles": q95_ohlc_candles,
     "px15_epoch_shuffle": px15_epoch_shuffle,
+    "gr04_kcore": gr04_kcore,
     "tx19_bpe_merges": tx19_bpe_merges,
     "q94_snapshot_diff": q94_snapshot_diff,
     "sk06_kmv_overlap": sk06_kmv_overlap,
@@ -3494,7 +3523,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx12_contamination": tx12_contamination,
     "px06_incremental_ingest": px06_incremental_ingest,
     "gr03_pagerank_fixed_point": gr03_pagerank_fixed_point,
-    "tx17_rag_chunks": tx17_rag_chunks,
     "ss09_int8_quantize": ss09_int8_quantize,
     "mm06_webdataset_roundtrip": mm06_webdataset_roundtrip,
     "px10_rag_corpus": px10_rag_corpus,
@@ -3533,6 +3561,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q83_locf_gapfill": q83_locf_gapfill,
     "q78_customer_cohorts": q78_customer_cohorts,
     "q79_stratified_sample": q79_stratified_sample,
+    "tx17_rag_chunks": tx17_rag_chunks,
     "q80_event_funnel": q80_event_funnel,
     "q81_retention_cohorts": q81_retention_cohorts,
     "q82_event_transitions": q82_event_transitions,

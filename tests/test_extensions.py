@@ -1974,3 +1974,31 @@ def test_epoch_shuffle_is_balanced_reproducible_permutation(spark):
          for r in epoch_shuffle(df, epoch=2, n_shards=8).collect()}
     assert c != b
     assert sorted(c.values()) == list(range(1, 502))
+
+
+def test_kcore_peel_matches_exact_kcore_on_planted_graph(spark):
+    """gr04: a 4-clique with a 3-node pendant chain hung off one clique
+    vertex. The 2-core is exactly the clique — the chain peels one node
+    per round (a multi-round cascade, so this also pins the synchronous
+    round semantics); every surviving degree is the in-core degree.
+    k=5 empties the graph; k < 1 raises."""
+    import pytest as _pytest
+
+    from kafkatosparktokudu_spark.operators.graph import kcore_peel
+
+    clique = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + chain, "a BIGINT, b BIGINT")
+    with _pytest.raises(ValueError):
+        kcore_peel(edges, 0)
+    got = sorted(
+        (r.node, r.core_deg) for r in kcore_peel(edges, 2, rounds=12).collect()
+    )
+    assert got == [(0, 3), (1, 3), (2, 3), (3, 3)]
+    assert kcore_peel(edges, 5, rounds=12).collect() == []
+    # insufficient rounds -> the documented N-round state (chain only
+    # partially peeled), still deterministic
+    partial = sorted(
+        r.node for r in kcore_peel(edges, 2, rounds=1).collect()
+    )
+    assert partial == [0, 1, 2, 3, 10, 11]
