@@ -24,6 +24,53 @@ from ..functions.vectors import as_double, cosine_literal
 N_PLANES = 8
 
 
+def _sql_arr(xs: list[float]) -> str:
+    """Double-array SQL literal — repr() round-trips Python floats exactly,
+    so the engine sees the same bits the driver computed."""
+    return "array(" + ", ".join(f"{float(x)!r}D" for x in xs) + ")"
+
+
+def _sql_vecs(vecs: list[list[float]]) -> str:
+    """Array-of-double-arrays SQL literal (the seed/centroid matrix)."""
+    return "array(" + ", ".join(_sql_arr(q) for q in vecs) + ")"
+
+
+def _scored_cells_sql(
+    seeds_lit: str,
+    qns_lit: str,
+    v_expr: str,
+    nv_expr: str,
+    id_expr: str = "c",
+    field: str = "cell",
+) -> str:
+    """(ns, <field>) structs for every anchor: ns = -rounded(6) cosine, so
+    ``array_sort``'s lexicographic ascending order == (sim DESC, id ASC) —
+    the total order the oracles' ``row_number() OVER (ORDER BY sim DESC,
+    cell)`` produces.
+
+    ONE generated SQL string (the r7 ss04 pattern): zero Py4J expression
+    fan-out on the driver, and the HOF ``aggregate``/``zip_with`` lambdas
+    evaluate interpreted instead of compiling an n_anchors×n_dims-term
+    Janino method. The fold order (0D + t1 + t2 + ...) is IEEE-identical to
+    the old per-anchor ``dot_literal`` left-assoc reduce (0.0 + x == x), so
+    rounded scores — and the oracle hashes — are unchanged.
+    """
+    return (
+        f"transform({seeds_lit}, (q, c) -> named_struct("
+        f"'ns', -round(aggregate(zip_with({v_expr}, q, (a, b) -> a * b), "
+        f"0D, (acc, x) -> acc + x) / ({nv_expr} * element_at({qns_lit}, c + 1)), 6), "
+        f"'{field}', {id_expr}))"
+    )
+
+
+def _anchor_norms(vecs: list[list[float]]) -> list[float]:
+    import math
+
+    return [
+        math.sqrt(sum(float(x) * float(x) for x in q)) or 1e-12 for q in vecs
+    ]
+
+
 def _plane_component(plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1): derived
     from md5 of (plane, dim) — computed driver-side once, shipped as
@@ -280,9 +327,7 @@ def seed_cell_assign(
     share the corpus' anchors — assignments are only comparable across
     frames when their cells are.
     """
-    import math
-
-    from ..functions.vectors import dot_literal, norm
+    from ..functions.vectors import norm
 
     seeds = (
         (seeds_from if seeds_from is not None else emb)
@@ -291,33 +336,25 @@ def seed_cell_assign(
         .limit(n_cells)
         .collect()
     )
-    # Stage the row's norm ONCE: cosine_literal recomputes the HOF-based
-    # norm(vec) inside every seed's expression (n_cells aggregate lambdas
-    # per row — the dominant cost of this operator); factoring it into a
-    # column keeps the float ops identical (same dot/(norm*qn) tree, so
-    # rounded assignments — and the oracle hash — are unchanged) while the
-    # norm aggregate runs once per row.
+    seed_vecs = [[float(x) for x in r["embedding"]] for r in seeds]
+    # Row norm staged ONCE (the n_cells per-seed expressions all divide by
+    # it); seed norms computed driver-side exactly as cosine_literal's qn.
+    # Scoring is ONE generated SQL string over the literal seed matrix —
+    # the r7 ss04 rebuild pattern (see _scored_cells_sql): rounded
+    # assignments, and therefore the dd05/px03/ss05 oracle hashes, are
+    # bit-unchanged vs the old per-seed dot_literal Column loop.
     staged = emb.select("vec_id", as_double(F.col("embedding")).alias("v")).select(
         "vec_id", "v", norm(F.col("v")).alias("nv")
     )
-
-    def _score(c: int, q: list[float]) -> F.Column:
-        qn = math.sqrt(sum(float(x) * float(x) for x in q)) or 1e-12
-        sim = dot_literal(F.col("v"), q) / (F.col("nv") * F.lit(qn))
-        return F.struct((-F.round(sim, 6)).alias("ns"), F.lit(c).alias("cell"))
-
-    # (-rounded_sim, cell) structs: array_sort's lexicographic ascending
-    # order == (sim DESC, cell ASC) — the same total order the oracle's
-    # row_number() OVER (ORDER BY sim DESC, cell) produces.
-    scored = F.array(
-        *[
-            _score(c, [float(x) for x in r["embedding"]])
-            for c, r in enumerate(seeds)
-        ]
+    scored = _scored_cells_sql(
+        _sql_vecs(seed_vecs), _sql_arr(_anchor_norms(seed_vecs)), "v", "nv"
     )
-    top = F.slice(F.array_sort(scored), 1, nprobe)
     return staged.select(
-        "vec_id", F.explode(F.transform(top, lambda s: s["cell"])).alias("cell")
+        "vec_id",
+        F.expr(
+            f"explode(transform(slice(array_sort({scored}), 1, {int(nprobe)}), "
+            f"s -> s.cell))"
+        ).alias("cell"),
     )
 
 
@@ -374,29 +411,15 @@ def ivf_topk_seeded(
         emb.select("vec_id", "embedding").orderBy("vec_id").limit(n_cells).collect()
     )
     seed_vecs = [[float(x) for x in r["embedding"]] for r in seeds]
-    seed_norms = [
-        math.sqrt(sum(x * x for x in q)) or 1e-12 for q in seed_vecs
-    ]
     qv = [float(x) for x in query_vec]
     qn = math.sqrt(sum(x * x for x in qv)) or 1e-12
 
-    def _arr(xs: list[float]) -> str:
-        return "array(" + ", ".join(f"{x!r}D" for x in xs) + ")"
-
-    seeds_lit = "array(" + ", ".join(_arr(q) for q in seed_vecs) + ")"
-    qns_lit = _arr(seed_norms)
-    qv_lit = _arr(qv)
+    seeds_lit = _sql_vecs(seed_vecs)
+    qns_lit = _sql_arr(_anchor_norms(seed_vecs))
+    qv_lit = _sql_arr(qv)
 
     def _scored(v_expr: str, nv_expr: str) -> str:
-        """(ns, cell) structs for every seed cell: ns = -rounded cosine, so
-        array_sort's lexicographic ascending == (sim DESC, cell ASC) — the
-        same total order the oracle's row_number() produces."""
-        return (
-            f"transform({seeds_lit}, (q, c) -> named_struct("
-            f"'ns', -round(aggregate(zip_with({v_expr}, q, (a, b) -> a * b), "
-            f"0D, (acc, x) -> acc + x) / ({nv_expr} * element_at({qns_lit}, c + 1)), 6), "
-            f"'cell', c))"
-        )
+        return _scored_cells_sql(seeds_lit, qns_lit, v_expr, nv_expr)
 
     # Query-side norm through the SAME engine ops (sqrt of the HOF dot),
     # just over literals — constant-folded by Catalyst with the identical
@@ -644,32 +667,39 @@ def kmeans_assign(
     scale k grows ~sqrt(n) and iterations are a constant — never a pair
     join, never per-row Python.
     """
-    import math
-
-    from ..functions.vectors import dot_literal, norm_flat
+    from ..functions.vectors import norm_flat
 
     staged = emb.select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     ).select("vec_id", "v", norm_flat(F.col("v"), n_dims).alias("nv"))
 
     def assign(cents: list[tuple[int, list[float]]]) -> DataFrame:
-        """(vec_id, v, cluster, cos): argmax rounded cosine over cents."""
+        """(vec_id, v, cluster, cos): argmax rounded cosine over cents.
 
-        def _score(cid: int, q: list[float]) -> Column:
-            qn = math.sqrt(sum(float(x) * float(x) for x in q)) or 1e-12
-            sim = dot_literal(F.col("v"), q) / (F.col("nv") * F.lit(qn))
-            return F.struct(
-                (-F.round(sim, 6)).alias("ns"), F.lit(cid).alias("cluster")
-            )
-
-        best = F.element_at(
-            F.array_sort(F.array(*[_score(cid, q) for cid, q in cents])), 1
+        One generated SQL string (_scored_cells_sql) instead of a per-
+        centroid dot_literal Column loop; surviving cluster ids (possibly
+        non-contiguous after drops) are mapped from the transform index
+        through a literal id array. ``best`` is staged in its own
+        projection so the k×n_dims scoring expression is evaluated once,
+        not inlined per output column.
+        """
+        ids_lit = "array(" + ", ".join(str(int(cid)) for cid, _ in cents) + ")"
+        vecs = [[float(x) for x in q] for _, q in cents]
+        scored = _scored_cells_sql(
+            _sql_vecs(vecs),
+            _sql_arr(_anchor_norms(vecs)),
+            "v",
+            "nv",
+            id_expr=f"element_at({ids_lit}, c + 1)",
+            field="cluster",
         )
-        return staged.select(
+        return staged.withColumn(
+            "best", F.expr(f"element_at(array_sort({scored}), 1)")
+        ).select(
             "vec_id",
             "v",
-            best["cluster"].alias("cluster"),
-            (-best["ns"]).alias("cos"),
+            F.col("best.cluster").alias("cluster"),
+            (-F.col("best.ns")).alias("cos"),
         )
 
     seed_rows = (
