@@ -39,6 +39,12 @@ BENCH_QUERIES = [
     "tx07_keyterms",            # tf-idf keyterms (explode + 2 aggs + window)
     "px01_curation_pipeline",   # quality → dedup → stats, one plan
     "px02_cluster_dedup_pipeline",  # LSH pairs → connected components → stats
+    # The heavy similarity family (r8): regression-tracks the generated-SQL
+    # seed-scoring rebuild — these were the three slowest queries in the
+    # repo (~49/39/25 s cold at sf0.1 before r8, ~13/10/2 s after).
+    "dd05_embedding_neardup",   # seed-cell blocking + exact cosine verify
+    "px03_semantic_dedup_pipeline",  # dd05 pairs → closure → survivors
+    "ss05_knn_join",            # batch kNN join (cell-blocked candidates)
 ]
 
 N_CDC_RECORDS = 200_000
