@@ -96,9 +96,13 @@ def char_shingles(text_col: Column | str, k: int = CHAR_SHINGLE_K) -> Column:
     chars = F.split(t, "")
     n_sh = F.greatest(F.length(t) - (k - 1), F.lit(0))
     z = F.arrays_zip(*[F.slice(chars, j + 1, n_sh) for j in range(k)])
-    return F.array_distinct(
+    sh = F.array_distinct(
         F.transform(z, lambda x: F.concat(*[x[str(j)] for j in range(k)]))
     )
+    # NULL text yields an EMPTY array, not NULL — downstream size()/explode
+    # semantics rely on it (the pre-r7 when/otherwise contract; the
+    # split/arrays_zip chain propagates NULL without this).
+    return F.coalesce(sh, F.array().cast("array<string>"))
 
 
 def hashed_shingles(

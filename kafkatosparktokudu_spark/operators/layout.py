@@ -309,9 +309,11 @@ def epoch_shuffle(
 
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    # seed and epoch each delimited: undelimited concat made
+    # (seed='a', epoch=11) and (seed='a1', epoch=1) collide on 'a11:'.
     h = md5_hash32(
         F.concat(
-            F.lit(f"{seed}{epoch}:"), F.col(id_col).cast("string")
+            F.lit(f"{seed}:{epoch}:"), F.col(id_col).cast("string")
         )
     )
     keyed0 = df.select(F.col(id_col), h.alias("_h"))

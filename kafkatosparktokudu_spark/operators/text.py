@@ -1011,9 +1011,9 @@ def ngram_novelty_scores(
     the hash, one per-doc agg. All keys are content hashes: uniformly
     distributed, no hot keys.
     """
-    from .dedup import hashed_shingles
+    from .dedup import hashed_shingles, shingles
 
-    hs = hashed_shingles(docs, id_col).select(
+    hs = hashed_shingles(docs, id_col, shingle_col=shingles("text", k)).select(
         F.col(id_col), F.explode("hs").alias("h")
     ).distinct()
     df_counts = hs.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
@@ -1099,6 +1099,9 @@ def bpe_train_merges(
         syms.unpersist(blocking=True)
 
 
+_BPE_CHECKPOINT_EVERY = 16
+
+
 def _bpe_merge_loop(
     syms: DataFrame, n_merges: int
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
@@ -1109,10 +1112,22 @@ def _bpe_merge_loop(
     Returns the merge rows and the frame with every learned merge
     applied — the latter IS the vocabulary's tokenization. Each step's
     best-pair ``collect()`` is one row (bounded driver materialization,
-    the k-means-seed convention)."""
+    the k-means-seed convention).
+
+    Cost bound: ONE Spark job per merge step, inherently sequential —
+    merge i+1's pair counts depend on merge i's replacement; no BPE
+    trainer avoids this. Each job runs on the vocabulary-bounded frame
+    (distinct words), so a realistic 32k-merge vocabulary is 32k small
+    jobs, not 32k corpus scans. ``localCheckpoint`` every
+    ``_BPE_CHECKPOINT_EVERY`` steps cuts the replace-chain lineage so
+    plan depth — and per-step analysis/codegen time — stays flat instead
+    of compounding (r8 stress: n_merges=64 per-step wall flat at ~60 ms
+    after the first checkpoint vs monotonically growing without)."""
     cur = syms
     out: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
+        if step % _BPE_CHECKPOINT_EVERY == 0:
+            cur = cur.localCheckpoint(eager=True)
         arr = F.split(
             F.expr("substring(sym, 2, length(sym) - 2)"), r"\)\("
         )

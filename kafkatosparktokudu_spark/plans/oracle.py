@@ -3787,11 +3787,15 @@ def _bpe_iter_ctes(n_merges: int, carry: str = "") -> tuple[list[str], list[str]
             f" LIMIT 1)"
         )
         ctes.append(
-            f"s{i} AS MATERIALIZED (SELECT {carry}replace(sym,"
+            # COALESCE(…, sym): when pair counts dry up before n_merges,
+            # b{i} is empty and the scalar subqueries are NULL — the bare
+            # replace would NULL the whole symbol chain, while the engine's
+            # merge loop just breaks and leaves sym unchanged.
+            f"s{i} AS MATERIALIZED (SELECT {carry}COALESCE(replace(sym,"
             f" '(' || (SELECT left_sym FROM b{i}) || ')('"
             f" || (SELECT right_sym FROM b{i}) || ')',"
             f" '(' || (SELECT left_sym FROM b{i})"
-            f" || (SELECT right_sym FROM b{i}) || ')') AS sym, freq"
+            f" || (SELECT right_sym FROM b{i}) || ')'), sym) AS sym, freq"
             f" FROM s{p})"
         )
         finals.append(
@@ -4056,7 +4060,7 @@ ORACLE_SQL["q95_ohlc_candles"] = """
 ORACLE_SQL["px15_epoch_shuffle"] = """
     WITH k AS (
         SELECT doc_id,
-               CAST(('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)),
+               CAST(('0x' || substr(md5('epoch:1:' || CAST(doc_id AS VARCHAR)),
                    1, 8)) AS BIGINT) AS shuffle_key
         FROM documents
     ),

@@ -551,6 +551,22 @@ def stream_topk_per_key(
     )
 
 
+def decimal_cents(v: float) -> int:
+    """A double as integer cents with Spark's cast-to-DECIMAL(12,2)
+    rounding: BigDecimal.valueOf goes through Double.toString (shortest
+    round-trip repr, same as Python's repr) then setScale(2, HALF_UP) —
+    ties round away from zero.  Python's round() is half-even, which
+    silently breaks batch/stream parity on values exactly representable
+    at a half-cent in binary (0.125 → 12 cents vs batch's 13)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(float(v)))
+        .quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+        .scaleb(2)
+    )
+
+
 def stream_zscore_anomalies(
     events: DataFrame,
     lookback: int = 20,
@@ -596,6 +612,8 @@ def stream_zscore_anomalies(
             Decimal(repr(x)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
         )
 
+    _cents = decimal_cents
+
     def fn(key: tuple, pdfs, state: GroupState):
         hist: list[int] = list(state.get[0]) if state.exists else []
         out_rows = []
@@ -603,7 +621,7 @@ def stream_zscore_anomalies(
         if frames:
             pdf = pd.concat(frames).sort_values(["ts", "event_id"])
             for _, row in pdf.iterrows():
-                cents = int(round(float(row["value"]) * 100))
+                cents = _cents(row["value"])
                 n = len(hist)
                 if n >= min_window:
                     s1 = sum(hist)                      # scale-2 integer
@@ -721,7 +739,12 @@ def stream_sessionize(
 
     Scale: O(1) state per user (4 bigints) — sessionization as cheap as
     state gets; hash-partitioned by the groupBy, append-only output.
+    Within a batch the gap chain is vectorized (the cross-batch state
+    fold is inherently sequential, but per-batch boundaries are just a
+    shifted-diff comparison over the sorted timestamps), so Python-level
+    work is O(sessions) per batch, not O(events).
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -741,25 +764,53 @@ def stream_sessionize(
         frames = [p for p in pdfs]
         if frames:
             pdf = pd.concat(frames).sort_values(["ts", "event_id"])
-            for _, row in pdf.iterrows():
-                us = int(pd.Timestamp(row["ts"]).value // 1000)
-                if start < 0:
-                    idx, start, last, n = 1, us, us, 1
-                elif us - last > gap_us:
-                    out_rows.append(
-                        (
-                            int(key[0]),
-                            idx,
-                            n,
-                            pd.Timestamp(start * 1000),
-                            pd.Timestamp(last * 1000),
-                        )
+            us = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            # Boundary test of the scalar fold: event i opens a new session
+            # iff us[i] - runmax(prev events, carry) > gap.  Sorted input
+            # makes the running max just the previous element, clamped from
+            # below by the carried open-session `last` (late data: an event
+            # older than the state compares against the state, not itself).
+            if start >= 0:
+                prev = np.maximum(
+                    np.concatenate(([last], us[:-1])), last
+                )
+            else:
+                prev = np.concatenate(([us[0] - gap_us - 1], us[:-1]))
+            new = (us - prev) > gap_us
+            seg = np.cumsum(new)            # 0 = continuation of open state
+            n_new = int(seg[-1])
+            firsts = np.flatnonzero(new)    # first event idx of segs 1..n_new
+            cnt = np.bincount(seg, minlength=n_new + 1)
+
+            def _emit(s_idx, s_start, s_end, s_n):
+                out_rows.append(
+                    (
+                        int(key[0]),
+                        int(s_idx),
+                        int(s_n),
+                        pd.Timestamp(int(s_start) * 1000),
+                        pd.Timestamp(int(s_end) * 1000),
                     )
-                    idx, start, last, n = idx + 1, us, us, 1
-                else:
-                    n += 1
-                    if us > last:
-                        last = us
+                )
+
+            if start >= 0 and n_new >= 1:
+                # the carried open session closes at the first boundary
+                end0 = max(last, int(us[cnt[0] - 1])) if cnt[0] else last
+                _emit(idx, start, end0, n + cnt[0])
+            for s in range(1, n_new):       # fully-closed in-batch sessions
+                _emit(
+                    idx + s,
+                    us[firsts[s - 1]],
+                    us[firsts[s] - 1],
+                    cnt[s],
+                )
+            if n_new >= 1:                  # a new session is now open
+                idx, start = idx + n_new, int(us[firsts[-1]])
+                last, n = int(us[-1]), int(cnt[n_new])
+            else:                           # batch continues the open one
+                last, n = max(last, int(us[-1])), n + int(cnt[0])
+                if start < 0:               # unreachable (empty state ⇒
+                    start = int(us[0])      # new[0] is forced True)
         state.update((idx, start, last, n))
         yield pd.DataFrame(
             out_rows,

@@ -2002,3 +2002,74 @@ def test_kcore_peel_matches_exact_kcore_on_planted_graph(spark):
         r.node for r in kcore_peel(edges, 2, rounds=1).collect()
     )
     assert partial == [0, 1, 2, 3, 10, 11]
+
+
+def test_ngram_novelty_k_is_threaded(spark):
+    """tx18's k parameter must reach the shingler (r8 advice: it was
+    silently ignored — every k returned 3-gram novelty).  A 3-token
+    repeated phrase inside otherwise-unique text is corpus-common at k=3
+    but each doc's 2-grams overlap differently, so the ppm MUST differ."""
+    from kafkatosparktokudu_spark.operators.text import ngram_novelty_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "iota kappa alpha beta gamma lambda mu nu"),
+        ],
+        "doc_id bigint, text string",
+    )
+    k3 = {r["doc_id"]: tuple(r) for r in ngram_novelty_scores(docs, k=3).collect()}
+    k2 = {r["doc_id"]: tuple(r) for r in ngram_novelty_scores(docs, k=2).collect()}
+    assert k2 != k3
+    # doc1 at k=3: 6 shingles, one shared ("alpha beta gamma") -> 5 unique
+    assert (k3[1][1], k3[1][2]) == (6, 5)
+    # doc1 at k=2: 7 shingles, two shared ("alpha beta", "beta gamma")
+    assert (k2[1][1], k2[1][2]) == (7, 5)
+
+
+def test_char_shingles_null_text_yields_empty_array(spark):
+    """NULL text contract (r8 advice): empty array, never NULL — size()
+    must be 0, not -1, and explode must drop the row, not crash."""
+    from kafkatosparktokudu_spark.operators.dedup import char_shingles
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "abcdefghij"), (3, "short")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n"], r["isnull"])
+        for r in df.select(
+            "doc_id",
+            F.size(char_shingles("text")).alias("n"),
+            char_shingles("text").isNull().alias("isnull"),
+        ).collect()
+    }
+    assert got[1] == (0, False)
+    assert got[2] == (3, False)   # 10 chars -> 3 distinct 8-gram shingles
+    assert got[3] == (0, False)   # shorter than k
+
+
+def test_bpe_degenerate_corpus_engine_oracle_parity(spark):
+    """A corpus of single-char words has ZERO adjacent pairs: the engine's
+    merge loop breaks at step 1; the oracle's remaining s-CTEs must carry
+    sym through UNCHANGED (r8 advice: the bare replace concatenated NULL
+    best-pair symbols and nulled every sym, zeroing n_tokens)."""
+    import duckdb
+    import pandas as pd
+
+    from kafkatosparktokudu_spark.operators.text import bpe_encode_stats
+    from kafkatosparktokudu_spark.plans.oracle import _bpe_encode_sql
+
+    rows = [(1, "a b c a b a"), (2, "x y z"), (3, "!!! ???")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(tuple(r) for r in bpe_encode_stats(docs, 8).collect())
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    want = sorted(tuple(r) for r in con.execute(_bpe_encode_sql(8)).fetchall())
+    assert got == want
+    # every surviving word is one single-char token
+    assert got[0] == (1, 6, 6, 6, 1_000_000)
+    assert got[2] == (3, 0, 0, 0, 0)

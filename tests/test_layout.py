@@ -212,3 +212,21 @@ def test_hilbert_layout_stats_no_shuffle_in_key_chain(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Exchange SinglePartition") <= 1
     assert "Sort " not in plan
+
+
+def test_epoch_shuffle_seed_epoch_are_delimited(spark):
+    """(seed='a', epoch=11) and (seed='a1', epoch=1) must produce DIFFERENT
+    permutations — the undelimited key concat collided on 'a11:' (r8
+    advice)."""
+    from kafkatosparktokudu_spark.operators.layout import epoch_shuffle
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    a = {
+        r["doc_id"]: r["position"]
+        for r in epoch_shuffle(df, seed="a", epoch=11).collect()
+    }
+    b = {
+        r["doc_id"]: r["position"]
+        for r in epoch_shuffle(df, seed="a1", epoch=1).collect()
+    }
+    assert a != b

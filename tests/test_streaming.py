@@ -1532,3 +1532,77 @@ def test_stream_sessionize_matches_batch_closed_sessions_across_restart(
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_decimal_cents_matches_spark_decimal_cast(spark):
+    """decimal_cents must replicate Spark's double→DECIMAL(12,2) rounding
+    (HALF_UP) exactly — including the binary-half-cent ties where Python's
+    built-in round() (half-even) diverges (the round-8 parity bug)."""
+    from kafkatosparktokudu_spark.streaming.pipeline import decimal_cents
+
+    vals = [
+        0.125, -0.125, 0.375, -0.375, 2.675, 1.005, 100.115, 0.005,
+        -0.005, 0.0, 12.34, -9999.995, 0.015625, 7.125, -7.375,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    want = {
+        r["v"]: r["c"]
+        for r in df.select(
+            "v",
+            (F.col("v").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("c"),
+        ).collect()
+    }
+    got = {v: decimal_cents(v) for v in vals}
+    assert got == want
+    # and the half-even builtin demonstrably disagrees on a tie
+    assert decimal_cents(0.125) == 13 != int(round(0.125 * 100))
+
+
+def test_stream_zscore_halfcent_values_match_batch(spark, tmp_path):
+    """End-to-end parity on a corpus built ENTIRELY of binary-representable
+    half-cent values (x.xx5 ties) — the class the old round()-based cents
+    conversion silently broke."""
+    import datetime as dt
+
+    from kafkatosparktokudu_spark.operators.quality_checks import (
+        rolling_zscore_anomalies,
+    )
+    from kafkatosparktokudu_spark.streaming.pipeline import stream_zscore_anomalies
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(40):
+        # steady stream of ±0.125-ish ties with a few 8.375 spikes
+        v = 8.375 if i % 13 == 12 else (0.125 if i % 2 == 0 else 0.375)
+        rows.append((i, 7, base + dt.timedelta(minutes=i), v))
+    events = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, value double"
+    )
+    src = tmp_path / "hc_src"
+    src.mkdir()
+    events.write.parquet(str(src / "a"))
+    stream = spark.readStream.schema(events.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    out = str(tmp_path / "hc_out")
+    q = (
+        stream_zscore_anomalies(stream, threshold=2.0)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "hc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["event_id"], r["user_id"], r["value"], r["n_window"], r["zscore"])
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r["event_id"], r["user_id"], r["value"], r["n_window"], r["zscore"])
+        for r in rolling_zscore_anomalies(events, threshold=2.0).collect()
+    )
+    assert got == want and len(want) >= 2
