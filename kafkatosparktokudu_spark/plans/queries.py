@@ -3484,6 +3484,21 @@ def tx20_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- round-8 front section: queries whose implementing code changed
+    # this round (the seed_cell_assign/kmeans_assign generated-SQL rebuild
+    # in similarity.py reaches dd05/px03/ss05/px09/ss06/ss02; char_shingles'
+    # NULL contract reaches dd06/dd10/dd11) — rotated into the driver's
+    # 50-query window for fresh green rows; unchanged entries below yield
+    # their slots ---
+    "dd05_embedding_neardup": dd05_embedding_neardup,
+    "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,
+    "ss05_knn_join": ss05_knn_join,
+    "px09_semdedup": px09_semdedup,
+    "ss06_kmeans_clusters": ss06_kmeans_clusters,
+    "ss02_label_centroids": ss02_label_centroids,
+    "dd06_simhash": dd06_simhash,
+    "dd10_simhash_neardup": dd10_simhash_neardup,
+    "dd11_jaccard_estimate": dd11_jaccard_estimate,
     "tx20_bpe_encode": tx20_bpe_encode,
     "sk07_histogram_quantiles": sk07_histogram_quantiles,
     "q95_ohlc_candles": q95_ohlc_candles,
@@ -3548,8 +3563,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 5 ---
     "dd09_dup_spans": dd09_dup_spans,
     "px05_exactsubstr_scrub": px05_exactsubstr_scrub,
-    "dd10_simhash_neardup": dd10_simhash_neardup,
-    "dd11_jaccard_estimate": dd11_jaccard_estimate,
     # changed-this-round queries stay INSIDE the driver's 50-query
     # window (tx15 persist fix, dq01/dq03 guards, scd2.py persist+purge
     # behind the three cdc_emp_history* rows); ss06/px09/gr02/dq02 are
@@ -3570,13 +3583,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_emp_history": cdc_emp_history,
     "cdc_emp_history_incr": cdc_emp_history_incr,
     "cdc_emp_asof_enrich": cdc_emp_asof_enrich,
-    "ss06_kmeans_clusters": ss06_kmeans_clusters,
-    "px09_semdedup": px09_semdedup,
     "q87_weighted_sample": q87_weighted_sample,
     "q88_asof_nearest": q88_asof_nearest,
     "q89_twap": q89_twap,
     "dq02_column_profile": dq02_column_profile,
-    "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,
     "q62_exclusive_parts": q62_exclusive_parts,
     "dd12_repeated_chunks": dd12_repeated_chunks,
     "st01_sliding_rollup": st01_sliding_rollup,
@@ -3594,7 +3604,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_price_distribution": q77_price_distribution,
     "tx14_token_freq": tx14_token_freq,
     "sk02_bloom_semijoin": sk02_bloom_semijoin,
-    "ss05_knn_join": ss05_knn_join,
     "mm05_shard_manifest": mm05_shard_manifest,
     "px07_multimodal_curation": px07_multimodal_curation,
     "q67_min_cost_supplier": q67_min_cost_supplier,
@@ -3607,7 +3616,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_median_stats": q65_median_stats,
     "q66_recursive_month_spine": q66_recursive_month_spine,
     # --- round-4 front section: fresh green driver rows in r04 ---
-    "dd05_embedding_neardup": dd05_embedding_neardup,
     "q59_approx_percentiles": q59_approx_percentiles,
     "tx11_pii_scrub": tx11_pii_scrub,
     "tx13_domain_mixture": tx13_domain_mixture,
@@ -3664,9 +3672,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx06_subword_counts": tx06_subword_counts,
     "dd01_exact_dup_groups": dd01_exact_dup_groups,
     "dd02_exact_dedup_survivors": dd02_exact_dedup_survivors,
-    "dd06_simhash": dd06_simhash,
     "ss01_knn_cosine": ss01_knn_cosine,
-    "ss02_label_centroids": ss02_label_centroids,
     "mm01_binary_meta": mm01_binary_meta,
     "mm04_frame_sample": mm04_frame_sample,
     "mm02_byte_features": mm02_byte_features,
