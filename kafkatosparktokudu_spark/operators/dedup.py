@@ -961,3 +961,52 @@ def event_debounce(
             F.col("n_collapsed").cast("int").alias("n_collapsed"),
         )
     )
+
+
+def quality_aware_survivors(
+    docs: DataFrame,
+    quality: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "p_keep",
+) -> DataFrame:
+    """Quality-aware near-dup survivor selection (px16) — pick the BEST
+    document per duplicate cluster, not the lowest-id one: production
+    curation keeps the cleanest copy of a template family (the Gopher/
+    FineWeb recipe), while min-id survivorship (px02) throws that signal
+    away. ``quality`` is any per-id frame with a deterministic
+    ``score_col`` (px14's classifier p_keep in the shipped pipeline);
+    the survivor is argmax(score) with id-ASC tie-break, unpaired docs
+    survive as their own singleton cluster.
+
+    Returns one row per document:
+    ``(id, cluster_id, n_members, score, is_survivor)``.
+
+    Scale shape: clusters come from ``duplicate_clusters`` (banded LSH
+    candidates only — never all-pairs; size-switched CC); the selection
+    itself is ONE keyed window over (cluster_id) — rank and member count
+    share the same hash partitioning, no second shuffle, no driver state.
+    """
+    from pyspark.sql import Window as W
+
+    clusters = duplicate_clusters(pairs)
+    lab = (
+        docs.select(id_col)
+        .join(clusters, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+        .join(quality.select(id_col, score_col), id_col)
+    )
+    w_rank = W.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), F.col(id_col)
+    )
+    w_all = W.partitionBy("cluster_id")
+    return lab.select(
+        F.col(id_col),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_members"),
+        F.col(score_col),
+        (F.row_number().over(w_rank) == 1).alias("is_survivor"),
+    )

@@ -1164,3 +1164,100 @@ def negative_pairs(
         "pair_j",
         F.when(guard.isNull(), neg).alias("neg_id"),
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    pool_n: int = 50,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (ss11; Carbonell & Goldstein
+    1998) — DIVERSE top-k retrieval: greedily pick the candidate that
+    maximizes ``0.5·rel − 0.5·max_sim_to_already_selected``, so the
+    result covers the query's neighborhood instead of returning k
+    near-copies of the same document. The standard rerank stage of a RAG
+    retrieval pipeline (plain top-k = ss01; this is the diversity pass
+    on top).
+
+    Returns ``(rank, vec_id, label, cos_sim)`` — rank is selection
+    order, cos_sim the rounded(6) query relevance.
+
+    Exactness: rel and every pairwise penalty are ROUNDED(6) cosines
+    (the dd05/ss04 contract); λ=0.5 halving is exact in binary, the
+    subtraction is one IEEE op — both engines score identically, and
+    ties break by vec_id ASC. The DuckDB oracle replays the same greedy
+    chain with generated per-step CTEs.
+
+    Scale shape: the corpus-sized work is ONE TakeOrdered top-``pool_n``
+    relevance pass (partial per-partition top-k, never a global sort —
+    at scale the pool extraction rides an ANN index instead, same
+    contract). The greedy loop then runs k bounded jobs over the
+    persisted ≤pool_n-row pool with the selected vectors embedded as
+    literals (generated SQL, zero Py4J fan-out); the driver only ever
+    holds k picked rows — the k-means-seed materialization convention.
+    """
+    import math
+
+    from ..functions.vectors import norm
+
+    if k < 1 or pool_n < k:
+        raise ValueError(f"need 1 <= k <= pool_n, got k={k} pool_n={pool_n}")
+    qv = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in qv)) or 1e-12
+    staged = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    ).select("vec_id", "label", "v", norm(F.col("v")).alias("nv"))
+    if exclude_id is not None:
+        staged = staged.filter(F.col("vec_id") != exclude_id)
+    rel_sql = (
+        f"round(aggregate(zip_with(v, {_sql_arr(qv)}, (a, b) -> a * b), "
+        f"0D, (acc, x) -> acc + x) / (nv * {qn!r}D), 6)"
+    )
+    pool = (
+        staged.withColumn("rel", F.expr(rel_sql))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(pool_n)
+        .persist()
+    )
+    try:
+        picked: list = []  # collected Rows, in selection order
+        for _ in range(k):
+            remaining = pool.filter(
+                ~F.col("vec_id").isin([int(r["vec_id"]) for r in picked])
+            ) if picked else pool
+            if not picked:
+                best = remaining.orderBy(F.desc("rel"), "vec_id").limit(1).collect()
+            else:
+                sel_vecs = [[float(x) for x in r["v"]] for r in picked]
+                pen_sql = (
+                    f"array_max(transform({_sql_vecs(sel_vecs)}, (q, c) -> "
+                    f"round(aggregate(zip_with(v, q, (a, b) -> a * b), "
+                    f"0D, (acc, x) -> acc + x) / "
+                    f"(nv * element_at({_sql_arr(_anchor_norms(sel_vecs))}, c + 1)), 6)))"
+                )
+                best = (
+                    remaining.withColumn(
+                        "score", F.expr(f"0.5D * rel - 0.5D * {pen_sql}")
+                    )
+                    .orderBy(F.desc("score"), "vec_id")
+                    .limit(1)
+                    .collect()
+                )
+            if not best:
+                break
+            picked.append(best[0])
+        # k collected rows -> result frame (bounded driver materialization,
+        # the k-means-seed convention); label keeps its SOURCE column type.
+        spark = emb.sparkSession
+        label_t = emb.schema["label"].dataType.simpleString()
+        return spark.createDataFrame(
+            [
+                (t + 1, int(r["vec_id"]), r["label"], float(r["rel"]))
+                for t, r in enumerate(picked)
+            ],
+            f"rank INT, vec_id BIGINT, label {label_t}, cos_sim DOUBLE",
+        )
+    finally:
+        pool.unpersist()

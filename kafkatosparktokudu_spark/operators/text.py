@@ -1247,3 +1247,96 @@ def bpe_encode_stats(
             "ELSE n_chars_alpha * CAST(1000000 AS BIGINT) div n_tokens END"
         ),
     )
+
+
+def zipf_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_m: int = 1000,
+    top_share_n: int = 100,
+) -> DataFrame:
+    """Corpus rank-frequency diagnostics (tx21) — the Zipf-law health
+    check corpus teams run before training: vocabulary size, hapax mass,
+    head concentration, and the fitted Zipf exponent. A natural corpus
+    sits near slope −1; synthetic/templated/looped text bends the curve
+    (flat head = boilerplate domination, steep tail = vocabulary
+    collapse), so the slope is a one-number drift alarm between corpus
+    snapshots.
+
+    Returns ONE row: ``(n_vocab, n_tokens, n_hapax, top_share_ppm,
+    zipf_slope)`` — ``top_share_ppm`` is the corpus-frequency share of
+    the ``top_share_n`` most frequent words in parts-per-million,
+    ``zipf_slope`` the least-squares slope of ln(freq) on ln(rank) over
+    the ``top_m`` head words (rank ties broken by word ASC).
+
+    Exactness: counts/shares are pure integers; the regression inputs
+    are ln values ROUNDED(6) then summed as DECIMALs (the functions/
+    exact.py convention — double SUM order-drift cannot reach the
+    result), product sums reduced to scale 6 before the final double
+    cast (prod_sum_double, mirrors the oracle's CAST chain); the slope
+    algebra then runs in IEEE doubles identically in both engines.
+
+    Scale shape: ONE corpus-sized shuffle (the word count — map-side
+    combined); totals are a second pass over the persisted vocab frame;
+    the regression runs on a TakeOrdered top-``top_m`` frame (partial
+    per-partition top-k, never a global sort), ranked by a window over
+    those ``top_m`` rows only. Driver sees one row.
+    """
+    from pyspark.sql import Window as W
+
+    words = (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all({text_col}, '[A-Za-z]+', 0)")
+            ).alias("w")
+        )
+        .groupBy(F.lower("w").alias("word"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .persist()
+    )
+    totals = words.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+        F.sum("freq").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+    )
+    head = words.orderBy(F.desc("freq"), "word").limit(top_m)
+    ranked = head.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.desc("freq"), "word")),
+    ).select(
+        "rank",
+        "freq",
+        F.round(F.log(F.col("rank").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+    from ..functions.exact import prod_sum_double
+
+    reg = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        prod_sum_double(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+        prod_sum_double(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(F.when(F.col("rank") <= top_share_n, F.col("freq")).otherwise(0))
+        .cast("bigint")
+        .alias("head_freq"),
+    )
+    return totals.crossJoin(reg).select(
+        "n_vocab",
+        "n_tokens",
+        "n_hapax",
+        F.expr("head_freq * CAST(1000000 AS BIGINT) div n_tokens")
+        .cast("bigint")
+        .alias("top_share_ppm"),
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )

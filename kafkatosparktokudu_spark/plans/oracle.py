@@ -4117,3 +4117,141 @@ def _kcore_sql(k: int = 3, rounds: int = 12) -> str:
 
 
 ORACLE_SQL["gr04_kcore"] = _kcore_sql()
+
+
+# tx21 twin: identical word extraction (raw [A-Za-z]+ then lower — the
+# tx19/tx20 convention), integer totals, and the same exact-decimal
+# regression pipeline: ln values ROUNDED(6) as DECIMAL(18,6), exact sums,
+# product sums reduced to DECIMAL(27,6) before the double cast
+# (prod_sum_double mirror), slope algebra in IEEE doubles.
+ORACLE_SQL["tx21_zipf_stats"] = """
+    WITH w AS MATERIALIZED (
+        SELECT lower(x) AS word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS x
+              FROM documents)
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+               CAST(SUM(freq) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax
+        FROM w
+    ),
+    head AS (
+        SELECT freq,
+               row_number() OVER (ORDER BY freq DESC, word ASC) AS rank
+        FROM w ORDER BY freq DESC, word ASC LIMIT 1000
+    ),
+    r AS (
+        SELECT rank, freq,
+               CAST(round(ln(rank), 6) AS DECIMAL(18,6)) AS x,
+               CAST(round(ln(freq), 6) AS DECIMAL(18,6)) AS y
+        FROM head
+    ),
+    reg AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(x * y) AS DECIMAL(27,6)) AS DOUBLE) AS sxy,
+               CAST(CAST(SUM(x * x) AS DECIMAL(27,6)) AS DOUBLE) AS sxx,
+               CAST(SUM(CASE WHEN rank <= 100 THEN freq ELSE 0 END)
+                   AS BIGINT) AS head_freq
+        FROM r
+    )
+    SELECT n_vocab, n_tokens, n_hapax,
+           CAST(head_freq * CAST(1000000 AS BIGINT) // n_tokens AS BIGINT)
+               AS top_share_ppm,
+           round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS zipf_slope
+    FROM tot, reg
+"""
+
+
+# px16 twin: the px02 closure CTEs (same LSH candidates + recursive CC),
+# px14's logistic quality gate as the score, one cluster-keyed window:
+# survivor = argmax(p_keep) with doc_id-ASC tie-break; unpaired docs are
+# their own singleton cluster.
+ORACLE_SQL["px16_quality_aware_dedup"] = f"""
+    WITH RECURSIVE {_CC_CTES},
+    clusters AS (
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id
+        FROM reach GROUP BY node
+    ),
+    q AS (
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-(3.0 * uniq_ratio + -2.0 * stop_ratio
+                     + 1.5 * len_score + -1.0))), 6) AS p_keep
+        FROM (
+            SELECT doc_id,
+                   CAST(len(list_distinct(l)) AS DOUBLE) / len(l) AS uniq_ratio,
+                   CAST(len(list_filter(l, t -> t IN {_STOP_EN})) AS DOUBLE)
+                       / len(l) AS stop_ratio,
+                   least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) AS len_score
+            FROM (SELECT doc_id, n_chars, {_TOKS} AS l FROM documents)
+        )
+    ),
+    lab AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+               q.p_keep
+        FROM documents d
+        LEFT JOIN clusters c ON c.doc_id = d.doc_id
+        JOIN q ON q.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS n_members,
+           p_keep,
+           (ROW_NUMBER() OVER (PARTITION BY cluster_id
+                ORDER BY p_keep DESC, doc_id) = 1) AS is_survivor
+    FROM lab
+"""
+
+
+def _mmr_sql(k: int = 10, pool_n: int = 50) -> str:
+    """ss11 twin: the same greedy MMR chain as generated per-step CTEs
+    (the tx19/gr04 pattern). pool = rounded-cosine top-``pool_n``; step t
+    scores every unselected pool row 0.5·rel − 0.5·max(rounded cos to the
+    t−1 selected vectors) and takes the (score DESC, vec_id) best. λ=0.5
+    halving is exact and the penalty/rel inputs are rounded(6), so both
+    engines score identically."""
+    ctes = [
+        "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)",
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
+        f"pool AS MATERIALIZED (SELECT vec_id, label, v,"
+        f" round(list_cosine_similarity(v, qv), 6) AS rel"
+        f" FROM e, q WHERE vec_id <> 0"
+        f" ORDER BY rel DESC, vec_id LIMIT {pool_n})",
+        "s1 AS MATERIALIZED (SELECT vec_id, label, v, rel FROM pool"
+        " ORDER BY rel DESC, vec_id LIMIT 1)",
+        "sel1 AS (SELECT vec_id, label, v, rel, 1 AS rank FROM s1)",
+    ]
+    for t in range(2, k + 1):
+        p = t - 1
+        ctes.append(
+            f"pen{t} AS MATERIALIZED (SELECT pl.vec_id,"
+            f" MAX(round(list_cosine_similarity(pl.v, s.v), 6)) AS pen,"
+            f" MAX(pl.rel) AS rel"
+            f" FROM pool pl, sel{p} s"
+            f" WHERE pl.vec_id NOT IN (SELECT vec_id FROM sel{p})"
+            f" GROUP BY pl.vec_id)"
+        )
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT pool.vec_id, pool.label, pool.v,"
+            f" pool.rel FROM pen{t} JOIN pool USING (vec_id)"
+            f" ORDER BY CAST(0.5 AS DOUBLE) * pen{t}.rel"
+            f" - CAST(0.5 AS DOUBLE) * pen{t}.pen DESC, vec_id LIMIT 1)"
+        )
+        ctes.append(
+            f"sel{t} AS (SELECT * FROM sel{p}"
+            f" UNION ALL SELECT vec_id, label, v, rel, {t} FROM s{t})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(rank AS INTEGER) AS rank, vec_id, label,"
+        f" rel AS cos_sim FROM sel{k}"
+    )
+
+
+ORACLE_SQL["ss11_mmr_rerank"] = _mmr_sql()

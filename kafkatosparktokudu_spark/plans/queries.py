@@ -3471,6 +3471,45 @@ def tx19_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(_t(spark, sf_dir, "documents"))
 
 
+# MMR diverse retrieval (operators/similarity.py::mmr_rerank) — greedy
+# 0.5·rel − 0.5·max-sim-to-selected re-ranking over a TakeOrdered top-50
+# relevance pool; k bounded jobs with the selected vectors as generated-SQL
+# literals. The diversity pass of a RAG retrieval stack (ss01 = plain top-k).
+def ss11_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import mmr_rerank
+
+    qv = _query_vec(spark, sf_dir, 0)
+    return mmr_rerank(
+        _t(spark, sf_dir, "embeddings"), qv, k=10, pool_n=50, exclude_id=0
+    )
+
+
+# Quality-aware near-dup survivorship (operators/dedup.py::
+# quality_aware_survivors) — keep the argmax-p_keep doc per LSH duplicate
+# cluster (px14's classifier as the score) instead of px02's min-id rule;
+# one keyed window over the cluster assignment, LSH candidates only.
+def px16_quality_aware_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import neardup_pairs_jaccard, quality_aware_survivors
+    from ..operators.text import quality_classifier_scores
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars", "source"
+    )
+    pairs = neardup_pairs_jaccard(docs, threshold=0.2)
+    quality = quality_classifier_scores(docs)
+    return quality_aware_survivors(docs, quality, pairs)
+
+
+# Corpus Zipf-law diagnostics (operators/text.py::zipf_stats) — vocab
+# size, hapax mass, head concentration, and the least-squares Zipf
+# exponent over the top-1000 rank-frequency curve. One corpus-sized
+# word-count shuffle; the regression runs on a TakeOrdered head frame.
+def tx21_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import zipf_stats
+
+    return zipf_stats(_t(spark, sf_dir, "documents"))
+
+
 # BPE tokenizer application (operators/text.py::bpe_encode_stats) — the
 # pass that follows tx19: tokenize every document with the corpus-trained
 # merges and report per-doc token counts + chars-per-token compression.
@@ -3484,6 +3523,11 @@ def tx20_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- new in round 8 ---
+    "tx21_zipf_stats": tx21_zipf_stats,
+    "px16_quality_aware_dedup": px16_quality_aware_dedup,
+    "ss11_mmr_rerank": ss11_mmr_rerank,
+    "ss04_ivf_topk": ss04_ivf_topk,
     # --- round-8 front section: queries whose implementing code changed
     # this round (the seed_cell_assign/kmeans_assign generated-SQL rebuild
     # in similarity.py reaches dd05/px03/ss05/px09/ss06/ss02; char_shingles'
@@ -3546,7 +3590,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss07_pq_encode": ss07_pq_encode,
     "sk03_cms_expr": sk03_cms_expr,
     "ss10_ivf_deploy_topk": ss10_ivf_deploy_topk,
-    "ss04_ivf_topk": ss04_ivf_topk,
     "px08_decontaminated_split": px08_decontaminated_split,
     # --- round-5 front section (VERDICT.md r4 "Next round" #1/#4): queries
     # whose implementing code was rewritten in round 4 (cdc.py/merge.py/

@@ -2073,3 +2073,110 @@ def test_bpe_degenerate_corpus_engine_oracle_parity(spark):
     # every surviving word is one single-char token
     assert got[0] == (1, 6, 6, 6, 1_000_000)
     assert got[2] == (3, 0, 0, 0, 0)
+
+
+def test_zipf_stats_planted_corpus(spark):
+    """tx21 integer fields are exact on a hand-countable corpus and the
+    fitted slope equals the same least-squares computed independently
+    (numpy) on the rounded-log points."""
+    import math
+
+    import numpy as np
+
+    from kafkatosparktokudu_spark.operators.text import zipf_stats
+
+    # freqs: aa=8, bb=4, cc=2, dd=1 -> vocab 4, tokens 15, hapax 1
+    docs = spark.createDataFrame(
+        [(1, "aa " * 8 + "bb " * 4 + "cc " * 2 + "dd")],
+        "doc_id bigint, text string",
+    )
+    r = zipf_stats(docs, top_share_n=2).collect()[0]
+    assert (r["n_vocab"], r["n_tokens"], r["n_hapax"]) == (4, 15, 1)
+    assert r["top_share_ppm"] == (8 + 4) * 1_000_000 // 15
+    x = np.array([round(math.log(k), 6) for k in (1, 2, 3, 4)])
+    y = np.array([round(math.log(f), 6) for f in (8, 4, 2, 1)])
+    want = np.polyfit(x, y, 1)[0]
+    assert abs(r["zipf_slope"] - want) < 1e-6
+    # freqs halve per rank-double => slope ~ -log2(e)*ln2 = -1 exactly-ish
+    assert -1.6 < r["zipf_slope"] < -1.4  # ranks 1..4, freqs 8..1: ~ -1.5
+
+
+def test_quality_aware_survivors_pick_best_not_min_id(spark):
+    """px16 semantics: within a near-dup cluster the argmax-p_keep doc
+    survives (id tie-break), NOT the lowest id (px02's rule); unpaired
+    docs are singleton survivors."""
+    from kafkatosparktokudu_spark.operators.dedup import (
+        neardup_pairs_jaccard,
+        quality_aware_survivors,
+    )
+    from kafkatosparktokudu_spark.operators.text import quality_classifier_scores
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rich = (
+        base
+        + "while countless distinct vivid words sparkle brightly across "
+        + "meadows rivers mountains valleys forests deserts oceans islands"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base * 3, len(base * 3)),          # dup cluster, repetitive
+            (2, base * 3 + "zz", len(base * 3) + 2),
+            (3, base * 2 + rich, len(base * 2 + rich)),  # same cluster, best
+            (9, "completely unrelated solitary text", 34),
+        ],
+        "doc_id bigint, text string, n_chars int",
+    )
+    pairs = neardup_pairs_jaccard(docs, threshold=0.2)
+    assert pairs.count() >= 2  # 1-2, 1-3 (or 2-3) band together
+    out = {
+        r["doc_id"]: r
+        for r in quality_aware_survivors(
+            docs, quality_classifier_scores(docs), pairs
+        ).collect()
+    }
+    assert out[9]["is_survivor"] and out[9]["n_members"] == 1
+    cluster = {d for d in (1, 2, 3) if out[d]["cluster_id"] == 1}
+    assert cluster == {1, 2, 3}
+    best = max((out[d]["p_keep"], -d) for d in cluster)
+    survivors = [d for d in cluster if out[d]["is_survivor"]]
+    assert survivors == [-best[1]]
+    assert survivors == [3] != [min(cluster)]  # quality beat min-id
+
+
+def test_mmr_rerank_diversifies_clone_cluster(spark):
+    """MMR semantics on a planted geometry: three near-clones of the query
+    direction dominate plain top-k, but MMR must take ONE clone (rank 1 =
+    argmax relevance) and then prefer the moderately-relevant DIVERSE
+    direction over the remaining clones."""
+    from kafkatosparktokudu_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    d = 8
+    def vec(*pairs):
+        v = [0.0] * d
+        for i, x in pairs:
+            v[i] = x
+        return v
+
+    rows = [
+        (0, "q", vec((0, 1.0))),                      # the query itself
+        (1, "clone", vec((0, 1.0), (1, 0.01))),
+        (2, "clone", vec((0, 1.0), (1, 0.02))),
+        (3, "clone", vec((0, 1.0), (1, 0.03))),
+        (4, "diverse", vec((0, 0.5), (2, 0.9))),      # rel ~0.49, orthogonal-ish
+        (5, "far", vec((3, 1.0))),                    # rel 0
+    ]
+    emb = spark.createDataFrame(
+        [(i, l, [float(x) for x in v]) for i, l, v in rows],
+        "vec_id bigint, label string, embedding array<float>",
+    )
+    q = vec((0, 1.0))
+    plain = [r["vec_id"] for r in brute_force_topk(emb, q, k=3, exclude_id=0).collect()]
+    assert plain == [1, 2, 3]  # top-k is all clones
+    got = mmr_rerank(emb, q, k=3, pool_n=5, exclude_id=0).collect()
+    order = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert order[0] in (1, 2, 3)       # best relevance first
+    assert order[1] == 4               # diversity beats the second clone
+    assert set(order) != set(plain)
