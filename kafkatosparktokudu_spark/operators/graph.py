@@ -316,3 +316,63 @@ def kcore_peel(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: int,
+    a: str = "a",
+    b: str = "b",
+    rounds: int = 8,
+) -> DataFrame:
+    """Single-source BFS hop distances by SYNCHRONOUS frontier expansion
+    (gr05) — the fourth iterative-graph shape next to CC (fixpoint),
+    PageRank (fixed iteration) and k-core (peeling): round r settles
+    every node first reachable in r hops.
+
+    Returns ``(node, hops)`` for nodes within ``rounds`` hops of
+    ``source`` (undirected: each edge is traversed both ways).
+    Semantics are "exactly ``rounds`` synchronous relaxations": BFS
+    levels are monotone, so once the frontier empties the remaining
+    rounds are no-ops (the loop early-stops purely as an optimization)
+    and the result equals the ``rounds``-round chained-CTE oracle at
+    ANY convergence depth — the gr04 argument.
+
+    Scale shape per round: the FRONTIER (nodes settled last round)
+    joins the edge list once, then one min-agg merges the new
+    candidates into the settled set — expansion cost follows the
+    frontier size, not the graph; ``localCheckpoint`` keeps plans
+    linear. Expanding only the frontier is equivalent to the oracle's
+    expand-everything form because re-expanding settled nodes can only
+    produce distances >= the minimum already held.
+    """
+    spark = edges.sparkSession
+    e2 = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = spark.createDataFrame(
+        [(int(source), 0)], "node bigint, hops bigint"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for r in range(1, rounds + 1):
+        if frontier.isEmpty():
+            break
+        cand = (
+            frontier.join(e2, frontier["node"] == e2["src"])
+            .select(F.col("dst").alias("node"), F.lit(r).alias("hops"))
+            .distinct()
+        )
+        merged = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("hops").cast("bigint").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.filter(F.col("hops") == r)
+        dist = merged
+    return dist

@@ -337,3 +337,67 @@ def epoch_shuffle(
             "pos_in_shard"
         ),
     )
+
+
+def sequence_packing(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    chunk_tokens: int = 512,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing layout (px17) — the context-
+    window packing pass of LLM pretraining prep: documents are
+    concatenated in ``id_col`` order (run it on px15's shuffled order in
+    a real pipeline) and the token stream is cut into fixed
+    ``chunk_tokens`` windows; each document gets its global token span
+    and the chunks it lands in. ``n_chunks_spanned > 1`` marks docs that
+    straddle a window boundary (the attention-masking / fragmentation
+    cost packing trades against padding waste).
+
+    Returns per document:
+    ``(id, n_tok, tok_start, first_chunk, n_chunks_spanned)`` — all
+    BIGINT, exact.
+
+    Scale shape: the global token prefix sum is the q90/q91 two-stage
+    pattern — per-id-range subtotals through the GUARDED
+    ``two_stage_offsets`` collect, then one keyed window per range plus
+    a broadcast offset join. NO global sort, no driver data beyond the
+    bounded range subtotals; the oracle's single-partition running sum
+    is exactly what the cluster never runs.
+    """
+    from pyspark.sql import Window
+
+    from .text import tokens
+
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    staged = docs.select(
+        F.col(id_col), F.size(tokens("text")).cast("bigint").alias("n_tok")
+    )
+    keyed, off_df, _ = two_stage_offsets(
+        staged, id_col, width=1 << 10, weight_col="n_tok"
+    )
+    w = Window.partitionBy("_rng").orderBy(id_col)
+    cum = F.sum("n_tok").over(w)  # inclusive within-range running sum
+    spanned = keyed.join(F.broadcast(off_df), "_rng").select(
+        id_col,
+        "n_tok",
+        (F.col("_offset") + cum - F.col("n_tok"))
+        .cast("bigint")
+        .alias("tok_start"),
+    )
+    first = F.expr(f"tok_start div {int(chunk_tokens)}")
+    return spanned.select(
+        id_col,
+        "n_tok",
+        "tok_start",
+        first.cast("bigint").alias("first_chunk"),
+        F.when(F.col("n_tok") == 0, F.lit(0))
+        .otherwise(
+            F.expr(
+                f"(tok_start + n_tok - 1) div {int(chunk_tokens)}"
+                f" - tok_start div {int(chunk_tokens)} + 1"
+            )
+        )
+        .cast("bigint")
+        .alias("n_chunks_spanned"),
+    )

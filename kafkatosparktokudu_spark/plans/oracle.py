@@ -4255,3 +4255,61 @@ def _mmr_sql(k: int = 10, pool_n: int = 50) -> str:
 
 
 ORACLE_SQL["ss11_mmr_rerank"] = _mmr_sql()
+
+
+# px17 twin: same whitespace token counts, single-partition running sum
+# (the oracle may sort globally; the engine must not), identical integer
+# chunk arithmetic.
+ORACLE_SQL["px17_sequence_packing"] = f"""
+    WITH t AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS tok_start
+        FROM t
+    )
+    SELECT doc_id, n_tok, tok_start,
+           CAST(tok_start // 512 AS BIGINT) AS first_chunk,
+           CAST(CASE WHEN n_tok = 0 THEN 0
+                ELSE (tok_start + n_tok - 1) // 512 - tok_start // 512 + 1
+                END AS BIGINT) AS n_chunks_spanned
+    FROM c
+"""
+
+
+def _bfs_sql(rounds: int = 8) -> str:
+    """gr05 twin: the gr04 edge CTEs, undirected expansion, then
+    ``rounds`` chained synchronous relaxations (expand EVERY settled
+    node — equivalent to the engine's frontier-only expansion because
+    re-expanding settled nodes only proposes distances >= the held
+    minimum). Root = MIN(a) over the edge list."""
+    ctes = [
+        "li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,"
+        " l_partkey AS p FROM lineitem)",
+        "ed AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x"
+        " JOIN li y USING (o) WHERE x.p < y.p"
+        " GROUP BY 1, 2 HAVING COUNT(*) >= 2)",
+        "ud AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed"
+        " UNION SELECT b AS src, a AS dst FROM ed)",
+        "d0 AS (SELECT MIN(a) AS node, CAST(0 AS BIGINT) AS hops FROM ed)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT node,"
+            f" CAST(MIN(hops) AS BIGINT) AS hops FROM ("
+            f" SELECT node, hops FROM d{p}"
+            f" UNION ALL"
+            f" SELECT e.dst AS node, d.hops + 1 AS hops"
+            f" FROM d{p} d JOIN ud e ON e.src = d.node"
+            f") GROUP BY node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, hops FROM d{rounds}"
+    )
+
+
+ORACLE_SQL["gr05_bfs_hops"] = _bfs_sql()

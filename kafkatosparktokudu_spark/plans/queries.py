@@ -3471,6 +3471,42 @@ def tx19_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(_t(spark, sf_dir, "documents"))
 
 
+# Concat-and-chunk sequence packing (operators/layout.py::
+# sequence_packing) — each doc's global token span + chunk placement in
+# the 512-token context-window stream; q90/q91 two-stage prefix sum, no
+# global sort. The packing pass of LLM pretraining prep.
+def px17_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import sequence_packing
+
+    return sequence_packing(_t(spark, sf_dir, "documents"), chunk_tokens=512)
+
+
+# Single-source BFS hop distances (operators/graph.py::bfs_hops) — the
+# fourth iterative-graph shape (frontier expansion) over the gr04
+# support>=2 co-purchase graph, from its minimum part key; per round one
+# frontier-edge join + one min-agg merge, localCheckpoint linear plans.
+def gr05_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bfs_hops
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pairs = (
+        li.withColumnRenamed("p", "pa")
+        .join(li.withColumnRenamed("p", "pb"), "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= 2)
+        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    )
+    # the BFS root: the graph's minimum node id — one scalar collect
+    src = pairs.agg(F.min("a").alias("m")).collect()[0]["m"]
+    return bfs_hops(pairs, source=int(src), rounds=8)
+
+
 # MMR diverse retrieval (operators/similarity.py::mmr_rerank) — greedy
 # 0.5·rel − 0.5·max-sim-to-selected re-ranking over a TakeOrdered top-50
 # relevance pool; k bounded jobs with the selected vectors as generated-SQL
@@ -3527,6 +3563,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx21_zipf_stats": tx21_zipf_stats,
     "px16_quality_aware_dedup": px16_quality_aware_dedup,
     "ss11_mmr_rerank": ss11_mmr_rerank,
+    "px17_sequence_packing": px17_sequence_packing,
+    "gr05_bfs_hops": gr05_bfs_hops,
     "ss04_ivf_topk": ss04_ivf_topk,
     # --- round-8 front section: queries whose implementing code changed
     # this round (the seed_cell_assign/kmeans_assign generated-SQL rebuild

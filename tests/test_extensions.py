@@ -2180,3 +2180,70 @@ def test_mmr_rerank_diversifies_clone_cluster(spark):
     assert order[0] in (1, 2, 3)       # best relevance first
     assert order[1] == 4               # diversity beats the second clone
     assert set(order) != set(plain)
+
+
+def test_sequence_packing_gapless_spans_and_chunks(spark):
+    """px17 invariants on crafted lengths: spans tile the token stream
+    gaplessly in id order, chunk arithmetic handles exact-boundary and
+    multi-chunk docs."""
+    from kafkatosparktokudu_spark.operators.layout import sequence_packing
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w " * 10),       # 10 tokens: [0,10) chunk 0
+            (2, "w " * 6),        # [10,16) chunk 0 -> 1 (boundary 8? no C=8)
+            (3, "w " * 20),       # [16,36)
+            (4, "w"),             # [36,37)
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in sequence_packing(docs, chunk_tokens=8).collect()
+    }
+    assert [out[i]["n_tok"] for i in (1, 2, 3, 4)] == [10, 6, 20, 1]
+    # gapless: starts follow cumulative sums
+    assert [out[i]["tok_start"] for i in (1, 2, 3, 4)] == [0, 10, 16, 36]
+    # doc1 [0,10): chunks 0-1; doc2 [10,16): chunk 1 only; doc3 [16,36):
+    # chunks 2,3,4; doc4 [36,37): chunk 4
+    assert (out[1]["first_chunk"], out[1]["n_chunks_spanned"]) == (0, 2)
+    assert (out[2]["first_chunk"], out[2]["n_chunks_spanned"]) == (1, 1)
+    assert (out[3]["first_chunk"], out[3]["n_chunks_spanned"]) == (2, 3)
+    assert (out[4]["first_chunk"], out[4]["n_chunks_spanned"]) == (4, 1)
+
+
+def test_sequence_packing_no_global_sort(spark):
+    """px17's prefix sum must be the two-stage pattern: a keyed window per
+    id range plus broadcast offsets — never a global rangepartitioning
+    sort or a corpus-sized single partition."""
+    from kafkatosparktokudu_spark.operators.layout import sequence_packing
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = sequence_packing(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange hashpartitioning(_rng" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bfs_hops_planted_graph(spark):
+    """gr05 semantics on a planted chain+branch: exact hop levels, the
+    disconnected component absent, rounds cap truncates the frontier."""
+    from kafkatosparktokudu_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5, branch 2-10, island 100-101
+        [(1, 2), (2, 3), (3, 4), (4, 5), (2, 10), (100, 101)],
+        "a bigint, b bigint",
+    )
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, source=1).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 10: 2, 4: 3, 5: 4}
+    capped = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, source=1, rounds=2).collect()
+    }
+    assert capped == {1: 0, 2: 1, 3: 2, 10: 2}
+    # reverse-direction reachability (undirected contract)
+    back = {r["node"]: r["hops"] for r in bfs_hops(edges, source=5).collect()}
+    assert back[1] == 4 and back[10] == 4
