@@ -667,3 +667,124 @@ def rolling_zscore_anomalies(
             "zscore",
         )
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact grouped WEIGHTED median (q96): the smallest value v in each
+    group with ``2·cumweight(v) >= total_weight`` — the lower weighted
+    median, the robust location estimate quantity-weighted price/metric
+    reporting needs (an unweighted median over line items answers a
+    different question than "the price at which half the VOLUME trades").
+
+    Exactness: values and weights enter as DECIMAL(12,2); per-value
+    weight sums, the running sum and the doubling are all exact decimal
+    integer arithmetic — no float compare anywhere; the returned median
+    is the value's one-time decimal→double cast. Ties in ``value_col``
+    are aggregated BEFORE the running sum, so the result is
+    order-independent by construction.
+
+    Scale shape: one (group, value) hash aggregation, then ONE keyed
+    window (hash-partition by group, sort by value within partition)
+    computing running and total weight in the same pass, then a final
+    group agg. No join, no global sort, no driver state.
+    """
+    from pyspark.sql import Window as W
+
+    v = F.col(value_col).cast("decimal(12,2)")
+    w = F.col(weight_col).cast("decimal(12,2)")
+    per_value = (
+        df.select(F.col(group_col), v.alias("_v"), w.alias("_w"))
+        .groupBy(group_col, "_v")
+        .agg(F.sum("_w").cast("decimal(18,2)").alias("_wv"))
+    )
+    win = W.partitionBy(group_col).orderBy("_v")
+    cum = F.sum("_wv").over(win.rowsBetween(W.unboundedPreceding, 0))
+    tot = F.sum("_wv").over(
+        win.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        per_value.select(
+            F.col(group_col),
+            "_v",
+            cum.alias("_cum"),
+            tot.alias("_tot"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.min(
+                F.when(F.col("_cum") * 2 >= F.col("_tot"), F.col("_v"))
+            )
+            .cast("double")
+            .alias("w_median"),
+            F.max("_tot").cast("double").alias("total_weight"),
+        )
+    )
+
+
+def fk_integrity_report(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit (dq06): for each declared
+    ``(name, child, child_key, parent, parent_key)`` relation report
+    child row count, NULL-key rows, ORPHAN rows (non-null key absent
+    from the parent) and parent coverage (distinct parent keys actually
+    referenced, in ppm) — the cross-TABLE data-quality check next to
+    dq01's per-column constraints; run on every CDC sink to catch
+    out-of-order parent/child application.
+
+    Scale shape per relation: one left-anti join on the key (AQE
+    broadcasts small parents) + one distinct-key semi join for
+    coverage; each relation reduces to ONE row before the union, so the
+    result assembly is trivial. All counts BIGINT.
+    """
+    outs = []
+    for name, child, ckey, parent, pkey in relations:
+        keys = child.select(F.col(ckey).alias("_k"))
+        pk = parent.select(F.col(pkey).alias("_k"))
+        orphans = keys.filter(F.col("_k").isNotNull()).join(
+            pk, "_k", "left_anti"
+        )
+        referenced = pk.join(
+            keys.filter(F.col("_k").isNotNull()).distinct(), "_k", "left_semi"
+        )
+        stats = (
+            keys.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_child"),
+                F.sum(F.when(F.col("_k").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_null_keys"),
+            )
+            .crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_orphans")
+                )
+            )
+            .crossJoin(
+                referenced.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("_n_ref")
+                )
+            )
+            .crossJoin(
+                pk.agg(F.count(F.lit(1)).cast("bigint").alias("_n_parent"))
+            )
+            .select(
+                F.lit(name).alias("relation"),
+                "n_child",
+                "n_null_keys",
+                "n_orphans",
+                F.expr(
+                    "CASE WHEN _n_parent = 0 THEN CAST(0 AS BIGINT) "
+                    "ELSE _n_ref * CAST(1000000 AS BIGINT) div _n_parent END"
+                ).alias("parent_coverage_ppm"),
+            )
+        )
+        outs.append(stats)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -4313,3 +4313,65 @@ def _bfs_sql(rounds: int = 8) -> str:
 
 
 ORACLE_SQL["gr05_bfs_hops"] = _bfs_sql()
+
+
+# q96 twin: identical per-value DECIMAL weight aggregation, running/total
+# window sums, lower-median rule (smallest v with 2*cumw >= W).
+ORACLE_SQL["q96_weighted_median"] = """
+    WITH pv AS (
+        SELECT l_returnflag,
+               CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+                   AS wv
+        FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT l_returnflag, v,
+               SUM(wv) OVER (PARTITION BY l_returnflag ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(wv) OVER (PARTITION BY l_returnflag) AS tot
+        FROM pv
+    )
+    SELECT l_returnflag,
+           CAST(MIN(CASE WHEN cum * 2 >= tot THEN v END) AS DOUBLE)
+               AS w_median,
+           CAST(MAX(tot) AS DOUBLE) AS total_weight
+    FROM c GROUP BY 1
+"""
+
+
+def _fk_sql() -> str:
+    """dq06 twin: per relation one NOT-IN orphan count (over non-null
+    keys), one referenced-parent-keys count, integer-ppm coverage."""
+    rels = [
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = []
+    for name, child, ck, parent, pk in rels:
+        parts.append(f"""
+        SELECT '{name}' AS relation,
+               CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_child,
+               CAST((SELECT COUNT(*) FROM {child} WHERE {ck} IS NULL)
+                   AS BIGINT) AS n_null_keys,
+               CAST((SELECT COUNT(*) FROM {child}
+                     WHERE {ck} IS NOT NULL
+                       AND {ck} NOT IN (SELECT {pk} FROM {parent}
+                                        WHERE {pk} IS NOT NULL))
+                   AS BIGINT) AS n_orphans,
+               CAST(CASE WHEN (SELECT COUNT(*) FROM {parent}) = 0 THEN 0
+                    ELSE (SELECT COUNT(*) FROM {parent}
+                          WHERE {pk} IN (SELECT {ck} FROM {child}
+                                         WHERE {ck} IS NOT NULL))
+                         * CAST(1000000 AS BIGINT)
+                         // (SELECT COUNT(*) FROM {parent}) END AS BIGINT)
+                   AS parent_coverage_ppm""")
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE_SQL["dq06_fk_integrity"] = _fk_sql()

@@ -3471,6 +3471,48 @@ def tx19_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(_t(spark, sf_dir, "documents"))
 
 
+# Exact grouped weighted median (operators/quality_checks.py::
+# weighted_median) — quantity-weighted price midpoint per return flag:
+# DECIMAL-exact running/total weights in ONE keyed window, no float
+# compares, lower-median rule (smallest v with 2·cumw >= W).
+def q96_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality_checks import weighted_median
+
+    return weighted_median(
+        _t(spark, sf_dir, "lineitem"),
+        group_col="l_returnflag",
+        value_col="l_extendedprice",
+        weight_col="l_quantity",
+    )
+
+
+# Referential-integrity audit (operators/quality_checks.py::
+# fk_integrity_report) — orphan/NULL-key/coverage stats for the seven
+# declared FK relations; one anti-join + one semi-join per relation,
+# each reduced to a single row. The cross-table check next to dq01.
+def dq06_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality_checks import fk_integrity_report
+
+    t = {
+        n: _t(spark, sf_dir, n)
+        for n in (
+            "region", "nation", "customer", "supplier",
+            "part", "orders", "lineitem",
+        )
+    }
+    return fk_integrity_report(
+        [
+            ("orders->customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+            ("lineitem->orders", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
+            ("lineitem->part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
+            ("lineitem->supplier", t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey"),
+            ("customer->nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
+            ("supplier->nation", t["supplier"], "s_nationkey", t["nation"], "n_nationkey"),
+            ("nation->region", t["nation"], "n_regionkey", t["region"], "r_regionkey"),
+        ]
+    )
+
+
 # Concat-and-chunk sequence packing (operators/layout.py::
 # sequence_packing) — each doc's global token span + chunk placement in
 # the 512-token context-window stream; q90/q91 two-stage prefix sum, no
@@ -3565,6 +3607,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss11_mmr_rerank": ss11_mmr_rerank,
     "px17_sequence_packing": px17_sequence_packing,
     "gr05_bfs_hops": gr05_bfs_hops,
+    "q96_weighted_median": q96_weighted_median,
+    "dq06_fk_integrity": dq06_fk_integrity,
     "ss04_ivf_topk": ss04_ivf_topk,
     # --- round-8 front section: queries whose implementing code changed
     # this round (the seed_cell_assign/kmeans_assign generated-SQL rebuild

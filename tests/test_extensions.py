@@ -2247,3 +2247,41 @@ def test_bfs_hops_planted_graph(spark):
     # reverse-direction reachability (undirected contract)
     back = {r["node"]: r["hops"] for r in bfs_hops(edges, source=5).collect()}
     assert back[1] == 4 and back[10] == 4
+
+
+def test_weighted_median_planted_values(spark):
+    """q96 lower-median rule on hand-computable weights, including the
+    exact-half tie (2·cum == W picks that value) and a heavy single value
+    dominating the volume."""
+    from kafkatosparktokudu_spark.operators.quality_checks import weighted_median
+
+    df = spark.createDataFrame(
+        # group A: values 1,2,3 weights 1,1,2 -> W=4, cum(2)=2 -> 2*2>=4 -> median 2
+        # group B: heavy tail: value 10 w=9, value 1 w=1 -> median 10? cum(1)=1, 2<10; cum(10)=10 -> 10
+        # group C: duplicate rows of one value aggregate first
+        [("A", 1.0, 1.0), ("A", 2.0, 1.0), ("A", 3.0, 2.0),
+         ("B", 1.0, 1.0), ("B", 10.0, 9.0),
+         ("C", 5.0, 0.5), ("C", 5.0, 0.5), ("C", 7.0, 0.5)],
+        "g string, v double, w double",
+    )
+    got = {
+        r["g"]: (r["w_median"], r["total_weight"])
+        for r in weighted_median(df, "g", "v", "w").collect()
+    }
+    assert got == {"A": (2.0, 4.0), "B": (10.0, 10.0), "C": (5.0, 1.5)}
+
+
+def test_fk_integrity_orphans_and_nulls(spark):
+    """dq06 on a planted parent/child: NULL keys counted separately from
+    orphans; coverage counts distinct referenced parents."""
+    from kafkatosparktokudu_spark.operators.quality_checks import (
+        fk_integrity_report,
+    )
+
+    parent = spark.createDataFrame([(1,), (2,), (3,), (4,)], "pk bigint")
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (None,)], "fk bigint"
+    )
+    r = fk_integrity_report([("c->p", child, "fk", parent, "pk")]).collect()[0]
+    assert (r["n_child"], r["n_null_keys"], r["n_orphans"]) == (5, 1, 1)
+    assert r["parent_coverage_ppm"] == 2 * 1_000_000 // 4
