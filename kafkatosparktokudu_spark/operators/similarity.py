@@ -1261,3 +1261,42 @@ def mmr_rerank(
         )
     finally:
         pool.unpersist()
+
+
+def knn_label_vote(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    queries_are_subset: bool = True,
+) -> DataFrame:
+    """kNN majority-vote labeling (ss12) — the weak-labeling /
+    auto-annotation pass over ``knn_join``: each query vector takes the
+    modal label of its ``k`` nearest corpus neighbors, ties broken by
+    (votes DESC, label ASC). What a training pipeline runs to propagate
+    labels from a seed set to unlabeled data.
+
+    Returns ``(q_id, pred_label, n_votes)``.
+
+    Scale shape: the neighbor set is ss05's cell-blocked sub-quadratic
+    join; the vote is one (q_id, label) hash aggregation plus one keyed
+    window over at most k rows per query. Nothing here scales worse
+    than the kNN join itself.
+    """
+    from pyspark.sql import Window as W
+
+    nn = knn_join(
+        emb, queries, k=k, queries_are_subset=queries_are_subset
+    )
+    votes = (
+        nn.join(
+            emb.select(F.col("vec_id").alias("n_id"), "label"), "n_id"
+        )
+        .groupBy("q_id", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_votes"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("n_votes"), "label")
+    return (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("q_id", F.col("label").alias("pred_label"), "n_votes")
+    )

@@ -4375,3 +4375,63 @@ def _fk_sql() -> str:
 
 
 ORACLE_SQL["dq06_fk_integrity"] = _fk_sql()
+
+
+# st03 twin: q95's OHLC oracle — the tumbling window(ts, '1 hour') start
+# equals date_trunc('hour', ts) for epoch-aligned hourly windows, and the
+# streaming code path shares the exact struct/DECIMAL aggregation.
+ORACLE_SQL["st03_ohlc_windows"] = ORACLE_SQL["q95_ohlc_candles"]
+
+
+# ss12 twin: the ss05 kNN-join CTEs + neighbor labels + majority vote
+# (votes DESC, label ASC tie-break).
+ORACLE_SQL["ss12_knn_label_vote"] = """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS sv
+        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 32)
+    ),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, s.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, s.sv), 6) DESC,
+                                s.cell
+                   ) AS rn
+            FROM e CROSS JOIN seeds s
+        ) WHERE rn <= 4
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+        FROM assigned q JOIN assigned c ON q.cell = c.cell
+        WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+    ),
+    scored AS (
+        SELECT q_id, n_id,
+               round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
+        FROM cand JOIN e x ON x.vec_id = q_id
+                  JOIN e y ON y.vec_id = n_id
+    ),
+    knn AS (
+        SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY cos_sim DESC, n_id
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    ),
+    votes AS (
+        SELECT k.q_id, y.label, CAST(COUNT(*) AS BIGINT) AS n_votes
+        FROM knn k JOIN e y ON y.vec_id = k.n_id
+        GROUP BY 1, 2
+    )
+    SELECT q_id, label AS pred_label, n_votes FROM (
+        SELECT q_id, label, n_votes,
+               row_number() OVER (
+                   PARTITION BY q_id ORDER BY n_votes DESC, label ASC
+               ) AS r
+        FROM votes
+    ) WHERE r = 1
+"""

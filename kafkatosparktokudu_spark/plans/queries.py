@@ -3471,6 +3471,31 @@ def tx19_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(_t(spark, sf_dir, "documents"))
 
 
+# Streaming OHLC candles run in batch mode (streaming/pipeline.py::
+# stream_ohlc) — the SAME windowed-agg code path the live stream runs
+# (watermark is a no-op on a static frame); window(ts, '1 hour') start ==
+# date_trunc('hour'), so the q95-shaped oracle pins the shared
+# aggregation. The live path's checkpoint-restart parity is pinned in
+# tests/test_streaming.py.
+def st03_ohlc_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import stream_ohlc
+
+    return stream_ohlc(_t(spark, sf_dir, "events"))
+
+
+# kNN majority-vote labeling (operators/similarity.py::knn_label_vote) —
+# each low-id query vector takes the modal label of its ss05 neighbors
+# (votes DESC, label ASC tie-break); one (q_id,label) agg + one tiny
+# keyed window on top of the cell-blocked kNN join.
+def ss12_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import knn_label_vote
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_label_vote(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, queries_are_subset=True
+    )
+
+
 # Exact grouped weighted median (operators/quality_checks.py::
 # weighted_median) — quantity-weighted price midpoint per return flag:
 # DECIMAL-exact running/total weights in ONE keyed window, no float
@@ -3609,6 +3634,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr05_bfs_hops": gr05_bfs_hops,
     "q96_weighted_median": q96_weighted_median,
     "dq06_fk_integrity": dq06_fk_integrity,
+    "st03_ohlc_windows": st03_ohlc_windows,
+    "ss12_knn_label_vote": ss12_knn_label_vote,
     "ss04_ivf_topk": ss04_ivf_topk,
     # --- round-8 front section: queries whose implementing code changed
     # this round (the seed_cell_assign/kmeans_assign generated-SQL rebuild

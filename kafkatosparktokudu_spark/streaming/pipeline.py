@@ -826,3 +826,58 @@ def stream_sessionize(
     return _event_time(events, "ts").groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_ohlc(
+    events: DataFrame,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming OHLC candles — the live twin of the batch hourly candle
+    aggregation (plans/queries.py::q95_ohlc_candles): per (event_type,
+    tumbling event-time hour), open/close as min/max over a
+    (ts, event_id, value) struct plus high/low/count/sum, emitted
+    append-only once the watermark passes the window end. The same ONE
+    map-side-combined hash aggregation as batch — Spark's windowed
+    streaming agg keeps O(open windows) state per key and finalizes
+    windows exactly once.
+
+    Parity with q95 (pinned by test): identical DECIMAL(12,2) value
+    arithmetic and identical struct tie-break (equal-ts opens resolved
+    by event_id), so every FINALIZED window is bit-equal to the batch
+    row; the streaming/batch difference is only WHICH windows have
+    finalized (end <= watermark) — the q17/stream_sessionize open-tail
+    argument applied to windows.
+    """
+    e = _event_time(events, "ts")
+    v = F.col("value").cast("decimal(12,2)")
+    base = e.withWatermark("ts", watermark).select(
+        "event_type",
+        F.window("ts", "1 hour").alias("w"),
+        F.struct(
+            F.col("ts").alias("ts"),
+            F.col("event_id").alias("event_id"),
+            v.alias("v"),
+        ).alias("s"),
+        v.alias("v"),
+    )
+    return (
+        base.groupBy("event_type", "w")
+        .agg(
+            F.min("s").getField("v").cast("double").alias("open_v"),
+            F.max("v").cast("double").alias("high_v"),
+            F.min("v").cast("double").alias("low_v"),
+            F.max("s").getField("v").cast("double").alias("close_v"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("v").cast("double").alias("v_sum"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("bucket_ts"),
+            "open_v",
+            "high_v",
+            "low_v",
+            "close_v",
+            "n_events",
+            "v_sum",
+        )
+    )

@@ -2285,3 +2285,39 @@ def test_fk_integrity_orphans_and_nulls(spark):
     r = fk_integrity_report([("c->p", child, "fk", parent, "pk")]).collect()[0]
     assert (r["n_child"], r["n_null_keys"], r["n_orphans"]) == (5, 1, 1)
     assert r["parent_coverage_ppm"] == 2 * 1_000_000 // 4
+
+
+def test_knn_label_vote_majority_and_tiebreak(spark):
+    """ss12 semantics on a planted geometry: clear majority wins; a 2-2
+    split (k=4) breaks to the SMALLER label."""
+    from kafkatosparktokudu_spark.operators.similarity import knn_label_vote
+
+    d = 4
+    def vec(i, x=1.0):
+        v = [0.0] * d
+        v[i] = x
+        return v
+
+    # query 0 at axis0; nearest four alternate labels 7,7,1,1 by cosine,
+    # the fifth is another 7
+    rows = [
+        (0, 9, vec(0)),               # query (label irrelevant)
+        (1, 7, [1.0, 0.1, 0.0, 0.0]),
+        (2, 7, [1.0, 0.2, 0.0, 0.0]),
+        (3, 1, [1.0, 0.3, 0.0, 0.0]),
+        (4, 1, [1.0, 0.4, 0.0, 0.0]),
+        (5, 7, [0.9, 0.5, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, l, [float(x) for x in v]) for i, l, v in rows],
+        "vec_id bigint, label bigint, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    # k=5: labels {7,7,1,1,7} -> clear 7 majority
+    maj = {r["q_id"]: (r["pred_label"], r["n_votes"]) for r in
+           knn_label_vote(emb, q, k=5, queries_are_subset=True).collect()}
+    assert maj[0] == (7, 3)
+    # k=4: labels {7,7,1,1} -> 2-2 tie breaks to the SMALLER label
+    tie = {r["q_id"]: (r["pred_label"], r["n_votes"]) for r in
+           knn_label_vote(emb, q, k=4, queries_are_subset=True).collect()}
+    assert tie[0] == (1, 2)

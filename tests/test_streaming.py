@@ -1606,3 +1606,64 @@ def test_stream_zscore_halfcent_values_match_batch(spark, tmp_path):
         for r in rolling_zscore_anomalies(events, threshold=2.0).collect()
     )
     assert got == want and len(want) >= 2
+
+
+def test_stream_ohlc_matches_batch_finalized_windows_across_restart(
+    spark, tmp_path
+):
+    """Streaming OHLC == batch q95 on every FINALIZED window: two
+    checkpointed availableNow runs over a time-split corpus; each emitted
+    (event_type, hour) row must be bit-equal to the batch candle, and the
+    emitted window set must cover everything strictly before the final
+    watermark (max event time − 30 min) and nothing after it."""
+    from kafkatosparktokudu_spark.plans.queries import QUERIES
+    from kafkatosparktokudu_spark.streaming.pipeline import stream_ohlc
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    cut = "2024-01-16"
+    src = tmp_path / "oh_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "oh_ckpt")
+    out = str(tmp_path / "oh_out")
+    events.filter(F.col("ts") < cut).write.parquet(str(src / "a"))
+
+    def run():
+        stream = spark.readStream.schema(events.schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = (
+            stream_ohlc(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    events.filter(F.col("ts") >= cut).write.parquet(str(src / "b"))
+    run()
+
+    key = lambda r: (r["event_type"], r["bucket_ts"])
+    got = {key(r): tuple(r) for r in spark.read.parquet(out).collect()}
+    batch = {
+        key(r): tuple(r)
+        for r in QUERIES["st03_ohlc_windows"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got, "no windows finalized"
+    for k, v in got.items():
+        assert batch[k] == v, (k, v, batch[k])  # bit-equal candles
+    import datetime as dt
+
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - dt.timedelta(minutes=30)
+    must = {k for k, v in batch.items() if k[1] + dt.timedelta(hours=1) < wm}
+    may = {k for k, v in batch.items() if k[1] + dt.timedelta(hours=1) <= wm}
+    assert must <= set(got) <= may, (
+        sorted(must - set(got))[:3],
+        sorted(set(got) - may)[:3],
+    )
