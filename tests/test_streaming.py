@@ -1667,3 +1667,47 @@ def test_stream_ohlc_matches_batch_finalized_windows_across_restart(
         sorted(must - set(got))[:3],
         sorted(set(got) - may)[:3],
     )
+
+
+def test_stream_zscore_overflow_fallback_matches_batch(spark, tmp_path):
+    """Values around $1.5M make len·max_cents² exceed the vectorized
+    fold's int64 headroom — the guard must route through the exact scalar
+    fold and still match the batch operator bit-for-bit (the corpus stays
+    inside batch's own DECIMAL(12,2)/(18,4) headroom)."""
+    import datetime as dt
+
+    from kafkatosparktokudu_spark.operators.quality_checks import (
+        rolling_zscore_anomalies,
+    )
+    from kafkatosparktokudu_spark.streaming.pipeline import stream_zscore_anomalies
+
+    base = dt.datetime(2024, 4, 1)
+    rows = []
+    for i in range(210):
+        v = 1_500_000.0 + (i % 7) * 1000.0 + (40000.0 if i % 31 == 30 else 0.0)
+        rows.append((i, 3, base + dt.timedelta(minutes=i), v))
+    events = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, value double"
+    )
+    src = tmp_path / "of_src"
+    src.mkdir()
+    events.write.parquet(str(src / "a"))
+    stream = spark.readStream.schema(events.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    out = str(tmp_path / "of_out")
+    q = (
+        stream_zscore_anomalies(stream, threshold=2.5)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "of_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(
+        tuple(r) for r in rolling_zscore_anomalies(events, threshold=2.5).collect()
+    )
+    assert got == want and len(want) >= 3
