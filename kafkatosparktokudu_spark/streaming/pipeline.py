@@ -530,8 +530,14 @@ def stream_topk_per_key(
             vals, ids = state.get
             top = list(zip(vals, ids))
         for pdf in pdfs:
+            # pre-reduce the batch to its own top-k in pandas (vectorized
+            # sort) so the Python merge below handles O(k) tuples per
+            # batch, not O(events)
+            head = pdf.sort_values(
+                ["value", "event_id"], ascending=[False, True]
+            ).head(k)
             top.extend(
-                zip(pdf["value"].astype(float), pdf["event_id"].astype(int))
+                zip(head["value"].astype(float), head["event_id"].astype(int))
             )
         # descending value, ascending event_id tie-break; keep k
         top.sort(key=lambda t: (-t[0], t[1]))
@@ -758,21 +764,36 @@ def stream_funnel(
     state_schema = "t array<bigint>"  # -1 = stage not reached
 
     def fn(key: tuple, pdfs, state: GroupState):
+        import numpy as np
+
         t = list(state.get[0]) if state.exists else [-1] * n_steps
         out_rows = []
         frames = [p for p in pdfs]
         if frames:
             pdf = pd.concat(frames).sort_values(["ts", "event_id"])
-            for _, row in pdf.iterrows():
-                i = step_idx.get(row["event_type"])
-                if i is None or t[i] >= 0:
+            us = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            types = pdf["event_type"].to_numpy()
+            # One vectorized pass per STEP (not per event): stage i's first
+            # qualifying event is the first masked row in (ts, event_id)
+            # order — `us > t[i-1]` is strict, so equal-timestamp ordering
+            # inside the batch cannot change which event qualifies, and a
+            # stage that fails to advance gates all later stages exactly
+            # like the scalar fold did.
+            for i, step in enumerate(steps):
+                if t[i] >= 0:
                     continue
-                us = int(pd.Timestamp(row["ts"]).value // 1000)
-                if i == 0 or (t[i - 1] >= 0 and us > t[i - 1]):
-                    t[i] = us
-                    out_rows.append(
-                        (int(key[0]), i + 1, pd.Timestamp(us * 1000))
-                    )
+                if i > 0 and t[i - 1] < 0:
+                    break
+                mask = types == step
+                if i > 0:
+                    mask &= us > t[i - 1]
+                hits = np.flatnonzero(mask)
+                if not len(hits):
+                    break
+                t[i] = int(us[hits[0]])
+                out_rows.append(
+                    (int(key[0]), i + 1, pd.Timestamp(t[i] * 1000))
+                )
         state.update((t,))
         yield pd.DataFrame(out_rows, columns=["user_id", "stage", "ts"])
 
