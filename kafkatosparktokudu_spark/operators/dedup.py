@@ -1010,3 +1010,45 @@ def quality_aware_survivors(
         F.col(score_col),
         (F.row_number().over(w_rank) == 1).alias("is_survivor"),
     )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Soft deduplication (dd15) — instead of DROPPING near-duplicates,
+    keep every document DOWN-WEIGHTED by its duplicate-cluster size
+    (weight = 1/n, so each cluster contributes one document's worth of
+    training mass): the loss-weighting alternative to hard dedup that
+    preserves benign repetition signal. Unpaired docs keep full weight.
+
+    Returns ``(id, cluster_id, cluster_size, weight_ppm)`` — integer ppm
+    (1e6 // n), exact.
+
+    Scale shape: clusters from ``duplicate_clusters`` (LSH candidates
+    only); one keyed window for the size, everything else per-row
+    integer math.
+    """
+    from pyspark.sql import Window as W
+
+    clusters = duplicate_clusters(pairs)
+    lab = (
+        docs.select(id_col)
+        .join(clusters, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col))
+            .cast("bigint")
+            .alias("cluster_id"),
+        )
+    )
+    size = F.count(F.lit(1)).over(W.partitionBy("cluster_id"))
+    return lab.select(
+        F.col(id_col),
+        "cluster_id",
+        size.cast("bigint").alias("cluster_size"),
+    ).withColumn(
+        "weight_ppm",
+        F.expr("CAST(1000000 AS BIGINT) div cluster_size").cast("bigint"),
+    )

@@ -302,3 +302,45 @@ def write_webdataset(
     return tagged.groupBy("shard_id").applyInPandas(
         write_shard, MANIFEST_SCHEMA
     )
+
+
+def inference_batches(
+    docs: DataFrame,
+    batch_size: int = 32,
+    size_bucket_bytes: int = 4096,
+) -> DataFrame:
+    """Inference batch planning (mm07) — group media rows into fixed-size
+    batches of SIMILAR payloads (same format, same size bucket) so a
+    downstream encoder sees shape-homogeneous batches with minimal
+    padding: the batching pass in front of any vision/audio tower. Pure
+    metadata arithmetic — payload bytes never move.
+
+    Returns per row: ``(doc_id, fmt, size_bucket, batch_idx,
+    pos_in_batch)`` — batch_idx is dense per (fmt, size_bucket), filled
+    in doc_id order.
+
+    Scale shape: ONE keyed window per (fmt, size_bucket) — the bucket is
+    the partition key, so this is a hash-partitioned sort of each
+    bucket, never a global sort; all arithmetic integer.
+    """
+    from pyspark.sql import Window as W
+
+    if batch_size < 1 or size_bucket_bytes < 1:
+        raise ValueError("batch_size and size_bucket_bytes must be >= 1")
+    media = attach_binary(docs)
+    b = media.select(
+        "doc_id",
+        "fmt",
+        F.expr(f"n_bytes div {int(size_bucket_bytes)}")
+        .cast("bigint")
+        .alias("size_bucket"),
+    )
+    w = W.partitionBy("fmt", "size_bucket").orderBy("doc_id")
+    slot = F.row_number().over(w) - 1
+    return b.select(
+        "doc_id",
+        "fmt",
+        "size_bucket",
+        (slot / F.lit(int(batch_size))).cast("bigint").alias("batch_idx"),
+        (slot % F.lit(int(batch_size))).cast("int").alias("pos_in_batch"),
+    )

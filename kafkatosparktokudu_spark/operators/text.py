@@ -1340,3 +1340,61 @@ def zipf_stats(
             6,
         ).alias("zipf_slope"),
     )
+
+
+def mixture_epoch_plan(
+    docs: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.5,
+    token_budget: int = 1_000_000,
+) -> DataFrame:
+    """Training-mixture epoch plan (px18) — the LLaMA-style data table:
+    per corpus stratum, its TOKEN mass, natural share, α-tempered target
+    weight, the token budget that weight buys, and the implied number of
+    passes (epochs) over the stratum in ppm — the "how many times does
+    the model see Wikipedia" column. px13 plans by document counts; a
+    token-budgeted pretraining run plans by tokens.
+
+    Exactness (the px13 contract on token counts): shares are integer
+    ppm; the α power is the single float op, rounded(12) then summed as
+    DECIMAL(18,12) so the normalizer is exact and order-independent;
+    weights round(6); budget = floor(w_raw · B) with both engines
+    flooring the identical double; epochs_ppm = budget·1e6 // n_tokens.
+
+    Scale shape: one corpus scan reduced map-side to |strata| rows, two
+    broadcast scalars — nothing else leaves the executors.
+    """
+    counts = docs.select(
+        F.col(group_col), F.size(tokens("text")).cast("bigint").alias("_n")
+    ).groupBy(group_col).agg(F.sum("_n").cast("bigint").alias("n_tokens"))
+    tot = counts.agg(F.sum("n_tokens").cast("bigint").alias("_total"))
+    scored = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "_pa",
+        F.round(
+            F.pow(F.col("n_tokens").cast("double") / F.col("_total"), alpha),
+            12,
+        ).cast("decimal(18,12)"),
+    )
+    z = scored.agg(F.sum("_pa").alias("_z"))
+    w_raw = F.col("_pa").cast("double") / F.col("_z").cast("double")
+    out = scored.crossJoin(F.broadcast(z)).select(
+        F.col(group_col),
+        "n_tokens",
+        # DECIMAL(38,0) products (the px13 convention) — token masses at
+        # real scale can push an int64 *1e6 product over 2^63
+        F.expr(
+            "CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000"
+            " div _total AS BIGINT)"
+        ).alias("share_ppm"),
+        F.round(w_raw, 6).alias("weight"),
+        F.floor(w_raw * F.lit(int(token_budget)))
+        .cast("bigint")
+        .alias("target_tokens"),
+    )
+    return out.withColumn(
+        "epochs_ppm",
+        F.expr(
+            "CAST(CAST(target_tokens AS DECIMAL(38,0)) * 1000000"
+            " div n_tokens AS BIGINT)"
+        ),
+    )

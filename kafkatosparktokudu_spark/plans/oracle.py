@@ -3616,7 +3616,7 @@ ORACLE_SQL["px13_temperature_mixture"] = """
     ),
     z AS (SELECT CAST(SUM(_pa) AS DECIMAL(18,12)) AS _z FROM s)
     SELECT s.lang, s.n_docs,
-           CAST(CAST(s.n_docs AS DECIMAL(38,0)) * 1000000 // s._total AS BIGINT)
+           CAST(CAST(s.n_docs AS HUGEINT) * 1000000 // s._total AS BIGINT)
                AS share_ppm,
            round(CAST(s._pa AS DOUBLE) / CAST(z._z AS DOUBLE), 6) AS weight,
            CAST(floor(CAST(s._pa AS DOUBLE) / CAST(z._z AS DOUBLE) * 100000)
@@ -4435,3 +4435,83 @@ ORACLE_SQL["ss12_knn_label_vote"] = """
         FROM votes
     ) WHERE r = 1
 """
+
+
+# mm07 twin: the mm01 metadata derivation + integer bucket/slot math
+# (row_number per (fmt, size_bucket) in doc_id order).
+ORACLE_SQL["mm07_inference_batches"] = """
+    WITH m AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS fmt,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, fmt, CAST(n_bytes // 4096 AS BIGINT) AS size_bucket
+        FROM m
+    ),
+    r AS (
+        SELECT doc_id, fmt, size_bucket,
+               ROW_NUMBER() OVER (PARTITION BY fmt, size_bucket
+                   ORDER BY doc_id) - 1 AS slot
+        FROM b
+    )
+    SELECT doc_id, fmt, size_bucket,
+           CAST(slot // 32 AS BIGINT) AS batch_idx,
+           CAST(slot % 32 AS INTEGER) AS pos_in_batch
+    FROM r
+"""
+
+
+# px18 twin: the px13 exact-decimal tempering convention on TOKEN masses
+# (alpha=0.5, budget 1e6), plus the integer-ppm epochs column.
+ORACLE_SQL["px18_mixture_epoch_plan"] = f"""
+    WITH c AS (
+        SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS _total FROM c),
+    s AS (
+        SELECT c.source, c.n_tokens, t._total,
+               CAST(round(pow(CAST(c.n_tokens AS DOUBLE) / t._total, 0.5), 12)
+                    AS DECIMAL(18,12)) AS _pa
+        FROM c CROSS JOIN t
+    ),
+    z AS (SELECT CAST(SUM(_pa) AS DECIMAL(18,12)) AS _z FROM s),
+    w AS (
+        SELECT s.source, s.n_tokens,
+               CAST(CAST(s.n_tokens AS HUGEINT) * 1000000 // s._total
+                   AS BIGINT) AS share_ppm,
+               round(CAST(s._pa AS DOUBLE) / CAST(z._z AS DOUBLE), 6)
+                   AS weight,
+               CAST(floor(CAST(s._pa AS DOUBLE) / CAST(z._z AS DOUBLE)
+                   * 1000000) AS BIGINT) AS target_tokens
+        FROM s CROSS JOIN z
+    )
+    SELECT source, n_tokens, share_ppm, weight, target_tokens,
+           CAST(CAST(target_tokens AS HUGEINT) * 1000000 // n_tokens
+               AS BIGINT) AS epochs_ppm
+    FROM w
+"""
+
+
+# dd15 twin: the px02 closure CTEs + per-cluster size window + 1e6//n.
+ORACLE_SQL["dd15_soft_dedup_weights"] = f"""
+    WITH RECURSIVE {{cc}},
+    clusters AS (
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id
+        FROM reach GROUP BY node
+    ),
+    lab AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+        FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size,
+           CAST(1000000 // COUNT(*) OVER (PARTITION BY cluster_id)
+               AS BIGINT) AS weight_ppm
+    FROM lab
+""".format(cc=_CC_CTES)

@@ -3471,6 +3471,35 @@ def tx19_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(_t(spark, sf_dir, "documents"))
 
 
+# Inference batch planning (operators/multimodal.py::inference_batches)
+# — fixed-size shape-homogeneous batches per (format, size bucket): the
+# batching pass in front of a vision/audio encoder, pure metadata
+# arithmetic (payload bytes never move), one keyed window per bucket.
+def mm07_inference_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import inference_batches
+
+    return inference_batches(_t(spark, sf_dir, "documents"))
+
+
+# Training-mixture epoch plan (operators/text.py::mixture_epoch_plan) —
+# the LLaMA data table by TOKEN mass: per-source share, alpha-tempered
+# weight, token budget, implied epochs (px13 plans by document counts).
+def px18_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import mixture_epoch_plan
+
+    return mixture_epoch_plan(_t(spark, sf_dir, "documents"))
+
+
+# Soft deduplication (operators/dedup.py::soft_dedup_weights) — keep
+# every doc, down-weighted 1/cluster_size (integer ppm): the
+# loss-weighting alternative to px02's hard survivor selection.
+def dd15_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import neardup_pairs_jaccard, soft_dedup_weights
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return soft_dedup_weights(docs, neardup_pairs_jaccard(docs, threshold=0.2))
+
+
 # Streaming OHLC candles run in batch mode (streaming/pipeline.py::
 # stream_ohlc) — the SAME windowed-agg code path the live stream runs
 # (watermark is a no-op on a static frame); window(ts, '1 hour') start ==
@@ -3636,6 +3665,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq06_fk_integrity": dq06_fk_integrity,
     "st03_ohlc_windows": st03_ohlc_windows,
     "ss12_knn_label_vote": ss12_knn_label_vote,
+    "mm07_inference_batches": mm07_inference_batches,
+    "px18_mixture_epoch_plan": px18_mixture_epoch_plan,
+    "dd15_soft_dedup_weights": dd15_soft_dedup_weights,
     "ss04_ivf_topk": ss04_ivf_topk,
     # --- round-8 front section: queries whose implementing code changed
     # this round (the seed_cell_assign/kmeans_assign generated-SQL rebuild

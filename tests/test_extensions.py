@@ -2321,3 +2321,85 @@ def test_knn_label_vote_majority_and_tiebreak(spark):
     tie = {r["q_id"]: (r["pred_label"], r["n_votes"]) for r in
            knn_label_vote(emb, q, k=4, queries_are_subset=True).collect()}
     assert tie[0] == (1, 2)
+
+
+def test_inference_batches_shape_homogeneous(spark):
+    """mm07: batches never mix (fmt, size_bucket); slots fill in doc_id
+    order; no batch exceeds batch_size."""
+    from kafkatosparktokudu_spark.operators.multimodal import inference_batches
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (50 + 40 * (i % 5))) for i in range(60)],
+        "doc_id bigint, text string",
+    )
+    out = inference_batches(docs, batch_size=4, size_bucket_bytes=64).collect()
+    assert len(out) == 60
+    by_batch = {}
+    for r in out:
+        by_batch.setdefault(
+            (r["fmt"], r["size_bucket"], r["batch_idx"]), []
+        ).append((r["pos_in_batch"], r["doc_id"]))
+    for members in by_batch.values():
+        assert len(members) <= 4
+        members.sort()
+        # positions dense from 0, doc_ids ascending with position
+        assert [p for p, _ in members] == list(range(len(members)))
+        ids = [d for _, d in members]
+        assert ids == sorted(ids)
+
+
+def test_mixture_epoch_plan_planted(spark):
+    """px18 on a two-source corpus with hand-countable tokens: exact
+    integer columns and the alpha<1 flattening property (the small source
+    gets MORE than its natural share; epochs > 1e6 ppm means upsampling)."""
+    import math
+
+    from kafkatosparktokudu_spark.operators.text import mixture_epoch_plan
+
+    docs = spark.createDataFrame(
+        [(1, "big", "w " * 900), (2, "big", "w " * 700), (3, "small", "w " * 400)],
+        "doc_id bigint, source string, text string",
+    )
+    out = {
+        r["source"]: r
+        for r in mixture_epoch_plan(docs, token_budget=2000).collect()
+    }
+    assert out["big"]["n_tokens"] == 1600 and out["small"]["n_tokens"] == 400
+    assert out["big"]["share_ppm"] == 1600 * 1_000_000 // 2000
+    pa_b, pa_s = round(math.sqrt(0.8), 12), round(math.sqrt(0.2), 12)
+    w_b = pa_b / (pa_b + pa_s)
+    assert abs(out["big"]["weight"] - round(w_b, 6)) < 1e-9
+    assert out["small"]["weight"] > 0.2  # flattened above natural share
+    assert out["small"]["target_tokens"] == math.floor((1 - w_b) * 2000)
+    # small source repeats (>1 epoch), big undersampled (<1 epoch)
+    assert out["small"]["epochs_ppm"] > 1_000_000 > out["big"]["epochs_ppm"]
+
+
+def test_soft_dedup_weights_planted(spark):
+    """dd15: a 3-doc near-dup cluster gets weight 333333 ppm each; the
+    unpaired doc keeps full weight."""
+    from kafkatosparktokudu_spark.operators.dedup import (
+        neardup_pairs_jaccard,
+        soft_dedup_weights,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    docs = spark.createDataFrame(
+        [
+            (1, base * 2),
+            (2, base * 2 + "lambda"),
+            (3, base * 2 + "mu nu"),
+            (9, "entirely different text with other words"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in soft_dedup_weights(
+            docs, neardup_pairs_jaccard(docs, threshold=0.2)
+        ).collect()
+    }
+    assert {out[d]["cluster_id"] for d in (1, 2, 3)} == {1}
+    for d in (1, 2, 3):
+        assert (out[d]["cluster_size"], out[d]["weight_ppm"]) == (3, 333333)
+    assert (out[9]["cluster_size"], out[9]["weight_ppm"]) == (1, 1_000_000)
