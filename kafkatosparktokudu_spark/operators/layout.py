@@ -401,3 +401,83 @@ def sequence_packing(
         .cast("bigint")
         .alias("n_chunks_spanned"),
     )
+
+
+def stratified_shards(
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "p_keep",
+    n_shards: int = 8,
+    n_bands: int = 10,
+    max_ranges: int = 4096,
+) -> DataFrame:
+    """Quality-stratified shard assignment (px19) — every training shard
+    receives the SAME quality mix: docs are bucketed into ``n_bands``
+    score bands (value-based — no quantile sort), given a deterministic
+    md5 order WITHIN their band, and dealt round-robin to shards, so
+    per-(shard, band) counts differ by at most 1 across shards. Random
+    hashing balances only in expectation; a data-parallel run whose
+    shards drift in quality trains on different curricula per worker —
+    this makes the balance exact.
+
+    Returns ``(id, band, shard_id, pos_in_shard)``.
+
+    Scale shape: the GROUPED form of the q90 two-stage rank — per
+    (band, hash-range) subtotals through one guarded bounded collect
+    (≤ n_bands·ranges rows, width auto-coarsened ×16 like
+    ``two_stage_offsets``), then ONE keyed window per (band, range)
+    plus a broadcast offset join. No global or per-band global sort;
+    the md5 order key is skew-immune by construction.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_hash32
+
+    if n_shards < 1 or n_bands < 1:
+        raise ValueError("n_shards and n_bands must be >= 1")
+    banded = scored.select(
+        F.col(id_col),
+        F.least(
+            F.lit(n_bands - 1),
+            F.floor(F.col(score_col) * n_bands).cast("int"),
+        )
+        .cast("int")
+        .alias("band"),
+        md5_hash32(F.col(id_col).cast("string")).alias("_h"),
+    )
+    width = 1 << 24
+    spark = scored.sparkSession
+    while True:
+        keyed = banded.withColumn(
+            "_rng", (F.col("_h") / F.lit(width)).cast("bigint")
+        )
+        rows = (
+            keyed.groupBy("band", "_rng")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+            .limit(max_ranges + 1)
+            .collect()
+        )
+        if len(rows) <= max_ranges:
+            break
+        width *= 16
+    offsets, acc = [], {}
+    for band, rng, cnt in sorted((r["band"], r["_rng"], r["_n"]) for r in rows):
+        offsets.append((band, rng, acc.get(band, 0)))
+        acc[band] = acc.get(band, 0) + cnt
+    off_df = spark.createDataFrame(
+        offsets, "band int, _rng bigint, _offset bigint"
+    )
+    w = Window.partitionBy("band", "_rng").orderBy("_h", id_col)
+    rank0 = F.row_number().over(w) + F.col("_offset") - 1  # 0-based in band
+    return (
+        keyed.join(F.broadcast(off_df), ["band", "_rng"])
+        .withColumn("_rank0", rank0.cast("bigint"))
+        .select(
+            F.col(id_col),
+            "band",
+            F.expr(f"CAST(_rank0 % {int(n_shards)} AS INT)").alias("shard_id"),
+            F.expr(f"_rank0 div {int(n_shards)}")
+            .cast("bigint")
+            .alias("pos_in_shard"),
+        )
+    )

@@ -4515,3 +4515,41 @@ ORACLE_SQL["dd15_soft_dedup_weights"] = f"""
                AS BIGINT) AS weight_ppm
     FROM lab
 """.format(cc=_CC_CTES)
+
+
+# px19 twin: px14's quality gate -> value bands -> md5-32 within-band
+# order -> ROW_NUMBER per band (the oracle may run a per-band global
+# window; the engine must not) -> round-robin shard arithmetic.
+ORACLE_SQL["px19_stratified_shards"] = f"""
+    WITH q AS (
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-(3.0 * uniq_ratio + -2.0 * stop_ratio
+                     + 1.5 * len_score + -1.0))), 6) AS p_keep
+        FROM (
+            SELECT doc_id,
+                   CAST(len(list_distinct(l)) AS DOUBLE) / len(l) AS uniq_ratio,
+                   CAST(len(list_filter(l, t -> t IN {_STOP_EN})) AS DOUBLE)
+                       / len(l) AS stop_ratio,
+                   least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) AS len_score
+            FROM (SELECT doc_id, n_chars, {_TOKS} AS l FROM documents)
+        )
+    ),
+    b AS (
+        SELECT doc_id,
+               CAST(least(9, CAST(floor(p_keep * 10) AS INTEGER))
+                   AS INTEGER) AS band,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) AS h
+        FROM q
+    ),
+    r AS (
+        SELECT doc_id, band,
+               ROW_NUMBER() OVER (PARTITION BY band ORDER BY h, doc_id) - 1
+                   AS rank0
+        FROM b
+    )
+    SELECT doc_id, band,
+           CAST(rank0 % 8 AS INTEGER) AS shard_id,
+           CAST(rank0 // 8 AS BIGINT) AS pos_in_shard
+    FROM r
+"""

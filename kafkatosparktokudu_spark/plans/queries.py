@@ -3471,6 +3471,19 @@ def tx19_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(_t(spark, sf_dir, "documents"))
 
 
+# Quality-stratified shard assignment (operators/layout.py::
+# stratified_shards) — every shard gets the same quality-band mix
+# EXACTLY (per-(shard,band) counts differ by <=1): px14 scores -> value
+# bands -> grouped two-stage md5 rank -> round-robin deal. No global or
+# per-band global sort.
+def px19_stratified_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import stratified_shards
+    from ..operators.text import quality_classifier_scores
+
+    q = quality_classifier_scores(_t(spark, sf_dir, "documents"))
+    return stratified_shards(q.select("doc_id", "p_keep"), n_shards=8)
+
+
 # Inference batch planning (operators/multimodal.py::inference_batches)
 # — fixed-size shape-homogeneous batches per (format, size bucket): the
 # batching pass in front of a vision/audio encoder, pure metadata
@@ -3668,6 +3681,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm07_inference_batches": mm07_inference_batches,
     "px18_mixture_epoch_plan": px18_mixture_epoch_plan,
     "dd15_soft_dedup_weights": dd15_soft_dedup_weights,
+    "px19_stratified_shards": px19_stratified_shards,
     "ss04_ivf_topk": ss04_ivf_topk,
     # --- round-8 front section: queries whose implementing code changed
     # this round (the seed_cell_assign/kmeans_assign generated-SQL rebuild
