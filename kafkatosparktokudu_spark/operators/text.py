@@ -1398,3 +1398,87 @@ def mixture_epoch_plan(
             " div n_tokens AS BIGINT)"
         ),
     )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-source shingle-overlap matrix (tx22) — which corpus sources
+    duplicate each other: for every source pair, the Jaccard similarity
+    (integer ppm) of their DISTINCT 3-gram shingle-type sets plus both
+    containment directions. The corpus-level complement of tx12's
+    doc-level contamination: run it before mixing sources to find
+    wholesale mirrors (Jaccard high) and subset scrapes (one containment
+    high, the other low).
+
+    Returns one row per unordered pair ``(src_a < src_b)``:
+    ``(src_a, src_b, n_types_a, n_types_b, n_shared, jaccard_ppm,
+    containment_a_ppm, containment_b_ppm)`` — all integer/ppm exact.
+
+    Scale shape: one shingle pass collapsed to DISTINCT (source, hash)
+    TYPES (the dedup.hashed_shingles int64 staging — strings never
+    shuffle), one join on the uniform hash key to count shared types per
+    pair, one broadcast of the |sources|-row type counts. Never a
+    doc-level pair join; cost is O(types) + O(shared-type pairs).
+    """
+    from .dedup import hashed_shingles
+
+    st = (
+        hashed_shingles(docs.select(F.col(group_col).alias("_g"), "text"), "_g")
+        .select("_g", F.explode("hs").alias("h"))
+        .distinct()
+        .persist()
+    )
+    try:
+        counts = st.groupBy("_g").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types")
+        )
+        a, b = st.alias("a"), st.alias("b")
+        shared = (
+            a.join(
+                b,
+                (F.col("a.h") == F.col("b.h"))
+                & (F.col("a._g") < F.col("b._g")),
+            )
+            .groupBy(
+                F.col("a._g").alias("src_a"), F.col("b._g").alias("src_b")
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        )
+        ca = counts.select(
+            F.col("_g").alias("src_a"), F.col("n_types").alias("n_types_a")
+        )
+        cb = counts.select(
+            F.col("_g").alias("src_b"), F.col("n_types").alias("n_types_b")
+        )
+        out = (
+            shared.join(F.broadcast(ca), "src_a")
+            .join(F.broadcast(cb), "src_b")
+            .select(
+                "src_a",
+                "src_b",
+                "n_types_a",
+                "n_types_b",
+                "n_shared",
+                # DECIMAL(38,0) products (the px13/px18 convention) —
+                # type counts at real scale push an int64 *1e6 over 2^63
+                F.expr(
+                    "CAST(CAST(n_shared AS DECIMAL(38,0)) * 1000000"
+                    " div (n_types_a + n_types_b - n_shared) AS BIGINT)"
+                ).alias("jaccard_ppm"),
+                F.expr(
+                    "CAST(CAST(n_shared AS DECIMAL(38,0)) * 1000000"
+                    " div n_types_a AS BIGINT)"
+                ).alias("containment_a_ppm"),
+                F.expr(
+                    "CAST(CAST(n_shared AS DECIMAL(38,0)) * 1000000"
+                    " div n_types_b AS BIGINT)"
+                ).alias("containment_b_ppm"),
+            )
+        )
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        st.unpersist()

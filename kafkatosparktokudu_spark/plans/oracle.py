@@ -4553,3 +4553,40 @@ ORACLE_SQL["px19_stratified_shards"] = f"""
            CAST(rank0 // 8 AS BIGINT) AS pos_in_shard
     FROM r
 """
+
+
+def _source_overlap_sql() -> str:
+    """tx22 twin: the tx18 shingle/hash construction collapsed to
+    (source, hash) types, pair join on the hash, integer-ppm Jaccard and
+    containments via exact HUGEINT-intermediate division."""
+    from ..functions.hashing import MERSENNE31
+
+    return f"""
+        WITH toks AS (SELECT source, {_TOKS} AS l FROM documents),
+        sh AS (SELECT source,
+                      list_distinct(list_transform(l[1:len(l)-2],
+                          (x,i) -> x || ' ' || l[i+1] || ' ' || l[i+2])) AS s
+               FROM toks),
+        e AS (SELECT DISTINCT source, {_H32.format(x='x')} % {MERSENNE31} AS h
+              FROM (SELECT source, unnest(s) AS x FROM sh)),
+        c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types
+              FROM e GROUP BY 1),
+        p AS (SELECT a.source AS src_a, b.source AS src_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_shared
+              FROM e a JOIN e b ON a.h = b.h AND a.source < b.source
+              GROUP BY 1, 2)
+        SELECT src_a, src_b,
+               ca.n_types AS n_types_a, cb.n_types AS n_types_b, n_shared,
+               CAST(CAST(n_shared AS HUGEINT) * 1000000
+                   // (ca.n_types + cb.n_types - n_shared) AS BIGINT)
+                   AS jaccard_ppm,
+               CAST(CAST(n_shared AS HUGEINT) * 1000000 // ca.n_types
+                   AS BIGINT) AS containment_a_ppm,
+               CAST(CAST(n_shared AS HUGEINT) * 1000000 // cb.n_types
+                   AS BIGINT) AS containment_b_ppm
+        FROM p JOIN c ca ON ca.source = src_a
+               JOIN c cb ON cb.source = src_b
+    """
+
+
+ORACLE_SQL["tx22_source_overlap"] = _source_overlap_sql()

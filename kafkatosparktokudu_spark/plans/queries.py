@@ -3471,6 +3471,17 @@ def tx19_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(_t(spark, sf_dir, "documents"))
 
 
+# Cross-source shingle-overlap matrix (operators/text.py::
+# source_overlap_matrix) — per source pair the Jaccard + both
+# containments of their distinct 3-gram shingle-type sets (integer ppm):
+# the corpus-level mirror/subset-scrape detector before mixing sources.
+# Types-level join on uniform hashes; never a doc-level pair join.
+def tx22_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import source_overlap_matrix
+
+    return source_overlap_matrix(_t(spark, sf_dir, "documents"))
+
+
 # Quality-stratified shard assignment (operators/layout.py::
 # stratified_shards) — every shard gets the same quality-band mix
 # EXACTLY (per-(shard,band) counts differ by <=1): px14 scores -> value
@@ -3682,6 +3693,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "px18_mixture_epoch_plan": px18_mixture_epoch_plan,
     "dd15_soft_dedup_weights": dd15_soft_dedup_weights,
     "px19_stratified_shards": px19_stratified_shards,
+    "tx22_source_overlap": tx22_source_overlap,
+    "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,
+    "dd08_char_neardup_pairs": dd08_char_neardup_pairs,
+    "dd04_neardup_pairs": dd04_neardup_pairs,
+    "dd03_minhash_bands": dd03_minhash_bands,
     "ss04_ivf_topk": ss04_ivf_topk,
     # --- round-8 front section: queries whose implementing code changed
     # this round (the seed_cell_assign/kmeans_assign generated-SQL rebuild
@@ -3730,10 +3746,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq05_skew_report": dq05_skew_report,
     "q86_zorder_layout": q86_zorder_layout,
     "q90_distributed_rank": q90_distributed_rank,
-    "dd03_minhash_bands": dd03_minhash_bands,
-    "dd04_neardup_pairs": dd04_neardup_pairs,
-    "dd08_char_neardup_pairs": dd08_char_neardup_pairs,
-    "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,
     "tx12_contamination": tx12_contamination,
     "px06_incremental_ingest": px06_incremental_ingest,
     "gr03_pagerank_fixed_point": gr03_pagerank_fixed_point,

@@ -2449,3 +2449,34 @@ def test_stratified_shards_no_global_sort(spark):
     assert "Exchange SinglePartition" not in plan, plan
     assert "Exchange hashpartitioning(band" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_source_overlap_matrix_planted(spark):
+    """tx22 on planted sources: a wholesale mirror pair (high Jaccard,
+    both containments ~1e6), a subset scrape (asymmetric containment),
+    and a disjoint source that appears in NO pair row."""
+    from kafkatosparktokudu_spark.operators.text import source_overlap_matrix
+
+    big = " ".join(f"w{i}" for i in range(40))
+    half = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, "mirror1", big),
+            (2, "mirror2", big),
+            (3, "scrape", half),
+            (4, "disjoint", "x y z q r s t u v"),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    rows = {
+        (r["src_a"], r["src_b"]): r
+        for r in source_overlap_matrix(docs).collect()
+    }
+    m = rows[("mirror1", "mirror2")]
+    assert m["jaccard_ppm"] == 1_000_000
+    assert m["containment_a_ppm"] == m["containment_b_ppm"] == 1_000_000
+    s = rows[("mirror1", "scrape")]
+    # scrape's 18 shingles (20 tokens) are all inside mirror1's 38
+    assert s["containment_b_ppm"] == 1_000_000
+    assert s["containment_a_ppm"] == 18 * 1_000_000 // 38
+    assert not any("disjoint" in k for k in rows)
