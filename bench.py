@@ -83,6 +83,27 @@ def _gen_cdc_batch(spark, n: int):
     return df
 
 
+def _load_stamp() -> dict:
+    """Machine-load snapshot recorded alongside the timings so
+    round-over-round comparisons can tell environment drift from a code
+    regression (r8: all 19 carried queries moved +12–53% uniformly while
+    in-session walls improved — box load, not plans)."""
+    stamp: dict = {"cpus_online": os.cpu_count()}
+    try:
+        l1, l5, l15 = os.getloadavg()
+        stamp.update(
+            {"load1": round(l1, 2), "load5": round(l5, 2), "load15": round(l15, 2)}
+        )
+    except OSError:
+        pass
+    try:
+        with open("/proc/uptime") as f:
+            stamp["uptime_s"] = round(float(f.read().split()[0]), 1)
+    except OSError:
+        pass
+    return stamp
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -100,6 +121,8 @@ def main() -> None:
     ).save()
 
     results: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    load_start = _load_stamp()
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         # One explicit untimed warmup rep (codegen compile, parquet footer
@@ -120,6 +143,7 @@ def main() -> None:
             if rep > 0:  # rep 0 is the warmup
                 reps.append(time.time() - start)
         results[name] = round(sorted(reps)[1], 3)
+        spread[name] = [round(min(reps), 3), round(max(reps), 3)]
 
     # CDC throughput: full parse→normalize→fold→MERGE of a synthetic batch
     from kafkatosparktokudu_spark.cdc import sync_batch
@@ -148,6 +172,7 @@ def main() -> None:
             m = sync_batch(spark, raw, wh, n_buckets=16)
             reps.append(time.time() - start)
         cdc_secs = sorted(reps)[2]
+        spread["cdc_sync_200k"] = [round(min(reps), 3), round(max(reps), 3)]
     finally:
         shutil.rmtree(wh, ignore_errors=True)
     results["cdc_sync_200k"] = round(cdc_secs, 3)
@@ -164,6 +189,20 @@ def main() -> None:
                 "sf": sf,
                 "cdc_rate_rec_s": cdc_rate,
                 "baseline_cdc_rate_rec_s": 10000,
+                # protocol + environment stamps: per-query numbers are the
+                # MEDIAN of 3 timed reps after 1 untimed warmup (CDC:
+                # median of 5); queries_spread is [min, max] over the
+                # timed reps — a wide spread or a hot load stamp marks the
+                # round's numbers as environment-noisy, not plan changes.
+                "protocol": {
+                    "warmup_reps": 1,
+                    "timed_reps": 3,
+                    "stat": "median",
+                    "cdc_timed_reps": 5,
+                },
+                "queries_spread": spread,
+                "load_start": load_start,
+                "load_end": _load_stamp(),
             }
         )
     )

@@ -337,10 +337,22 @@ def inference_batches(
     )
     w = W.partitionBy("fmt", "size_bucket").orderBy("doc_id")
     slot = F.row_number().over(w) - 1
+    # `slot div N` (exact integer division) — `slot / N` is float division
+    # whose bigint cast is a latent rounding hazard for non-power-of-two
+    # batch sizes (same class as the px18/px13 oracle hazard).
     return b.select(
         "doc_id",
         "fmt",
         "size_bucket",
-        (slot / F.lit(int(batch_size))).cast("bigint").alias("batch_idx"),
-        (slot % F.lit(int(batch_size))).cast("int").alias("pos_in_batch"),
+        slot.alias("_slot"),
+    ).select(
+        "doc_id",
+        "fmt",
+        "size_bucket",
+        F.expr(f"CAST(_slot div {int(batch_size)} AS BIGINT)").alias(
+            "batch_idx"
+        ),
+        (F.col("_slot") % F.lit(int(batch_size)))
+        .cast("int")
+        .alias("pos_in_batch"),
     )

@@ -742,6 +742,8 @@ def fk_integrity_report(
     coverage; each relation reduces to ONE row before the union, so the
     result assembly is trivial. All counts BIGINT.
     """
+    if not relations:
+        raise ValueError("relations must be non-empty")
     outs = []
     for name, child, ckey, parent, pkey in relations:
         keys = child.select(F.col(ckey).alias("_k"))

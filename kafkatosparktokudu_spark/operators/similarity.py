@@ -1193,10 +1193,14 @@ def mmr_rerank(
     Scale shape: the corpus-sized work is ONE TakeOrdered top-``pool_n``
     relevance pass (partial per-partition top-k, never a global sort —
     at scale the pool extraction rides an ANN index instead, same
-    contract). The greedy loop then runs k bounded jobs over the
-    persisted ≤pool_n-row pool with the selected vectors embedded as
-    literals (generated SQL, zero Py4J fan-out); the driver only ever
-    holds k picked rows — the k-means-seed materialization convention.
+    contract). DRIVER-SEQUENTIAL CONTRACT (the BPE-loop convention):
+    the greedy loop is k sequential driver round-trips — one 1-row
+    ``limit(1).collect()`` per pick over the persisted ≤pool_n-row pool
+    with the selected vectors embedded as literals (generated SQL, zero
+    Py4J fan-out). This is inherent to greedy MMR (pick t+1 depends on
+    picks 1..t); both k and pool_n are constants enforced by the
+    ``k <= pool_n`` guard below, so driver work is O(k) rows total —
+    the k-means-seed materialization convention, never corpus-sized.
     """
     import math
 

@@ -1413,7 +1413,9 @@ def source_overlap_matrix(
     wholesale mirrors (Jaccard high) and subset scrapes (one containment
     high, the other low).
 
-    Returns one row per unordered pair ``(src_a < src_b)``:
+    Returns one row per unordered pair ``(src_a < src_b)`` *with at
+    least one shared shingle type* (fully disjoint pairs — jaccard 0 —
+    are omitted; the inner join on shared hashes never sees them):
     ``(src_a, src_b, n_types_a, n_types_b, n_shared, jaccard_ppm,
     containment_a_ppm, containment_b_ppm)`` — all integer/ppm exact.
 

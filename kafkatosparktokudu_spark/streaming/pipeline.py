@@ -677,7 +677,12 @@ def stream_zscore_anomalies(
             carry = np.asarray(hist, dtype=np.int64)
             all_c = np.concatenate([carry, cents_b])
             m = max(int(np.max(np.abs(all_c))) if len(all_c) else 1, 1)
-            if len(all_c) * m * m >= (1 << 62):
+            # Headroom must cover BOTH the cumsum totals (len * m^2) and
+            # the windowed terms n*s2 / s1*s1 (each <= window^2 * m^2 for
+            # window = min(len, lookback)) — a short batch of huge values
+            # can wrap s1*s1 while the cumsum bound passes.
+            win = min(len(all_c), lookback)
+            if max(len(all_c), win * win) * m * m >= (1 << 62):
                 # int64 rolling-sum headroom exceeded — exact scalar fold
                 hist = _fold_scalar(pdf, hist, key, out_rows)
             else:

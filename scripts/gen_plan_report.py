@@ -78,6 +78,162 @@ HEADLINE = [
     "ss12_knn_label_vote",
     "q95_ohlc_candles",
     "px15_epoch_shuffle",
+    # round-8 late additions + round-9 freshness sweep
+    "ss11_mmr_rerank",
+    "gr05_bfs_hops",
+    "mm07_inference_batches",
+    "px18_mixture_epoch_plan",
+    "dd15_soft_dedup_weights",
+    "px19_stratified_shards",
+    "tx22_source_overlap",
+]
+
+
+# Every queries() key NOT plan-audited above must be listed here
+# EXPLICITLY — tests/test_docs_index.py::test_plans_report_is_fresh
+# goes red when a new query is in neither list, so adding a query
+# forces a conscious audit-or-exclude decision (exclusions are
+# variants whose plan shape is already covered by an audited twin,
+# driver-loop queries with trivial result-assembly plans, or
+# env-gated paths).
+EXCLUDED = [
+    "cdc_dept_rollup",
+    "cdc_dept_state",
+    "cdc_emp_asof_enrich",
+    "cdc_emp_history_incr",
+    "cdc_emp_state",
+    "cdc_pub_event",
+    "cdc_stream_emp_state",
+    "dd01_exact_dup_groups",
+    "dd02_exact_dedup_survivors",
+    "dd06_simhash",
+    "dd07_dup_clusters",
+    "dd08_char_neardup_pairs",
+    "dd09_dup_spans",
+    "dd10_simhash_neardup",
+    "dd11_jaccard_estimate",
+    "dd14_event_debounce",
+    "dq02_column_profile",
+    "dq03_distribution_drift",
+    "gr01_pagerank_neardup",
+    "gr04_kcore",
+    "mm01_binary_meta",
+    "mm02_byte_features",
+    "mm03_decode_resize",
+    "mm04_frame_sample",
+    "mm05_shard_manifest",
+    "mm06_webdataset_roundtrip",
+    "px02_cluster_dedup_pipeline",
+    "px03_semantic_dedup_pipeline",
+    "px04_pretraining_curation",
+    "px05_exactsubstr_scrub",
+    "px06_incremental_ingest",
+    "px07_multimodal_curation",
+    "px08_decontaminated_split",
+    "px09_semdedup",
+    "px10_rag_corpus",
+    "px11_dsir_selection",
+    "q01_sync_report",
+    "q03_filter_project",
+    "q05_order_priority",
+    "q06_customer_order_coverage",
+    "q07_top_customers",
+    "q09_running_user_totals",
+    "q10_rollup_region_nation",
+    "q11_cube_events",
+    "q12_setops_segments",
+    "q13_distinct_users",
+    "q14_scalar_functions",
+    "q15_json_extract",
+    "q16_balance_buckets",
+    "q18_latest_event_per_user",
+    "q19_hourly_event_rollup",
+    "q20_pivot_returnflag",
+    "q21_brand_supply_stats",
+    "q23_range_join_tiers",
+    "q24_value_percentiles",
+    "q25_corr_stats",
+    "q26_grouping_sets",
+    "q27_above_nation_avg",
+    "q28_hash_sample",
+    "q29_segment_lists",
+    "q30_date_arithmetic",
+    "q31_sql_shipping_priority",
+    "q32_salted_join_agg",
+    "q33_approx_distinct",
+    "q34_full_outer_join",
+    "q35_cross_join_grid",
+    "q36_not_in_semantics",
+    "q37_bag_setops",
+    "q38_window_frames",
+    "q39_string_functions",
+    "q40_array_functions",
+    "q41_map_functions",
+    "q42_volume_shipping",
+    "q43_priority_case_agg",
+    "q44_promo_revenue",
+    "q45_disjunctive_join",
+    "q46_conversion_funnel",
+    "q47_custdist",
+    "q48_big_orders",
+    "q49_small_qty_revenue",
+    "q50_wealthy_inactive",
+    "q51_top_supplier",
+    "q52_stratified_sample",
+    "q53_gapfill_hourly",
+    "q55_returned_revenue",
+    "q56_unpivot_metrics",
+    "q57_rolling_7day",
+    "q58_event_transitions",
+    "q59_approx_percentiles",
+    "q60_revenue_share",
+    "q61_global_suppliers",
+    "q62_exclusive_parts",
+    "q63_next_purchase_asof",
+    "q64_lateral_topk",
+    "q65_median_stats",
+    "q66_recursive_month_spine",
+    "q67_min_cost_supplier",
+    "q68_forecast_revenue",
+    "q69_product_profit",
+    "q70_important_part_value",
+    "q71_waiting_orders",
+    "q72_dominant_part_suppliers",
+    "q75_pivot_priority",
+    "q78_customer_cohorts",
+    "q79_stratified_sample",
+    "q80_event_funnel",
+    "q81_retention_cohorts",
+    "q82_event_transitions",
+    "q83_locf_gapfill",
+    "q85_sampled_quantiles",
+    "q92_hilbert_layout",
+    "q94_snapshot_diff",
+    "sk01_cms_heavy_hitters",
+    "sk03_cms_expr",
+    "sk06_kmv_overlap",
+    "sk07_histogram_quantiles",
+    "ss02_label_centroids",
+    "ss03_ann_lsh_topk",
+    "ss10_ivf_deploy_topk",
+    "st01_sliding_rollup",
+    "st02_session_rollup",
+    "tx01_token_stats",
+    "tx02_quality_scores",
+    "tx03_lang_id",
+    "tx04_fingerprints",
+    "tx05_top_bigrams",
+    "tx06_subword_counts",
+    "tx07_keyterms",
+    "tx08_denylist_scrub",
+    "tx09_packing_index",
+    "tx10_repetition_stats",
+    "tx11_pii_scrub",
+    "tx12_contamination",
+    "tx13_domain_mixture",
+    "tx14_token_freq",
+    "tx19_bpe_merges",
+    "tx20_bpe_encode",
 ]
 
 

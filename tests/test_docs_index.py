@@ -49,3 +49,59 @@ def test_query_index_is_fresh():
         f"header counts {n_total}/{n_hash} != truth "
         f"{len(expect)}/{len(ORACLE_SQL)}"
     )
+
+
+PLANS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
+)
+GEN_PLANS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "scripts",
+    "gen_plan_report.py",
+)
+
+
+def _plan_lists() -> tuple[list[str], list[str]]:
+    """HEADLINE / EXCLUDED from gen_plan_report.py without importing it
+    (the script builds a SparkSession at main(); parse the literals)."""
+    import ast
+
+    with open(GEN_PLANS) as f:
+        tree = ast.parse(f.read())
+    out = {}
+    for node in tree.body:
+        if isinstance(node, ast.Assign) and len(node.targets) == 1:
+            t = node.targets[0]
+            if isinstance(t, ast.Name) and t.id in ("HEADLINE", "EXCLUDED"):
+                out[t.id] = ast.literal_eval(node.value)
+    return out["HEADLINE"], out["EXCLUDED"]
+
+
+def test_plans_report_is_fresh():
+    """PLANS.md freshness (the QUERY_INDEX treatment, r8 verdict item 2):
+    every queries() key must be either plan-audited (a PLANS.md row via
+    HEADLINE) or EXPLICITLY excluded in gen_plan_report.py — a new query
+    in neither list is a red test, so the plan report can't silently lag
+    the surface again (px19/tx22 did in r8)."""
+    headline, excluded = _plan_lists()
+    both = set(headline) & set(excluded)
+    assert not both, f"queries in both HEADLINE and EXCLUDED: {sorted(both)}"
+    unlisted = sorted(set(QUERIES) - set(headline) - set(excluded))
+    assert not unlisted, (
+        f"new queries with neither a PLANS.md row nor an explicit "
+        f"exclusion: {unlisted} — add to HEADLINE (and rerun "
+        f"scripts/gen_plan_report.py) or to EXCLUDED with a reason"
+    )
+    ghost = sorted((set(headline) | set(excluded)) - set(QUERIES))
+    assert not ghost, f"plan-report lists name unknown queries: {ghost}"
+    with open(PLANS) as f:
+        rows = {
+            m.group(1)
+            for m in re.finditer(r"^\|\s*(\w+)\s*\|", f.read(), re.M)
+        } - {"query"}
+    missing_rows = sorted(set(headline) - rows)
+    stale_rows = sorted(rows - set(headline))
+    assert not (missing_rows or stale_rows), (
+        f"PLANS.md is stale — rerun scripts/gen_plan_report.py "
+        f"(missing={missing_rows} stale={stale_rows})"
+    )

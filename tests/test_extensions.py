@@ -2480,3 +2480,40 @@ def test_source_overlap_matrix_planted(spark):
     assert s["containment_b_ppm"] == 1_000_000
     assert s["containment_a_ppm"] == 18 * 1_000_000 // 38
     assert not any("disjoint" in k for k in rows)
+
+
+def test_fk_integrity_empty_relations_raises(spark):
+    """dq06 guard: an empty relations list is a caller error, not an
+    IndexError from result assembly."""
+    import pytest as _pytest
+
+    from kafkatosparktokudu_spark.operators.quality_checks import (
+        fk_integrity_report,
+    )
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        fk_integrity_report([])
+
+
+def test_inference_batches_non_power_of_two_size(spark):
+    """mm07 batch_idx uses exact integer division (`div`), so a
+    non-power-of-two batch_size still yields dense, bounded batches —
+    the float-division + bigint-cast construction this replaces is a
+    rounding hazard exactly here."""
+    from kafkatosparktokudu_spark.operators.multimodal import inference_batches
+
+    docs = spark.createDataFrame(
+        [(i, "y" * 80) for i in range(100)], "doc_id bigint, text string"
+    )
+    out = inference_batches(docs, batch_size=7, size_bucket_bytes=10_000).collect()
+    assert len(out) == 100
+    groups = {}
+    for r in out:
+        groups.setdefault((r["fmt"], r["size_bucket"]), []).append(
+            (r["doc_id"], r["batch_idx"], r["pos_in_batch"])
+        )
+    assert len(groups) == 3  # fmt = doc_id % 3, one size bucket
+    for members in groups.values():
+        members.sort()
+        for slot, (_, bi, pos) in enumerate(members):
+            assert bi == slot // 7 and pos == slot % 7

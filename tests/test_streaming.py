@@ -1711,3 +1711,54 @@ def test_stream_zscore_overflow_fallback_matches_batch(spark, tmp_path):
         tuple(r) for r in rolling_zscore_anomalies(events, threshold=2.5).collect()
     )
     assert got == want and len(want) >= 3
+
+
+def test_stream_zscore_small_batch_huge_values_matches_batch(spark, tmp_path):
+    """A SHORT batch of huge values: len*m^2 fits int64 (the old guard
+    passed) but the windowed terms n*s2 / s1*s1 reach window^2*m^2 and
+    would silently wrap np.int64 — the guard must also bound the window
+    terms and fall back to the exact scalar fold. 30 events near $2M (the
+    wrap region the 210-row/$1.5M test sat just under, while staying
+    inside the batch operator's DECIMAL(18,4) window-s2 headroom:
+    20 * (2.1e6)^2 < 1e14)."""
+    import datetime as dt
+
+    from kafkatosparktokudu_spark.operators.quality_checks import (
+        rolling_zscore_anomalies,
+    )
+    from kafkatosparktokudu_spark.streaming.pipeline import stream_zscore_anomalies
+
+    base = dt.datetime(2024, 4, 2)
+    rows = []
+    for i in range(30):
+        v = 2_000_000.0 + (i % 5) * 2500.0 + (60000.0 if i in (17, 26) else 0.0)
+        rows.append((i, 9, base + dt.timedelta(minutes=i), v))
+    events = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, value double"
+    )
+    # the wrap is real: window sums s1 ~ 20*2e8 cents -> s1^2 > int64 max,
+    # while the cumsum bound len*m^2 (the OLD guard) still passes
+    m = 207_000_000  # max |cents|
+    assert 20 * 20 * m * m >= (1 << 63) > 30 * m * m
+    src = tmp_path / "hv_src"
+    src.mkdir()
+    events.write.parquet(str(src / "a"))
+    stream = spark.readStream.schema(events.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    out = str(tmp_path / "hv_out")
+    q = (
+        stream_zscore_anomalies(stream, threshold=2.0)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "hv_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(
+        tuple(r) for r in rolling_zscore_anomalies(events, threshold=2.0).collect()
+    )
+    assert got == want and len(want) >= 1
