@@ -4590,3 +4590,125 @@ def _source_overlap_sql() -> str:
 
 
 ORACLE_SQL["tx22_source_overlap"] = _source_overlap_sql()
+
+
+# st04 twin: the px06 two-half incremental gate recomputed from scratch
+# (per-half transitive-closure clusters + cross-half signature screen),
+# then px19's quality banding with the per-band rank ordered by
+# (epoch, md5-32, doc_id) — the streaming deal continues the round-robin
+# across epochs in ARRIVAL order (the engine must never re-sort history;
+# the oracle may run one global window).
+ORACLE_SQL["st04_ingest_shards"] = f"""
+    WITH RECURSIVE {_MINHASH_CTE},
+    cut AS (
+        SELECT MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) // 2 AS c
+        FROM documents
+    ),
+    half AS (
+        SELECT doc_id,
+               CASE WHEN doc_id < (SELECT c FROM cut) THEN 1 ELSE 2 END AS h
+        FROM documents
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.doc_id < b.doc_id
+         AND (a.band0 = b.band0 OR a.band1 = b.band1
+              OR a.band2 = b.band2 OR a.band3 = b.band3)
+        JOIN half ha ON ha.doc_id = a.doc_id
+        JOIN half hb ON hb.doc_id = b.doc_id
+        WHERE ha.h = hb.h
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b,
+                   CAST(len(list_distinct(list_intersect(x.hs, y.hs)))
+                        AS DOUBLE)
+                       / len(list_distinct(x.hs || y.hs)) AS jaccard
+            FROM cand JOIN base x ON x.doc_id = doc_a
+                      JOIN base y ON y.doc_id = doc_b
+        ) WHERE jaccard >= 0.2
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    cluster AS (
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id
+        FROM reach GROUP BY node
+    ),
+    keepers AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (
+            SELECT doc_id FROM cluster WHERE doc_id <> cluster_id
+        )
+    ),
+    acc1 AS (
+        SELECT k.doc_id FROM keepers k
+        JOIN half h ON h.doc_id = k.doc_id AND h.h = 1
+    ),
+    cand2 AS (
+        SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        FROM bands n
+        JOIN half hn ON hn.doc_id = n.doc_id AND hn.h = 2
+        JOIN keepers kn ON kn.doc_id = n.doc_id
+        JOIN acc1 a ON TRUE
+        JOIN bands o ON o.doc_id = a.doc_id
+        WHERE n.band0 = o.band0 OR n.band1 = o.band1
+           OR n.band2 = o.band2 OR n.band3 = o.band3
+    ),
+    old_match AS (
+        SELECT new_id FROM (
+            SELECT new_id,
+                   CAST(len(list_distinct(list_intersect(x.hs, y.hs)))
+                        AS DOUBLE)
+                       / len(list_distinct(x.hs || y.hs)) AS j
+            FROM cand2 JOIN base x ON x.doc_id = new_id
+                       JOIN base y ON y.doc_id = old_id
+        ) WHERE j >= 0.2 GROUP BY new_id
+    ),
+    acc AS (
+        SELECT k.doc_id, CAST(h.h - 1 AS INTEGER) AS epoch
+        FROM keepers k JOIN half h ON h.doc_id = k.doc_id
+        WHERE k.doc_id NOT IN (SELECT new_id FROM old_match)
+    ),
+    q AS (
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-(3.0 * uniq_ratio + -2.0 * stop_ratio
+                     + 1.5 * len_score + -1.0))), 6) AS p_keep
+        FROM (
+            SELECT doc_id,
+                   CAST(len(list_distinct(l)) AS DOUBLE) / len(l) AS uniq_ratio,
+                   CAST(len(list_filter(l, t -> t IN {_STOP_EN})) AS DOUBLE)
+                       / len(l) AS stop_ratio,
+                   least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) AS len_score
+            FROM (SELECT doc_id, n_chars, {_TOKS} AS l FROM documents)
+        )
+    ),
+    b AS (
+        SELECT a.doc_id, a.epoch,
+               CAST(least(9, CAST(floor(q.p_keep * 10) AS INTEGER))
+                   AS INTEGER) AS band,
+               CAST(('0x' || substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) AS hh
+        FROM acc a JOIN q ON q.doc_id = a.doc_id
+    ),
+    r AS (
+        SELECT doc_id, epoch, band,
+               ROW_NUMBER() OVER (
+                   PARTITION BY band ORDER BY epoch, hh, doc_id
+               ) - 1 AS rank0
+        FROM b
+    )
+    SELECT doc_id, band,
+           CAST(rank0 % 8 AS INTEGER) AS shard_id,
+           CAST(rank0 // 8 AS BIGINT) AS pos_in_shard,
+           epoch
+    FROM r
+"""

@@ -3536,6 +3536,35 @@ def st03_ohlc_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_ohlc(_t(spark, sf_dir, "events"))
 
 
+# The LLM-ingest pipeline run end-to-end through the STREAMING epoch
+# body (streaming/pipeline.py::ingest_shards_epoch): docs arrive in two
+# doc_id halves (the px06 recipe); each epoch is near-dup gated against
+# the accepted history, quality-scored, and dealt into stratified shards
+# continuing the per-band round-robin across epochs. The live
+# readStream/foreachBatch face (start_ingest_shard_pipeline) shares this
+# exact body; its checkpoint-restart parity is pinned in
+# tests/test_streaming.py.
+def st04_ingest_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import ingest_shards_epoch, read_shard_assignment
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = lo + (hi - lo) // 2
+    tmp = tempfile.mkdtemp(prefix="ingest_shards_")
+    try:
+        store, out = f"{tmp}/sigs", f"{tmp}/out"
+        ingest_shards_epoch(docs.filter(F.col("doc_id") < cut), 0, store, out)
+        ingest_shards_epoch(docs.filter(F.col("doc_id") >= cut), 1, store, out)
+        res = read_shard_assignment(spark, out)
+        rows = res.collect()  # materialize before the temp dirs vanish
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # kNN majority-vote labeling (operators/similarity.py::knn_label_vote) —
 # each low-id query vector takes the modal label of its ss05 neighbors
 # (votes DESC, label ASC tie-break); one (q_id,label) agg + one tiny
@@ -3679,6 +3708,8 @@ def tx20_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- new in round 9 ---
+    "st04_ingest_shards": st04_ingest_shards,
     # --- new in round 8 ---
     "tx21_zipf_stats": tx21_zipf_stats,
     "px16_quality_aware_dedup": px16_quality_aware_dedup,

@@ -407,6 +407,193 @@ def start_dedup_ingest(
     return writer.start()
 
 
+def ingest_shards_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    store_dir: str,
+    out_dir: str,
+    threshold: float = 0.2,
+    n_shards: int = 8,
+    n_bands: int = 10,
+) -> None:
+    """One micro-batch of the LLM-ingest pipeline (st04): near-dup GATE →
+    quality score → stratified shard DEAL, continuing the per-band
+    round-robin across epochs. This is the foreachBatch body of
+    ``start_ingest_shard_pipeline`` and also runs directly in batch mode
+    (the st04 query replays it over doc_id halves, the px06 recipe).
+
+    Per epoch:
+      1. ``incremental_neardup_ingest`` screens the batch within itself
+         and against the signature store of everything previously
+         accepted (replay-normalized like ``start_dedup_ingest``: a
+         re-delivered epoch's accepted docs match themselves in the
+         store and stay accepted).
+      2. Accepted docs get the px14 quality score, a value band
+         (``least(n_bands-1, floor(p_keep*n_bands))``) and the px19
+         md5-32 order key.
+      3. Within the epoch, docs rank per band by (h, doc_id); ranks
+         continue from the per-band counters of the LATEST PRIOR epoch,
+         then deal round-robin: ``shard = rank0 % n_shards``,
+         ``pos = rank0 div n_shards`` — so per-(shard, band) counts
+         differ by ≤1 over the WHOLE accepted history, exactly like the
+         batch px19 invariant, with positions in (epoch, h, doc_id)
+         arrival order (a stream cannot replay px19's global md5 order
+         without re-sorting history; the balance invariant is the
+         contract, pinned against the batch twin).
+
+    Exactly-once shape: flag/assignment writes overwrite the epoch's own
+    subdirectory; counters are cumulative snapshots per epoch, so a
+    replayed epoch re-reads its predecessor's counters and reproduces
+    its output bit-for-bit (pinned by the restart-parity test).
+
+    Scale shape: everything is per-BATCH work — the band join against
+    the store is the only touch of history (sub-quadratic, banded); the
+    per-band window sorts only the epoch's accepted rows (trigger-
+    bounded); counters/offsets are n_bands-row collects. Nothing
+    rescans or re-sorts the accepted corpus.
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_hash32
+    from ..operators.dedup import incremental_neardup_ingest
+    from ..operators.text import quality_classifier_scores
+
+    spark = batch_df.sparkSession
+    flags = incremental_neardup_ingest(
+        batch_df.select("doc_id", "text"), store_dir, threshold
+    )
+    # replay guard (see start_dedup_ingest): self-matches stay accepted
+    flags = flags.withColumn(
+        "is_dup",
+        F.when(F.col("matched_id") == F.col("doc_id"), F.lit(False)).otherwise(
+            F.col("is_dup")
+        ),
+    ).withColumn(
+        "matched_id",
+        F.when(F.col("matched_id") == F.col("doc_id"), F.lit(None)).otherwise(
+            F.col("matched_id")
+        ),
+    )
+    flags.write.mode("overwrite").parquet(f"{out_dir}/flags/epoch={epoch_id}")
+    accepted = batch_df.join(
+        spark.read.parquet(f"{out_dir}/flags/epoch={epoch_id}")
+        .filter(~F.col("is_dup"))
+        .select("doc_id"),
+        "doc_id",
+    )
+    banded = quality_classifier_scores(accepted).select(
+        "doc_id",
+        F.least(
+            F.lit(n_bands - 1), F.floor(F.col("p_keep") * n_bands).cast("int")
+        )
+        .cast("int")
+        .alias("band"),
+        md5_hash32(F.col("doc_id").cast("string")).alias("_h"),
+    )
+    # offsets: cumulative per-band counts as of the latest PRIOR epoch
+    cdir = f"{out_dir}/counters"
+    prior = (
+        [
+            int(d.split("=")[1])
+            for d in os.listdir(cdir)
+            if d.startswith("epoch=") and int(d.split("=")[1]) < epoch_id
+        ]
+        if os.path.isdir(cdir)
+        else []
+    )
+    base: dict[int, int] = {}
+    if prior:
+        base = {
+            r["band"]: r["n"]
+            for r in spark.read.parquet(f"{cdir}/epoch={max(prior)}").collect()
+        }
+    off_df = spark.createDataFrame(
+        [(b, base.get(b, 0)) for b in range(n_bands)], "band int, _offset bigint"
+    )
+    w = Window.partitionBy("band").orderBy("_h", "doc_id")
+    assign = (
+        banded.join(F.broadcast(off_df), "band")
+        .withColumn(
+            "_rank0",
+            (F.row_number().over(w) + F.col("_offset") - 1).cast("bigint"),
+        )
+        .select(
+            "doc_id",
+            "band",
+            F.expr(f"CAST(_rank0 % {int(n_shards)} AS INT)").alias("shard_id"),
+            F.expr(f"CAST(_rank0 div {int(n_shards)} AS BIGINT)").alias(
+                "pos_in_shard"
+            ),
+        )
+    )
+    assign.write.mode("overwrite").parquet(f"{out_dir}/shards/epoch={epoch_id}")
+    new_cnt = {
+        r["band"]: r["n"]
+        for r in spark.read.parquet(f"{out_dir}/shards/epoch={epoch_id}")
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()
+    }
+    spark.createDataFrame(
+        [(b, base.get(b, 0) + new_cnt.get(b, 0)) for b in range(n_bands)],
+        "band int, n bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{cdir}/epoch={epoch_id}")
+
+
+def start_ingest_shard_pipeline(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    threshold: float = 0.2,
+    n_shards: int = 8,
+    n_bands: int = 10,
+    available_now: bool = False,
+    trigger_interval: str = "5 seconds",
+) -> StreamingQuery:
+    """The LLM-ingest surface as ONE live pipeline (st04): each arriving
+    document micro-batch is near-dup gated against the full accepted
+    history (px06), quality-scored (px14), and dealt into quality-
+    stratified training shards continuing the global round-robin (px19's
+    balance invariant) — see ``ingest_shards_epoch`` for the per-epoch
+    semantics and the exactly-once argument. ``docs_stream`` must carry
+    (doc_id, text, n_chars)."""
+
+    def _epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_shards_epoch(
+            batch_df, epoch_id, store_dir, out_dir, threshold, n_shards, n_bands
+        )
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("ingest_shards")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
+def read_shard_assignment(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Final shard assignment of an ingest-shard pipeline run: the union
+    of every epoch's (doc_id, band, shard_id, pos_in_shard) plus the
+    ``epoch`` partition column."""
+    return spark.read.parquet(f"{out_dir}/shards").select(
+        "doc_id",
+        "band",
+        "shard_id",
+        "pos_in_shard",
+        F.col("epoch").cast("int").alias("epoch"),
+    )
+
+
 def start_scd2_sync(
     spark: SparkSession,
     source: DataFrame,

@@ -97,6 +97,10 @@ HEADLINE = [
 # driver-loop queries with trivial result-assembly plans, or
 # env-gated paths).
 EXCLUDED = [
+    # st04 replays the streaming epoch body over temp stores and returns a
+    # collected-rows frame — the audited plans are px06's gate + px19's
+    # deal (both in HEADLINE); its own returned plan is trivial assembly.
+    "st04_ingest_shards",
     "cdc_dept_rollup",
     "cdc_dept_state",
     "cdc_emp_asof_enrich",

@@ -1762,3 +1762,87 @@ def test_stream_zscore_small_batch_huge_values_matches_batch(spark, tmp_path):
         tuple(r) for r in rolling_zscore_anomalies(events, threshold=2.0).collect()
     )
     assert got == want and len(want) >= 1
+
+
+def test_stream_ingest_shards_restart_matches_batch(spark, tmp_path):
+    """st04 live pipeline (gate -> score -> stratified deal) across a
+    checkpoint RESTART: three files arrive as three epochs with a stop
+    after the second; the final assignment must equal the batch twin
+    (ingest_shards_epoch replayed sequentially on a fresh store) row for
+    row INCLUDING epoch ids, and the global per-(shard, band) balance
+    must be exact (counts differ by <= 1 across shards)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.sources.batch import load_table
+    from kafkatosparktokudu_spark.streaming.pipeline import (
+        ingest_shards_epoch,
+        read_shard_assignment,
+        start_ingest_shard_pipeline,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    c1, c2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    thirds = [
+        docs.filter(F.col("doc_id") < c1),
+        docs.filter((F.col("doc_id") >= c1) & (F.col("doc_id") < c2)),
+        docs.filter(F.col("doc_id") >= c2),
+    ]
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    for i, part in enumerate(thirds[:2]):
+        part.coalesce(1).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    store = str(tmp_path / "sig_store")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_ingest_shard_pipeline(
+        spark, stream, store, ckpt, out, available_now=True
+    )
+    q.awaitTermination(240)
+    # restart: third file arrives, same checkpoint
+    thirds[2].coalesce(1).write.parquet(str(src / "b2"))
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q2 = start_ingest_shard_pipeline(
+        spark, stream2, store, ckpt, out, available_now=True
+    )
+    q2.awaitTermination(240)
+    got = {
+        (r["doc_id"], r["band"], r["shard_id"], r["pos_in_shard"], r["epoch"])
+        for r in read_shard_assignment(spark, out).collect()
+    }
+    assert got, "stream produced no assignment"
+
+    # batch twin: same thirds replayed sequentially on a fresh store
+    ref_store = str(tmp_path / "ref_store")
+    ref_out = str(tmp_path / "ref_out")
+    for i, part in enumerate(thirds):
+        ingest_shards_epoch(part, i, ref_store, ref_out)
+    want = {
+        (r["doc_id"], r["band"], r["shard_id"], r["pos_in_shard"], r["epoch"])
+        for r in read_shard_assignment(spark, ref_out).collect()
+    }
+    assert got == want
+
+    # exact stratified balance over the whole accepted history
+    counts: dict[tuple[int, int], int] = {}
+    by_band: dict[int, list[int]] = {}
+    for _, band, shard, pos, _e in got:
+        counts[(band, shard)] = counts.get((band, shard), 0) + 1
+        by_band.setdefault(band, []).append(pos * 8 + shard)
+    for band, ranks in by_band.items():
+        assert sorted(ranks) == list(range(len(ranks)))  # dense round-robin
+        per_shard = [counts.get((band, s), 0) for s in range(8)]
+        assert max(per_shard) - min(per_shard) <= 1, (band, per_shard)
