@@ -1074,6 +1074,65 @@ def pq_adc_topk(
     )
 
 
+def pq_adc_rerank_topk(
+    emb: DataFrame,
+    qv: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 100,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """PQ serving pattern (ss13): ADC over the codes table produces a
+    ``shortlist``-sized candidate set, then the TRUE squared distance
+    re-ranks only those candidates from the full-vector table — the
+    standard IVF-PQ/FAISS two-stage search. Recall@k is governed by
+    ``shortlist`` (see tests/test_ann_recall.py for the measured curve);
+    ADC quantization error affects WHICH candidates enter the shortlist
+    but not their final ordering.
+
+    Output: (rank, vec_id, l2_dist) — exact rounded(6) squared L2.
+
+    Scale shape: the corpus-wide work reads ONLY the m-byte codes
+    (TakeOrdered partial top-``shortlist``, never a global sort); full
+    vectors are fetched for just the shortlist via a broadcast semi-join
+    (the scan prunes on the broadcast at parquet row-group level under
+    DPP/AQE). The exact distance is ONE generated flat SQL expression —
+    same term order and grouping as the oracle, zero Py4J fan-out.
+    """
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    if len(qv) != m * d:
+        raise ValueError(f"query dim {len(qv)} != m*d = {m * d}")
+    short = pq_adc_topk(
+        emb, qv, codebooks, k=shortlist, exclude_id=exclude_id
+    ).select("vec_id")
+    # exact squared L2 as one flat generated expression, grouped per
+    # subspace exactly like the oracle's _pq_dist concatenation
+    sub_sums = []
+    for s in range(m):
+        terms = " + ".join(
+            f"(element_at(v, {s * d + i + 1}) - {float(qv[s * d + i])!r}D)"
+            f" * (element_at(v, {s * d + i + 1}) - {float(qv[s * d + i])!r}D)"
+            for i in range(d)
+        )
+        sub_sums.append(f"({terms})")
+    l2_sql = f"round({' + '.join(sub_sums)}, 6)"
+    cand = (
+        emb.join(F.broadcast(short), "vec_id")
+        .select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        )
+        .select("vec_id", F.expr(l2_sql).alias("l2_dist"))
+    )
+    from pyspark.sql import Window as W
+
+    topk = cand.orderBy(F.col("l2_dist"), F.col("vec_id")).limit(k)
+    w = W.orderBy(F.col("l2_dist"), F.col("vec_id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "vec_id", "l2_dist"
+    )
+
+
 def int8_quantize(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """Symmetric per-vector int8 quantization — the embedding-storage
     shape (FAISS SQ8 / vector-DB int8 columns): q_i = round(v_i·127 /

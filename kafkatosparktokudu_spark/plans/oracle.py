@@ -469,6 +469,41 @@ ORACLE_SQL: dict[str, str] = {
             FROM adc
         ) WHERE rank <= 10
     """,
+    # Two-stage PQ serving (ss13): the ss08 ADC ranking truncated to a
+    # 100-wide shortlist, then the TRUE squared distance (flat per-
+    # subspace groups, same term order as the Spark generated SQL)
+    # re-ranks only the shortlist.
+    "ss13_pq_rerank_topk": f"""
+        WITH {_pq_ctes()},
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        adc AS (
+            SELECT enc.vec_id,
+                   round({' + '.join(f'({_pq_dist(s, "q.qv", f"s{s}.sv")})' for s in range(8))},
+                         6) AS adc_dist
+            FROM enc CROSS JOIN q
+                 {' '.join(f'JOIN pseeds s{s} ON s{s}.code = enc.code{s}' for s in range(8))}
+            WHERE enc.vec_id <> 0
+        ),
+        short AS (
+            SELECT vec_id FROM (
+                SELECT vec_id,
+                       row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
+                FROM adc
+            ) WHERE rn <= 100
+        ),
+        ex AS (
+            SELECT e.vec_id,
+                   round({' + '.join(f'({_pq_dist(s, "e.v", "q.qv")})' for s in range(8))},
+                         6) AS l2_dist
+            FROM e JOIN short USING (vec_id) CROSS JOIN q
+        )
+        SELECT rank, vec_id, l2_dist FROM (
+            SELECT CAST(row_number() OVER (ORDER BY l2_dist, vec_id)
+                        AS INTEGER) AS rank,
+                   vec_id, l2_dist
+            FROM ex
+        ) WHERE rank <= 10
+    """,
     "dq02_column_profile": _profile_sql(_DQ02_SPEC),
     "dq03_distribution_drift": _drift_sql(
         ["o_orderstatus", "o_orderpriority"],

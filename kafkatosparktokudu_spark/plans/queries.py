@@ -2166,6 +2166,23 @@ def ss08_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, qv, pq_codebooks(emb), k=10, exclude_id=0)
 
 
+def ss13_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ serving: ADC over the codes table builds a 100-wide
+    shortlist, the TRUE squared distance re-ranks only those candidates
+    from the full-vector table — the standard FAISS IVF-PQ search shape
+    (operators/similarity.py::pq_adc_rerank_topk)."""
+    from ..operators.similarity import pq_adc_rerank_topk, pq_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    return pq_adc_rerank_topk(
+        emb, qv, pq_codebooks(emb), k=10, shortlist=100, exclude_id=0
+    )
+
+
 def dq01_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate (Deequ/dbt-test style) over the
     warehouse: null/range/domain contracts, key uniqueness, referential
@@ -3710,6 +3727,7 @@ def tx20_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 9 ---
     "st04_ingest_shards": st04_ingest_shards,
+    "ss13_pq_rerank_topk": ss13_pq_rerank_topk,
     # --- new in round 8 ---
     "tx21_zipf_stats": tx21_zipf_stats,
     "px16_quality_aware_dedup": px16_quality_aware_dedup,

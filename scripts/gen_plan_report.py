@@ -86,6 +86,8 @@ HEADLINE = [
     "dd15_soft_dedup_weights",
     "px19_stratified_shards",
     "tx22_source_overlap",
+    # round-9 additions
+    "ss13_pq_rerank_topk",
 ]
 
 

@@ -1,0 +1,139 @@
+"""ANN recall@k harness (r8 verdict item 4): the approximate search
+paths (IVF by n_probe, PQ-ADC, PQ shortlist+re-rank) measured against
+the EXACT answer at sf0.01 — the number an ANN user asks for first.
+
+Every path here is deterministic (seeded/hash-trained, no RNG), so the
+measured recalls are reproducible; floors are set one step below the
+measured values (see COVERAGE.md for the full curve). The fixture's
+embeddings are weakly clustered 64-dim vectors — absolute recall is
+bounded by the data, so the harness pins the SHAPE of the tradeoff:
+monotone in n_probe / shortlist, exact at full probe, re-rank never
+worse than raw ADC.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kafkatosparktokudu_spark.sources.batch import load_table
+
+SF = "/root/testdata/sf0.01"
+N_QUERIES = 10
+K = 10
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    emb = load_table(spark, SF, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([[float(v) for v in r["embedding"]] for r in rows])
+    return emb, ids, x, {int(v): i for i, v in enumerate(ids)}
+
+
+def _exact_cos(ids, x, qrow, qid, k=K):
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    sims = np.round(xn @ xn[qrow], 6)
+    order = sorted(range(len(ids)), key=lambda j: (-sims[j], ids[j]))
+    return [int(ids[j]) for j in order if int(ids[j]) != qid][:k]
+
+
+def _exact_l2(ids, x, qrow, qid, k=K):
+    d = np.round(((x - x[qrow]) ** 2).sum(axis=1), 6)
+    order = sorted(range(len(ids)), key=lambda j: (d[j], ids[j]))
+    return [int(ids[j]) for j in order if int(ids[j]) != qid][:k]
+
+
+def test_ivf_recall_curve(spark, corpus):
+    """Mean recall@10 over 10 queries must climb monotonically with
+    n_probe and reach EXACTLY 1.0 when every cell is probed (IVF with
+    nprobe == n_cells degenerates to brute force)."""
+    from kafkatosparktokudu_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb, ids, x, id2row = corpus
+    cents = train_ivf_centroids(emb, n_cells=16)
+    qids = [int(i) for i in ids[:N_QUERIES]]
+    curve = {}
+    for nprobe in (1, 4, 8, 16):
+        recs = []
+        for qid in qids:
+            qv = [float(v) for v in x[id2row[qid]]]
+            got = {
+                r["vec_id"]
+                for r in ivf_topk(
+                    emb, qv, K, nprobe=nprobe, exclude_id=qid, centroids=cents
+                ).collect()
+            }
+            truth = set(_exact_cos(ids, x, id2row[qid], qid))
+            recs.append(len(got & truth) / K)
+        curve[nprobe] = sum(recs) / len(recs)
+    # measured r9 @ sf0.01: 1->0.27, 4->0.585, 8->0.775, 16->1.0
+    assert curve[1] >= 0.2, curve
+    assert curve[4] >= 0.5, curve
+    assert curve[8] >= 0.7, curve
+    assert curve[16] == 1.0, curve
+    assert curve[1] <= curve[4] <= curve[8] <= curve[16], curve
+
+
+def test_pq_rerank_recall_and_monotonicity(spark, corpus):
+    """PQ two-stage serving: exact re-rank of the ADC shortlist must
+    (a) never lose recall vs raw ADC@10, (b) improve with shortlist
+    width, and (c) clear the measured floor with trained codebooks."""
+    from kafkatosparktokudu_spark.operators.similarity import (
+        pq_adc_rerank_topk,
+        pq_adc_topk,
+        pq_codebooks_trained,
+    )
+
+    emb, ids, x, id2row = corpus
+    cb = pq_codebooks_trained(emb, k=16)
+    qids = [int(i) for i in ids[:N_QUERIES]]
+    adc10, rr25, rr100 = [], [], []
+    for qid in qids:
+        qv = [float(v) for v in x[id2row[qid]]]
+        truth = set(_exact_l2(ids, x, id2row[qid], qid))
+        raw = {
+            r["vec_id"]
+            for r in pq_adc_topk(emb, qv, cb, K, exclude_id=qid).collect()
+        }
+        adc10.append(len(raw & truth) / K)
+        for shortlist, acc in ((25, rr25), (100, rr100)):
+            got = {
+                r["vec_id"]
+                for r in pq_adc_rerank_topk(
+                    emb, qv, cb, K, shortlist=shortlist, exclude_id=qid
+                ).collect()
+            }
+            acc.append(len(got & truth) / K)
+    m_adc = sum(adc10) / len(adc10)
+    m25 = sum(rr25) / len(rr25)
+    m100 = sum(rr100) / len(rr100)
+    # measured r9 @ sf0.01, trained k=16: adc ~0.28, rerank100 ~0.77
+    assert m100 >= m25 >= m_adc, (m_adc, m25, m100)
+    assert m100 >= 0.6, (m_adc, m25, m100)
+
+
+def test_pq_rerank_full_shortlist_is_exact(spark, corpus):
+    """shortlist == corpus degenerates to the exact L2 top-k — the
+    ss04-style exactness anchor for the two-stage path."""
+    from kafkatosparktokudu_spark.operators.similarity import (
+        pq_adc_rerank_topk,
+        pq_codebooks,
+    )
+
+    emb, ids, x, id2row = corpus
+    qid = int(ids[0])
+    qv = [float(v) for v in x[id2row[qid]]]
+    got = [
+        r["vec_id"]
+        for r in pq_adc_rerank_topk(
+            emb, qv, pq_codebooks(emb), K, shortlist=len(ids), exclude_id=qid
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _exact_l2(ids, x, id2row[qid], qid)
