@@ -1052,3 +1052,51 @@ def soft_dedup_weights(
         "weight_ppm",
         F.expr("CAST(1000000 AS BIGINT) div cluster_size").cast("bigint"),
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    eval_ppm: int = 100_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-safe train/eval split (px20) — the WHOLE near-duplicate
+    cluster moves to the same split: the split key is the md5-32 hash of
+    the CLUSTER id, not the document id, so an eval document can never
+    have a near-duplicate in train (the contamination channel a plain
+    per-doc hash split — px08's first stage — leaves open; Lee et al.
+    2022 measure the resulting eval inflation). ``eval_ppm`` is the
+    eval fraction in parts-per-million of CLUSTERS (clusters are units;
+    the doc-level fraction follows the cluster-size distribution).
+
+    Returns ``(id, cluster_id, split)`` with split in ('train', 'eval');
+    members of one cluster always share a row-identical split by
+    construction (pinned by test).
+
+    Scale shape: clusters from ``duplicate_clusters`` (LSH candidates
+    only, never all-pairs); the split itself is one per-row hash — no
+    extra shuffle beyond the cluster labels.
+    """
+    if not 0 <= eval_ppm <= 1_000_000:
+        raise ValueError(f"eval_ppm must be in [0, 1e6], got {eval_ppm}")
+    from ..functions.hashing import md5_hash32
+
+    clusters = duplicate_clusters(pairs)
+    lab = (
+        docs.select(id_col)
+        .join(clusters, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col))
+            .cast("bigint")
+            .alias("cluster_id"),
+        )
+    )
+    return lab.withColumn(
+        "split",
+        F.when(
+            md5_hash32(F.col("cluster_id").cast("string")) % 1_000_000
+            < eval_ppm,
+            F.lit("eval"),
+        ).otherwise(F.lit("train")),
+    )

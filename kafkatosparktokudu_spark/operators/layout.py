@@ -481,3 +481,64 @@ def stratified_shards(
             .alias("pos_in_shard"),
         )
     )
+
+
+def budget_selection(
+    scored: DataFrame,
+    token_budget: int,
+    id_col: str = "doc_id",
+    score_col: str = "p_keep",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Quality-greedy data selection under a token budget (px21) — take
+    documents in (score DESC, id ASC) order while the RUNNING token sum
+    (including the candidate) stays within ``token_budget``; everything
+    ranked after the first overflow is excluded (the deterministic
+    prefix-greedy rule — no backfilling with smaller docs, so the
+    selected set is a clean quality prefix). The "how much of the best
+    data fits my compute budget" pass of pretraining prep.
+
+    Returns ``(id, <score_col>, <token_col>, cum_tokens, selected)``
+    where cum_tokens is the inclusive running sum in selection order.
+
+    Scale shape: the q90 two-stage prefix-sum primitive over the SCORE
+    axis — per-range token subtotals through one guarded bounded collect
+    (``two_stage_offsets``, descending), then ONE keyed window per score
+    range + broadcast offsets. No global sort: equal scores share a
+    range, so range-desc + within-range (score DESC, id) == the global
+    greedy order.
+    """
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+    from pyspark.sql import Window as W
+
+    staged = scored.select(
+        F.col(id_col),
+        F.col(score_col),
+        F.col(token_col).cast("bigint").alias(token_col),
+        F.floor(F.col(score_col) * 1_000_000).cast("bigint").alias("_sk"),
+    )
+    keyed, off_df, _w = two_stage_offsets(
+        staged, "_sk", width=256, weight_col=token_col, descending=True
+    )
+    w = (
+        W.partitionBy("_rng")
+        .orderBy(F.desc(score_col), id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        keyed.join(F.broadcast(off_df), "_rng")
+        .withColumn(
+            "cum_tokens",
+            (F.sum(token_col).over(w) + F.col("_offset")).cast("bigint"),
+        )
+        .select(
+            F.col(id_col),
+            F.col(score_col),
+            F.col(token_col),
+            "cum_tokens",
+            (F.col("cum_tokens") <= F.lit(int(token_budget))).alias(
+                "selected"
+            ),
+        )
+    )

@@ -4747,3 +4747,52 @@ ORACLE_SQL["st04_ingest_shards"] = f"""
            epoch
     FROM r
 """
+
+
+# px20 twin: dd15's closure/label CTEs + the md5-of-CLUSTER-id split —
+# the whole near-dup cluster shares one split by construction.
+ORACLE_SQL["px20_leakage_safe_split"] = """
+    WITH RECURSIVE {cc},
+    clusters AS (
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id
+        FROM reach GROUP BY node
+    ),
+    lab AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+        FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+                           1, 8)) AS BIGINT) % 1000000 < 100000
+                THEN 'eval' ELSE 'train' END AS split
+    FROM lab
+""".format(cc=_CC_CTES)
+
+
+# px21 twin: px19's quality CTE + token counts; the oracle may run the
+# global (p_keep DESC, doc_id) window the engine replaces with the
+# two-stage range prefix sum.
+ORACLE_SQL["px21_budget_selection"] = f"""
+    WITH q AS (
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-(3.0 * uniq_ratio + -2.0 * stop_ratio
+                     + 1.5 * len_score + -1.0))), 6) AS p_keep,
+               n_tokens
+        FROM (
+            SELECT doc_id,
+                   CAST(len(list_distinct(l)) AS DOUBLE) / len(l) AS uniq_ratio,
+                   CAST(len(list_filter(l, t -> t IN {_STOP_EN})) AS DOUBLE)
+                       / len(l) AS stop_ratio,
+                   least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) AS len_score,
+                   CAST(len(l) AS BIGINT) AS n_tokens
+            FROM (SELECT doc_id, n_chars, {_TOKS} AS l FROM documents)
+        )
+    )
+    SELECT doc_id, p_keep, n_tokens,
+           CAST(SUM(n_tokens) OVER (ORDER BY p_keep DESC, doc_id)
+               AS BIGINT) AS cum_tokens,
+           SUM(n_tokens) OVER (ORDER BY p_keep DESC, doc_id) <= 12000
+               AS selected
+    FROM q
+"""

@@ -3541,6 +3541,35 @@ def dd15_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return soft_dedup_weights(docs, neardup_pairs_jaccard(docs, threshold=0.2))
 
 
+# Leakage-safe train/eval split (operators/dedup.py::leakage_safe_split)
+# — the WHOLE near-dup cluster moves to one split: split key = md5 of
+# the CLUSTER id, so eval docs can never have a near-duplicate in train
+# (the channel px08's per-doc hash split leaves open).
+def px20_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import leakage_safe_split, neardup_pairs_jaccard
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return leakage_safe_split(docs, neardup_pairs_jaccard(docs, threshold=0.2))
+
+
+# Quality-greedy selection under a token budget (operators/layout.py::
+# budget_selection) — docs taken in (p_keep DESC, id) order while the
+# inclusive running token sum fits 12k tokens (prefix-greedy, no
+# backfill); q90 two-stage prefix sum over the score axis, no global
+# sort. The "how much of the best data fits my budget" pass.
+def px21_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import budget_selection
+    from ..operators.text import quality_classifier_scores, token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = (
+        quality_classifier_scores(docs)
+        .select("doc_id", "p_keep")
+        .join(token_stats(docs).select("doc_id", "n_tokens"), "doc_id")
+    )
+    return budget_selection(scored, token_budget=12_000)
+
+
 # Streaming OHLC candles run in batch mode (streaming/pipeline.py::
 # stream_ohlc) — the SAME windowed-agg code path the live stream runs
 # (watermark is a no-op on a static frame); window(ts, '1 hour') start ==
@@ -3728,6 +3757,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 9 ---
     "st04_ingest_shards": st04_ingest_shards,
     "ss13_pq_rerank_topk": ss13_pq_rerank_topk,
+    "px20_leakage_safe_split": px20_leakage_safe_split,
+    "px21_budget_selection": px21_budget_selection,
     # --- new in round 8 ---
     "tx21_zipf_stats": tx21_zipf_stats,
     "px16_quality_aware_dedup": px16_quality_aware_dedup,

@@ -88,6 +88,8 @@ HEADLINE = [
     "tx22_source_overlap",
     # round-9 additions
     "ss13_pq_rerank_topk",
+    "px20_leakage_safe_split",
+    "px21_budget_selection",
 ]
 
 

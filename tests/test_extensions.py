@@ -2517,3 +2517,99 @@ def test_inference_batches_non_power_of_two_size(spark):
         members.sort()
         for slot, (_, bi, pos) in enumerate(members):
             assert bi == slot // 7 and pos == slot % 7
+
+
+def test_leakage_safe_split_cluster_atomicity(spark):
+    """px20: every member of a planted near-dup cluster lands in the SAME
+    split (split key = cluster id hash), singletons split independently,
+    eval_ppm=0 sends everything to train, bad ppm raises."""
+    import pytest as _pytest
+
+    from kafkatosparktokudu_spark.operators.dedup import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id bigint, text string"
+    )
+    # planted clusters: {0,1,2}, {10,11}, rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in leakage_safe_split(docs, pairs, eval_ppm=500_000).collect()
+    }
+    assert len(out) == 40
+    assert out[0] == out[1] == out[2]          # whole cluster, one split
+    assert out[10] == out[11]
+    assert out[0][0] == 0 and out[10][0] == 10  # min-id cluster labels
+    splits = {s for _, s in out.values()}
+    assert splits == {"train", "eval"}          # 50% ppm: both present
+    all_train = leakage_safe_split(docs, pairs, eval_ppm=0).collect()
+    assert {r["split"] for r in all_train} == {"train"}
+    with _pytest.raises(ValueError, match="eval_ppm"):
+        leakage_safe_split(docs, pairs, eval_ppm=2_000_000)
+
+
+def test_budget_selection_prefix_greedy(spark):
+    """px21 semantics on a planted frame: selection order is
+    (p_keep DESC, id ASC); the first overflow doc AND everything after
+    it are excluded even when a later small doc would still fit (the
+    no-backfill prefix rule); budget 0 selects nothing."""
+    import pytest as _pytest
+
+    from kafkatosparktokudu_spark.operators.layout import budget_selection
+
+    rows = [
+        # (doc_id, p_keep, n_tokens)
+        (1, 0.9, 50),
+        (2, 0.9, 30),    # tie with doc 1 -> doc 1 first (id ASC)
+        (3, 0.8, 100),   # cum 180
+        (4, 0.7, 200),   # cum 380 > 200 -> overflow, excluded
+        (5, 0.6, 5),     # would fit (85 left) but comes after overflow
+    ]
+    scored = spark.createDataFrame(
+        rows, "doc_id bigint, p_keep double, n_tokens bigint"
+    )
+    out = {
+        r["doc_id"]: (r["cum_tokens"], r["selected"])
+        for r in budget_selection(scored, token_budget=200).collect()
+    }
+    assert out == {
+        1: (50, True),
+        2: (80, True),
+        3: (180, True),
+        4: (380, False),
+        5: (385, False),
+    }
+    none = budget_selection(scored, token_budget=0).collect()
+    assert all(not r["selected"] for r in none)
+    with _pytest.raises(ValueError, match="token_budget"):
+        budget_selection(scored, token_budget=-1)
+
+
+def test_budget_selection_no_global_sort(spark):
+    """px21's running sum must be the two-stage pattern over score
+    ranges — never a global rangepartitioning sort or a corpus-sized
+    single partition."""
+    from kafkatosparktokudu_spark.operators.layout import budget_selection
+    from kafkatosparktokudu_spark.operators.text import (
+        quality_classifier_scores,
+        token_stats,
+    )
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    scored = (
+        quality_classifier_scores(docs)
+        .select("doc_id", "p_keep")
+        .join(token_stats(docs).select("doc_id", "n_tokens"), "doc_id")
+    )
+    plan = (
+        budget_selection(scored, token_budget=12_000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange hashpartitioning(_rng" in plan, plan
