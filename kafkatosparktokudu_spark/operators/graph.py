@@ -376,3 +376,84 @@ def bfs_hops(
         frontier = merged.filter(F.col("hops") == r)
         dist = merged
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 6,
+    a: str = "a",
+    b: str = "b",
+    seed_mod: int = 10,
+    label_mod: int = 7,
+) -> DataFrame:
+    """Seeded label propagation (gr06) — semi-supervised label spreading,
+    the fifth iterative-graph shape next to CC (min fixpoint), PageRank
+    (fixed iteration), k-core (peeling) and BFS (frontier): seed nodes
+    (``node % seed_mod == 0``, label ``node % label_mod``) hold their
+    label FIXED; each synchronous round, every still-unlabeled node with
+    at least one labeled neighbor takes the MAJORITY label among its
+    labeled neighbors (count DESC, label ASC tie-break). Labels are
+    immutable once assigned, so rounds are monotone and "exactly
+    ``rounds`` rounds" equals the chained-CTE oracle at any convergence
+    depth (the gr04/gr05 argument); the loop early-stops when a round
+    labels nothing, purely as an optimization.
+
+    Returns ``(node, label, labeled_round)`` — 0 for seeds.
+
+    Scale shape per round: ONE labeled⋈edges join (cost follows edges
+    adjacent to labeled nodes), one anti-join to drop already-labeled
+    targets, one (node, label) count + keyed argmax window over only the
+    round's candidates; ``localCheckpoint`` keeps plans linear. The
+    frontier-only optimization of BFS does NOT apply (a majority needs
+    every labeled neighbor, not just last round's), so the whole labeled
+    set expands each round — still edge-bounded, never quadratic.
+    """
+    from pyspark.sql import Window as W
+
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    ud = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = ud.select(F.col("src").alias("node")).distinct()
+    labeled = (
+        nodes.filter(F.col("node") % seed_mod == 0)
+        .select(
+            "node",
+            (F.col("node") % label_mod).cast("bigint").alias("label"),
+            F.lit(0).cast("int").alias("labeled_round"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for r in range(1, rounds + 1):
+        votes = (
+            labeled.join(ud, labeled["node"] == ud["src"])
+            .select(F.col("dst").alias("cand"), "label")
+            .join(
+                labeled.select(F.col("node").alias("cand")),
+                "cand",
+                "left_anti",
+            )
+            .groupBy("cand", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = W.partitionBy("cand").orderBy(F.desc("c"), "label")
+        newly = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("cand").alias("node"),
+                F.col("label").cast("bigint").alias("label"),
+                F.lit(r).cast("int").alias("labeled_round"),
+            )
+        )
+        merged = labeled.unionByName(newly).localCheckpoint(eager=True)
+        if merged.count() == labeled.count():
+            break
+        labeled = merged
+    return labeled

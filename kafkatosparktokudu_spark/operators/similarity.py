@@ -625,6 +625,71 @@ def knn_join(
     )
 
 
+def radius_density(
+    emb: DataFrame,
+    tau: float = 0.3,
+    n_cells: int = 32,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Embedding NEIGHBORHOOD DENSITY (ss14) — for EVERY vector, how many
+    cell-blocked neighbors sit within rounded cosine ≥ ``tau``, plus the
+    max similarity seen: the radius-search/outlier signal of embedding
+    curation (0 neighbors = isolated/likely noise; a large count = a
+    dense near-dup clump SemDeDup-style pruning should visit). The
+    set-at-a-time form of FAISS range_search, with the same deterministic
+    seed-cell blocking contract as dd05/ss05: the count is over BLOCKED
+    candidates (shared probe cell), which the oracle reproduces exactly —
+    a pair in no shared cell is out of contract, the dd05 trade.
+
+    Returns ``(vec_id, n_neighbors, max_sim)`` — one row per vector,
+    max_sim NULL when nothing clears ``tau``.
+
+    Scale shape: one seed-cell assignment (generated-SQL scorer), one
+    cell-keyed self-join producing ~n·nprobe²/n_cells candidates instead
+    of n², exact cosine only on candidates, one keyed count. n_cells
+    grows ~√n at scale exactly as in knn_join.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (local alias)
+
+    from ..functions.vectors import dot, norm
+
+    cells = seed_cell_assign(emb, n_cells=n_cells, nprobe=nprobe).persist()
+    qc = cells.withColumnRenamed("vec_id", "q_id")
+    cc = cells.withColumnRenamed("vec_id", "n_id")
+    cand = (
+        qc.join(cc, "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    e = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    sim = dot(F.col("x.v"), F.col("y.v")) / (F.col("x.nrm") * F.col("y.nrm"))
+    hits = (
+        cand.join(e.alias("x"), F.col("q_id") == F.col("x.vec_id"))
+        .join(e.alias("y"), F.col("n_id") == F.col("y.vec_id"))
+        .select("q_id", F.round(sim, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= F.lit(float(tau)))
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+            F.max("cos_sim").alias("max_sim"),
+        )
+    )
+    return (
+        emb.select("vec_id")
+        .join(hits.withColumnRenamed("q_id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_neighbors", F.lit(0))
+            .cast("bigint")
+            .alias("n_neighbors"),
+            "max_sim",
+        )
+    )
+
+
 def label_centroids(emb: DataFrame, n_dims: int = 8) -> DataFrame:
     """Per-label centroid components (first ``n_dims`` dims) via exact
     decimal mean — embedding aggregation with oracle-stable arithmetic."""

@@ -4796,3 +4796,89 @@ ORACLE_SQL["px21_budget_selection"] = f"""
                AS selected
     FROM q
 """
+
+
+# ss14 twin: the ss05 seed-cell CTEs over the FULL corpus (every vector
+# is a query), blocked candidates filtered at tau, counted per vector;
+# vectors with no clearing neighbor keep a 0/NULL row.
+ORACLE_SQL["ss14_radius_density"] = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS sv
+        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 32)
+    ),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, s.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, s.sv), 6) DESC,
+                                s.cell
+                   ) AS rn
+            FROM e CROSS JOIN seeds s
+        ) WHERE rn <= 4
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+        FROM assigned q JOIN assigned c ON q.cell = c.cell
+        WHERE q.vec_id <> c.vec_id
+    ),
+    hits AS (
+        SELECT q_id,
+               CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+               MAX(cos_sim) AS max_sim
+        FROM (
+            SELECT q_id,
+                   round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
+            FROM cand JOIN e x ON x.vec_id = q_id
+                      JOIN e y ON y.vec_id = n_id
+        ) WHERE cos_sim >= 0.3
+        GROUP BY q_id
+    )
+    SELECT e.vec_id,
+           CAST(COALESCE(h.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+           h.max_sim
+    FROM e LEFT JOIN hits h ON h.q_id = e.vec_id
+"""
+
+
+def _label_prop_sql(rounds: int = 6) -> str:
+    """gr06 twin: the gr04/gr05 edge CTEs, seeds fixed at round 0, then
+    ``rounds`` chained synchronous majority votes — each round labels
+    every still-unlabeled node with >=1 labeled neighbor by (count DESC,
+    label ASC) over its labeled neighbors."""
+    ctes = [
+        "li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,"
+        " l_partkey AS p FROM lineitem)",
+        "ed AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x"
+        " JOIN li y USING (o) WHERE x.p < y.p"
+        " GROUP BY 1, 2 HAVING COUNT(*) >= 2)",
+        "ud AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed"
+        " UNION SELECT b AS src, a AS dst FROM ed)",
+        "l0 AS MATERIALIZED (SELECT node, CAST(node % 7 AS BIGINT) AS label,"
+        " CAST(0 AS INTEGER) AS labeled_round FROM"
+        " (SELECT DISTINCT src AS node FROM ud) WHERE node % 10 = 0)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"l{r} AS MATERIALIZED (SELECT node, label, labeled_round"
+            f" FROM l{p}"
+            f" UNION ALL"
+            f" SELECT node, label, CAST({r} AS INTEGER) AS labeled_round"
+            f" FROM ("
+            f"  SELECT u.dst AS node, d.label,"
+            f"         row_number() OVER (PARTITION BY u.dst"
+            f"            ORDER BY COUNT(*) DESC, d.label) AS rn"
+            f"  FROM l{p} d JOIN ud u ON u.src = d.node"
+            f"  WHERE u.dst NOT IN (SELECT node FROM l{p})"
+            f"  GROUP BY u.dst, d.label"
+            f" ) WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, label, labeled_round FROM l{rounds}"
+    )
+
+
+ORACLE_SQL["gr06_label_propagation"] = _label_prop_sql()

@@ -3541,6 +3541,16 @@ def dd15_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return soft_dedup_weights(docs, neardup_pairs_jaccard(docs, threshold=0.2))
 
 
+# Embedding neighborhood density (operators/similarity.py::
+# radius_density) — per-vector count of cell-blocked neighbors within
+# cosine >= 0.3 plus the max similarity: the range-search/outlier signal
+# of embedding curation (0 = isolated, large = a dense near-dup clump).
+def ss14_radius_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import radius_density
+
+    return radius_density(_t(spark, sf_dir, "embeddings"), tau=0.3)
+
+
 # Leakage-safe train/eval split (operators/dedup.py::leakage_safe_split)
 # — the WHOLE near-dup cluster moves to one split: split key = md5 of
 # the CLUSTER id, so eval docs can never have a near-duplicate in train
@@ -3702,6 +3712,31 @@ def gr05_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(pairs, source=int(src), rounds=8)
 
 
+# Seeded label propagation (operators/graph.py::label_propagation) —
+# semi-supervised label spreading over the gr04/gr05 co-purchase graph:
+# seeds (node % 10 == 0) hold node % 7 fixed; each round unlabeled
+# nodes take the majority label of their labeled neighbors (count DESC,
+# label ASC). Fifth iterative-graph shape; 6-round chained-CTE oracle.
+def gr06_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pairs = (
+        li.withColumnRenamed("p", "pa")
+        .join(li.withColumnRenamed("p", "pb"), "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= 2)
+        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    )
+    return label_propagation(pairs, rounds=6)
+
+
 # MMR diverse retrieval (operators/similarity.py::mmr_rerank) — greedy
 # 0.5·rel − 0.5·max-sim-to-selected re-ranking over a TakeOrdered top-50
 # relevance pool; k bounded jobs with the selected vectors as generated-SQL
@@ -3759,6 +3794,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss13_pq_rerank_topk": ss13_pq_rerank_topk,
     "px20_leakage_safe_split": px20_leakage_safe_split,
     "px21_budget_selection": px21_budget_selection,
+    "ss14_radius_density": ss14_radius_density,
+    "gr06_label_propagation": gr06_label_propagation,
     # --- new in round 8 ---
     "tx21_zipf_stats": tx21_zipf_stats,
     "px16_quality_aware_dedup": px16_quality_aware_dedup,

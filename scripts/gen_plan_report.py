@@ -90,6 +90,7 @@ HEADLINE = [
     "ss13_pq_rerank_topk",
     "px20_leakage_safe_split",
     "px21_budget_selection",
+    "ss14_radius_density",
 ]
 
 
@@ -125,6 +126,9 @@ EXCLUDED = [
     "dq03_distribution_drift",
     "gr01_pagerank_neardup",
     "gr04_kcore",
+    # gr06: iterative localCheckpoint rounds — final plan is checkpoint-
+    # flattened like gr04; per-round shape pinned by the planted test.
+    "gr06_label_propagation",
     "mm01_binary_meta",
     "mm02_byte_features",
     "mm03_decode_resize",

@@ -2613,3 +2613,68 @@ def test_budget_selection_no_global_sort(spark):
     assert "Exchange rangepartitioning" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "Exchange hashpartitioning(_rng" in plan, plan
+
+
+def test_radius_density_planted_clump(spark):
+    """ss14: a planted clump of 3 near-identical vectors each count the
+    other two at cos >= tau; orthogonal singletons report 0 neighbors
+    with NULL max_sim; every input vector gets exactly one row."""
+    from kafkatosparktokudu_spark.operators.similarity import radius_density
+
+    d = 8
+    def axis(i, eps=0.0):
+        v = [0.0] * d
+        v[i] = 1.0
+        v[(i + 1) % d] = eps
+        return v
+
+    rows = [
+        (0, 0, axis(0)),
+        (1, 0, axis(0, 0.05)),   # clump around axis 0
+        (2, 0, axis(0, -0.05)),
+        (3, 1, axis(2)),          # isolated orthogonals
+        (4, 1, axis(4)),
+        (5, 1, axis(6)),
+    ]
+    emb = spark.createDataFrame(
+        [(i, l, [float(x) for x in v]) for i, l, v in rows],
+        "vec_id bigint, label bigint, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: (r["n_neighbors"], r["max_sim"])
+        for r in radius_density(emb, tau=0.9, n_cells=6, nprobe=2).collect()
+    }
+    assert len(out) == 6
+    for i in (0, 1, 2):
+        assert out[i][0] == 2 and out[i][1] is not None and out[i][1] >= 0.9
+    for i in (3, 4, 5):
+        assert out[i] == (0, None)
+
+
+def test_label_propagation_planted_graph(spark):
+    """gr06 semantics on a planted graph: chain spreads one hop per
+    round; a 1-1-1 vote ties to the SMALLEST label; a 2-1 vote takes the
+    majority; a seedless island never labels; seeds are round 0."""
+    from kafkatosparktokudu_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [
+            (0, 1), (1, 2),             # chain from seed 0 (label 0)
+            (10, 5), (20, 5), (30, 5),  # tie: labels {3,6,2} -> 2
+            (10, 6), (80, 6), (20, 6),  # majority: {3,3,6} -> 3
+            (101, 102),                 # seedless island
+        ],
+        "a bigint, b bigint",
+    )
+    out = {
+        r["node"]: (r["label"], r["labeled_round"])
+        for r in label_propagation(edges, rounds=6).collect()
+    }
+    # seeds: 0,10,20,30,80 with node % 7
+    assert out[0] == (0, 0) and out[10] == (3, 0) and out[20] == (6, 0)
+    assert out[30] == (2, 0) and out[80] == (3, 0)
+    assert out[1] == (0, 1) and out[2] == (0, 2)   # chain, one hop/round
+    assert out[5] == (2, 1)                        # tie -> smallest label
+    assert out[6] == (3, 1)                        # 2-1 majority
+    assert 101 not in out and 102 not in out       # island stays unlabeled
+    assert len(out) == 9
