@@ -3789,7 +3789,11 @@ def tx20_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- new in round 9 ---
+    # --- round-9 front section: the six new queries lead; every query
+    # whose implementing code changed this round sits < 50 for a fresh
+    # driver row (mm07 integer-div fix at 15, dq06 guard at 12, tx22 +
+    # ss11 docstring-contract updates at 19/8; the r8 section below
+    # already held them) ---
     "st04_ingest_shards": st04_ingest_shards,
     "ss13_pq_rerank_topk": ss13_pq_rerank_topk,
     "px20_leakage_safe_split": px20_leakage_safe_split,
