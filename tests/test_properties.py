@@ -941,3 +941,113 @@ def test_compaction_bins_match_sequential_oracle(spark, sizes, target):
         want[i] = cum // target
         cum += s
     assert got == want
+
+
+# -- px20 leakage-safe split vs a Python union-find ---------------------------
+# Small id domain forces chained/transitive clusters and self-loop-ish
+# degenerate pairs where cluster labeling bugs live.
+_pair = st.tuples(st.integers(0, 14), st.integers(0, 14))
+
+
+@SETTINGS
+@given(pairs=st.lists(_pair, max_size=20), eval_ppm=st.sampled_from([0, 250_000, 1_000_000]))
+def test_leakage_safe_split_matches_union_find(spark, pairs, eval_ppm):
+    from hashlib import md5
+
+    from kafkatosparktokudu_spark.operators.dedup import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(15)], "doc_id bigint, text string"
+    )
+    clean = [(a, b) for a, b in pairs if a != b]
+    pf = spark.createDataFrame(clean, "doc_a bigint, doc_b bigint") if clean else (
+        spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in leakage_safe_split(docs, pf, eval_ppm=eval_ppm).collect()
+    }
+    # Python reference: union-find with min-id labels + the same md5 split
+    parent = list(range(15))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in clean:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for i in range(15):
+        cid = find(i)
+        h = int(md5(str(cid).encode()).hexdigest()[:8], 16) % 1_000_000
+        want[i] = (cid, "eval" if h < eval_ppm else "train")
+    assert got == want
+
+
+# -- px21 budget selection vs a Python greedy ---------------------------------
+_doc = st.tuples(
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False, width=32),
+    st.integers(0, 50),
+)
+
+
+@SETTINGS
+@given(docs=st.lists(_doc, min_size=1, max_size=30), budget=st.integers(0, 400))
+def test_budget_selection_matches_python_greedy(spark, docs, budget):
+    from kafkatosparktokudu_spark.operators.layout import budget_selection
+
+    rows = [(i, float(s), int(t)) for i, (s, t) in enumerate(docs)]
+    scored = spark.createDataFrame(
+        rows, "doc_id bigint, p_keep double, n_tokens bigint"
+    )
+    got = {
+        r["doc_id"]: (r["cum_tokens"], r["selected"])
+        for r in budget_selection(scored, token_budget=budget).collect()
+    }
+    cum = 0
+    want = {}
+    for i, s, t in sorted(rows, key=lambda r: (-r[1], r[0])):
+        cum += t
+        want[i] = (cum, cum <= budget)
+    assert got == want
+
+
+# -- gr06 label propagation vs a Python round simulation ----------------------
+_edge = st.tuples(st.integers(0, 24), st.integers(0, 24))
+
+
+@SETTINGS
+@given(edges=st.lists(_edge, min_size=1, max_size=30))
+def test_label_propagation_matches_python_rounds(spark, edges):
+    from collections import Counter
+
+    from kafkatosparktokudu_spark.operators.graph import label_propagation
+
+    clean = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not clean:
+        return
+    ef = spark.createDataFrame(clean, "a bigint, b bigint")
+    got = {
+        r["node"]: (r["label"], r["labeled_round"])
+        for r in label_propagation(ef, rounds=6).collect()
+    }
+    adj: dict[int, set] = {}
+    for a, b in clean:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {n: (n % 7, 0) for n in adj if n % 10 == 0}
+    for r in range(1, 7):
+        newly = {}
+        for n in adj:
+            if n in lab:
+                continue
+            votes = Counter(lab[m][0] for m in adj[n] if m in lab)
+            if votes:
+                best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+                newly[n] = (best[0], r)
+        if not newly:
+            break
+        lab.update(newly)
+    assert got == lab
