@@ -237,6 +237,53 @@ def _bitlen_case_sql(x_sql: str, w: int) -> str:
     return f"(CASE {branches} ELSE 0 END)"
 
 
+def hll_registers(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """The ``(bucket, reg)`` HLL register table of a frame — max rho per
+    bucket over the md5-32 hash stream (see ``hll_expr_estimate`` for
+    the estimator and exactness argument). Registers MERGE by bucket-wise
+    max: idempotent, commutative, associative — the property both
+    ``hll_union_by_group`` and the streaming monitor build on."""
+    from ..functions.hashing import md5_hash32
+
+    m = 1 << p
+    w = 32 - p
+    h = md5_hash32(F.col(col).cast("string"))
+    keyed = df.select((h % m).alias("bucket"), h.alias("_h")).select(
+        "bucket", F.expr(f"_h div {m}").alias("suffix")
+    )
+    rho = F.expr(f"{w + 1} - {_bitlen_case_sql('suffix', w)}")
+    return keyed.withColumn("rho", rho).groupBy("bucket").agg(
+        F.max("rho").alias("reg")
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, p: int = 12
+) -> DataFrame:
+    """One-row ``(m, hll_estimate)`` from a register table — the same
+    Flajolet estimator + small-range linear counting as
+    ``hll_expr_estimate``, over registers that may have been merged from
+    any number of slices (dyadic-exact harmonic sum, order-independent)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    harm = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("_s"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    raw = F.lit(alpha * m * m) / (F.col("_s") + (F.lit(m) - F.col("_nb")))
+    empty = F.lit(m) - F.col("_nb")
+    est = F.round(
+        F.when(
+            (raw <= F.lit(2.5 * m)) & (empty > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / empty),
+        ).otherwise(raw),
+        6,
+    )
+    return harm.select(
+        F.lit(m).cast("bigint").alias("m"), est.alias("hll_estimate")
+    )
+
+
 def hll_expr_estimate(df: DataFrame, col: str, p: int = 12) -> DataFrame:
     """Expression-level HyperLogLog distinct-count estimate — the
     oracle-reproducible twin of ``approx_count_distinct`` (whose
@@ -263,19 +310,9 @@ def hll_expr_estimate(df: DataFrame, col: str, p: int = 12) -> DataFrame:
     rel_err); n_exact is a COUNT(DISTINCT) the driver-side compare needs
     anyway — drop it at 100 TB and the plan is sketch-only.
     """
-    from ..functions.hashing import md5_hash32
-
     m = 1 << p
-    w = 32 - p
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    h = md5_hash32(F.col(col).cast("string"))
-    keyed = df.select((h % m).alias("bucket"), h.alias("_h")).select(
-        "bucket", F.expr(f"_h div {m}").alias("suffix")
-    )
-    rho = F.expr(f"{w + 1} - {_bitlen_case_sql('suffix', w)}")
-    regs = keyed.withColumn("rho", rho).groupBy("bucket").agg(
-        F.max("rho").alias("reg")
-    )
+    regs = hll_registers(df, col, p)
     harm = regs.agg(
         F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("_s"),
         F.count(F.lit(1)).alias("_nb"),

@@ -4882,3 +4882,40 @@ def _label_prop_sql(rounds: int = 6) -> str:
 
 
 ORACLE_SQL["gr06_label_propagation"] = _label_prop_sql()
+
+
+def _hll_stream_sql(p: int = 12) -> str:
+    """st05 twin: the sk04 register/estimator SQL restricted to
+    (m, hll_estimate) — the streaming store after all epochs IS the
+    whole-corpus register table (bucket-wise max is associative), so the
+    batch sketch of the full orders table is the exact oracle."""
+    from ..operators.sketch import _bitlen_case_sql
+
+    m = 1 << p
+    w = 32 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    bitlen = _bitlen_case_sql("suffix", w)
+    est = (
+        f"CASE WHEN raw <= {2.5 * m!r} AND empty > 0 "
+        f"THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / empty) "
+        f"ELSE raw END"
+    )
+    return f"""
+        WITH h AS (
+            SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS h32
+            FROM orders
+        ),
+        k AS (SELECT h32 % {m} AS bucket, h32 // {m} AS suffix FROM h),
+        r AS (SELECT bucket, MAX({w + 1} - {bitlen}) AS reg FROM k GROUP BY bucket),
+        s AS (SELECT SUM(power(2.0, -reg)) AS _s, CAST(COUNT(*) AS BIGINT) AS _nb FROM r),
+        e AS (
+            SELECT CAST({alpha!r} AS DOUBLE) * {m} * {m} / (_s + ({m} - _nb)) AS raw,
+                   ({m} - _nb) AS empty
+            FROM s
+        )
+        SELECT CAST({m} AS BIGINT) AS m, round({est}, 6) AS hll_estimate
+        FROM e
+    """
+
+
+ORACLE_SQL["st05_hll_monitor"] = _hll_stream_sql()

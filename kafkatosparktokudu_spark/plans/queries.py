@@ -3621,6 +3621,34 @@ def st04_ingest_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Streaming distinct-count monitor run through its epoch body
+# (streaming/pipeline.py::hll_monitor_epoch): orders arrive in two
+# o_orderkey halves; each epoch's HLL registers fold into the store by
+# bucket-wise max. Merge associativity makes the final store EQUAL the
+# whole-corpus sketch, so the estimate matches sk04's oracle exactly;
+# the live face (start_hll_monitor) shares this body and its replay
+# idempotence is pinned in tests/test_streaming.py.
+def st05_hll_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import hll_monitor_epoch, read_hll_estimate
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    cut = lo + (hi - lo) // 2
+    tmp = tempfile.mkdtemp(prefix="hll_store_")
+    try:
+        store = f"{tmp}/regs"
+        hll_monitor_epoch(orders.filter(F.col("o_orderkey") < cut), "o_custkey", store)
+        hll_monitor_epoch(orders.filter(F.col("o_orderkey") >= cut), "o_custkey", store)
+        res = read_hll_estimate(spark, store)
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # kNN majority-vote labeling (operators/similarity.py::knn_label_vote) —
 # each low-id query vector takes the modal label of its ss05 neighbors
 # (votes DESC, label ASC tie-break); one (q_id,label) agg + one tiny
@@ -3800,6 +3828,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "px21_budget_selection": px21_budget_selection,
     "ss14_radius_density": ss14_radius_density,
     "gr06_label_propagation": gr06_label_propagation,
+    "st05_hll_monitor": st05_hll_monitor,
     # --- new in round 8 ---
     "tx21_zipf_stats": tx21_zipf_stats,
     "px16_quality_aware_dedup": px16_quality_aware_dedup,

@@ -581,6 +581,85 @@ def start_ingest_shard_pipeline(
     return writer.start()
 
 
+def hll_monitor_epoch(
+    batch_df: DataFrame,
+    col: str,
+    store_dir: str,
+    p: int = 12,
+) -> None:
+    """One micro-batch of the streaming distinct-count monitor (st05):
+    the batch's HLL registers fold into the stored register table by
+    bucket-wise MAX. Max-merge is idempotent/commutative/associative, so
+    a replayed epoch leaves the store bit-identical — exactly-once with
+    NO epoch stamps at all (the cleanest exactly-once argument in the
+    repo; contrast st04's counter snapshots, which exist only because
+    round-robin positions are order-dependent).
+
+    The register table is ≤ 2^p rows BY CONSTRUCTION (4096 at p=12,
+    independent of stream size), so the merge is a bounded driver
+    materialization (the k-means-seed convention) and the store is one
+    tiny parquet overwrite per epoch.
+    """
+    import os
+
+    from ..operators.sketch import hll_registers
+
+    spark = batch_df.sparkSession
+    new = hll_registers(batch_df, col, p)
+    if os.path.isdir(store_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(store_dir)
+    ):
+        new = new.unionByName(spark.read.parquet(store_dir))
+    merged = (
+        new.groupBy("bucket").agg(F.max("reg").alias("reg")).collect()
+    )  # bounded: <= 2^p rows
+    spark.createDataFrame(merged, "bucket bigint, reg int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(store_dir)
+
+
+def start_hll_monitor(
+    spark: SparkSession,
+    stream: DataFrame,
+    col: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    p: int = 12,
+    available_now: bool = False,
+    trigger_interval: str = "5 seconds",
+) -> StreamingQuery:
+    """Live distinct-count monitor (st05): every micro-batch folds its
+    HLL registers into a persistent register store by bucket-wise max —
+    how a 100 TB ingest tracks approximate cardinality continuously
+    without ever rescanning history. Read the current estimate any time
+    with ``read_hll_estimate``; the store after N epochs equals the
+    batch sketch of the concatenated stream EXACTLY (merge
+    associativity), pinned against sk04 by test."""
+
+    def _epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hll_monitor_epoch(batch_df, col, store_dir, p)
+
+    writer = (
+        stream.writeStream.foreachBatch(_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("hll_monitor")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
+def read_hll_estimate(spark: SparkSession, store_dir: str, p: int = 12) -> DataFrame:
+    """Current ``(m, hll_estimate)`` of an hll-monitor register store."""
+    from ..operators.sketch import hll_estimate_from_registers
+
+    return hll_estimate_from_registers(spark.read.parquet(store_dir), p)
+
+
 def read_shard_assignment(spark: SparkSession, out_dir: str) -> DataFrame:
     """Final shard assignment of an ingest-shard pipeline run: the union
     of every epoch's (doc_id, band, shard_id, pos_in_shard) plus the

@@ -106,6 +106,9 @@ EXCLUDED = [
     # collected-rows frame — the audited plans are px06's gate + px19's
     # deal (both in HEADLINE); its own returned plan is trivial assembly.
     "st04_ingest_shards",
+    # st05: collected-register assembly (bounded <=2^p rows) — audited
+    # plans are sk04/sk05, already in HEADLINE-adjacent coverage.
+    "st05_hll_monitor",
     "cdc_dept_rollup",
     "cdc_dept_state",
     "cdc_emp_asof_enrich",

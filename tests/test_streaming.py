@@ -1846,3 +1846,69 @@ def test_stream_ingest_shards_restart_matches_batch(spark, tmp_path):
         assert sorted(ranks) == list(range(len(ranks)))  # dense round-robin
         per_shard = [counts.get((band, s), 0) for s in range(8)]
         assert max(per_shard) - min(per_shard) <= 1, (band, per_shard)
+
+
+def test_stream_hll_monitor_restart_and_replay_idempotent(spark, tmp_path):
+    """st05 live pipeline: registers fold by bucket-wise max across
+    epochs and a checkpoint restart; the final estimate equals the BATCH
+    sketch of everything seen (merge associativity), and re-folding an
+    already-delivered batch leaves the store bit-identical (exactly-once
+    with no epoch stamps)."""
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.operators.sketch import hll_expr_estimate
+    from kafkatosparktokudu_spark.sources.batch import load_table
+    from kafkatosparktokudu_spark.streaming.pipeline import (
+        hll_monitor_epoch,
+        read_hll_estimate,
+        start_hll_monitor,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    c1, c2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    thirds = [
+        orders.filter(F.col("o_orderkey") < c1),
+        orders.filter((F.col("o_orderkey") >= c1) & (F.col("o_orderkey") < c2)),
+        orders.filter(F.col("o_orderkey") >= c2),
+    ]
+    src = tmp_path / "orders_src"
+    src.mkdir()
+    for i, part in enumerate(thirds[:2]):
+        part.coalesce(1).write.parquet(str(src / f"b{i}"))
+    store = str(tmp_path / "regs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _stream():
+        return (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+
+    q = start_hll_monitor(spark, _stream(), "o_custkey", store, ckpt,
+                          available_now=True)
+    q.awaitTermination(180)
+    est2 = read_hll_estimate(spark, store).collect()[0]
+    batch2 = hll_expr_estimate(
+        thirds[0].unionByName(thirds[1]), "o_custkey"
+    ).collect()[0]
+    assert est2["hll_estimate"] == batch2["hll_estimate"]
+
+    # replay idempotence: re-fold an already-delivered batch directly
+    before = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    hll_monitor_epoch(thirds[1], "o_custkey", store)
+    after = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    assert before == after
+
+    # restart with the third file on the same checkpoint
+    thirds[2].coalesce(1).write.parquet(str(src / "b2"))
+    q2 = start_hll_monitor(spark, _stream(), "o_custkey", store, ckpt,
+                           available_now=True)
+    q2.awaitTermination(180)
+    est3 = read_hll_estimate(spark, store).collect()[0]
+    full = hll_expr_estimate(orders, "o_custkey").collect()[0]
+    assert est3["hll_estimate"] == full["hll_estimate"]
+    assert est3["m"] == 4096
