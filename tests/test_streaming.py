@@ -1912,3 +1912,56 @@ def test_stream_hll_monitor_restart_and_replay_idempotent(spark, tmp_path):
     full = hll_expr_estimate(orders, "o_custkey").collect()[0]
     assert est3["hll_estimate"] == full["hll_estimate"]
     assert est3["m"] == 4096
+
+
+def test_ingest_shards_all_dup_epoch_continues_numbering(spark, tmp_path):
+    """st04 epoch body with an epoch that is ENTIRELY duplicates of the
+    accepted history: zero accepted docs, the epoch still writes its
+    (empty) assignment + carried-forward counters, and a later epoch
+    continues the per-band round-robin exactly where epoch 0 left off."""
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.streaming.pipeline import (
+        ingest_shards_epoch,
+        read_shard_assignment,
+    )
+
+    def mk(ids, text_of):
+        return spark.createDataFrame(
+            [(i, text_of(i), len(text_of(i))) for i in ids],
+            "doc_id bigint, text string, n_chars bigint",
+        )
+
+    base_text = lambda i: f"unique document body number {i} " + " ".join(
+        f"w{i}x{j}" for j in range(10)
+    )
+    e0 = mk(range(0, 8), base_text)
+    # epoch 1: byte-identical texts under NEW ids -> all near-dups of the store
+    e1 = mk(range(100, 108), lambda i: base_text(i - 100))
+    e2 = mk(range(200, 206), lambda i: f"fresh content {i} " + " ".join(
+        f"z{i}y{j}" for j in range(10)
+    ))
+    store, out = str(tmp_path / "sigs"), str(tmp_path / "out")
+    for ep, df in enumerate((e0, e1, e2)):
+        ingest_shards_epoch(df, ep, store, out)
+    rows = read_shard_assignment(spark, out).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(by_epoch) == {0, 2}          # epoch 1 accepted nothing
+    assert len(by_epoch[0]) == 8 and len(by_epoch[2]) == 6
+    # numbering continues: within each band, global ranks (pos*8+shard)
+    # are dense from 0 across epochs 0 and 2
+    by_band = {}
+    for r in rows:
+        by_band.setdefault(r["band"], []).append(
+            r["pos_in_shard"] * 8 + r["shard_id"]
+        )
+    for band, ranks in by_band.items():
+        assert sorted(ranks) == list(range(len(ranks))), (band, ranks)
+    # and the dup epoch's flags point every doc at its stored twin
+    flags = {
+        r["doc_id"]: (r["is_dup"], r["matched_id"])
+        for r in spark.read.parquet(f"{out}/flags/epoch=1").collect()
+    }
+    assert all(is_dup and m == i - 100 for i, (is_dup, m) in flags.items())
