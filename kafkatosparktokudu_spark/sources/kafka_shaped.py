@@ -1,0 +1,219 @@
+"""A Kafka-SHAPED streaming source built on Spark's Python Data Source
+API (pyspark.sql.datasource, Spark 4) — the closest this image can get
+to the reference's Kafka ingestion (KafkaManager.scala:39-47) without
+the spark-sql-kafka jar (unobtainable here: no network/ivy, re-proven
+each round in NOTES.md).
+
+What it makes REAL that the plain file source cannot:
+
+- the Kafka *record* shape: (key, value, topic, partition, offset,
+  timestamp) with per-partition monotone offsets;
+- OFFSET-RANGE batches through Spark's actual streaming Source contract
+  (initialOffset / latestOffset / partitions / read / commit) — the
+  engine checkpoints OUR offsets, so resume-at-saved-offsets (S2/S3,
+  ReadByAssignOffset.scala:52-66) runs through the same machinery a
+  real broker source uses, not through file-name tracking;
+- partition-parallel reads (S6): one InputPartition per topic
+  partition, each task reading its own offset slice;
+- RATE LIMITING (S31, the reference's maxRatePerPartition): a
+  ``maxRecordsPerTrigger`` cap applied in latestOffset, splitting a
+  backlog into bounded micro-batches exactly like maxOffsetsPerTrigger.
+
+The "broker" is an append-only local log laid out as
+``<path>/partition=K/data.jsonl`` — one record per line, offset = line
+number. Appends-only means any (start, end] offset range re-reads to
+the byte-identical record set, which is the replayability contract
+Kafka gives and checkpoint recovery needs. The actual TCP handshake
+remains environment-blocked; every OTHER Kafka-source semantic runs
+live through this source (tests/test_kafka_shaped.py).
+
+Rate-limit mechanics: the engine may construct a fresh reader per
+protocol call and calls latestOffset BEFORE initialOffset on a fresh
+query (observed, Spark 4.1 python runner), so the cap's cursor persists
+in ``<path>/_rate_cursor.json`` — it lives with the LOG (not the
+checkpoint), so capping carries across checkpoint restarts; a missing
+cursor means a fresh log and caps from offset 0. partitions() re-syncs
+the cursor to the engine's planned end, so engine-side planning always
+wins. Kafka's own maxOffsetsPerTrigger is likewise approximate.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _partition_dirs(path: str) -> dict[int, str]:
+    out = {}
+    if os.path.isdir(path):
+        for d in sorted(os.listdir(path)):
+            if d.startswith("partition="):
+                out[int(d.split("=", 1)[1])] = os.path.join(path, d, "data.jsonl")
+    return out
+
+
+def _line_count(f: str) -> int:
+    if not os.path.isfile(f):
+        return 0
+    with open(f, "rb") as fh:
+        return sum(1 for _ in fh)
+
+
+class _OffsetSlice(InputPartition):
+    def __init__(self, pid: int, file: str, start: int, end: int, topic: str):
+        self.pid = pid
+        self.file = file
+        self.start = start
+        self.end = end
+        self.topic = topic
+
+
+class KafkaLogStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kafkalog source requires option 'path'")
+        self.topic = options.get("topic", "cdc")
+        self.max_per_trigger = int(options.get("maxrecordspertrigger", 0) or 0)
+
+    # The driver-side runner may construct a FRESH reader per protocol
+    # call, so the rate-limit cursor cannot live in instance state: it
+    # persists in a one-line JSON file next to the log. The cursor is a
+    # planning AID only — offset correctness always comes from the
+    # engine's checkpoint (partitions() re-syncs the file to the
+    # engine's planned end, which also covers restarts).
+    def _cursor_file(self) -> str:
+        return os.path.join(self.path, "_rate_cursor.json")
+
+    def _read_cursor(self) -> dict[str, int] | None:
+        try:
+            with open(self._cursor_file(), encoding="utf-8") as fh:
+                return {str(k): int(v) for k, v in json.load(fh).items()}
+        except (OSError, ValueError):
+            return None
+
+    def _write_cursor(self, cur: dict) -> None:
+        tmp = self._cursor_file() + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({str(k): int(v) for k, v in cur.items()}, fh)
+        os.replace(tmp, self._cursor_file())
+
+    def initialOffset(self) -> dict:
+        off = {str(p): 0 for p in _partition_dirs(self.path)}
+        self._write_cursor(off)
+        return off
+
+    def latestOffset(self) -> dict:
+        avail = {
+            str(p): _line_count(f) for p, f in _partition_dirs(self.path).items()
+        }
+        if self.max_per_trigger <= 0:
+            self._write_cursor(avail)
+            return avail
+        # The engine calls latestOffset BEFORE initialOffset on a fresh
+        # query (observed, Spark 4.1 python runner), so a missing cursor
+        # means a FRESH log: cap from offset 0. A restart finds the
+        # cursor file in the log dir (it lives with the data, not the
+        # checkpoint), so caps carry across restarts too.
+        base = self._read_cursor() or {p: 0 for p in avail}
+        nparts = max(len(avail), 1)
+        share = max(self.max_per_trigger // nparts, 1)
+        out = {
+            p: min(avail.get(p, 0), base.get(p, 0) + share)
+            for p in set(avail) | set(base)
+        }
+        self._write_cursor(out)
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        # the engine owns (start, end] — re-sync the cursor to the
+        # PLANNED end so capped batches continue from what actually ran
+        self._write_cursor({str(k): int(v) for k, v in end.items()})
+        files = _partition_dirs(self.path)
+        out = []
+        for p, f in files.items():
+            s, e = int(start.get(str(p), 0)), int(end.get(str(p), 0))
+            if e > s:
+                out.append(_OffsetSlice(p, f, s, e, self.topic))
+        # Spark requires >= 1 partition even for an empty batch
+        return out or [_OffsetSlice(-1, "", 0, 0, self.topic)]
+
+    def read(self, partition: _OffsetSlice):
+        if partition.end <= partition.start or not partition.file:
+            return
+        with open(partition.file, "rb") as fh:
+            for i, line in enumerate(fh):
+                if i >= partition.end:
+                    break
+                if i < partition.start:
+                    continue
+                yield (
+                    None,
+                    line.decode("utf-8").rstrip("\n"),
+                    partition.topic,
+                    partition.pid,
+                    i,
+                    _EPOCH + dt.timedelta(seconds=i),
+                )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class KafkaLogDataSource(DataSource):
+    """``spark.readStream.format("kafkalog")`` after
+    ``spark.dataSource.register(KafkaLogDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kafkalog"
+
+    def schema(self) -> str:
+        return (
+            "key binary, value string, topic string, "
+            "partition int, offset bigint, timestamp timestamp"
+        )
+
+    def streamReader(self, schema):
+        return KafkaLogStreamReader(self.options)
+
+
+def kafka_shaped_source(spark, log_dir: str, max_records_per_trigger: int = 0):
+    """The (value, seq) frame start_cdc_sync consumes, from the kafkalog
+    source — the exact output shape of ``pipeline.kafka_source``, so the
+    whole CDC pipeline runs unmodified on offset-ranged batches.
+    ``seq`` = the source offset, like the Kafka path's."""
+    from pyspark.sql import functions as F
+
+    spark.dataSource.register(KafkaLogDataSource)
+    reader = spark.readStream.format("kafkalog").option("path", log_dir)
+    if max_records_per_trigger:
+        reader = reader.option(
+            "maxRecordsPerTrigger", str(int(max_records_per_trigger))
+        )
+    return reader.load().select(
+        F.col("value"),
+        # per-partition offsets interleave across partitions; scale by
+        # partition to keep seq unique per record like Kafka's (p, o) key
+        (F.col("offset") * 1000 + F.col("partition")).alias("seq"),
+    )
+
+
+def append_records(log_dir: str, partition: int, lines: list[str]) -> None:
+    """Test/ingest helper: append records to a partition's log (the
+    producer side of the fake broker)."""
+    d = os.path.join(log_dir, f"partition={partition}")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "data.jsonl"), "a", encoding="utf-8") as fh:
+        for line in lines:
+            fh.write(json.dumps(line) if not isinstance(line, str) else line)
+            fh.write("\n")
