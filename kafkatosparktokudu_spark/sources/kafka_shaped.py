@@ -79,6 +79,7 @@ class _OffsetSlice(InputPartition):
 
 class KafkaLogStreamReader(DataSourceStreamReader):
     def __init__(self, options):
+        self.options = options
         self.path = options.get("path")
         if not self.path:
             raise ValueError("kafkalog source requires option 'path'")
@@ -108,7 +109,16 @@ class KafkaLogStreamReader(DataSourceStreamReader):
         os.replace(tmp, self._cursor_file())
 
     def initialOffset(self) -> dict:
-        off = {str(p): 0 for p in _partition_dirs(self.path)}
+        # S3 replay parity (ReadByAssignOffset.scala:52-66): an explicit
+        # per-partition JSON start (the shape replay.offsets_csv_to_
+        # starting_json emits) pins where a FRESH query begins; with a
+        # checkpoint the engine ignores this, exactly like Kafka's
+        # startingOffsets.
+        explicit = self.options.get("startingoffsets")
+        if explicit:
+            off = {str(k): int(v) for k, v in json.loads(explicit).items()}
+        else:
+            off = {str(p): 0 for p in _partition_dirs(self.path)}
         self._write_cursor(off)
         return off
 
@@ -187,7 +197,12 @@ class KafkaLogDataSource(DataSource):
         return KafkaLogStreamReader(self.options)
 
 
-def kafka_shaped_source(spark, log_dir: str, max_records_per_trigger: int = 0):
+def kafka_shaped_source(
+    spark,
+    log_dir: str,
+    max_records_per_trigger: int = 0,
+    starting_offsets: str | None = None,
+):
     """The (value, seq) frame start_cdc_sync consumes, from the kafkalog
     source — the exact output shape of ``pipeline.kafka_source``, so the
     whole CDC pipeline runs unmodified on offset-ranged batches.
@@ -200,6 +215,8 @@ def kafka_shaped_source(spark, log_dir: str, max_records_per_trigger: int = 0):
         reader = reader.option(
             "maxRecordsPerTrigger", str(int(max_records_per_trigger))
         )
+    if starting_offsets:
+        reader = reader.option("startingOffsets", starting_offsets)
     return reader.load().select(
         F.col("value"),
         # per-partition offsets interleave across partitions; scale by

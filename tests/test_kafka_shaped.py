@@ -146,3 +146,25 @@ def test_kafkalog_checkpoint_resume_no_loss_no_dup(spark, tmp_path):
     assert len(vals) == len(set(vals)) == 10           # no dup
     seqs = [s for s, _ in seen]
     assert len(set(seqs)) == 10                        # offsets unique
+
+
+def test_kafkalog_explicit_starting_offsets_replay(spark, tmp_path):
+    """S3 through the source: a fresh query with explicit per-partition
+    startingOffsets (the replay CLI's JSON shape) reads ONLY from the
+    pinned offsets — ReadByAssignOffset semantics without a broker."""
+    import json as _json
+
+    log = str(tmp_path / "log")
+    append_records(log, 0, [f"p0-{i}" for i in range(8)])
+    append_records(log, 1, [f"p1-{i}" for i in range(4)])
+    src = kafka_shaped_source(
+        spark, log, starting_offsets=_json.dumps({"0": 5, "1": 2})
+    )
+    got = []
+    q = src.writeStream.foreachBatch(
+        lambda df, e: got.extend(r["value"] for r in df.collect())
+    ).option("checkpointLocation", str(tmp_path / "ck")).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    assert sorted(got) == ["p0-5", "p0-6", "p0-7", "p1-2", "p1-3"]
