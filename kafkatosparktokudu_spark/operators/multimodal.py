@@ -356,3 +356,177 @@ def inference_batches(
         .cast("int")
         .alias("pos_in_batch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs (mm08): RIFF/WAVE PCM-16 and BMP (BITMAPINFOHEADER, 24-bit)
+# are pure-struct formats needing no external library — so unlike the
+# PIL-gated decode_media stub above, this path ENCODES real media bytes
+# and DECODES them back by parsing the actual headers/payload, end to
+# end in this image. The encode plan is deterministic integer arithmetic
+# over (doc_id, n_chars, text bytes), which is what makes the round
+# trip hash-oracleable: a SQL engine recomputes the expected metadata
+# arithmetically, and the oracle only matches if the encoder produced
+# exactly those bytes AND the parser read them back.
+# ---------------------------------------------------------------------------
+def _wav_bytes(samples: list[int], rate: int) -> bytes:
+    """Minimal RIFF/WAVE, PCM 16-bit mono."""
+    import struct
+
+    data = b"".join(struct.pack("<h", max(-32768, min(32767, s))) for s in samples)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def _bmp_bytes(w: int, h: int, pix: list[tuple[int, int, int]]) -> bytes:
+    """Minimal BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, 24-bit BGR,
+    rows bottom-up, 4-byte padded. ``pix`` is row-major RGB, len w*h."""
+    import struct
+
+    row_size = (3 * w + 3) // 4 * 4
+    img = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = bytearray()
+        for x in range(w):
+            r, g, b = pix[y * w + x]
+            row += bytes((b & 0xFF, g & 0xFF, r & 0xFF))
+        row += b"\x00" * (row_size - len(row))
+        img += row
+    size = 54 + len(img)
+    hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0
+    )
+    return hdr + bytes(img)
+
+
+def _real_media_plan(doc_id: int, n_chars: int) -> dict:
+    """The deterministic encode plan — integer arithmetic a SQL oracle
+    recomputes. Changing this changes the mm08 oracle too."""
+    if doc_id % 2 == 0:
+        w = 4 + (n_chars % 13)
+        h = 3 + (n_chars % 7)
+        return {"fmt": "bmp", "w": w, "h": h,
+                "n_bytes": 54 + ((3 * w + 3) // 4 * 4) * h}
+    rate = 8000 + 4000 * (doc_id % 3)
+    n_samples = 32 + (n_chars % 101)
+    return {"fmt": "wav", "rate": rate, "n_samples": n_samples,
+            "n_bytes": 44 + 2 * n_samples}
+
+
+REAL_MEDIA_SCHEMA = "doc_id bigint, fmt string, payload binary"
+
+
+def attach_real_binary(docs: DataFrame) -> DataFrame:
+    """documents → REAL media payloads: even doc_ids become 24-bit BMPs,
+    odd ones PCM-16 WAVs, dimensions/rates/samples derived from
+    (doc_id, n_chars) by ``_real_media_plan`` and pixel/sample values
+    from the text bytes — fully deterministic, no RNG, no codec libs."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                plan = _real_media_plan(int(doc_id), int(n_chars))
+                tb = (text or " ").encode("utf-8") or b" "
+                if plan["fmt"] == "bmp":
+                    w, h = plan["w"], plan["h"]
+                    pix = []
+                    for k in range(w * h):
+                        b = tb[k % len(tb)]
+                        pix.append((b, 255 - b, (b * 7) % 256))
+                    payload = _bmp_bytes(w, h, pix)
+                else:
+                    samples = [
+                        (tb[k % len(tb)] - 64) * 128
+                        for k in range(plan["n_samples"])
+                    ]
+                    payload = _wav_bytes(samples, plan["rate"])
+                assert len(payload) == plan["n_bytes"]
+                rows.append((int(doc_id), plan["fmt"], payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "fmt", "payload"])
+
+    return docs.select("doc_id", "text", "n_chars").mapInPandas(
+        op, REAL_MEDIA_SCHEMA
+    )
+
+
+REAL_DECODED_SCHEMA = (
+    "doc_id bigint, fmt string, width int, height int, channels int, "
+    "sample_rate int, n_samples bigint, n_bytes bigint, ok boolean"
+)
+
+
+def decode_media_real(media: DataFrame) -> DataFrame:
+    """REAL decode: parse the BMP/WAV headers out of the payload bytes
+    (magic, header sizes, data lengths all validated — a malformed blob
+    yields ok=false with NULL metadata instead of failing the task).
+    Arrow-batched mapInPandas; one blob never crosses partitions."""
+    import struct
+
+    def parse(fmt: str, payload: bytes):
+        try:
+            if fmt == "bmp":
+                if payload[:2] != b"BM" or len(payload) < 54:
+                    return None
+                size, _, _, off = struct.unpack("<IHHI", payload[2:14])
+                hsz, w, h, planes, bpp = struct.unpack("<IiiHH", payload[14:30])
+                if hsz != 40 or planes != 1 or bpp != 24 or size != len(payload):
+                    return None
+                row_size = (3 * w + 3) // 4 * 4
+                if off + row_size * h != len(payload):
+                    return None
+                return (w, h, 3, None, None)
+            if fmt == "wav":
+                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                    return None
+                (fmt_sz, audio, ch, rate) = struct.unpack("<IHHI", payload[16:28])
+                bits = struct.unpack("<H", payload[34:36])[0]
+                if payload[36:40] != b"data" or audio != 1 or fmt_sz != 16:
+                    return None
+                dlen = struct.unpack("<I", payload[40:44])[0]
+                if 44 + dlen != len(payload) or bits != 16:
+                    return None
+                return (None, None, ch, rate, dlen // (2 * ch))
+        except (struct.error, IndexError):
+            return None
+        return None
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, fmt, payload in zip(
+                pdf["doc_id"], pdf["fmt"], pdf["payload"]
+            ):
+                meta = parse(fmt, bytes(payload))
+                if meta is None:
+                    rows.append(
+                        (int(doc_id), fmt, None, None, None, None, None,
+                         len(payload), False)
+                    )
+                else:
+                    w, h, ch, rate, ns = meta
+                    rows.append(
+                        (int(doc_id), fmt, w, h, ch, rate, ns,
+                         len(payload), True)
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=["doc_id", "fmt", "width", "height", "channels",
+                         "sample_rate", "n_samples", "n_bytes", "ok"],
+            )
+            for c, t in (("width", "Int32"), ("height", "Int32"),
+                         ("channels", "Int32"), ("sample_rate", "Int32"),
+                         ("n_samples", "Int64")):
+                out[c] = out[c].astype(t)
+            yield out
+
+    return media.select("doc_id", "fmt", "payload").mapInPandas(
+        op, REAL_DECODED_SCHEMA
+    )

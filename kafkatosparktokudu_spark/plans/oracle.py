@@ -4919,3 +4919,30 @@ def _hll_stream_sql(p: int = 12) -> str:
 
 
 ORACLE_SQL["st05_hll_monitor"] = _hll_stream_sql()
+
+
+# mm08 twin: the deterministic encode plan (multimodal.py::
+# _real_media_plan) recomputed arithmetically — matching hashes prove
+# the Spark side encoded REAL BMP/WAV bytes to exactly this plan and
+# parsed them back.
+ORACLE_SQL["mm08_real_codec_roundtrip"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS fmt,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(4 + n_chars % 13 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(3 + n_chars % 7 AS INTEGER) END AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INTEGER)
+               AS channels,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(8000 + 4000 * (doc_id % 3) AS INTEGER)
+                END AS sample_rate,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(32 + n_chars % 101 AS BIGINT) END AS n_samples,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 54 + ((3 * (4 + n_chars % 13) + 3) // 4 * 4)
+                     * (3 + n_chars % 7)
+                ELSE 44 + 2 * (32 + n_chars % 101) END AS BIGINT) AS n_bytes,
+           TRUE AS ok
+    FROM documents
+"""

@@ -1988,6 +1988,21 @@ def mm03_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_stub(decode_media(attach_binary(_t(spark, sf_dir, "documents"))))
 
 
+def mm08_real_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round trip (operators/multimodal.py::attach_real_binary
+    → decode_media_real): every doc is ENCODED to genuine BMP/PCM-WAV
+    bytes (pure-struct formats, no codec libs needed) and decoded back by
+    parsing the actual headers. The encode plan is integer arithmetic
+    over (doc_id, n_chars), so the DuckDB oracle recomputes the expected
+    metadata — the hash only matches if the encoder produced exactly
+    those bytes AND the parser read them back (closes the r8 'decode is
+    a stub' gap as far as this image allows; PIL-class formats stay
+    gated in decode_media)."""
+    from ..operators.multimodal import attach_real_binary, decode_media_real
+
+    return decode_media_real(attach_real_binary(_t(spark, sf_dir, "documents")))
+
+
 def dd09_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring spans (Lee et al. 2021 ExactSubstr):
     maximal runs of >= 15 tokens appearing verbatim in >= 2 documents,
@@ -3829,6 +3844,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss14_radius_density": ss14_radius_density,
     "gr06_label_propagation": gr06_label_propagation,
     "st05_hll_monitor": st05_hll_monitor,
+    "mm08_real_codec_roundtrip": mm08_real_codec_roundtrip,
     # --- new in round 8 ---
     "tx21_zipf_stats": tx21_zipf_stats,
     "px16_quality_aware_dedup": px16_quality_aware_dedup,

@@ -109,6 +109,9 @@ EXCLUDED = [
     # st05: collected-register assembly (bounded <=2^p rows) — audited
     # plans are sk04/sk05, already in HEADLINE-adjacent coverage.
     "st05_hll_monitor",
+    # mm08: one scan -> mapInPandas encode -> mapInPandas parse; the plan
+    # is a single Python-eval chain, nothing to audit beyond mm02/mm07.
+    "mm08_real_codec_roundtrip",
     "cdc_dept_rollup",
     "cdc_dept_state",
     "cdc_emp_asof_enrich",

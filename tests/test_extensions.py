@@ -2678,3 +2678,81 @@ def test_label_propagation_planted_graph(spark):
     assert out[6] == (3, 1)                        # 2-1 majority
     assert 101 not in out and 102 not in out       # island stays unlabeled
     assert len(out) == 9
+
+
+def test_real_codec_wav_validates_with_stdlib_wave():
+    """The WAV encoder's bytes parse with Python's stdlib `wave` module —
+    an INDEPENDENT decoder, so encoder and parser can't be wrong
+    together."""
+    import io
+    import wave
+
+    from kafkatosparktokudu_spark.operators.multimodal import _wav_bytes
+
+    samples = [(k - 64) * 128 for k in range(50)]
+    payload = _wav_bytes(samples, 12000)
+    with wave.open(io.BytesIO(payload)) as w:
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        assert w.getframerate() == 12000
+        assert w.getnframes() == 50
+        frames = w.readframes(50)
+    import struct
+    decoded = struct.unpack("<50h", frames)
+    assert list(decoded) == samples
+
+
+def test_real_codec_bmp_known_bytes():
+    """A 1x1 red BMP encodes to the exact known byte layout (54-byte
+    headers + one 4-byte padded BGR row)."""
+    from kafkatosparktokudu_spark.operators.multimodal import _bmp_bytes
+
+    b = _bmp_bytes(1, 1, [(255, 0, 0)])
+    assert len(b) == 58
+    assert b[:2] == b"BM"
+    assert b[54:58] == bytes((0, 0, 255, 0))  # BGR + pad
+    import struct
+    size = struct.unpack("<I", b[2:6])[0]
+    w, h = struct.unpack("<ii", b[18:26])
+    bpp = struct.unpack("<H", b[28:30])[0]
+    assert (size, w, h, bpp) == (58, 1, 1, 24)
+
+
+def test_decode_media_real_rejects_corrupt_payloads(spark):
+    """A truncated/garbled blob yields ok=false with NULL metadata instead
+    of failing the task (the S10 malformed-record rule applied to media)."""
+    from kafkatosparktokudu_spark.operators.multimodal import (
+        attach_real_binary,
+        decode_media_real,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body {i}", 20) for i in range(6)],
+        "doc_id bigint, text string, n_chars bigint",
+    )
+    media = attach_real_binary(docs)
+    # corrupt half the payloads: drop the last 5 bytes
+    from pyspark.sql import functions as F
+
+    corrupted = media.select(
+        "doc_id",
+        "fmt",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.expr("substring(payload, 1, length(payload) - 5)"),
+        )
+        .otherwise(F.col("payload"))
+        .alias("payload"),
+    )
+    out = {r["doc_id"]: r for r in decode_media_real(corrupted).collect()}
+    assert len(out) == 6
+    for i, r in out.items():
+        if i % 3 == 0:
+            assert r["ok"] is False
+            assert r["width"] is None and r["sample_rate"] is None
+        else:
+            assert r["ok"] is True
+            if r["fmt"] == "bmp":
+                assert r["width"] >= 4 and r["channels"] == 3
+            else:
+                assert r["n_samples"] >= 32 and r["channels"] == 1
