@@ -530,3 +530,62 @@ def decode_media_real(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "fmt", "payload").mapInPandas(
         op, REAL_DECODED_SCHEMA
     )
+
+
+AUDIO_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, n_in_frame int, sum_sq bigint, peak int"
+)
+
+
+def audio_frame_energy(media: DataFrame, frame_len: int = 32) -> DataFrame:
+    """REAL audio DSP over the mm08 WAV payloads: parse the PCM-16 data
+    section back into int16 samples (numpy, little-endian) and emit
+    per-frame INTEGER energy stats — ``sum_sq`` (exact Σ s², the frame
+    energy) and ``peak`` (max |s|) over non-overlapping ``frame_len``
+    windows; the last frame may be partial (``n_in_frame``). The framing
+    pass every audio featurizer starts with (VAD, loudness filters,
+    spectrogram windows), done on genuinely decoded samples — all
+    integer, so the mm09 oracle recomputes it exactly from the encode
+    plan.
+
+    Scale: one row in → n_samples/frame_len rows out, each payload
+    decoded inside its own row's Arrow batch; embarrassingly parallel,
+    output bounded by total samples."""
+    import struct
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, fmt, payload in zip(
+                pdf["doc_id"], pdf["fmt"], pdf["payload"]
+            ):
+                if fmt != "wav":
+                    continue
+                b = bytes(payload)
+                if b[:4] != b"RIFF" or b[36:40] != b"data":
+                    continue
+                dlen = struct.unpack("<I", b[40:44])[0]
+                s = np.frombuffer(b[44 : 44 + dlen], dtype="<i2").astype(
+                    np.int64
+                )
+                for f in range(0, len(s), frame_len):
+                    fr = s[f : f + frame_len]
+                    out.append(
+                        (
+                            int(doc_id),
+                            f // frame_len,
+                            int(len(fr)),
+                            int((fr * fr).sum()),
+                            int(np.abs(fr).max()) if len(fr) else 0,
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "frame_idx", "n_in_frame", "sum_sq", "peak"],
+            )
+
+    return media.select("doc_id", "fmt", "payload").mapInPandas(
+        op, AUDIO_FRAME_SCHEMA
+    )

@@ -4946,3 +4946,32 @@ ORACLE_SQL["mm08_real_codec_roundtrip"] = """
            TRUE AS ok
     FROM documents
 """
+
+
+# mm09 twin: the WAV sample values recomputed from the encode plan
+# (sample_k = (byte[k mod L] - 64) * 128 over ASCII text), framed at 32
+# and reduced with exact integer arithmetic — matches only if the PCM
+# bytes were really written and really parsed back.
+ORACLE_SQL["mm09_audio_frame_energy"] = """
+    WITH w AS (
+        SELECT doc_id, text, length(text) AS l,
+               32 + n_chars % 101 AS ns
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    s AS (
+        SELECT doc_id, k,
+               (ord(substr(text, CAST(k % l AS INTEGER) + 1, 1)) - 64) * 128
+                   AS v
+        FROM (
+            SELECT doc_id, text, l,
+                   unnest(generate_series(0, CAST(ns - 1 AS BIGINT))) AS k
+            FROM w
+        )
+    )
+    SELECT doc_id,
+           CAST(k // 32 AS INTEGER) AS frame_idx,
+           CAST(COUNT(*) AS INTEGER) AS n_in_frame,
+           CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+           CAST(MAX(abs(v)) AS INTEGER) AS peak
+    FROM s GROUP BY doc_id, k // 32
+"""

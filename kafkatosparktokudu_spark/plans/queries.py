@@ -2003,6 +2003,18 @@ def mm08_real_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_real(attach_real_binary(_t(spark, sf_dir, "documents")))
 
 
+
+def mm09_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio framing (operators/multimodal.py::audio_frame_energy):
+    the mm08 WAV payloads parsed back to int16 PCM and reduced to exact
+    per-frame integer energy (sum of squares) + peak — the featurizer
+    front-end run on genuinely decoded samples; oracle recomputes from
+    the encode plan."""
+    from ..operators.multimodal import attach_real_binary, audio_frame_energy
+
+    return audio_frame_energy(attach_real_binary(_t(spark, sf_dir, "documents")))
+
+
 def dd09_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring spans (Lee et al. 2021 ExactSubstr):
     maximal runs of >= 15 tokens appearing verbatim in >= 2 documents,
@@ -3845,6 +3857,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr06_label_propagation": gr06_label_propagation,
     "st05_hll_monitor": st05_hll_monitor,
     "mm08_real_codec_roundtrip": mm08_real_codec_roundtrip,
+    "mm09_audio_frame_energy": mm09_audio_frame_energy,
     # --- new in round 8 ---
     "tx21_zipf_stats": tx21_zipf_stats,
     "px16_quality_aware_dedup": px16_quality_aware_dedup,

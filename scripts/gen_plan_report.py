@@ -112,6 +112,7 @@ EXCLUDED = [
     # mm08: one scan -> mapInPandas encode -> mapInPandas parse; the plan
     # is a single Python-eval chain, nothing to audit beyond mm02/mm07.
     "mm08_real_codec_roundtrip",
+    "mm09_audio_frame_energy",
     "cdc_dept_rollup",
     "cdc_dept_state",
     "cdc_emp_asof_enrich",
