@@ -4975,3 +4975,32 @@ ORACLE_SQL["mm09_audio_frame_energy"] = """
            CAST(MAX(abs(v)) AS INTEGER) AS peak
     FROM s GROUP BY doc_id, k // 32
 """
+
+
+# mm10 twin: pixel k (row-major) of an even doc's BMP is
+# (r,g,b) = (byte, 255-byte, byte*7 % 256) with byte = text[k mod L] —
+# recompute the channel sums/max arithmetically over k in [0, w*h).
+ORACLE_SQL["mm10_image_pixel_stats"] = """
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS l,
+               4 + n_chars % 13 AS w, 3 + n_chars % 7 AS h
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    px AS (
+        SELECT doc_id, w, h,
+               ord(substr(text, CAST(k % l AS INTEGER) + 1, 1)) AS b
+        FROM (
+            SELECT doc_id, text, l, w, h,
+                   unnest(generate_series(0, CAST(w * h - 1 AS BIGINT))) AS k
+            FROM d
+        )
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(SUM(b) AS BIGINT) AS sum_r,
+           CAST(SUM(255 - b) AS BIGINT) AS sum_g,
+           CAST(SUM(b * 7 % 256) AS BIGINT) AS sum_b,
+           CAST(MAX(b) AS INTEGER) AS max_r,
+           CAST(w * h AS INTEGER) AS n_px
+    FROM px GROUP BY doc_id, w, h
+"""

@@ -2015,6 +2015,17 @@ def mm09_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_energy(attach_real_binary(_t(spark, sf_dir, "documents")))
 
 
+
+def mm10_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (operators/multimodal.py::image_pixel_stats):
+    the mm08 BMP payloads' padded BGR rows walked back out and reduced to
+    exact integer channel sums/max — the image half of mm09; oracle
+    recomputes from the pixel plan (pixel k = f(text byte k mod L))."""
+    from ..operators.multimodal import attach_real_binary, image_pixel_stats
+
+    return image_pixel_stats(attach_real_binary(_t(spark, sf_dir, "documents")))
+
+
 def dd09_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring spans (Lee et al. 2021 ExactSubstr):
     maximal runs of >= 15 tokens appearing verbatim in >= 2 documents,
@@ -3858,6 +3869,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st05_hll_monitor": st05_hll_monitor,
     "mm08_real_codec_roundtrip": mm08_real_codec_roundtrip,
     "mm09_audio_frame_energy": mm09_audio_frame_energy,
+    "mm10_image_pixel_stats": mm10_image_pixel_stats,
     # --- new in round 8 ---
     "tx21_zipf_stats": tx21_zipf_stats,
     "px16_quality_aware_dedup": px16_quality_aware_dedup,

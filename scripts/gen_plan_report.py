@@ -113,6 +113,7 @@ EXCLUDED = [
     # is a single Python-eval chain, nothing to audit beyond mm02/mm07.
     "mm08_real_codec_roundtrip",
     "mm09_audio_frame_energy",
+    "mm10_image_pixel_stats",
     "cdc_dept_rollup",
     "cdc_dept_state",
     "cdc_emp_asof_enrich",
