@@ -1981,8 +1981,10 @@ def mm02_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mm03_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: stubbed decode (codecs absent in this image — documented)
-    + real resize-plan math over mapInPandas."""
+    """Rows-only: PIL-class decode stub (jpeg/png codecs absent in this
+    image — documented) + real resize-plan math over mapInPandas. The
+    REAL decode path lives in mm08/mm09/mm10 (BMP/WAV are pure-struct
+    formats): genuine bytes encoded, parsed back, hash-oracled."""
     from ..operators.multimodal import attach_binary, decode_media, resize_stub
 
     return resize_stub(decode_media(attach_binary(_t(spark, sf_dir, "documents"))))
