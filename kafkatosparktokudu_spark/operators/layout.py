@@ -542,3 +542,94 @@ def budget_selection(
             ),
         )
     )
+
+
+def grouped_budget_selection(
+    scored: DataFrame,
+    token_budget_per_group: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    score_col: str = "p_keep",
+    token_col: str = "n_tokens",
+    max_ranges: int = 4096,
+) -> DataFrame:
+    """Per-GROUP token-budget selection (px22) — px21's prefix-greedy rule
+    applied independently inside every corpus stratum: each group (source,
+    domain, language) takes its best docs in (score DESC, id) order until
+    ITS budget fills. This is how a mixture plan (px13/px18 decide each
+    source's token share) is actually ENFORCED against the corpus — the
+    missing step between "source X gets 12k tokens" and a concrete doc
+    list.
+
+    Returns ``(id, <group_col>, <score_col>, <token_col>, cum_tokens,
+    selected)`` with cum_tokens the inclusive running token sum in
+    selection order WITHIN the group.
+
+    Scale shape: the px19 GROUPED two-stage pattern over token mass —
+    one guarded bounded collect of per-(group, score-range) token
+    subtotals (width auto-coarsened ×16 when groups·ranges would exceed
+    ``max_ranges``), per-group cumulative offsets on the driver, ONE
+    keyed window per (group, range) + broadcast offsets. No global or
+    per-group global sort.
+    """
+    if token_budget_per_group < 0:
+        raise ValueError(
+            f"token_budget_per_group must be >= 0, got {token_budget_per_group}"
+        )
+    from pyspark.sql import Window as W
+
+    spark = scored.sparkSession
+    staged = scored.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(score_col),
+        F.col(token_col).cast("bigint").alias(token_col),
+        F.floor(F.col(score_col) * 1_000_000).cast("bigint").alias("_sk"),
+    )
+    width = 256
+    while True:
+        keyed = staged.withColumn(
+            "_rng", (F.col("_sk") / F.lit(width)).cast("bigint")
+        )
+        rows = (
+            keyed.groupBy(group_col, "_rng")
+            .agg(F.sum(token_col).cast("bigint").alias("_n"))
+            .limit(max_ranges + 1)
+            .collect()
+        )
+        if len(rows) <= max_ranges:
+            break
+        width *= 16
+    # per-group cumulative token offsets in DESCENDING range order
+    offsets, acc = [], {}
+    for g, rng, tok in sorted(
+        ((r[group_col], r["_rng"], r["_n"]) for r in rows),
+        key=lambda t: (str(t[0]), -t[1]),
+    ):
+        offsets.append((g, rng, acc.get(g, 0)))
+        acc[g] = acc.get(g, 0) + tok
+    off_df = spark.createDataFrame(
+        offsets, f"{group_col} string, _rng bigint, _offset bigint"
+    )
+    w = (
+        W.partitionBy(group_col, "_rng")
+        .orderBy(F.desc(score_col), id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        keyed.join(F.broadcast(off_df), [group_col, "_rng"])
+        .withColumn(
+            "cum_tokens",
+            (F.sum(token_col).over(w) + F.col("_offset")).cast("bigint"),
+        )
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(score_col),
+            F.col(token_col),
+            "cum_tokens",
+            (
+                F.col("cum_tokens") <= F.lit(int(token_budget_per_group))
+            ).alias("selected"),
+        )
+    )

@@ -5004,3 +5004,31 @@ ORACLE_SQL["mm10_image_pixel_stats"] = """
            CAST(w * h AS INTEGER) AS n_px
     FROM px GROUP BY doc_id, w, h
 """
+
+
+# px22 twin: px21's quality/token CTE + source, with the running token
+# sum windowed PER SOURCE (the oracle may run per-group global windows;
+# the engine must not).
+ORACLE_SQL["px22_grouped_budget"] = f"""
+    WITH q AS (
+        SELECT doc_id, source,
+               round(1.0 / (1.0 + exp(-(3.0 * uniq_ratio + -2.0 * stop_ratio
+                     + 1.5 * len_score + -1.0))), 6) AS p_keep,
+               n_tokens
+        FROM (
+            SELECT doc_id, source,
+                   CAST(len(list_distinct(l)) AS DOUBLE) / len(l) AS uniq_ratio,
+                   CAST(len(list_filter(l, t -> t IN {_STOP_EN})) AS DOUBLE)
+                       / len(l) AS stop_ratio,
+                   least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) AS len_score,
+                   CAST(len(l) AS BIGINT) AS n_tokens
+            FROM (SELECT doc_id, source, n_chars, {_TOKS} AS l FROM documents)
+        )
+    )
+    SELECT doc_id, source, p_keep, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY source
+                ORDER BY p_keep DESC, doc_id) AS BIGINT) AS cum_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source
+               ORDER BY p_keep DESC, doc_id) <= 3000 AS selected
+    FROM q
+"""

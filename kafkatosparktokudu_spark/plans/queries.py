@@ -3620,6 +3620,28 @@ def px21_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return budget_selection(scored, token_budget=12_000)
 
 
+
+# Per-source token-budget enforcement (operators/layout.py::
+# grouped_budget_selection) — px21's prefix-greedy rule inside every
+# source independently: the step that turns a mixture plan (px13/px18
+# shares) into a concrete doc list. px19's GROUPED two-stage pattern
+# over token mass; no global or per-group sort.
+def px22_grouped_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import grouped_budget_selection
+    from ..operators.text import quality_classifier_scores, token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = (
+        quality_classifier_scores(docs)
+        .select("doc_id", "p_keep")
+        .join(
+            token_stats(docs).select("doc_id", "n_tokens"), "doc_id"
+        )
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    return grouped_budget_selection(scored, token_budget_per_group=3_000)
+
+
 # Streaming OHLC candles run in batch mode (streaming/pipeline.py::
 # stream_ohlc) — the SAME windowed-agg code path the live stream runs
 # (watermark is a no-op on a static frame); window(ts, '1 hour') start ==
@@ -3872,6 +3894,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm08_real_codec_roundtrip": mm08_real_codec_roundtrip,
     "mm09_audio_frame_energy": mm09_audio_frame_energy,
     "mm10_image_pixel_stats": mm10_image_pixel_stats,
+    "px22_grouped_budget": px22_grouped_budget,
     # --- new in round 8 ---
     "tx21_zipf_stats": tx21_zipf_stats,
     "px16_quality_aware_dedup": px16_quality_aware_dedup,

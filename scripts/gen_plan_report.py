@@ -114,6 +114,7 @@ EXCLUDED = [
     "mm08_real_codec_roundtrip",
     "mm09_audio_frame_energy",
     "mm10_image_pixel_stats",
+    "px22_grouped_budget",
     "cdc_dept_rollup",
     "cdc_dept_state",
     "cdc_emp_asof_enrich",

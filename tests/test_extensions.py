@@ -2756,3 +2756,66 @@ def test_decode_media_real_rejects_corrupt_payloads(spark):
                 assert r["width"] >= 4 and r["channels"] == 3
             else:
                 assert r["n_samples"] >= 32 and r["channels"] == 1
+
+
+def test_grouped_budget_selection_independent_budgets(spark):
+    """px22 semantics: each group fills its OWN budget in (p_keep DESC,
+    id) order with the no-backfill prefix rule; groups never share
+    budget; ties break by id."""
+    from kafkatosparktokudu_spark.operators.layout import (
+        grouped_budget_selection,
+    )
+
+    rows = [
+        # (doc_id, source, p_keep, n_tokens)
+        (1, "a", 0.9, 60),
+        (2, "a", 0.8, 50),   # cum 110 > 100 -> out
+        (3, "a", 0.7, 10),   # after overflow -> out (no backfill)
+        (4, "b", 0.9, 40),
+        (5, "b", 0.9, 40),   # tie -> id ASC; cum 80 <= 100
+        (6, "b", 0.5, 30),   # cum 110 -> out
+    ]
+    scored = spark.createDataFrame(
+        rows, "doc_id bigint, source string, p_keep double, n_tokens bigint"
+    )
+    out = {
+        r["doc_id"]: (r["cum_tokens"], r["selected"])
+        for r in grouped_budget_selection(
+            scored, token_budget_per_group=100
+        ).collect()
+    }
+    assert out == {
+        1: (60, True), 2: (110, False), 3: (120, False),
+        4: (40, True), 5: (80, True), 6: (110, False),
+    }
+
+
+def test_grouped_budget_selection_no_global_sort(spark):
+    """px22's running sum must be the GROUPED two-stage pattern — a
+    keyed window per (group, score range) + broadcast offsets, never a
+    global rangepartitioning sort or a corpus-sized single partition."""
+    from kafkatosparktokudu_spark.operators.layout import (
+        grouped_budget_selection,
+    )
+    from kafkatosparktokudu_spark.operators.text import (
+        quality_classifier_scores,
+        token_stats,
+    )
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    scored = (
+        quality_classifier_scores(docs)
+        .select("doc_id", "p_keep")
+        .join(token_stats(docs).select("doc_id", "n_tokens"), "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    plan = (
+        grouped_budget_selection(scored, token_budget_per_group=3_000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange hashpartitioning(source" in plan, plan
