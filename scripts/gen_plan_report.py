@@ -91,6 +91,7 @@ HEADLINE = [
     "px20_leakage_safe_split",
     "px21_budget_selection",
     "ss14_radius_density",
+    "px22_grouped_budget",
 ]
 
 
@@ -109,12 +110,11 @@ EXCLUDED = [
     # st05: collected-register assembly (bounded <=2^p rows) — audited
     # plans are sk04/sk05, already in HEADLINE-adjacent coverage.
     "st05_hll_monitor",
-    # mm08: one scan -> mapInPandas encode -> mapInPandas parse; the plan
-    # is a single Python-eval chain, nothing to audit beyond mm02/mm07.
+    # mm08/09/10: one scan -> mapInPandas encode -> mapInPandas parse; the
+    # plans are single Python-eval chains, nothing to audit beyond mm02/mm07.
     "mm08_real_codec_roundtrip",
     "mm09_audio_frame_energy",
     "mm10_image_pixel_stats",
-    "px22_grouped_budget",
     "cdc_dept_rollup",
     "cdc_dept_state",
     "cdc_emp_asof_enrich",
