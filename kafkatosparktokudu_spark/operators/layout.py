@@ -250,8 +250,12 @@ def two_stage_offsets(
         raise ValueError(f"width must be >= 1, got {width}")
     spark = df.sparkSession
     while True:
+        # exact integer `div`, NOT float `/` cast to bigint: float division
+        # is only truncation-safe while value/width stay exactly
+        # representable in a double — a >2^53 value key would silently
+        # mis-bucket (the mm07 `slot div N` lesson applied here).
         keyed = df.withColumn(
-            "_rng", (F.col(value_col) / F.lit(width)).cast("bigint")
+            "_rng", F.expr(f"CAST(`{value_col}` div {int(width)} AS BIGINT)")
         )
         agg = (
             F.count(F.lit(1))
@@ -588,8 +592,10 @@ def grouped_budget_selection(
     )
     width = 256
     while True:
+        # exact integer `div` (same hazard note as two_stage_offsets): _sk
+        # <= 1e6 today, but a wider score key must not float-round.
         keyed = staged.withColumn(
-            "_rng", (F.col("_sk") / F.lit(width)).cast("bigint")
+            "_rng", F.expr(f"CAST(_sk div {int(width)} AS BIGINT)")
         )
         rows = (
             keyed.groupBy(group_col, "_rng")

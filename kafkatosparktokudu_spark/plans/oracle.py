@@ -4952,6 +4952,17 @@ ORACLE_SQL["mm08_real_codec_roundtrip"] = """
 # (sample_k = (byte[k mod L] - 64) * 128 over ASCII text), framed at 32
 # and reduced with exact integer arithmetic — matches only if the PCM
 # bytes were really written and really parsed back.
+#
+# ASSUMPTION (explicit): this oracle indexes CHARACTERS
+# (ord/substr/length) while the encoder indexes UTF-8 BYTES
+# (tb[k % len(tb)]) and substitutes ' ' for empty text — the two agree
+# iff every document is non-empty ASCII. The documents fixture is
+# ASCII-by-construction (TESTDATA.md) and non-empty
+# (test_fixture_documents_nonempty_ascii pins BOTH properties, so a
+# fixture change that would silently desync the twins turns a test red
+# instead). mm12's byte-stats oracle removes the assumption outright by
+# sanitizing both sides to printable ASCII; these pixel/sample oracles
+# keep the direct form because the guard test makes it sound.
 ORACLE_SQL["mm09_audio_frame_energy"] = """
     WITH w AS (
         SELECT doc_id, text, length(text) AS l,
@@ -4980,6 +4991,7 @@ ORACLE_SQL["mm09_audio_frame_energy"] = """
 # mm10 twin: pixel k (row-major) of an even doc's BMP is
 # (r,g,b) = (byte, 255-byte, byte*7 % 256) with byte = text[k mod L] —
 # recompute the channel sums/max arithmetically over k in [0, w*h).
+# Same non-empty-ASCII assumption as mm09, same guard test.
 ORACLE_SQL["mm10_image_pixel_stats"] = """
     WITH d AS (
         SELECT doc_id, text, length(text) AS l,

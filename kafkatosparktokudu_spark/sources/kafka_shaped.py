@@ -30,11 +30,15 @@ live through this source (tests/test_kafka_shaped.py).
 Rate-limit mechanics: the engine may construct a fresh reader per
 protocol call and calls latestOffset BEFORE initialOffset on a fresh
 query (observed, Spark 4.1 python runner), so the cap's cursor persists
-in ``<path>/_rate_cursor.json`` — it lives with the LOG (not the
-checkpoint), so capping carries across checkpoint restarts; a missing
-cursor means a fresh log and caps from offset 0. partitions() re-syncs
-the cursor to the engine's planned end, so engine-side planning always
-wins. Kafka's own maxOffsetsPerTrigger is likewise approximate.
+in ``<path>/_rate_cursor_{groupId}.json`` — it lives with the LOG (not
+the checkpoint), so capping carries across checkpoint restarts; a
+missing cursor means a fresh log and caps from offset 0. partitions()
+re-syncs the cursor to the engine's planned end, so engine-side
+planning always wins. Kafka's own maxOffsetsPerTrigger is likewise
+approximate. The ``groupId`` option (Kafka consumer-group analogue,
+default "default") namespaces the cursor so concurrent queries on one
+log don't clobber each other's pacing — set a distinct groupId per
+query when two streams rate-limit over the same log.
 """
 
 from __future__ import annotations
@@ -85,15 +89,24 @@ class KafkaLogStreamReader(DataSourceStreamReader):
             raise ValueError("kafkalog source requires option 'path'")
         self.topic = options.get("topic", "cdc")
         self.max_per_trigger = int(options.get("maxrecordspertrigger", 0) or 0)
+        # Kafka's consumer-group analogue: namespaces the rate cursor so
+        # two queries reading the same log don't clobber each other's
+        # pacing (and a fresh query's initialOffset can't reset a
+        # concurrent reader's cursor). Offset CORRECTNESS never depends
+        # on this — the engine checkpoint owns offsets — only batch
+        # sizing accuracy does; without a groupId the log is effectively
+        # one-reader-per-log for rate-limiting purposes.
+        self.group_id = options.get("groupid", "default")
 
     # The driver-side runner may construct a FRESH reader per protocol
     # call, so the rate-limit cursor cannot live in instance state: it
-    # persists in a one-line JSON file next to the log. The cursor is a
-    # planning AID only — offset correctness always comes from the
-    # engine's checkpoint (partitions() re-syncs the file to the
+    # persists in a one-line JSON file next to the log (one per groupId).
+    # The cursor is a planning AID only — offset correctness always comes
+    # from the engine's checkpoint (partitions() re-syncs the file to the
     # engine's planned end, which also covers restarts).
     def _cursor_file(self) -> str:
-        return os.path.join(self.path, "_rate_cursor.json")
+        safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in self.group_id)
+        return os.path.join(self.path, f"_rate_cursor_{safe}.json")
 
     def _read_cursor(self) -> dict[str, int] | None:
         try:
@@ -202,6 +215,7 @@ def kafka_shaped_source(
     log_dir: str,
     max_records_per_trigger: int = 0,
     starting_offsets: str | None = None,
+    group_id: str | None = None,
 ):
     """The (value, seq) frame start_cdc_sync consumes, from the kafkalog
     source — the exact output shape of ``pipeline.kafka_source``, so the
@@ -217,6 +231,8 @@ def kafka_shaped_source(
         )
     if starting_offsets:
         reader = reader.option("startingOffsets", starting_offsets)
+    if group_id:
+        reader = reader.option("groupId", group_id)
     return reader.load().select(
         F.col("value"),
         # per-partition offsets interleave across partitions; scale by

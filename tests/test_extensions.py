@@ -93,6 +93,23 @@ def test_byte_features_match_python(spark):
         assert got["top_byte"] == max(counts, key=lambda b: (counts[b], -b))
 
 
+def test_fixture_documents_nonempty_ascii(spark):
+    """GUARD for the mm09/mm10 oracle contract (ADVICE r9): those oracles
+    index CHARACTERS (ord/substr) while the encoders index UTF-8 BYTES —
+    equal iff every fixture document is non-empty ASCII. This pins both
+    properties at every SF the driver touches, so a fixture change that
+    would silently desync the twins turns THIS red first."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = load_table(spark, sf, "documents").select(
+            F.length("text").alias("n_char"),
+            F.length(F.encode(F.col("text"), "utf-8")).alias("n_byte"),
+        )
+        bad = docs.filter(
+            (F.col("n_char") < 1) | (F.col("n_char") != F.col("n_byte"))
+        ).count()
+        assert bad == 0, f"{sf}: {bad} empty/non-ASCII documents"
+
+
 def test_decode_resize_plumbing(spark):
     decoded = decode_media(attach_binary(_docs(spark)))
     assert decoded.columns == ["doc_id", "fmt", "width", "height", "channels", "ok"]
