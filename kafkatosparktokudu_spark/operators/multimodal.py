@@ -591,6 +591,140 @@ def audio_frame_energy(media: DataFrame, frame_len: int = 32) -> DataFrame:
     )
 
 
+RESIZE_REAL_SCHEMA = (
+    "doc_id bigint, width int, height int, out_w int, out_h int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint, n_px int"
+)
+
+
+def resize_real(media: DataFrame, max_side: int = 8) -> DataFrame:
+    """REAL image resize (mm11 — retires the mm03 PIL-gate as the last
+    rows-only claim on the image path): decode the mm08 BMP payloads'
+    pixels exactly like ``image_pixel_stats``, then NEAREST-NEIGHBOR
+    downsample to aspect-preserving ``max_side``-capped dims and emit
+    exact integer channel sums of the RESIZED image — so the hash oracle
+    only matches if genuine bytes were encoded, parsed back, flipped to
+    logical RGB, AND resampled pixel-for-pixel to the contract below.
+
+    Integer resize contract (no floats anywhere, SQL-recomputable):
+      mx = max(w, h)
+      (out_w, out_h) = (w, h) if mx <= max_side
+                       else (max(1, w*max_side div mx),
+                             max(1, h*max_side div mx))
+      resized[i][j] = src[(i*h) div out_h][(j*w) div out_w]
+    — the standard floor-mapping nearest-neighbor everyone (PIL NEAREST,
+    OpenCV INTER_NEAREST up to half-pixel convention) approximates;
+    fixing the exact integer rule is what makes two engines agree.
+
+    Scale: one row in → one row out, per-row numpy fancy-indexing;
+    embarrassingly parallel, output O(1) per blob."""
+    import struct
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, fmt, payload in zip(
+                pdf["doc_id"], pdf["fmt"], pdf["payload"]
+            ):
+                if fmt != "bmp":
+                    continue
+                b = bytes(payload)
+                if b[:2] != b"BM":
+                    continue
+                off = struct.unpack("<I", b[10:14])[0]
+                w, h = struct.unpack("<ii", b[18:26])
+                row_size = (3 * w + 3) // 4 * 4
+                img = np.frombuffer(
+                    b[off : off + row_size * h], dtype=np.uint8
+                ).reshape(h, row_size)[:, : 3 * w].reshape(h, w, 3)
+                rgb = img[::-1, :, ::-1]  # logical row-major RGB
+                mx = max(w, h)
+                if mx <= max_side:
+                    ow, oh = w, h
+                else:
+                    ow = max(1, w * max_side // mx)
+                    oh = max(1, h * max_side // mx)
+                sy = (np.arange(oh) * h) // oh
+                sx = (np.arange(ow) * w) // ow
+                out = rgb[sy][:, sx].astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id), int(w), int(h), int(ow), int(oh),
+                        int(out[:, :, 0].sum()),
+                        int(out[:, :, 1].sum()),
+                        int(out[:, :, 2].sum()),
+                        int(ow * oh),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "out_w", "out_h",
+                         "sum_r", "sum_g", "sum_b", "n_px"],
+            )
+
+    return media.select("doc_id", "fmt", "payload").mapInPandas(
+        op, RESIZE_REAL_SCHEMA
+    )
+
+
+BYTE_STATS_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, sum_bytes bigint, distinct_bytes int, "
+    "top_byte int, top_count int"
+)
+
+
+def byte_stats_exact(docs: DataFrame) -> DataFrame:
+    """Integer-exact byte statistics (mm12 — the hash-oracled twin that
+    retires mm02's rows-only gate): per-payload byte count, byte-value
+    sum, distinct byte count, and the modal byte with its count
+    (smallest byte wins count ties — numpy argmax order, same tie-break
+    mm02's float path uses). Histogram math identical to
+    ``byte_features``; entropy stays on the float path (mm02), every
+    integer-expressible statistic lands here.
+
+    Both engines see the SAME bytes by construction, with no ASCII
+    assumption: the payload is the utf-8 encoding of the text sanitized
+    to printable ASCII (non-[\\x20-\\x7e] chars stripped, empty → one
+    space) — the sanitize runs in the Spark plan AND the DuckDB oracle,
+    so char indexing == byte indexing holds by construction rather than
+    by fixture luck (the mm09/mm10 advice applied at the operator
+    level)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                counts = np.bincount(arr, minlength=256)
+                top = int(counts.argmax())
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(arr.size),
+                        int(arr.sum(dtype=np.int64)),
+                        int((counts > 0).sum()),
+                        top,
+                        int(counts[top]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_bytes", "sum_bytes", "distinct_bytes",
+                         "top_byte", "top_count"],
+            )
+
+    clean = F.regexp_replace(F.col("text"), "[^\\x20-\\x7e]", "")
+    clean = F.when(F.length(clean) == 0, F.lit(" ")).otherwise(clean)
+    payload = F.encode(clean, "utf-8")
+    return docs.select("doc_id", payload.alias("payload")).mapInPandas(
+        op, BYTE_STATS_SCHEMA
+    )
+
+
 PIXEL_STATS_SCHEMA = (
     "doc_id bigint, width int, height int, sum_r bigint, sum_g bigint, "
     "sum_b bigint, max_r int, n_px int"

@@ -701,37 +701,19 @@ def label_centroids(emb: DataFrame, n_dims: int = 8) -> DataFrame:
     )
 
 
-def kmeans_assign(
+def _kmeans_fit(
     emb: DataFrame,
-    k: int = 8,
-    n_iters: int = 2,
-    n_dims: int = 64,
-) -> DataFrame:
-    """Distributed Lloyd's k-means over the embedding column — the
-    clustering step of semantic curation (SemDeDup-style cluster-then-
-    prune pipelines). Deterministic and ORACLE-REPRODUCIBLE end to end:
-    seeds are the ``k`` lowest-vec_id vectors, assignment is argmax of
-    ROUNDED(6) cosine with cluster-id ASC tie-break (the ss03/ss04
-    ordering contract), and the centroid update is an exact DECIMAL(18,9)
-    component sum cast to double then divided by the member count — both
-    engines produce bit-identical centroid doubles (the scaled integer
-    sum stays far below 2^53, so DuckDB's decimal->double cast rounds
-    once). Clusters that lose all members in an iteration are dropped
-    (both engines see the same drop; the remaining cluster ids keep their
-    original seed numbering).
-
-    Returns the final per-vector assignment ``(vec_id, v, cluster, cos)``
-    — v is the double-cast embedding, cos the rounded cosine to the
-    vector's final centroid. ``kmeans_clusters`` aggregates this to
-    cluster summaries; px09's SemDeDup prune consumes it directly.
-
-    Scale shape: per iteration — one scan with k literal-cosine
-    expressions per row (row norm staged ONCE, the seed_cell_assign
-    lesson) and one (cluster, pos)-keyed partial-agg shuffle of k*n_dims
-    groups; the driver only ever holds k*n_dims centroid doubles. At real
-    scale k grows ~sqrt(n) and iterations are a constant — never a pair
-    join, never per-row Python.
-    """
+    k: int,
+    n_iters: int,
+    n_dims: int,
+):
+    """The shared Lloyd's loop behind ``kmeans_assign`` (ss06/px03/px09)
+    and ``ivf_topk_trained`` (ss15): returns ``(assign_fn, cents)`` where
+    ``assign_fn(cents)`` produces the (vec_id, v, cluster, cos) frame and
+    ``cents`` is the FINAL [(cluster_id, centroid_doubles)] list — the
+    trained coarse quantizer ss15 probes with. Extracted mechanically
+    from kmeans_assign (bit-identical outputs; the ss06 oracle contract
+    covers both callers)."""
     from ..functions.vectors import norm_flat
 
     staged = emb.select(
@@ -811,7 +793,132 @@ def kmeans_assign(
             (cid, [d[p] for p in range(n_dims)])
             for cid, d in sorted(by_cluster.items())
         ]
+    return assign, cents
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    n_dims: int = 64,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column — the
+    clustering step of semantic curation (SemDeDup-style cluster-then-
+    prune pipelines). Deterministic and ORACLE-REPRODUCIBLE end to end:
+    seeds are the ``k`` lowest-vec_id vectors, assignment is argmax of
+    ROUNDED(6) cosine with cluster-id ASC tie-break (the ss03/ss04
+    ordering contract), and the centroid update is an exact DECIMAL(18,9)
+    component sum cast to double then divided by the member count — both
+    engines produce bit-identical centroid doubles (the scaled integer
+    sum stays far below 2^53, so DuckDB's decimal->double cast rounds
+    once). Clusters that lose all members in an iteration are dropped
+    (both engines see the same drop; the remaining cluster ids keep their
+    original seed numbering).
+
+    Returns the final per-vector assignment ``(vec_id, v, cluster, cos)``
+    — v is the double-cast embedding, cos the rounded cosine to the
+    vector's final centroid. ``kmeans_clusters`` aggregates this to
+    cluster summaries; px09's SemDeDup prune consumes it directly.
+
+    Scale shape: per iteration — one scan with k literal-cosine
+    expressions per row (row norm staged ONCE, the seed_cell_assign
+    lesson) and one (cluster, pos)-keyed partial-agg shuffle of k*n_dims
+    groups; the driver only ever holds k*n_dims centroid doubles. At real
+    scale k grows ~sqrt(n) and iterations are a constant — never a pair
+    join, never per-row Python.
+    """
+    assign, cents = _kmeans_fit(emb, k, n_iters, n_dims)
     return assign(cents)
+
+
+def ivf_topk_trained(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    nprobe: int = 3,
+    exclude_id: int | None = None,
+    n_dims: int = 64,
+) -> DataFrame:
+    """TRAINED-centroid IVF search with a FULL hash oracle (ss15 — the
+    graduation ss10's deploy path was missing): the coarse quantizer is
+    genuinely Lloyd's-trained (not seed-anchored like ss04's
+    ``ivf_topk_seeded``), via the ss06 oracle contract — deterministic
+    lowest-vec_id seeds, argmax rounded(6)-cosine assignment with
+    cluster-ASC tie-break, exact DECIMAL(18,9) centroid means — so a SQL
+    engine recomputes the SAME trained centroids bit-for-bit and replays
+    the search end-to-end. Search = the ss04 recipe on those centroids:
+
+    - corpus side: ``_kmeans_fit``'s final assignment (each vector in
+      its argmax trained cell — at scale this cluster id is the table's
+      partition key, the build_ivf_index layout);
+    - query side: the ``nprobe`` best cells by rounded cosine to the
+      trained centroids, computed THROUGH THE SAME Spark expression
+      tree over literals, so both engines agree on the probe set;
+    - re-rank: exact rounded cosine inside the probed cells, top-k via
+      orderBy+limit (TakeOrderedAndProject partial top-k).
+
+    vs ``ivf_topk`` (numpy-trained, pandas_udf matmul): same algorithm,
+    different training arithmetic — numpy's pairwise summation is not
+    bit-replayable in SQL, the decimal-exact distributed update is.
+    ``ivf_topk`` stays the raw-throughput deploy variant; ss15 is the
+    trained path a correctness gate can pin (recall parity between the
+    two is asserted in tests/test_ann_recall.py).
+
+    Scale shape: training is n_iters scans + one (cluster, pos)-keyed
+    partial-agg shuffle of k·n_dims groups per iteration; search is one
+    scan filtered to nprobe/n_cells of the data (file-pruned when the
+    table is written cluster-partitioned) — never a pair join, never
+    per-row Python."""
+    import math
+
+    from ..functions.vectors import norm
+
+    assign, cents = _kmeans_fit(emb, n_cells, n_iters, n_dims)
+    ids_lit = "array(" + ", ".join(str(int(cid)) for cid, _ in cents) + ")"
+    vecs = [[float(x) for x in q] for _, q in cents]
+    qv = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in qv)) or 1e-12
+    qv_lit = _sql_arr(qv)
+    # Query-side norm through the SAME engine ops as ivf_topk_seeded —
+    # constant-folded literals evaluating the identical interpreted HOF
+    # float path the oracle's list_cosine_similarity reproduces at
+    # rounded(6).
+    q_norm_sql = (
+        f"sqrt(aggregate(zip_with({qv_lit}, {qv_lit}, (a, b) -> a * b), "
+        f"0D, (acc, x) -> acc + x))"
+    )
+    scored = _scored_cells_sql(
+        _sql_vecs(vecs),
+        _sql_arr(_anchor_norms(vecs)),
+        qv_lit,
+        q_norm_sql,
+        id_expr=f"element_at({ids_lit}, c + 1)",
+        field="cluster",
+    )
+    probe_sql = (
+        f"transform(slice(array_sort({scored}), 1, {int(nprobe)}), "
+        f"s -> s.cluster)"
+    )
+    cand = assign(cents).filter(F.expr(f"array_contains({probe_sql}, cluster)"))
+    if exclude_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_id)
+    staged = cand.select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        "v",
+        norm(F.col("v")).alias("nv"),
+    )
+    rerank_sql = (
+        f"round(aggregate(zip_with(v, {qv_lit}, (a, b) -> a * b), "
+        f"0D, (acc, x) -> acc + x) / (nv * {qn!r}D), 6)"
+    )
+    return (
+        staged.select("vec_id", "cluster", F.expr(rerank_sql).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
 
 
 def kmeans_clusters(

@@ -5018,6 +5018,118 @@ ORACLE_SQL["mm10_image_pixel_stats"] = """
 """
 
 
+# mm11 twin: the nearest-neighbor resize recomputed arithmetically from
+# the encode plan under the exact integer contract documented at
+# multimodal.py::resize_real — out pixel (i,j) reads source pixel
+# ((i*h) div oh, (j*w) div ow) whose red channel is text byte
+# (sy*w+sx) mod L — so the hash only matches if the Spark side encoded
+# real BMP bytes, parsed them, un-flipped BGR/bottom-up, and resampled
+# pixel-for-pixel. Same non-empty-ASCII fixture guard as mm09/mm10.
+ORACLE_SQL["mm11_resize_real"] = """
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS l,
+               4 + n_chars % 13 AS w, 3 + n_chars % 7 AS h
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    dims AS (
+        SELECT doc_id, text, l, w, h,
+               CASE WHEN greatest(w, h) <= 8 THEN w
+                    ELSE greatest(1, w * 8 // greatest(w, h)) END AS ow,
+               CASE WHEN greatest(w, h) <= 8 THEN h
+                    ELSE greatest(1, h * 8 // greatest(w, h)) END AS oh
+        FROM d
+    ),
+    px AS (
+        SELECT doc_id, w, h, ow, oh,
+               ord(substr(text,
+                   CAST(((k // ow) * h // oh * w + (k % ow) * w // ow) % l
+                        AS INTEGER) + 1, 1)) AS b
+        FROM (
+            SELECT doc_id, text, l, w, h, ow, oh,
+                   unnest(generate_series(0, CAST(ow * oh - 1 AS BIGINT))) AS k
+            FROM dims
+        )
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(ow AS INTEGER) AS out_w, CAST(oh AS INTEGER) AS out_h,
+           CAST(SUM(b) AS BIGINT) AS sum_r,
+           CAST(SUM(255 - b) AS BIGINT) AS sum_g,
+           CAST(SUM(b * 7 % 256) AS BIGINT) AS sum_b,
+           CAST(ow * oh AS INTEGER) AS n_px
+    FROM px GROUP BY doc_id, w, h, ow, oh
+"""
+
+
+# mm12 twin: byte statistics over payloads BOTH engines construct
+# identically — printable-ASCII sanitize (strip [^\x20-\x7e], empty →
+# one space) runs in the Spark plan and here, so char indexing == byte
+# indexing by construction, no fixture assumption. Modal byte ties
+# break to the SMALLEST byte (numpy argmax order = mm02's float-path
+# tie-break).
+ORACLE_SQL["mm12_byte_stats"] = r"""
+    WITH c AS (
+        SELECT doc_id,
+               CASE WHEN length(regexp_replace(text, '[^\x20-\x7e]', '', 'g')) = 0
+                    THEN ' '
+                    ELSE regexp_replace(text, '[^\x20-\x7e]', '', 'g')
+               END AS t
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, ord(substr(t, CAST(k AS INTEGER), 1)) AS byte
+        FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, CAST(length(t) AS BIGINT))) AS k
+            FROM c
+        )
+    ),
+    g AS (SELECT doc_id, byte, COUNT(*) AS n FROM b GROUP BY doc_id, byte),
+    tops AS (
+        SELECT doc_id, byte, n,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY n DESC, byte) AS rn
+        FROM g
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(SUM(n) AS BIGINT) AS n_bytes,
+               CAST(SUM(byte * n) AS BIGINT) AS sum_bytes,
+               CAST(COUNT(*) AS INTEGER) AS distinct_bytes
+        FROM g GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.n_bytes, a.sum_bytes, a.distinct_bytes,
+           CAST(t.byte AS INTEGER) AS top_byte,
+           CAST(t.n AS INTEGER) AS top_count
+    FROM agg a JOIN tops t ON a.doc_id = t.doc_id AND t.rn = 1
+"""
+
+
+# ss15 twin: the ss06 k-means CTE block (decimal-exact trained
+# centroids both engines produce bit-identically) + the ss04 search
+# recipe — probe the query's 3 best trained cells by rounded cosine
+# (cluster-ASC tie-break), exact rounded-cosine re-rank inside them.
+ORACLE_SQL["ss15_ivf_trained_topk"] = f"""
+    WITH {_KMEANS_CTES},
+    qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+    probe AS (
+        SELECT cluster FROM (
+            SELECT c.cluster,
+                   round(list_cosine_similarity((SELECT q FROM qv), c.cv), 6)
+                       AS cs
+            FROM cent c)
+        ORDER BY cs DESC, cluster LIMIT 3
+    )
+    SELECT a2.vec_id,
+           CAST(a2.cluster AS INTEGER) AS cluster,
+           round(list_cosine_similarity(e.v, (SELECT q FROM qv)), 6)
+               AS cos_sim
+    FROM a2 JOIN e USING (vec_id)
+    WHERE a2.cluster IN (SELECT cluster FROM probe) AND a2.vec_id <> 0
+    ORDER BY cos_sim DESC, a2.vec_id LIMIT 10
+"""
+
+
 # px22 twin: px21's quality/token CTE + source, with the running token
 # sum windowed PER SOURCE (the oracle may run per-group global windows;
 # the engine must not).

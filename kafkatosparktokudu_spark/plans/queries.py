@@ -1973,8 +1973,11 @@ def mm01_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mm02_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: Arrow-batched byte histogram/entropy over binary payloads
-    (value-checked against a pure-Python oracle in tests)."""
+    """Rows-only BY DESIGN (float entropy has no stable cross-engine
+    hash); every integer-expressible statistic of the same byte
+    histogram is hash-oracled by its twin mm12_byte_stats
+    (multimodal.py::byte_stats_exact), and the entropy itself is
+    value-checked against a pure-Python oracle in tests."""
     from ..operators.multimodal import attach_binary, byte_features
 
     return byte_features(attach_binary(_t(spark, sf_dir, "documents")))
@@ -1983,8 +1986,11 @@ def mm02_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm03_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: PIL-class decode stub (jpeg/png codecs absent in this
     image — documented) + real resize-plan math over mapInPandas. The
-    REAL decode path lives in mm08/mm09/mm10 (BMP/WAV are pure-struct
-    formats): genuine bytes encoded, parsed back, hash-oracled."""
+    REAL path is fully hash-oracled elsewhere: mm08/mm09/mm10 encode
+    genuine BMP/WAV bytes and parse them back, and mm11_resize_real
+    (multimodal.py::resize_real) performs the ACTUAL pixel resample on
+    decoded pixels — this stub only remains to pin the mapInPandas
+    plumbing a PIL-class codec would drop into."""
     from ..operators.multimodal import attach_binary, decode_media, resize_stub
 
     return resize_stub(decode_media(attach_binary(_t(spark, sf_dir, "documents"))))
@@ -2026,6 +2032,49 @@ def mm10_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_real_binary, image_pixel_stats
 
     return image_pixel_stats(attach_real_binary(_t(spark, sf_dir, "documents")))
+
+
+def mm11_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decoded-pixel resize (operators/multimodal.py::resize_real —
+    retires mm03's PIL-gate as the image path's last rows-only claim):
+    the mm08 BMP payloads decoded, flipped to logical RGB, and
+    nearest-neighbor downsampled to max_side=8 under an exact integer
+    contract; channel sums of the RESIZED pixels are hash-oracled, so
+    the row only matches if real bytes were encoded, parsed AND
+    resampled pixel-for-pixel."""
+    from ..operators.multimodal import attach_real_binary, resize_real
+
+    return resize_real(attach_real_binary(_t(spark, sf_dir, "documents")))
+
+
+def mm12_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact byte statistics (operators/multimodal.py::
+    byte_stats_exact — the hash-oracled twin retiring mm02's rows-only
+    gate): byte count / byte-value sum / distinct bytes / modal byte +
+    count over payloads both engines construct identically (printable-
+    ASCII sanitize in plan AND oracle, so char==byte by construction);
+    entropy stays on mm02's float path."""
+    from ..operators.multimodal import byte_stats_exact
+
+    return byte_stats_exact(_t(spark, sf_dir, "documents"))
+
+
+def ss15_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED-centroid IVF search, fully hash-oracled (operators/
+    similarity.py::ivf_topk_trained — the ss06 k-means oracle contract
+    composed with the ss04 search recipe): Lloyd's-trained coarse
+    quantizer (decimal-exact centroid means a SQL engine replays
+    bit-for-bit), argmax cell assignment, nprobe=3 probe set computed
+    through the same expression tree, exact rounded-cosine re-rank.
+    Graduates the trained-IVF path that ss10 (numpy deploy variant)
+    could only rows-only-check."""
+    from ..operators.similarity import ivf_topk_trained
+
+    qv = _query_vec(spark, sf_dir, 0)
+    return ivf_topk_trained(
+        _t(spark, sf_dir, "embeddings"), qv, k=10, n_cells=8, nprobe=3,
+        exclude_id=0,
+    )
 
 
 def dd09_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2887,11 +2936,16 @@ def q83_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ss10_ivf_deploy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: the DEPLOY-path IVF search — numpy-trained centroids +
-    Arrow-batched assignment (pre-r6 ss04 semantics, kept under its own
-    name so the bench measures the path a cluster actually runs; the
-    oracle-checked seeded twin is ss04). Recall vs brute force is
-    asserted in tests/test_extensions.py."""
+    """Rows-only BY DESIGN: the DEPLOY-path IVF search — numpy-trained
+    centroids + Arrow-batched matmul assignment (numpy's pairwise
+    summation is not bit-replayable in SQL; kept under its own name so
+    the bench measures the path a cluster actually runs). BOTH
+    algorithmic halves are hash-oracled by twins: seed-anchored search
+    by ss04, and — since r10 — the TRAINED-quantizer path itself by
+    ss15_ivf_trained_topk (decimal-exact Lloyd's the oracle replays
+    bit-for-bit); only the numpy arithmetic stays rows-only. Recall vs
+    brute force is asserted in tests/test_extensions.py and
+    tests/test_ann_recall.py."""
     from ..operators.similarity import ivf_topk
 
     qv = _query_vec(spark, sf_dir, 0)
@@ -3702,8 +3756,14 @@ def st05_hll_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="hll_store_")
     try:
         store = f"{tmp}/regs"
-        hll_monitor_epoch(orders.filter(F.col("o_orderkey") < cut), "o_custkey", store)
-        hll_monitor_epoch(orders.filter(F.col("o_orderkey") >= cut), "o_custkey", store)
+        hll_monitor_epoch(
+            orders.filter(F.col("o_orderkey") < cut), "o_custkey", store,
+            epoch_id=0,
+        )
+        hll_monitor_epoch(
+            orders.filter(F.col("o_orderkey") >= cut), "o_custkey", store,
+            epoch_id=1,
+        )
         res = read_hll_estimate(spark, store)
         rows = res.collect()
         return spark.createDataFrame(rows, res.schema)
@@ -3879,11 +3939,17 @@ def tx20_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-9 front section: the six new queries lead; every query
-    # whose implementing code changed this round sits < 50 for a fresh
-    # driver row (mm07 integer-div fix at 15, dq06 guard at 12, tx22 +
-    # ss11 docstring-contract updates at 19/8; the r8 section below
-    # already held them) ---
+    # --- round-10 front section: new queries lead (mm11 real resize,
+    # mm12 exact byte stats, ss15 trained IVF); every query whose
+    # implementing code changed this round sits < 50 for a fresh driver
+    # row — st04/st05 (fsio epoch discovery + crash-safe snapshots),
+    # px21/px22 + q90/q91/px15/px17 (two_stage_offsets integer div),
+    # ss06/px03/px09 (_kmeans_fit extraction), mm02/mm03/ss10
+    # (twin-pointer docstrings), dd05 (threshold-band docstring) ---
+    "mm11_resize_real": mm11_resize_real,
+    "mm12_byte_stats": mm12_byte_stats,
+    "ss15_ivf_trained_topk": ss15_ivf_trained_topk,
+    # --- round-9 front section ---
     "st04_ingest_shards": st04_ingest_shards,
     "ss13_pq_rerank_topk": ss13_pq_rerank_topk,
     "px20_leakage_safe_split": px20_leakage_safe_split,
@@ -3931,8 +3997,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd10_simhash_neardup": dd10_simhash_neardup,
     "dd11_jaccard_estimate": dd11_jaccard_estimate,
     "tx20_bpe_encode": tx20_bpe_encode,
-    "sk07_histogram_quantiles": sk07_histogram_quantiles,
-    "q95_ohlc_candles": q95_ohlc_candles,
+    # q90/q91 rotated UP into the window for r10 (two_stage_offsets'
+    # integer-div change reaches both); sk07/q95 — unchanged, fresh
+    # green r8/r9 rows — yield their slots
+    "q90_distributed_rank": q90_distributed_rank,
+    "q91_compaction_bins": q91_compaction_bins,
     "px15_epoch_shuffle": px15_epoch_shuffle,
     "gr04_kcore": gr04_kcore,
     "tx19_bpe_merges": tx19_bpe_merges,
@@ -3945,7 +4014,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx18_ngram_novelty": tx18_ngram_novelty,
     "q93_rolling_zscore": q93_rolling_zscore,
     "q92_hilbert_layout": q92_hilbert_layout,
-    "q91_compaction_bins": q91_compaction_bins,
+    "sk07_histogram_quantiles": sk07_histogram_quantiles,
+    "q95_ohlc_candles": q95_ohlc_candles,
     # --- round-7 front section: every query whose implementing code (or
     # oracle) changed this round sits inside the driver's 50-query window
     # — q91 (oracle CAST), ss04/ss07/ss08/ss10 (IVF + PQ generated-SQL
@@ -3961,7 +4031,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "px12_negative_pairs": px12_negative_pairs,
     "dq05_skew_report": dq05_skew_report,
     "q86_zorder_layout": q86_zorder_layout,
-    "q90_distributed_rank": q90_distributed_rank,
     "tx12_contamination": tx12_contamination,
     "px06_incremental_ingest": px06_incremental_ingest,
     "gr03_pagerank_fixed_point": gr03_pagerank_fixed_point,

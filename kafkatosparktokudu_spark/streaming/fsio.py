@@ -1,0 +1,71 @@
+"""Filesystem-agnostic directory listing for streaming state stores.
+
+The st04/st05 epoch stores used to discover prior epochs with
+driver-local ``os.listdir`` while all reads/writes went through
+``spark.read``/``spark.write`` — correct on local paths, silently WRONG
+on HDFS/S3 (os.listdir finds nothing, prior state resolves to empty,
+offsets reset with no error; ADVICE r9). These helpers go through the
+Hadoop FileSystem API — the SAME resolution layer Spark's own
+reads/writes use — so any URI scheme the cluster can write, the epoch
+discovery can list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_and_path(spark: SparkSession, dir_uri: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(dir_uri)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def list_epochs(spark: SparkSession, dir_uri: str) -> list[int]:
+    """Sorted epoch numbers of the ``epoch=N`` subdirectories under
+    ``dir_uri`` (empty if the directory doesn't exist), via the Hadoop
+    FileSystem API so HDFS/S3 stores resolve exactly like local paths."""
+    fs, path = _fs_and_path(spark, dir_uri)
+    if not fs.exists(path):
+        return []
+    out: list[int] = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if name.startswith("epoch="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def latest_epoch_before(
+    spark: SparkSession, dir_uri: str, epoch_id: int
+) -> int | None:
+    """Largest stored epoch strictly below ``epoch_id`` — what a (possibly
+    replayed) epoch must read as its predecessor snapshot — or None."""
+    prior = [e for e in list_epochs(spark, dir_uri) if e < epoch_id]
+    return max(prior) if prior else None
+
+
+def prune_epochs(
+    spark: SparkSession, dir_uri: str, keep_latest: int
+) -> list[int]:
+    """Best-effort retention for cumulative per-epoch snapshot stores:
+    delete all but the newest ``keep_latest`` epoch directories and
+    return the pruned epoch numbers. Safe to run after a successful
+    snapshot write — a replayed epoch only ever reads its immediate
+    predecessor, which is always retained (keep_latest >= 2)."""
+    if keep_latest < 2:
+        raise ValueError(f"keep_latest must be >= 2, got {keep_latest}")
+    epochs = list_epochs(spark, dir_uri)
+    doomed = epochs[:-keep_latest] if len(epochs) > keep_latest else []
+    fs, _ = _fs_and_path(spark, dir_uri)
+    jvm = spark._jvm
+    for e in doomed:
+        try:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{dir_uri}/epoch={e}"), True)
+        except Exception:  # noqa: BLE001 — retention is best-effort
+            pass
+    return doomed

@@ -452,13 +452,12 @@ def ingest_shards_epoch(
     bounded); counters/offsets are n_bands-row collects. Nothing
     rescans or re-sorts the accepted corpus.
     """
-    import os
-
     from pyspark.sql import Window
 
     from ..functions.hashing import md5_hash32
     from ..operators.dedup import incremental_neardup_ingest
     from ..operators.text import quality_classifier_scores
+    from .fsio import latest_epoch_before
 
     spark = batch_df.sparkSession
     flags = incremental_neardup_ingest(
@@ -492,22 +491,18 @@ def ingest_shards_epoch(
         .alias("band"),
         md5_hash32(F.col("doc_id").cast("string")).alias("_h"),
     )
-    # offsets: cumulative per-band counts as of the latest PRIOR epoch
+    # offsets: cumulative per-band counts as of the latest PRIOR epoch —
+    # discovered through the Hadoop FileSystem API (fsio), NOT
+    # os.listdir, so an HDFS/S3 out_dir resolves exactly like the
+    # spark.read/write calls around it (ADVICE r9: driver-local listing
+    # on a remote store silently reset the round-robin every epoch).
     cdir = f"{out_dir}/counters"
-    prior = (
-        [
-            int(d.split("=")[1])
-            for d in os.listdir(cdir)
-            if d.startswith("epoch=") and int(d.split("=")[1]) < epoch_id
-        ]
-        if os.path.isdir(cdir)
-        else []
-    )
+    prior_epoch = latest_epoch_before(spark, cdir, epoch_id)
     base: dict[int, int] = {}
-    if prior:
+    if prior_epoch is not None:
         base = {
             r["band"]: r["n"]
-            for r in spark.read.parquet(f"{cdir}/epoch={max(prior)}").collect()
+            for r in spark.read.parquet(f"{cdir}/epoch={prior_epoch}").collect()
         }
     off_df = spark.createDataFrame(
         [(b, base.get(b, 0)) for b in range(n_bands)], "band int, _offset bigint"
@@ -586,36 +581,49 @@ def hll_monitor_epoch(
     col: str,
     store_dir: str,
     p: int = 12,
+    epoch_id: int = 0,
+    keep_epochs: int = 4,
 ) -> None:
     """One micro-batch of the streaming distinct-count monitor (st05):
     the batch's HLL registers fold into the stored register table by
     bucket-wise MAX. Max-merge is idempotent/commutative/associative, so
-    a replayed epoch leaves the store bit-identical — exactly-once with
-    NO epoch stamps at all (the cleanest exactly-once argument in the
-    repo; contrast st04's counter snapshots, which exist only because
-    round-robin positions are order-dependent).
+    a replayed epoch reproduces its snapshot bit-identically.
+
+    Crash-safety (ADVICE r9): the store is CUMULATIVE PER-EPOCH
+    SNAPSHOTS (``store_dir/epoch=N``), the st04-counter discipline — an
+    epoch reads its latest PRIOR snapshot and writes only its OWN
+    subdirectory, so a crash mid-write can at worst leave a partial
+    ``epoch=N`` that the replayed epoch overwrites; the accumulated
+    history in earlier snapshots is never touched. (The previous
+    read-store → overwrite-same-path layout lost the whole register
+    history if the writer died between delete and write.) Old snapshots
+    beyond ``keep_epochs`` are pruned best-effort AFTER the new write
+    lands; a replayed epoch only ever needs its immediate predecessor,
+    which retention always keeps.
 
     The register table is ≤ 2^p rows BY CONSTRUCTION (4096 at p=12,
     independent of stream size), so the merge is a bounded driver
-    materialization (the k-means-seed convention) and the store is one
-    tiny parquet overwrite per epoch.
+    materialization (the k-means-seed convention) and each snapshot is
+    one tiny parquet write per epoch. Prior-epoch discovery goes through
+    the Hadoop FileSystem API (fsio) so HDFS/S3 stores work unchanged.
     """
-    import os
-
     from ..operators.sketch import hll_registers
+    from .fsio import latest_epoch_before, prune_epochs
 
     spark = batch_df.sparkSession
     new = hll_registers(batch_df, col, p)
-    if os.path.isdir(store_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(store_dir)
-    ):
-        new = new.unionByName(spark.read.parquet(store_dir))
+    prior_epoch = latest_epoch_before(spark, store_dir, epoch_id)
+    if prior_epoch is not None:
+        new = new.unionByName(
+            spark.read.parquet(f"{store_dir}/epoch={prior_epoch}")
+        )
     merged = (
         new.groupBy("bucket").agg(F.max("reg").alias("reg")).collect()
     )  # bounded: <= 2^p rows
     spark.createDataFrame(merged, "bucket bigint, reg int").coalesce(
         1
-    ).write.mode("overwrite").parquet(store_dir)
+    ).write.mode("overwrite").parquet(f"{store_dir}/epoch={epoch_id}")
+    prune_epochs(spark, store_dir, keep_epochs)
 
 
 def start_hll_monitor(
@@ -639,7 +647,7 @@ def start_hll_monitor(
     def _epoch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        hll_monitor_epoch(batch_df, col, store_dir, p)
+        hll_monitor_epoch(batch_df, col, store_dir, p, epoch_id=epoch_id)
 
     writer = (
         stream.writeStream.foreachBatch(_epoch)
@@ -654,10 +662,18 @@ def start_hll_monitor(
 
 
 def read_hll_estimate(spark: SparkSession, store_dir: str, p: int = 12) -> DataFrame:
-    """Current ``(m, hll_estimate)`` of an hll-monitor register store."""
+    """Current ``(m, hll_estimate)`` of an hll-monitor register store —
+    the LATEST cumulative epoch snapshot (each snapshot already folds all
+    history, so only one is ever read)."""
     from ..operators.sketch import hll_estimate_from_registers
+    from .fsio import list_epochs
 
-    return hll_estimate_from_registers(spark.read.parquet(store_dir), p)
+    epochs = list_epochs(spark, store_dir)
+    if not epochs:
+        raise ValueError(f"no hll register snapshots under {store_dir}")
+    return hll_estimate_from_registers(
+        spark.read.parquet(f"{store_dir}/epoch={epochs[-1]}"), p
+    )
 
 
 def read_shard_assignment(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -92,6 +92,8 @@ HEADLINE = [
     "px21_budget_selection",
     "ss14_radius_density",
     "px22_grouped_budget",
+    # round-10 additions
+    "ss15_ivf_trained_topk",
 ]
 
 
@@ -115,6 +117,9 @@ EXCLUDED = [
     "mm08_real_codec_roundtrip",
     "mm09_audio_frame_energy",
     "mm10_image_pixel_stats",
+    # mm11/mm12: same single-scan mapInPandas chain shape as mm08-10.
+    "mm11_resize_real",
+    "mm12_byte_stats",
     "cdc_dept_rollup",
     "cdc_dept_state",
     "cdc_emp_asof_enrich",
@@ -258,12 +263,45 @@ EXCLUDED = [
 ]
 
 
+def _join_label(node) -> str:
+    """Label joins, distinguishing a BroadcastNestedLoopJoin whose build
+    side is a 1-ROW aggregate (a scalar total/denominator broadcast —
+    correct and cheap: one row against n is a map-side multiply, not a
+    nested loop over two relations) from a genuine BNL. Keeps the audit
+    signal clean: dq06's coverage-ppm denominators showed as BNL×21 and
+    read as red flags (VERDICT r9 #7)."""
+    name = node.nodeName()
+    if "BroadcastNestedLoopJoin" not in name:
+        return name
+    kids = node.children()
+    for i in range(kids.length()):
+        k = kids.apply(i)
+        # strip codegen boundary wrappers (InputAdapter/WholeStageCodegen)
+        # and follow a ReusedExchange to the original it points at
+        while True:
+            if k.nodeName().startswith(("InputAdapter", "WholeStageCodegen")):
+                inner = k.children()
+                if inner.length() != 1:
+                    break
+                k = inner.apply(0)
+            elif k.nodeName() == "ReusedExchange":
+                k = k.child()
+            else:
+                break
+        if not k.nodeName().startswith("BroadcastExchange"):
+            continue
+        sub = k.toString()
+        if "HashAggregate(keys=[]" in sub or "SortAggregate(key=[]" in sub:
+            return "BNL(1-row)"
+    return name
+
+
 def _walk(node, out):
-    """Collect (nodeName, one-line repr) over the RUNTIME operator tree —
+    """Collect (label, one-line repr) over the RUNTIME operator tree —
     does NOT descend into an InMemoryTableScan's build lineage (that
     subtree prints in toString but executes only once, at cache fill)."""
     name = node.nodeName()
-    out.append((name, node.toString().splitlines()[0]))
+    out.append((_join_label(node), node.toString().splitlines()[0]))
     if name.startswith("InMemoryTableScan"):
         return
     kids = node.children()
@@ -279,7 +317,7 @@ def audit(df) -> dict:
     exchanges = 0
     cached = 0
     for name, line in nodes:
-        if "Join" in name:
+        if "Join" in name or name == "BNL(1-row)":
             joins[name] = joins.get(name, 0) + 1
         elif name == "Exchange" and "hashpartitioning" in line:
             exchanges += 1
@@ -342,7 +380,10 @@ def main() -> None:
         )
     out += [
         "",
-        "Reading guide: dims broadcast (q04/q54), the as-of join has NO join",
+        "Reading guide: `BNL(1-row)` is a BroadcastNestedLoopJoin whose build",
+        "side is a 1-ROW aggregate (scalar total/denominator) — a map-side",
+        "multiply, not a relation×relation nested loop; genuine BNLs keep the",
+        "full name. Dims broadcast (q04/q54), the as-of join has NO join",
         "node (union + one window), dd12's boilerplate anti join broadcasts,",
         "dq01 reads each checked table once for all its row checks, the SCD2",
         "derivation is a single PK exchange, sk02's bloom probe prunes before",

@@ -2836,3 +2836,72 @@ def test_grouped_budget_selection_no_global_sort(spark):
     assert "Exchange rangepartitioning" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "Exchange hashpartitioning(source" in plan, plan
+
+
+def test_resize_real_matches_python_contract(spark):
+    """mm11's integer nearest-neighbor contract, checked independently of
+    the DuckDB oracle: decode + resize through the Spark path must equal
+    a pure-Python implementation of the documented rule over the SAME
+    encode plan."""
+    from kafkatosparktokudu_spark.operators.multimodal import (
+        _real_media_plan,
+        attach_real_binary,
+        resize_real,
+    )
+
+    docs = spark.createDataFrame(
+        [(i * 2, "x" + "abcdefg hij" * (i + 1), 11 * (i + 1) + 1)
+         for i in range(8)],
+        "doc_id bigint, text string, n_chars bigint",
+    )
+    got = {r["doc_id"]: r for r in resize_real(attach_real_binary(docs)).collect()}
+    for row in docs.collect():
+        plan = _real_media_plan(row["doc_id"], row["n_chars"])
+        w, h = plan["w"], plan["h"]
+        tb = row["text"].encode()
+        mx = max(w, h)
+        ow = w if mx <= 8 else max(1, w * 8 // mx)
+        oh = h if mx <= 8 else max(1, h * 8 // mx)
+        sum_r = sum_g = sum_b = 0
+        for i in range(oh):
+            for j in range(ow):
+                k = ((i * h) // oh) * w + (j * w) // ow
+                b = tb[k % len(tb)]
+                sum_r += b
+                sum_g += 255 - b
+                sum_b += (b * 7) % 256
+        g = got[row["doc_id"]]
+        assert (g["out_w"], g["out_h"]) == (ow, oh)
+        assert (g["sum_r"], g["sum_g"], g["sum_b"]) == (sum_r, sum_g, sum_b)
+        assert g["n_px"] == ow * oh
+
+
+def test_byte_stats_exact_sanitize_handles_nonascii_and_empty(spark):
+    """mm12 must agree with a pure-Python oracle INCLUDING the inputs the
+    mm09/mm10 fixture guard merely forbids: non-ASCII chars (stripped on
+    both engines) and empty/all-stripped text (one space)."""
+    from collections import Counter
+
+    from kafkatosparktokudu_spark.operators.multimodal import byte_stats_exact
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hello world"),
+            (1, "héllo wörld✓"),   # non-ASCII stripped -> "hllo wrld"
+            (2, ""),                # empty -> " "
+            (3, "日本語"),           # all stripped -> " "
+            (4, "aa bb aa\tcc"),    # tab stripped (0x09 < 0x20)
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in byte_stats_exact(docs).collect()}
+    for doc_id, text in [(r["doc_id"], r["text"]) for r in docs.collect()]:
+        clean = "".join(c for c in text if 0x20 <= ord(c) <= 0x7E) or " "
+        data = clean.encode()
+        counts = Counter(data)
+        top = min(counts, key=lambda b: (-counts[b], b))
+        g = got[doc_id]
+        assert g["n_bytes"] == len(data)
+        assert g["sum_bytes"] == sum(data)
+        assert g["distinct_bytes"] == len(counts)
+        assert (g["top_byte"], g["top_count"]) == (top, counts[top])

@@ -1897,11 +1897,23 @@ def test_stream_hll_monitor_restart_and_replay_idempotent(spark, tmp_path):
     ).collect()[0]
     assert est2["hll_estimate"] == batch2["hll_estimate"]
 
-    # replay idempotence: re-fold an already-delivered batch directly
+    # replay idempotence: re-fold an already-delivered epoch directly —
+    # the replayed epoch reads its PREDECESSOR snapshot and rewrites its
+    # own, so the whole snapshot store is bit-identical
     before = sorted(tuple(r) for r in spark.read.parquet(store).collect())
-    hll_monitor_epoch(thirds[1], "o_custkey", store)
+    hll_monitor_epoch(thirds[1], "o_custkey", store, epoch_id=1)
     after = sorted(tuple(r) for r in spark.read.parquet(store).collect())
     assert before == after
+
+    # crash-safety (ADVICE r9): a writer dying MID-WRITE of its own
+    # epoch snapshot must not lose accumulated history — simulate the
+    # worst crash window (epoch=1's directory half-gone) and replay
+    import shutil as _sh
+
+    _sh.rmtree(f"{store}/epoch=1")
+    hll_monitor_epoch(thirds[1], "o_custkey", store, epoch_id=1)
+    recovered = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    assert recovered == before
 
     # restart with the third file on the same checkpoint
     thirds[2].coalesce(1).write.parquet(str(src / "b2"))
@@ -1965,3 +1977,37 @@ def test_ingest_shards_all_dup_epoch_continues_numbering(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/flags/epoch=1").collect()
     }
     assert all(is_dup and m == i - 100 for i, (is_dup, m) in flags.items())
+
+
+def test_fsio_epoch_listing_and_retention(spark, tmp_path):
+    """streaming/fsio.py: epoch discovery goes through the Hadoop
+    FileSystem API (works for any URI scheme Spark can write, closing
+    the r9 os.listdir-on-remote-store advice) and retention keeps the
+    newest K snapshots — always including the predecessor a replayed
+    epoch reads."""
+    import pytest
+
+    from kafkatosparktokudu_spark.streaming.fsio import (
+        latest_epoch_before,
+        list_epochs,
+        prune_epochs,
+    )
+
+    base = str(tmp_path / "snaps")
+    assert list_epochs(spark, base) == []
+    assert latest_epoch_before(spark, base, 5) is None
+    one = spark.range(3)
+    for e in (0, 1, 2, 5):
+        one.write.parquet(f"{base}/epoch={e}")
+    # a stray non-epoch dir must be ignored, not crash the listing
+    (tmp_path / "snaps" / "epoch=notanint").mkdir()
+    (tmp_path / "snaps" / "_misc").mkdir()
+    assert list_epochs(spark, base) == [0, 1, 2, 5]
+    assert latest_epoch_before(spark, base, 5) == 2
+    assert latest_epoch_before(spark, base, 9) == 5
+    assert latest_epoch_before(spark, base, 0) is None
+    with pytest.raises(ValueError):
+        prune_epochs(spark, base, keep_latest=1)
+    assert prune_epochs(spark, base, keep_latest=2) == [0, 1]
+    assert list_epochs(spark, base) == [2, 5]
+    assert prune_epochs(spark, base, keep_latest=2) == []
