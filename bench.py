@@ -178,6 +178,52 @@ def main() -> None:
     results["cdc_sync_200k"] = round(cdc_secs, 3)
     cdc_rate = round(m.total / cdc_secs, 1)
 
+    # LLM-ingest throughput (st04): docs/s through the full streaming epoch
+    # body — near-dup GATE against the accepted history → quality score →
+    # stratified shard DEAL (VERDICT r9 #8: the CDC path had a rec/s
+    # number, the ingest gate did not). Epoch batches are the sf corpus
+    # with every token re-prefixed per epoch (the r9 scaling-study
+    # decorrelation recipe), so each epoch is accepted ~whole and the
+    # accepted store GROWS — the timed epochs pay the real
+    # history-screening cost, not an empty-dup shortcut.
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.sources.batch import load_table
+    from kafkatosparktokudu_spark.streaming.pipeline import ingest_shards_epoch
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    st_tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        ing_reps = []
+        for epoch in range(4):  # epoch 0 is the untimed store-seeding warmup
+            batch = docs.select(
+                (F.col("doc_id") + epoch * 10_000_000).alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda t: F.concat(F.lit(f"e{epoch}x"), t),
+                    ),
+                    " ",
+                ).alias("text"),
+            ).withColumn("n_chars", F.length("text"))
+            spark._jvm.System.gc()
+            start = time.time()
+            ingest_shards_epoch(
+                batch, epoch, f"{st_tmp}/sigs", f"{st_tmp}/out"
+            )
+            if epoch > 0:
+                ing_reps.append(time.time() - start)
+        ingest_secs = sorted(ing_reps)[1]
+        results["st04_ingest_epoch"] = round(ingest_secs, 3)
+        spread["st04_ingest_epoch"] = [
+            round(min(ing_reps), 3), round(max(ing_reps), 3),
+        ]
+        ingest_rate = round(n_docs / ingest_secs, 1)
+    finally:
+        shutil.rmtree(st_tmp, ignore_errors=True)
+
     total = round(sum(results.values()), 3)
     print(
         json.dumps(
@@ -189,6 +235,7 @@ def main() -> None:
                 "sf": sf,
                 "cdc_rate_rec_s": cdc_rate,
                 "baseline_cdc_rate_rec_s": 10000,
+                "ingest_rate_docs_s": ingest_rate,
                 # protocol + environment stamps: per-query numbers are the
                 # MEDIAN of 3 timed reps after 1 untimed warmup (CDC:
                 # median of 5); queries_spread is [min, max] over the

@@ -564,6 +564,12 @@ def duplicate_clusters(
     )
 
 
+# The tau band production embedding-dedup should run (see the threshold-
+# selection study in embedding_neardup_pairs' docstring + NOTES r10):
+# below the low edge, output ~ n^2 and the job cost is in the ANSWER.
+PRODUCTION_TAU_BAND = (0.7, 0.95)
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.3,
@@ -593,6 +599,20 @@ def embedding_neardup_pairs(
       the same nprobe is strictly better on clustered data). Not
       SQL-expressible, so the oracle keeps the seed variant; recall vs
       brute force is pinned by test_centroid_blocked_neardup_recall.
+
+    THRESHOLD SELECTION (the real 100 TB knob — measured, r10, x16
+    decorrelated corpus of 32k vectors via scripts/sweep_dd05_tau.py):
+    the pair OUTPUT is Theta(fraction of pairs genuinely >= tau), so tau
+    — not the plan — decides whether the job is linear or quadratic. At
+    tau=0.3 on weakly-clustered embeddings 0.30% of ALL pairs qualify
+    (1.54M pairs from 32k vectors: the quadratic is in the ANSWER);
+    at tau=0.6 the same corpus yields 23 pairs and at tau=0.8 only the
+    genuinely-duplicated remainder. Production near-dup dedup should run
+    ``PRODUCTION_TAU_BAND`` (cosine >= ~0.7 is where "near-duplicate"
+    claims live — SemDeDup uses ~0.95+ on L2-normalized embeddings, and
+    anything below ~0.5 is topical similarity, not duplication); below
+    that band, budget for output ~ n^2 x qualifying-fraction regardless
+    of engine.
     """
     from ..functions.vectors import as_double, dot, norm
     from .similarity import (

@@ -1191,6 +1191,40 @@ def pq_encode_fast(
     return emb.select("vec_id", "embedding").mapInPandas(_enc, schema)
 
 
+def _adc_distance_col(
+    qv: list[float], codebooks: list[list[list[float]]]
+) -> Column:
+    """The shared ADC expression (pq_adc_topk / ivfadc_topk): per
+    subspace a k-entry lookup table of exact squared distances from the
+    query subvector to each centroid, computed driver-side with a
+    LEFT-ASSOC Python sum (the fold order the ss08 oracle's _pq_dist
+    embeds — bit-identical before rounding); the row's distance is the
+    sum of m table lookups on its code columns, rounded(6)."""
+    from functools import reduce
+
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    luts: list[list[float]] = []
+    for s in range(m):
+        sub = qv[s * d : (s + 1) * d]
+        luts.append(
+            [
+                sum(
+                    (float(a) - float(b)) * (float(a) - float(b))
+                    for a, b in zip(sub, c)
+                )
+                for c in codebooks[s]
+            ]
+        )
+    adc_terms = [
+        F.element_at(
+            F.array(*[F.lit(x) for x in luts[s]]), F.col(f"code{s}") + 1
+        )
+        for s in range(m)
+    ]
+    return F.round(reduce(lambda a, b: a + b, adc_terms), 6)
+
+
 def pq_adc_topk(
     emb: DataFrame,
     qv: list[float],
@@ -1207,31 +1241,12 @@ def pq_adc_topk(
     the whole point of PQ.
 
     Output: (rank, vec_id, adc_dist), rank by (rounded dist, vec_id)."""
-    m = len(codebooks)
-    d = len(codebooks[0][0])
-    from functools import reduce
-
     from pyspark.sql import Window as W
 
     codes = pq_encode(emb, codebooks)
-    luts: list[list[float]] = []
-    for s in range(m):
-        sub = qv[s * d : (s + 1) * d]
-        luts.append(
-            [
-                # left-assoc Python sum — same fold order the oracle embeds
-                sum((float(a) - float(b)) * (float(a) - float(b)) for a, b in zip(sub, c))
-                for c in codebooks[s]
-            ]
-        )
-    adc_terms = [
-        F.element_at(
-            F.array(*[F.lit(x) for x in luts[s]]), F.col(f"code{s}") + 1
-        )
-        for s in range(m)
-    ]
-    adc = F.round(reduce(lambda a, b: a + b, adc_terms), 6)
-    scored = codes.select("vec_id", adc.alias("adc_dist"))
+    scored = codes.select(
+        "vec_id", _adc_distance_col(qv, codebooks).alias("adc_dist")
+    )
     if exclude_id is not None:
         scored = scored.filter(F.col("vec_id") != exclude_id)
     # Partial top-k: orderBy+limit compiles to TakeOrderedAndProject
@@ -1302,6 +1317,79 @@ def pq_adc_rerank_topk(
     w = W.orderBy(F.col("l2_dist"), F.col("vec_id"))
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "rank", "vec_id", "l2_dist"
+    )
+
+
+def ivfadc_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]] | None = None,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF-ADC — the composed billion-vector ANN architecture of Jégou
+    et al. 2011 (and FAISS's IndexIVFPQ): an IVF coarse quantizer prunes
+    the corpus to ``nprobe``/``n_cells`` of its cells, and inside the
+    probed cells the scan reads only each vector's m PQ codes, scored by
+    asymmetric distance against a per-query lookup table. ss04 (IVF) and
+    ss08 (ADC) each verify one half; this query verifies their
+    COMPOSITION — the partition-side and memory-side scale paths working
+    together, fully hash-oracled (seed-anchored cells + seed-sliced
+    codebooks, both SQL-recomputable).
+
+    Output: ``(rank, vec_id, adc_dist)`` — rank by (rounded dist,
+    vec_id) within the probed cells.
+
+    Scale shape: at deploy scale the codes table is PRECOMPUTED and
+    partitioned by cell (build_ivf_index layout), so the probe reads
+    nprobe/n_cells of an m-bytes-per-vector table — both pruning axes at
+    once; here assignment + encode run in the same single scan after the
+    cell filter (filter-then-encode: the PQ expressions only evaluate on
+    survivors). No joins, no Python, one TakeOrdered."""
+    from ..functions.vectors import norm
+
+    seeds = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(n_cells).collect()
+    )
+    seed_vecs = [[float(x) for x in r["embedding"]] for r in seeds]
+    qv = [float(x) for x in query_vec]
+    qv_lit = _sql_arr(qv)
+    q_norm_sql = (
+        f"sqrt(aggregate(zip_with({qv_lit}, {qv_lit}, (a, b) -> a * b), "
+        f"0D, (acc, x) -> acc + x))"
+    )
+
+    def _scored(v_expr: str, nv_expr: str) -> str:
+        return _scored_cells_sql(
+            _sql_vecs(seed_vecs), _sql_arr(_anchor_norms(seed_vecs)),
+            v_expr, nv_expr,
+        )
+
+    probe_cells_sql = (
+        f"transform(slice(array_sort({_scored(qv_lit, q_norm_sql)}), 1, "
+        f"{int(nprobe)}), s -> s.cell)"
+    )
+    staged = emb.select(
+        "vec_id", "embedding", as_double(F.col("embedding")).alias("v")
+    ).select("vec_id", "embedding", "v", norm(F.col("v")).alias("nv"))
+    cand = staged.withColumn(
+        "cell", F.expr(f"element_at(array_sort({_scored('v', 'nv')}), 1).cell")
+    ).filter(F.expr(f"array_contains({probe_cells_sql}, cell)"))
+    if exclude_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_id)
+    cb = codebooks if codebooks is not None else pq_codebooks(emb)
+    codes = pq_encode(cand, cb)
+    scored = codes.select(
+        "vec_id", _adc_distance_col(qv, cb).alias("adc_dist")
+    )
+    from pyspark.sql import Window as W
+
+    topk = scored.orderBy(F.col("adc_dist"), F.col("vec_id")).limit(k)
+    w = W.orderBy(F.col("adc_dist"), F.col("vec_id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "vec_id", "adc_dist"
     )
 
 

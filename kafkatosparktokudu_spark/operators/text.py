@@ -1484,3 +1484,75 @@ def source_overlap_matrix(
         return out
     finally:
         st.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the "hashing trick", Weinberger et al. 2009) — the
+# dictionary-free featurizer in front of linear text classifiers
+# (fastText-style quality/language classifiers trained over corpus-scale
+# data): token -> md5-32 -> mod 2^k feature id. No vocabulary build, no
+# dictionary broadcast, fixed feature width at any corpus size — which
+# is exactly why it is the 100 TB featurizer: the alternative
+# (a fitted vocabulary) is a corpus-wide distinct + a giant broadcast.
+# ---------------------------------------------------------------------------
+def hashed_tf_features(
+    docs: DataFrame, n_features: int = 1024, id_col: str = "doc_id"
+) -> DataFrame:
+    """Sparse hashed term-frequency vectors: one row per (doc, feature)
+    with the collision-folded token count — ``feature_id =
+    md5_32(token) mod n_features`` (hash collisions ARE the method's
+    documented lossiness; the md5-32 contract is shared with the oracle).
+
+    Scale shape: one explode + ONE (id, feature)-keyed groupBy — partial
+    aggregation combines map-side, the single shuffle carries at most
+    n_docs x n_features rows, and there is NO vocabulary state of any
+    kind. n_features is the only memory knob (2^18-2^22 in production
+    linear classifiers)."""
+    from ..functions.hashing import md5_hash32
+
+    if n_features < 1:
+        raise ValueError(f"n_features must be >= 1, got {n_features}")
+    t = docs.select(F.col(id_col), F.explode(tokens("text")).alias("tok"))
+    return (
+        t.select(
+            id_col,
+            (md5_hash32(F.col("tok")) % n_features).cast("int").alias(
+                "feature_id"
+            ),
+        )
+        .groupBy(id_col, "feature_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    n_features: int = 1024,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a linear model over the hashed features — the serving half
+    of the hashing-trick classifier (px14 scores hand-built features;
+    this scores the dictionary-free hashed space). Weights are a
+    deterministic integer function of the feature id (Knuth
+    multiplicative hash folded to [-1000, 1000]), standing in for a
+    trained coefficient vector with the same storage shape: w IS a
+    lookup on feature_id, so a real trained model drops in as a
+    broadcast join or literal array without changing the plan.
+
+    Returns ``(id, n_feats, tf_total, score)`` — score = Σ tf·w(f),
+    all-integer, so both engines agree exactly.
+
+    Scale shape: the tx23 aggregate + one per-row integer expression +
+    one id-keyed re-aggregate; weights never materialize as state."""
+    f = hashed_tf_features(docs, n_features, id_col)
+    w = (F.pmod(F.col("feature_id").cast("bigint") * 2654435761, F.lit(2001))
+         - 1000)
+    return (
+        f.select(id_col, "feature_id", "tf", (F.col("tf") * w).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_feats"),
+            F.sum("tf").cast("bigint").alias("tf_total"),
+            F.sum("_c").cast("bigint").alias("score"),
+        )
+    )

@@ -5130,6 +5130,92 @@ ORACLE_SQL["ss15_ivf_trained_topk"] = f"""
 """
 
 
+# ss16 twin: the ss04 seed-cell CTEs composed with the ss08 PQ/ADC CTEs
+# — corpus assigned to argmax seed-cell, query probes its 4 best cells,
+# ADC (per-subspace exact distance to the ASSIGNED codebook entry)
+# scored only inside the probed cells. Reuses _pq_ctes' `e` as the
+# shared double-cast vector table.
+ORACLE_SQL["ss16_ivfadc_topk"] = f"""
+    WITH {_pq_ctes()},
+    cseeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS sv
+        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
+    ),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, s.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, s.sv), 6)
+                                    DESC, s.cell
+                   ) AS rn
+            FROM e CROSS JOIN cseeds s
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe AS (
+        SELECT cell FROM (
+            SELECT s.cell,
+                   row_number() OVER (
+                       ORDER BY round(list_cosine_similarity(q.qv, s.sv), 6)
+                                    DESC, s.cell
+                   ) AS rn
+            FROM cseeds s, q
+        ) WHERE rn <= 4
+    ),
+    adc AS (
+        SELECT enc.vec_id,
+               round({' + '.join(f'({_pq_dist(s, "q.qv", f"s{s}.sv")})' for s in range(8))},
+                     6) AS adc_dist
+        FROM enc JOIN assigned a USING (vec_id) CROSS JOIN q
+             {' '.join(f'JOIN pseeds s{s} ON s{s}.code = enc.code{s}' for s in range(8))}
+        WHERE a.cell IN (SELECT cell FROM probe) AND enc.vec_id <> 0
+    )
+    SELECT rank, vec_id, adc_dist FROM (
+        SELECT CAST(row_number() OVER (ORDER BY adc_dist, vec_id)
+                    AS INTEGER) AS rank,
+               vec_id, adc_dist
+        FROM adc
+    ) WHERE rank <= 10
+"""
+
+
+# tx23 twin: the hashing-trick featurizer — md5-32(token) mod 1024 via
+# the shared _H32/_TOKS contracts; hash collisions fold identically in
+# both engines because the hash IS the contract.
+ORACLE_SQL["tx23_hashed_features"] = f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    )
+    SELECT doc_id,
+           CAST({_H32.format(x='tok')} % 1024 AS INTEGER) AS feature_id,
+           CAST(COUNT(*) AS BIGINT) AS tf
+    FROM t GROUP BY doc_id, feature_id
+"""
+
+
+# tx24 twin: tx23's aggregate + the deterministic integer weight
+# w(f) = (f * 2654435761) % 2001 - 1000 (nonneg operands, so % == pmod),
+# all-integer score.
+ORACLE_SQL["tx24_hashed_linear_score"] = f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               CAST({_H32.format(x='tok')} % 1024 AS INTEGER) AS feature_id,
+               CAST(COUNT(*) AS BIGINT) AS tf
+        FROM t GROUP BY doc_id, feature_id
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_feats,
+           CAST(SUM(tf) AS BIGINT) AS tf_total,
+           CAST(SUM(tf * ((CAST(feature_id AS BIGINT) * 2654435761) % 2001
+                          - 1000)) AS BIGINT) AS score
+    FROM f GROUP BY doc_id
+"""
+
+
 # px22 twin: px21's quality/token CTE + source, with the running token
 # sum windowed PER SOURCE (the oracle may run per-group global windows;
 # the engine must not).

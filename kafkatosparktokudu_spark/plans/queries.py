@@ -2077,6 +2077,44 @@ def ss15_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx23_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing featurizer (operators/text.py::hashed_tf_features
+    — Weinberger et al. 2009's hashing trick): sparse hashed TF vectors
+    with NO vocabulary state — the dictionary-free front-end of
+    fastText-style corpus-scale linear classifiers. One explode + one
+    keyed groupBy; md5-32 feature ids shared with the oracle."""
+    from ..operators.text import hashed_tf_features
+
+    return hashed_tf_features(_t(spark, sf_dir, "documents"))
+
+
+def tx24_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-model serving over the hashed feature space (operators/
+    text.py::hashed_linear_score): score = Σ tf·w(feature_id) with
+    deterministic integer weights standing in for trained coefficients
+    (same storage shape — a real model drops in as a broadcast join
+    without changing the plan). All-integer, hash-oracled."""
+    from ..operators.text import hashed_linear_score
+
+    return hashed_linear_score(_t(spark, sf_dir, "documents"))
+
+
+def ss16_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC composed search (operators/similarity.py::ivfadc_topk —
+    Jégou et al. 2011 / FAISS IndexIVFPQ): IVF cell pruning
+    (nprobe/n_cells of the corpus) × PQ asymmetric-distance scoring
+    (m bytes per vector) in ONE single-scan plan — the two scale axes
+    ss04 and ss08 verify separately, verified COMPOSED and fully
+    hash-oracled."""
+    from ..operators.similarity import ivfadc_topk
+
+    qv = _query_vec(spark, sf_dir, 0)
+    return ivfadc_topk(
+        _t(spark, sf_dir, "embeddings"), qv, k=10, n_cells=16, nprobe=4,
+        exclude_id=0,
+    )
+
+
 def dd09_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring spans (Lee et al. 2021 ExactSubstr):
     maximal runs of >= 15 tokens appearing verbatim in >= 2 documents,
@@ -3949,6 +3987,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm11_resize_real": mm11_resize_real,
     "mm12_byte_stats": mm12_byte_stats,
     "ss15_ivf_trained_topk": ss15_ivf_trained_topk,
+    "ss16_ivfadc_topk": ss16_ivfadc_topk,
+    "tx23_hashed_features": tx23_hashed_features,
+    "tx24_hashed_linear_score": tx24_hashed_linear_score,
     # --- round-9 front section ---
     "st04_ingest_shards": st04_ingest_shards,
     "ss13_pq_rerank_topk": ss13_pq_rerank_topk,
@@ -3967,7 +4008,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss11_mmr_rerank": ss11_mmr_rerank,
     "px17_sequence_packing": px17_sequence_packing,
     "gr05_bfs_hops": gr05_bfs_hops,
-    "q96_weighted_median": q96_weighted_median,
+    # ss08 rotated UP for r10 (_adc_distance_col extraction reaches
+    # pq_adc_topk); q96 — unchanged, fresh green r9 row — yields its slot
+    "ss08_pq_adc_topk": ss08_pq_adc_topk,
     "dq06_fk_integrity": dq06_fk_integrity,
     "st03_ohlc_windows": st03_ohlc_windows,
     "ss12_knn_label_vote": ss12_knn_label_vote,
@@ -4054,7 +4097,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_dept_state": cdc_dept_state,
     "cdc_pub_event": cdc_pub_event,
     "cdc_stream_emp_state": cdc_stream_emp_state,
-    "ss08_pq_adc_topk": ss08_pq_adc_topk,
+    "q96_weighted_median": q96_weighted_median,
     # --- new in round 5 ---
     "dd09_dup_spans": dd09_dup_spans,
     "px05_exactsubstr_scrub": px05_exactsubstr_scrub,

@@ -94,6 +94,8 @@ HEADLINE = [
     "px22_grouped_budget",
     # round-10 additions
     "ss15_ivf_trained_topk",
+    "ss16_ivfadc_topk",
+    "tx24_hashed_linear_score",
 ]
 
 
@@ -120,6 +122,8 @@ EXCLUDED = [
     # mm11/mm12: same single-scan mapInPandas chain shape as mm08-10.
     "mm11_resize_real",
     "mm12_byte_stats",
+    # tx23 is tx24's sub-plan (explode + keyed groupBy); tx24 is audited.
+    "tx23_hashed_features",
     "cdc_dept_rollup",
     "cdc_dept_state",
     "cdc_emp_asof_enrich",

@@ -182,3 +182,40 @@ def test_ivf_trained_recall_and_full_probe_exact(spark, corpus):
     assert m[8] == 1.0, m           # full probe == brute force
     assert m[3] >= 0.7, m           # measured 0.90 r10 @ sf0.01
     assert m[3] >= m_np - 0.2, (m, m_np)  # parity with the deploy path
+
+
+def test_ivfadc_full_probe_degenerates_to_adc(spark, corpus):
+    """ss16 composition anchor: with nprobe == n_cells the IVF stage
+    prunes nothing, so IVF-ADC must equal plain ADC (ss08) row-for-row;
+    and at nprobe=4 its results are a subset of the probed-cell corpus
+    scored by the SAME ADC (spot-checked via distance equality on the
+    shared vec_ids)."""
+    from kafkatosparktokudu_spark.operators.similarity import (
+        ivfadc_topk,
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    emb, ids, x, id2row = corpus
+    qid = int(ids[0])
+    qv = [float(v) for v in x[id2row[qid]]]
+    cb = pq_codebooks(emb)
+    full = [
+        tuple(r)
+        for r in ivfadc_topk(
+            emb, qv, cb, k=K, n_cells=16, nprobe=16, exclude_id=qid
+        ).collect()
+    ]
+    plain = [tuple(r) for r in pq_adc_topk(emb, qv, cb, K, exclude_id=qid).collect()]
+    assert full == plain
+    pruned = {
+        r["vec_id"]: r["adc_dist"]
+        for r in ivfadc_topk(
+            emb, qv, cb, k=K, n_cells=16, nprobe=4, exclude_id=qid
+        ).collect()
+    }
+    plain_d = {r[1]: r[2] for r in plain}
+    for vid, dist in pruned.items():
+        if vid in plain_d:
+            assert dist == plain_d[vid]
+    assert len(pruned) == K
