@@ -523,8 +523,10 @@ def duplicate_clusters(
             ]
         )
         nodes = {row["src"] for row in rows}
-        return pairs.sparkSession.createDataFrame(
-            [(n, find(n)) for n in sorted(nodes)], schema
+        from ..functions.localframe import local_frame
+
+        return local_frame(
+            pairs.sparkSession, [(n, find(n)) for n in sorted(nodes)], schema
         )
 
     labels = (

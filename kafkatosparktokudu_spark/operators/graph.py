@@ -355,8 +355,10 @@ def bfs_hops(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    dist = spark.createDataFrame(
-        [(int(source), 0)], "node bigint, hops bigint"
+    from ..functions.localframe import local_frame
+
+    dist = local_frame(
+        spark, [(int(source), 0)], "node bigint, hops bigint"
     ).localCheckpoint(eager=True)
     frontier = dist
     for r in range(1, rounds + 1):

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.localframe import local_frame
+
 # Morton magic masks: spread a 16-bit int so its bits occupy even
 # positions of a 32-bit int (Hacker's Delight §7-2 / public-domain
 # "Interleave bits by Binary Magic Numbers").
@@ -278,7 +280,7 @@ def two_stage_offsets(
     for rng, n in subtotals:
         offsets.append((rng, acc))
         acc += n
-    off_df = spark.createDataFrame(offsets, "_rng bigint, _offset bigint")
+    off_df = local_frame(spark, offsets, "_rng bigint, _offset bigint")
     return keyed, off_df, width
 
 
@@ -468,9 +470,7 @@ def stratified_shards(
     for band, rng, cnt in sorted((r["band"], r["_rng"], r["_n"]) for r in rows):
         offsets.append((band, rng, acc.get(band, 0)))
         acc[band] = acc.get(band, 0) + cnt
-    off_df = spark.createDataFrame(
-        offsets, "band int, _rng bigint, _offset bigint"
-    )
+    off_df = local_frame(spark, offsets, "band int, _rng bigint, _offset bigint")
     w = Window.partitionBy("band", "_rng").orderBy("_h", id_col)
     rank0 = F.row_number().over(w) + F.col("_offset") - 1  # 0-based in band
     return (
@@ -614,8 +614,8 @@ def grouped_budget_selection(
     ):
         offsets.append((g, rng, acc.get(g, 0)))
         acc[g] = acc.get(g, 0) + tok
-    off_df = spark.createDataFrame(
-        offsets, f"{group_col} string, _rng bigint, _offset bigint"
+    off_df = local_frame(
+        spark, offsets, f"{group_col} string, _rng bigint, _offset bigint"
     )
     w = (
         W.partitionBy(group_col, "_rng")

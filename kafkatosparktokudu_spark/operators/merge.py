@@ -186,7 +186,9 @@ class StateStore:
                 for kc in self.key_cols
             ]
         )
-        kdf = self.spark.createDataFrame(norm_keys, key_schema)
+        from ..functions.localframe import local_frame
+
+        kdf = local_frame(self.spark, norm_keys, key_schema)
         buckets = [
             r["b"]
             for r in kdf.select(self._bucket_col().alias("b")).distinct().collect()

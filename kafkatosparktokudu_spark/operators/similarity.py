@@ -1575,7 +1575,10 @@ def mmr_rerank(
         # the k-means-seed convention); label keeps its SOURCE column type.
         spark = emb.sparkSession
         label_t = emb.schema["label"].dataType.simpleString()
-        return spark.createDataFrame(
+        from ..functions.localframe import local_frame
+
+        return local_frame(
+            spark,
             [
                 (t + 1, int(r["vec_id"]), r["label"], float(r["rel"]))
                 for t, r in enumerate(picked)

@@ -69,7 +69,10 @@ def heavy_hitters(
         .collect()
     )
     est = cms_estimates(spark, sketch, [r[col] for r in cand])
-    return spark.createDataFrame(
+    from ..functions.localframe import local_frame
+
+    return local_frame(
+        spark,
         [(r[col], int(r["true_count"]), int(est[r[col]])) for r in cand],
         f"{col} bigint, true_count bigint, est_count bigint",
     )

@@ -1091,7 +1091,10 @@ def bpe_train_merges(
     ).persist()
     try:
         out, _ = _bpe_merge_loop(syms, n_merges)
-        return spark.createDataFrame(
+        from ..functions.localframe import local_frame
+
+        return local_frame(
+            spark,
             out,
             "step INT, left_sym STRING, right_sym STRING, pair_count BIGINT",
         )

@@ -4038,7 +4038,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss02_label_centroids": ss02_label_centroids,
     "dd06_simhash": dd06_simhash,
     "dd10_simhash_neardup": dd10_simhash_neardup,
-    "dd11_jaccard_estimate": dd11_jaccard_estimate,
     "tx20_bpe_encode": tx20_bpe_encode,
     # q90/q91 rotated UP into the window for r10 (two_stage_offsets'
     # integer-div change reaches both); sk07/q95 — unchanged, fresh
@@ -4046,9 +4045,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q90_distributed_rank": q90_distributed_rank,
     "q91_compaction_bins": q91_compaction_bins,
     "px15_epoch_shuffle": px15_epoch_shuffle,
-    "gr04_kcore": gr04_kcore,
+    # dd07/tx19 rotated UP for r10 (local_frame conversion reaches
+    # duplicate_clusters' union-find frame and the BPE merge-table frame);
+    # gr04/q94 — unchanged, fresh green rows — yield their slots
+    "dd07_dup_clusters": dd07_dup_clusters,
     "tx19_bpe_merges": tx19_bpe_merges,
-    "q94_snapshot_diff": q94_snapshot_diff,
+    "dd11_jaccard_estimate": dd11_jaccard_estimate,
     "sk06_kmv_overlap": sk06_kmv_overlap,
     "sk04_hll_distinct": sk04_hll_distinct,
     "sk05_hll_union_daily": sk05_hll_union_daily,
@@ -4176,7 +4178,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_string_functions": q39_string_functions,
     "q40_array_functions": q40_array_functions,
     "q41_map_functions": q41_map_functions,
-    "dd07_dup_clusters": dd07_dup_clusters,
+    "gr04_kcore": gr04_kcore,
+    "q94_snapshot_diff": q94_snapshot_diff,
     "q42_volume_shipping": q42_volume_shipping,
     "q43_priority_case_agg": q43_priority_case_agg,
     "q44_promo_revenue": q44_promo_revenue,

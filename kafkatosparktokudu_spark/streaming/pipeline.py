@@ -455,6 +455,7 @@ def ingest_shards_epoch(
     from pyspark.sql import Window
 
     from ..functions.hashing import md5_hash32
+    from ..functions.localframe import local_frame
     from ..operators.dedup import incremental_neardup_ingest
     from ..operators.text import quality_classifier_scores
     from .fsio import latest_epoch_before
@@ -504,8 +505,9 @@ def ingest_shards_epoch(
             r["band"]: r["n"]
             for r in spark.read.parquet(f"{cdir}/epoch={prior_epoch}").collect()
         }
-    off_df = spark.createDataFrame(
-        [(b, base.get(b, 0)) for b in range(n_bands)], "band int, _offset bigint"
+    off_df = local_frame(
+        spark, [(b, base.get(b, 0)) for b in range(n_bands)],
+        "band int, _offset bigint",
     )
     w = Window.partitionBy("band").orderBy("_h", "doc_id")
     assign = (
@@ -531,7 +533,8 @@ def ingest_shards_epoch(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .collect()
     }
-    spark.createDataFrame(
+    local_frame(
+        spark,
         [(b, base.get(b, 0) + new_cnt.get(b, 0)) for b in range(n_bands)],
         "band int, n bigint",
     ).coalesce(1).write.mode("overwrite").parquet(f"{cdir}/epoch={epoch_id}")
@@ -607,6 +610,7 @@ def hll_monitor_epoch(
     one tiny parquet write per epoch. Prior-epoch discovery goes through
     the Hadoop FileSystem API (fsio) so HDFS/S3 stores work unchanged.
     """
+    from ..functions.localframe import local_frame
     from ..operators.sketch import hll_registers
     from .fsio import latest_epoch_before, prune_epochs
 
@@ -620,7 +624,7 @@ def hll_monitor_epoch(
     merged = (
         new.groupBy("bucket").agg(F.max("reg").alias("reg")).collect()
     )  # bounded: <= 2^p rows
-    spark.createDataFrame(merged, "bucket bigint, reg int").coalesce(
+    local_frame(spark, merged, "bucket bigint, reg int").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{store_dir}/epoch={epoch_id}")
     prune_epochs(spark, store_dir, keep_epochs)
