@@ -1051,3 +1051,32 @@ def test_label_propagation_matches_python_rounds(spark, edges):
             break
         lab.update(newly)
     assert got == lab
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.one_of(st.none(), st.text(max_size=8)),
+            st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False, width=32)),
+        ),
+        max_size=20,
+    )
+)
+def test_local_frame_equals_plain_createdataframe(spark, rows):
+    """functions/localframe.py::local_frame is a drop-in for plain
+    spark.createDataFrame on bounded tuple sets (it now backs the
+    two-stage-offset broadcasts, epoch snapshots, union-find labels,
+    point-lookup keys): same schema, same rows, for ints/strings/doubles
+    incl. None — the types every production call site uses."""
+    from kafkatosparktokudu_spark.functions.localframe import local_frame
+
+    ddl = "a bigint, b string, c double"
+    fast = local_frame(spark, rows, ddl)
+    plain = spark.createDataFrame(rows, ddl)
+    assert fast.schema == plain.schema
+    key = lambda t: repr(t)  # noqa: E731
+    assert sorted((tuple(r) for r in fast.collect()), key=key) == sorted(
+        (tuple(r) for r in plain.collect()), key=key
+    )
