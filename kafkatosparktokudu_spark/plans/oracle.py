@@ -5180,6 +5180,28 @@ ORACLE_SQL["ss16_ivfadc_topk"] = f"""
 """
 
 
+# st06 twin: both epochs' stream-static joins recomputed from the
+# dimension VERSION RULES — epoch 0 (event_id below the midpoint) joins
+# v1 grades (user_id % 5), epoch 1 joins v2 (even users += 100). The
+# hash only matches if the Spark side's per-epoch store re-read actually
+# served each epoch the right dimension version.
+ORACLE_SQL["st06_state_enriched_events"] = """
+    WITH b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM events),
+    e AS (
+        SELECT event_id, user_id,
+               CASE WHEN event_id < lo + (hi - lo) // 2 THEN 0 ELSE 1 END
+                   AS epoch
+        FROM events, b
+    )
+    SELECT event_id, user_id,
+           CAST(CASE WHEN epoch = 1 AND user_id % 2 = 0
+                     THEN user_id % 5 + 100
+                     ELSE user_id % 5 END AS INTEGER) AS grade,
+           CAST(epoch AS INTEGER) AS epoch
+    FROM e
+"""
+
+
 # tx23 twin: the hashing-trick featurizer — md5-32(token) mod 1024 via
 # the shared _H32/_TOKS contracts; hash collisions fold identically in
 # both engines because the hash IS the contract.

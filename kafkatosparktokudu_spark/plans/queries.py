@@ -2077,6 +2077,65 @@ def ss15_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st06_state_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment against the MUTABLE StateStore
+    (streaming/pipeline.py::enrich_epoch / start_state_enriched_stream):
+    events arrive in two event_id halves; between the epochs the
+    dimension store is UPSERTED (even users' grade += 100), and each
+    epoch joins the dimensions as of its own trigger — the downstream
+    consumer pattern of every CDC deployment (per-epoch store re-read,
+    NOT a plan-time-pinned static side). The oracle recomputes both
+    epochs' joins from the version rules; the live face + mid-stream
+    dim-update visibility is pinned in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.merge import StateStore
+    from ..streaming.pipeline import enrich_epoch
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    lo, hi = events.agg(F.min("event_id"), F.max("event_id")).first()
+    cut = lo + (hi - lo) // 2
+    tmp = tempfile.mkdtemp(prefix="st06_")
+    try:
+        dim_schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType(), False),
+                T.StructField("grade", T.IntegerType(), True),
+            ]
+        )
+        store = StateStore(spark, f"{tmp}/dims", ["user_id"], dim_schema, 16)
+        users = events.select("user_id").distinct()
+        store.upsert_batch(
+            users.select(
+                "user_id", (F.col("user_id") % 5).cast("int").alias("grade")
+            )
+        )
+        enrich_epoch(
+            events.filter(F.col("event_id") < cut), 0, store,
+            f"{tmp}/out", "user_id",
+        )
+        store.upsert_batch(
+            users.filter(F.col("user_id") % 2 == 0).select(
+                "user_id",
+                (F.col("user_id") % 5 + 100).cast("int").alias("grade"),
+            )
+        )
+        enrich_epoch(
+            events.filter(F.col("event_id") >= cut), 1, store,
+            f"{tmp}/out", "user_id",
+        )
+        res = spark.read.parquet(f"{tmp}/out").select(
+            "event_id", "user_id", "grade", F.col("epoch").cast("int").alias("epoch")
+        )
+        rows = res.collect()  # materialize before the temp dirs vanish
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def tx23_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing featurizer (operators/text.py::hashed_tf_features
     — Weinberger et al. 2009's hashing trick): sparse hashed TF vectors
@@ -3990,6 +4049,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss16_ivfadc_topk": ss16_ivfadc_topk,
     "tx23_hashed_features": tx23_hashed_features,
     "tx24_hashed_linear_score": tx24_hashed_linear_score,
+    "st06_state_enriched_events": st06_state_enriched_events,
     # --- round-9 front section ---
     "st04_ingest_shards": st04_ingest_shards,
     "ss13_pq_rerank_topk": ss13_pq_rerank_topk,

@@ -114,6 +114,10 @@ EXCLUDED = [
     # st05: collected-register assembly (bounded <=2^p rows) — audited
     # plans are sk04/sk05, already in HEADLINE-adjacent coverage.
     "st05_hll_monitor",
+    # st06: driver-loop epoch replay over a temp store returning a
+    # collected-rows frame — the audited join shape is a plain keyed
+    # equi join (q04-class); freshness is the live test's concern.
+    "st06_state_enriched_events",
     # mm08/09/10: one scan -> mapInPandas encode -> mapInPandas parse; the
     # plans are single Python-eval chains, nothing to audit beyond mm02/mm07.
     "mm08_real_codec_roundtrip",

@@ -2011,3 +2011,93 @@ def test_fsio_epoch_listing_and_retention(spark, tmp_path):
     assert prune_epochs(spark, base, keep_latest=2) == [0, 1]
     assert list_epochs(spark, base) == [2, 5]
     assert prune_epochs(spark, base, keep_latest=2) == []
+
+
+def test_stream_static_enrichment_sees_dim_updates(spark, tmp_path):
+    """st06 live pipeline (streaming/pipeline.py::
+    start_state_enriched_stream): a dimension UPSERT between triggers is
+    visible to the next trigger — each micro-batch joins the StateStore's
+    CURRENT contents (per-epoch store re-read; a plan-time-pinned static
+    parquet side would both miss the update and break on the store's
+    bucket-swap rewrite). Also pins epoch-replay determinism: re-running
+    an epoch body against unchanged dims rewrites identical output."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from kafkatosparktokudu_spark.operators.merge import StateStore
+    from kafkatosparktokudu_spark.streaming.pipeline import (
+        enrich_epoch,
+        start_state_enriched_stream,
+    )
+
+    dim_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("grade", T.IntegerType(), True),
+        ]
+    )
+    store = StateStore(spark, str(tmp_path / "dims"), ["user_id"], dim_schema, 8)
+    users = spark.range(20).select(F.col("id").alias("user_id"))
+    store.upsert_batch(
+        users.select("user_id", (F.col("user_id") % 5).cast("int").alias("grade"))
+    )
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    ev_schema = "event_id bigint, user_id bigint"
+    b0 = spark.range(40).select(
+        F.col("id").alias("event_id"), (F.col("id") % 20).alias("user_id")
+    )
+    b0.coalesce(1).write.parquet(str(src / "b0"))
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def _stream():
+        return (
+            spark.readStream.schema(ev_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+
+    q = start_state_enriched_stream(
+        spark, _stream(), store, ckpt, out, "user_id", available_now=True
+    )
+    q.awaitTermination(120)
+
+    # dim update BETWEEN triggers, then the second file on the same ckpt
+    store.upsert_batch(
+        users.filter(F.col("user_id") % 2 == 0).select(
+            "user_id", (F.col("user_id") % 5 + 100).cast("int").alias("grade")
+        )
+    )
+    b1 = spark.range(40, 80).select(
+        F.col("id").alias("event_id"), (F.col("id") % 20).alias("user_id")
+    )
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    q2 = start_state_enriched_stream(
+        spark, _stream(), store, ckpt, out, "user_id", available_now=True
+    )
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 80
+    first = {r["event_id"]: r["grade"] for r in got.filter("event_id < 40").collect()}
+    second = {r["event_id"]: r["grade"] for r in got.filter("event_id >= 40").collect()}
+    for eid, g in first.items():
+        assert g == (eid % 20) % 5, (eid, g)         # v1 dims
+    for eid, g in second.items():
+        u = eid % 20
+        want = u % 5 + 100 if u % 2 == 0 else u % 5  # v2 dims
+        assert g == want, (eid, g)
+
+    # replay determinism: rerun the SECOND epoch's body directly (dims
+    # unchanged since) — output bit-identical
+    epochs = sorted(
+        int(d.name.split("=")[1])
+        for d in (tmp_path / "out").iterdir()
+        if d.name.startswith("epoch=")
+    )
+    last = epochs[-1]
+    before = sorted(tuple(r) for r in spark.read.parquet(f"{out}/epoch={last}").collect())
+    enrich_epoch(b1, last, store, out, "user_id")
+    after = sorted(tuple(r) for r in spark.read.parquet(f"{out}/epoch={last}").collect())
+    assert before == after
