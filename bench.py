@@ -49,6 +49,18 @@ BENCH_QUERIES = [
 
 N_CDC_RECORDS = 200_000
 
+# Secondary section (VERDICT r10 #5): the newest ANN / featurizer /
+# multimodal paths get their OWN metric keys so regressions are
+# detectable round-over-round WITHOUT perturbing the 22-query headline
+# total that has been comparable since r8. Same warmup + median-of-3
+# protocol as the headline loop.
+SECONDARY_QUERIES = [
+    "ss15_ivf_trained_topk",    # trained-centroid IVF (Lloyd's + probe + rerank)
+    "ss16_ivfadc_topk",         # IVF-ADC composed (cell pruning x PQ codes)
+    "tx23_hashed_features",     # dictionary-free feature hashing
+    "mm11_resize_real",         # real decoded-pixel integer resize
+]
+
 
 def _gen_cdc_batch(spark, n: int):
     """Synthetic OGG change records (I/U/D mix over 20k keys) as a raw
@@ -104,10 +116,47 @@ def _load_stamp() -> dict:
     return stamp
 
 
+def _load_gate() -> dict:
+    """Refuse to start while the box is hot (VERDICT r10 #1): BENCH_r10's
+    +24.7% paper regression was machine load (load1=5.39 at start), which
+    the protocol STAMPED but didn't act on. Wait, bounded, for load1 to
+    drop under the gate; if it never does, proceed anyway with
+    ``timed_out: true`` so the artifact says its numbers are suspect.
+
+    Knobs: SPARK_GRAFT_LOAD_GATE (threshold, default 2.0; 0 disables),
+    SPARK_GRAFT_LOAD_GATE_TIMEOUT_S (default 900)."""
+    threshold = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+    timeout_s = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_TIMEOUT_S", "900"))
+    gate = {"threshold": threshold, "waited_s": 0.0, "polls": 0, "timed_out": False}
+    if threshold <= 0:
+        gate["disabled"] = True
+        return gate
+    start = time.time()
+    while True:
+        try:
+            load1 = os.getloadavg()[0]
+        except OSError:
+            gate["unavailable"] = True
+            return gate
+        gate["polls"] += 1
+        if load1 <= threshold:
+            gate["load1_at_pass"] = round(load1, 2)
+            gate["waited_s"] = round(time.time() - start, 1)
+            return gate
+        if time.time() - start > timeout_s:
+            gate["timed_out"] = True
+            gate["load1_at_pass"] = round(load1, 2)
+            gate["waited_s"] = round(time.time() - start, 1)
+            return gate
+        time.sleep(15)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    gate = _load_gate()  # block BEFORE the session spins up its own load
 
     from kafkatosparktokudu_spark.session import get_spark
     from kafkatosparktokudu_spark.plans.queries import QUERIES
@@ -143,6 +192,21 @@ def main() -> None:
             if rep > 0:  # rep 0 is the warmup
                 reps.append(time.time() - start)
         results[name] = round(sorted(reps)[1], 3)
+        spread[name] = [round(min(reps), 3), round(max(reps), 3)]
+
+    # Secondary section: same protocol, separate keys (NOT in the total).
+    secondary: dict[str, float] = {}
+    for name in SECONDARY_QUERIES:
+        fn = QUERIES[name]
+        reps = []
+        for rep in range(4):
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+            start = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            if rep > 0:
+                reps.append(time.time() - start)
+        secondary[name] = round(sorted(reps)[1], 3)
         spread[name] = [round(min(reps), 3), round(max(reps), 3)]
 
     # CDC throughput: full parse→normalize→fold→MERGE of a synthetic batch
@@ -239,6 +303,7 @@ def main() -> None:
                 "baseline_cdc_rate_rec_s": 10000,
                 "ingest_rate_docs_s": ingest_rate,
                 "ingest_epoch_sec": round(ingest_secs, 3),
+                "secondary": secondary,
                 # protocol + environment stamps: per-query numbers are the
                 # MEDIAN of 3 timed reps after 1 untimed warmup (CDC:
                 # median of 5); queries_spread is [min, max] over the
@@ -249,6 +314,7 @@ def main() -> None:
                     "timed_reps": 3,
                     "stat": "median",
                     "cdc_timed_reps": 5,
+                    "load_gate": gate,
                 },
                 "queries_spread": spread,
                 "load_start": load_start,

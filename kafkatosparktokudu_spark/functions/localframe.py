@@ -37,8 +37,23 @@ def local_frame(spark: SparkSession, rows, schema: str | T.StructType) -> DataFr
         # path rejects an empty pandas frame with object dtypes
         return spark.createDataFrame([], schema)
     names = [f.name for f in schema.fields]
+    int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     try:
-        pdf = pd.DataFrame(rows, columns=names)
+        cols = list(zip(*rows))
+        data = {}
+        for i, f in enumerate(schema.fields):
+            vals = list(cols[i])
+            # An int column containing a None is upcast by pandas to
+            # float64, which SILENTLY rounds values >= 2^53 instead of
+            # erroring (so the except-fallback below never fires). Build
+            # such columns with dtype=object — Arrow converts object
+            # int/None cells to the schema's integer type losslessly.
+            # (ADVICE r10; pinned by test_local_frame_bigint_none_exact.)
+            if isinstance(f.dataType, int_types) and any(v is None for v in vals):
+                data[f.name] = pd.Series(vals, dtype=object)
+            else:
+                data[f.name] = pd.Series(vals)
+        pdf = pd.DataFrame(data, columns=names)
         return spark.createDataFrame(pdf, schema=schema)
     except Exception:  # noqa: BLE001 — exotic element types (nested
         # arrays/maps, mixed None) can defeat the pandas conversion;

@@ -294,12 +294,15 @@ def incremental_neardup_ingest(
     )
     keepers = hs_new.join(in_dup.select(id_col), id_col, "left_anti")
     bands_new = _bands_from_hashed(keepers, id_col)
-    # (2) keepers vs the accepted history
-    import os
+    # (2) keepers vs the accepted history. The existence probe goes through
+    # the Hadoop FileSystem API (fsio), NOT os.listdir: the store is read
+    # and appended via spark.read/write, so on an HDFS/S3 sig_dir a
+    # driver-local check would be always-False and every epoch would
+    # silently re-admit duplicates while the appends kept succeeding
+    # (ADVICE r10 — the same failure mode fsio closed for st04's counters).
+    from ..streaming.fsio import dir_has_files
 
-    store_exists = os.path.isdir(store_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(store_dir)
-    )
+    store_exists = dir_has_files(spark, store_dir, suffix=".parquet")
     if store_exists:
         old = spark.read.parquet(store_dir)
         cand = (
@@ -575,7 +578,7 @@ PRODUCTION_TAU_BAND = (0.7, 0.95)
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.3,
-    n_cells: int = 32,
+    n_cells: int | None = None,
     nprobe: int = 4,
     blocking: str = "seeds",
 ) -> DataFrame:
@@ -625,6 +628,15 @@ def embedding_neardup_pairs(
 
     if blocking not in ("seeds", "centroids"):
         raise ValueError(f"blocking must be seeds|centroids, got {blocking!r}")
+    if n_cells is None:
+        from .similarity import auto_n_cells
+
+        # resolve ONCE here (not inside seed_cell_assign) so the docstring
+        # claim "n_cells grows ~sqrt(n)" is the DEFAULT behavior, not a
+        # knob the operator forgets to turn at scale (VERDICT r10 #6 —
+        # measured on the x16 corpus: auto 180 cells vs fixed 32 cuts the
+        # candidate join mass ~5.6x, NOTES r11)
+        n_cells = auto_n_cells(emb)
     if blocking == "centroids":
         cents = train_ivf_centroids(emb, n_cells=n_cells)
         cells = ivf_assign_multiprobe(emb, cents, nprobe=nprobe)

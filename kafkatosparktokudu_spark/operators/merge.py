@@ -41,6 +41,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _BUCKET = "_bucket"
+# geometry metadata, persisted IN the store dir: underscore-prefixed files
+# are invisible to Spark's file index (like _SUCCESS), so the parquet
+# reads never see it. Without this a store rebucketed to N'=128 reopened
+# by code still passing n_buckets=64 would prune point lookups with the
+# WRONG hash modulus and silently miss rows.
+_META = "_STORE_META.json"
+# commit marker for the rebucket swap: written LAST into a fully-staged
+# copy; its presence means "the staged geometry is the committed truth".
+_REBUCKET_COMMIT = "_REBUCKET_COMMIT"
 
 
 def merge_upserts(
@@ -109,6 +118,19 @@ class StateStore:
         exactly one bucket) — lets a composite-keyed store, e.g. a
         per-entity change log keyed (id, seq), prune reads by the leading
         column alone ("all of this id's rows")."""
+        # LOCAL-FILESYSTEM-ONLY, enforced: the bucket swap / snapshot /
+        # purge protocols use os.rename + hardlinks, so a remote URI
+        # (hdfs://, s3a://, even file://) would make exists() always-False
+        # — st06's enrich_epoch would silently join an EMPTY dimension side
+        # while writes kept landing (ADVICE r10). Fail fast instead; the
+        # lakehouse swap-in for remote stores is MERGE INTO (module
+        # docstring / DEPLOY.md).
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", path):
+            raise ValueError(
+                f"StateStore is local-filesystem-only (got URI {path!r}); "
+                "use a plain local path, or a Delta/Iceberg MERGE INTO "
+                "sink for remote storage (see DEPLOY.md)"
+            )
         self.spark = spark
         self.path = path
         self.key_cols = key_cols
@@ -119,11 +141,79 @@ class StateStore:
                 f"bucket_cols {bucket_cols} must be a prefix of key_cols {key_cols}"
             )
         self.bucket_cols = bucket_cols or key_cols
+        # heal a crashed rebucket swap BEFORE anything reads or writes,
+        # then adopt the persisted geometry: the on-disk _STORE_META wins
+        # over the constructor argument so call sites need no change when
+        # an operator rebuckets a live store (VERDICT r10 #2).
+        self._recover_rebucket()
+        meta = self._read_meta()
+        if meta is not None and "n_buckets" in meta:
+            self.n_buckets = int(meta["n_buckets"])
 
     # -- helpers ------------------------------------------------------------
-    def _bucket_col(self) -> F.Column:
+    def _bucket_col(self, n_buckets: int | None = None) -> F.Column:
         key = F.concat_ws("\x1f", *[F.col(k) for k in self.bucket_cols])
-        return F.pmod(F.xxhash64(key), F.lit(self.n_buckets)).cast("int")
+        n = self.n_buckets if n_buckets is None else n_buckets
+        return F.pmod(F.xxhash64(key), F.lit(n)).cast("int")
+
+    def _read_meta(self) -> dict | None:
+        import json
+
+        try:
+            with open(os.path.join(self.path, _META), encoding="utf-8") as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None
+
+    def _write_meta(self, dir_path: str | None = None, n_buckets: int | None = None) -> None:
+        import json
+
+        target = dir_path or self.path
+        if not os.path.isdir(target):
+            return
+        tmp = os.path.join(target, _META + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(
+                {"n_buckets": n_buckets if n_buckets is not None else self.n_buckets},
+                fh,
+            )
+        os.replace(tmp, os.path.join(target, _META))
+
+    def _recover_rebucket(self) -> None:
+        """Finish or roll back a rebucket swap interrupted by a crash.
+
+        The swap protocol (``rebucket``) has exactly four crash windows;
+        each leaves an unambiguous layout, so recovery is decision-free:
+
+        - staging WITHOUT the commit marker → the staged write never
+          finished: delete staging, the live store is untouched;
+        - staging WITH the marker (live dir present or already renamed
+          away) → the new geometry is committed: complete the swap;
+        - leftover ``.__rebucket_old__`` next to a live store → the swap
+          finished but cleanup didn't: delete it;
+        - a stray commit marker inside the live store → final tidy-up.
+        """
+        old = self.path + ".__rebucket_old__"
+        import glob
+
+        for stg in glob.glob(glob.escape(self.path) + ".__rebucket_*__"):
+            if stg == old:
+                continue
+            if os.path.isfile(os.path.join(stg, _REBUCKET_COMMIT)):
+                # committed: the staged copy IS the store now
+                if os.path.isdir(self.path):
+                    shutil.rmtree(self.path)
+                os.rename(stg, self.path)
+            else:
+                shutil.rmtree(stg, ignore_errors=True)
+        if os.path.isdir(old):
+            if os.path.isdir(self.path):
+                shutil.rmtree(old, ignore_errors=True)
+            else:  # unreachable under the protocol order, but heal anyway
+                os.rename(old, self.path)
+        marker = os.path.join(self.path, _REBUCKET_COMMIT)
+        if os.path.isfile(marker):
+            os.remove(marker)
 
     def exists(self) -> bool:
         return os.path.isdir(self.path) and any(
@@ -220,6 +310,7 @@ class StateStore:
                 .partitionBy(_BUCKET)
                 .parquet(self.path)
             )
+            self._write_meta()  # pin the geometry at creation
             return
         # Cache the folded batch: it is read twice (affected-bucket scan
         # + the merge itself) and folding is the expensive part.
@@ -363,6 +454,69 @@ class StateStore:
             if os.path.isdir(src):
                 os.rename(src, dst)
         shutil.rmtree(staging, ignore_errors=True)
+
+    def rebucket(self, n_new: int) -> None:
+        """Online bucket-count migration (VERDICT r10 #2 — the last 100 TB
+        maintenance op): rewrite the WHOLE table once at the new hash
+        geometry, then swap it in atomically. DEPLOY.md tells operators to
+        scale n_buckets with table size (the ×91 stress measured why:
+        probe cost tracks touched buckets, so a store that outgrew its
+        bucket count serves every batch from a few giant files); before
+        this, changing n_buckets meant an undocumented by-hand rewrite.
+
+        Protocol (single-writer, like every other mutation here):
+
+        1. stage the full table re-hashed to ``n_new`` buckets at
+           ``{path}.__rebucket_{n_new}__`` — ONE distributed job, the only
+           full-table pass; readers keep using the live store throughout;
+        2. write the staged ``_STORE_META`` (n_new), then the
+           ``_REBUCKET_COMMIT`` marker LAST — the commit point;
+        3. swap: rename live → ``.__rebucket_old__``, staging → live,
+           drop the marker, delete old.
+
+        A crash anywhere replays through ``_recover_rebucket`` (runs at
+        every handle construction): before the marker the operation
+        vanishes, after it the swap completes — never a half-geometry
+        store. Point lookups from a handle opened mid-recovery see either
+        the old or the new geometry, both correct, because the hash
+        modulus always travels WITH the directory via ``_STORE_META``
+        (the constructor's n_buckets is just the initial default).
+
+        Cost: one full-table read+write — O(table), unavoidable for a
+        modulus change, but bounded, restartable, and done ONCE per
+        capacity step (vs every batch overpaying on a wrong geometry).
+        """
+        if n_new < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_new}")
+        self._recover_rebucket()
+        if n_new == self.n_buckets:
+            return
+        if not self.exists():
+            self.n_buckets = n_new
+            self._write_meta()  # no-op if the dir doesn't exist yet
+            return
+        staging = f"{self.path}.__rebucket_{n_new}__"
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            self.read()
+            .withColumn(_BUCKET, self._bucket_col(n_buckets=n_new))
+            .repartition(_BUCKET)
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET)
+            .parquet(staging)
+        )
+        self._write_meta(dir_path=staging, n_buckets=n_new)
+        # commit point: marker lands only after the staged copy + meta are
+        # fully on disk (os-level create after the write job returned)
+        with open(os.path.join(staging, _REBUCKET_COMMIT), "w", encoding="utf-8") as fh:
+            fh.write(f"{self.n_buckets}->{n_new}\n")
+        old = self.path + ".__rebucket_old__"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.path, old)
+        os.rename(staging, self.path)
+        os.remove(os.path.join(self.path, _REBUCKET_COMMIT))
+        shutil.rmtree(old, ignore_errors=True)
+        self.n_buckets = n_new
 
     # -- housekeeping -------------------------------------------------------
     def purge_soft_deleted(
@@ -567,4 +721,6 @@ def upsert_many(
             dst = os.path.join(store.path, entry)
             shutil.rmtree(dst, ignore_errors=True)
             os.rename(os.path.join(src_tab, entry), dst)
+        if store._read_meta() is None:
+            store._write_meta()  # first write of this table: pin geometry
     shutil.rmtree(staging, ignore_errors=True)

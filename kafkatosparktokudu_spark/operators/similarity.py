@@ -302,9 +302,23 @@ def ivf_topk(
     )
 
 
+def auto_n_cells(emb: DataFrame) -> int:
+    """Default IVF cell count: ``ceil(sqrt(n))`` — the standard IVF sizing
+    (FAISS guideline; also what every "n_cells grows ~√n" scale note in
+    this module prescribes). VERDICT r10 #6: dd05's ×16 solo wall was
+    candidate-generation-bound at a FIXED n_cells=32 for 32k vectors
+    (≈1000/cell); √n ≈ 181 cells cuts expected candidate mass ~n·nprobe²/
+    n_cells proportionally. The count() this costs is one metadata-cheap
+    job (parquet row counts come from footers); oracled queries pass
+    their n_cells EXPLICITLY instead, so the SQL contract never moves."""
+    import math
+
+    return max(1, math.ceil(math.sqrt(emb.count())))
+
+
 def seed_cell_assign(
     emb: DataFrame,
-    n_cells: int = 32,
+    n_cells: int | None = None,
     nprobe: int = 4,
     seeds_from: DataFrame | None = None,
 ) -> DataFrame:
@@ -326,9 +340,14 @@ def seed_cell_assign(
     ``seeds_from`` lets a second frame (e.g. a query batch in knn_join)
     share the corpus' anchors — assignments are only comparable across
     frames when their cells are.
+
+    ``n_cells=None`` (default) auto-sizes to ``auto_n_cells`` of the
+    anchor frame; pass an explicit value to pin an oracle contract.
     """
     from ..functions.vectors import norm
 
+    if n_cells is None:
+        n_cells = auto_n_cells(seeds_from if seeds_from is not None else emb)
     seeds = (
         (seeds_from if seeds_from is not None else emb)
         .select("vec_id", "embedding")
@@ -560,7 +579,7 @@ def knn_join(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_cells: int = 32,
+    n_cells: int | None = None,
     nprobe: int = 4,
     queries_are_subset: bool = False,
 ) -> DataFrame:
@@ -589,6 +608,8 @@ def knn_join(
 
     from ..functions.vectors import dot, norm
 
+    if n_cells is None:
+        n_cells = auto_n_cells(emb)  # resolve ONCE: both sides share cells
     cells = seed_cell_assign(emb, n_cells=n_cells, nprobe=nprobe).persist()
     cc = cells.withColumnRenamed("vec_id", "n_id")
     if queries_are_subset:
@@ -628,7 +649,7 @@ def knn_join(
 def radius_density(
     emb: DataFrame,
     tau: float = 0.3,
-    n_cells: int = 32,
+    n_cells: int | None = None,
     nprobe: int = 4,
 ) -> DataFrame:
     """Embedding NEIGHBORHOOD DENSITY (ss14) — for EVERY vector, how many
@@ -1594,6 +1615,7 @@ def knn_label_vote(
     queries: DataFrame,
     k: int = 5,
     queries_are_subset: bool = True,
+    n_cells: int | None = None,
 ) -> DataFrame:
     """kNN majority-vote labeling (ss12) — the weak-labeling /
     auto-annotation pass over ``knn_join``: each query vector takes the
@@ -1611,7 +1633,7 @@ def knn_label_vote(
     from pyspark.sql import Window as W
 
     nn = knn_join(
-        emb, queries, k=k, queries_are_subset=queries_are_subset
+        emb, queries, k=k, n_cells=n_cells, queries_are_subset=queries_are_subset
     )
     votes = (
         nn.join(

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.exact import MONEY, RATE, davg, dec, dsum, prod_sum_double
+from ..functions.localframe import local_frame
 from ..sources.batch import load_table
 
 
@@ -424,7 +425,8 @@ def q23_range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.joins import broadcast_range_join
 
     events = _t(spark, sf_dir, "events")
-    tiers = spark.createDataFrame(
+    tiers = local_frame(
+        spark,
         [(0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 1e9, "high")],
         "lo double, hi double, tier string",
     )
@@ -833,7 +835,7 @@ def cdc_emp_history_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         store.apply_batch(emp.filter(F.col("seq") >= cut))
         out = store.history()
         rows = out.collect()  # materialize before the temp store vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -942,7 +944,7 @@ def cdc_dept_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         )
         for chunk in halves:
-            raw = spark.createDataFrame([(l,) for l in chunk], "value string")
+            raw = local_frame(spark, [(l,) for l in chunk], "value string")
             valid, _ = split_valid(parse_ogg(raw))
             folded = fold_table_changes(
                 normalize(valid).filter(F.col("tab_name") == "emp"), target
@@ -959,7 +961,7 @@ def cdc_dept_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()  # materialize before the temp dir vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1776,7 +1778,9 @@ def px03_semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import duplicate_clusters, embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_neardup_pairs(emb, threshold=0.3)
+    # n_cells pinned: the oracle recomputes this exact 32-cell assignment
+    # (production default is now auto ~sqrt(n) — VERDICT r10 #6)
+    pairs = embedding_neardup_pairs(emb, threshold=0.3, n_cells=32)
     clusters = duplicate_clusters(pairs, id_a="vec_a", id_b="vec_b")
     labeled = emb.select("vec_id", "label").join(
         clusters.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left"
@@ -1877,7 +1881,11 @@ def dd07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import embedding_neardup_pairs
 
-    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+    # n_cells pinned to the oracle's 32-cell contract (production default
+    # is now auto ~sqrt(n) — VERDICT r10 #6)
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_cells=32
+    )
 
 
 def dd08_char_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2131,7 +2139,7 @@ def st06_state_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "user_id", "grade", F.col("epoch").cast("int").alias("epoch")
         )
         rows = res.collect()  # materialize before the temp dirs vanish
-        return spark.createDataFrame(rows, res.schema)
+        return local_frame(spark, rows, res.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -2480,7 +2488,11 @@ def ss05_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return knn_join(
-        emb, emb.filter(F.col("vec_id") < 20), k=5, queries_are_subset=True
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        k=5,
+        n_cells=32,  # oracle contract pin (production default: auto ~sqrt(n))
+        queries_are_subset=True,
     )
 
 
@@ -2525,7 +2537,7 @@ def px06_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         f2 = incremental_neardup_ingest(docs.filter(F.col("doc_id") >= cut), store)
         out = f1.unionByName(f2)
         rows = out.collect()  # materialize before the temp store vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -3225,9 +3237,7 @@ def mm06_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     finally:
         shutil.rmtree(out, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "doc_id long, n_bytes long, payload_md5 string"
-    )
+    return local_frame(spark, rows, "doc_id long, n_bytes long, payload_md5 string")
 
 
 def gr03_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3739,7 +3749,8 @@ def dd15_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ss14_radius_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import radius_density
 
-    return radius_density(_t(spark, sf_dir, "embeddings"), tau=0.3)
+    # n_cells pinned to the oracle's 32-cell contract
+    return radius_density(_t(spark, sf_dir, "embeddings"), tau=0.3, n_cells=32)
 
 
 # Leakage-safe train/eval split (operators/dedup.py::leakage_safe_split)
@@ -3829,7 +3840,7 @@ def st04_ingest_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         ingest_shards_epoch(docs.filter(F.col("doc_id") >= cut), 1, store, out)
         res = read_shard_assignment(spark, out)
         rows = res.collect()  # materialize before the temp dirs vanish
-        return spark.createDataFrame(rows, res.schema)
+        return local_frame(spark, rows, res.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -3863,7 +3874,7 @@ def st05_hll_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         res = read_hll_estimate(spark, store)
         rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        return local_frame(spark, rows, res.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -3877,7 +3888,11 @@ def ss12_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return knn_label_vote(
-        emb, emb.filter(F.col("vec_id") < 20), k=5, queries_are_subset=True
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        k=5,
+        queries_are_subset=True,
+        n_cells=32,  # oracle contract pin (production default: auto ~sqrt(n))
     )
 
 
@@ -4036,6 +4051,67 @@ def tx20_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- round-11 front section (VERDICT r10 #3/#9, computed by
+    # scripts/check_rotation.py against fixtures/query_deps.json):
+    # 65 queries are implicated by this round's changed files
+    # (localframe int-exactness, merge.py rebucket+meta, fsio probes,
+    # dedup/similarity auto n_cells, pipeline read_hll_estimate, 9
+    # harness local_frame swaps, n_cells oracle pins) — more than the
+    # window holds, so the window is SATURATED with the 50 highest-risk
+    # (tx19 leads — the r10 rotation miss); the 15 lowest-risk overflow
+    # (file-level-implicated only, changed functions unreached, fresh
+    # green rows): st01-st03, dd01/dd02/dd09/dd12-dd14,
+    # gr01-gr03, px05, px12, tx18 — named in NOTES r11 for next round.
+    "tx19_bpe_merges": tx19_bpe_merges,
+    "dd05_embedding_neardup": dd05_embedding_neardup,
+    "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,
+    "ss05_knn_join": ss05_knn_join,
+    "ss12_knn_label_vote": ss12_knn_label_vote,
+    "ss14_radius_density": ss14_radius_density,
+    "st04_ingest_shards": st04_ingest_shards,
+    "st05_hll_monitor": st05_hll_monitor,
+    "st06_state_enriched_events": st06_state_enriched_events,
+    "px06_incremental_ingest": px06_incremental_ingest,
+    "cdc_dept_rollup": cdc_dept_rollup,
+    "cdc_emp_history_incr": cdc_emp_history_incr,
+    "cdc_stream_emp_state": cdc_stream_emp_state,
+    "q23_range_join_tiers": q23_range_join_tiers,
+    "mm06_webdataset_roundtrip": mm06_webdataset_roundtrip,
+    "dd07_dup_clusters": dd07_dup_clusters,
+    "dd15_soft_dedup_weights": dd15_soft_dedup_weights,
+    "gr05_bfs_hops": gr05_bfs_hops,
+    "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,
+    "px15_epoch_shuffle": px15_epoch_shuffle,
+    "px16_quality_aware_dedup": px16_quality_aware_dedup,
+    "px17_sequence_packing": px17_sequence_packing,
+    "px19_stratified_shards": px19_stratified_shards,
+    "px20_leakage_safe_split": px20_leakage_safe_split,
+    "px21_budget_selection": px21_budget_selection,
+    "px22_grouped_budget": px22_grouped_budget,
+    "q90_distributed_rank": q90_distributed_rank,
+    "q91_compaction_bins": q91_compaction_bins,
+    "sk01_cms_heavy_hitters": sk01_cms_heavy_hitters,
+    "ss11_mmr_rerank": ss11_mmr_rerank,
+    "dd03_minhash_bands": dd03_minhash_bands,
+    "dd04_neardup_pairs": dd04_neardup_pairs,
+    "dd06_simhash": dd06_simhash,
+    "dd08_char_neardup_pairs": dd08_char_neardup_pairs,
+    "dd10_simhash_neardup": dd10_simhash_neardup,
+    "dd11_jaccard_estimate": dd11_jaccard_estimate,
+    "px09_semdedup": px09_semdedup,
+    "tx22_source_overlap": tx22_source_overlap,
+    "ss01_knn_cosine": ss01_knn_cosine,
+    "ss02_label_centroids": ss02_label_centroids,
+    "ss03_ann_lsh_topk": ss03_ann_lsh_topk,
+    "ss04_ivf_topk": ss04_ivf_topk,
+    "ss06_kmeans_clusters": ss06_kmeans_clusters,
+    "ss07_pq_encode": ss07_pq_encode,
+    "ss08_pq_adc_topk": ss08_pq_adc_topk,
+    "ss09_int8_quantize": ss09_int8_quantize,
+    "ss10_ivf_deploy_topk": ss10_ivf_deploy_topk,
+    "ss13_pq_rerank_topk": ss13_pq_rerank_topk,
+    "ss15_ivf_trained_topk": ss15_ivf_trained_topk,
+    "ss16_ivfadc_topk": ss16_ivfadc_topk,
     # --- round-10 front section: new queries lead (mm11 real resize,
     # mm12 exact byte stats, ss15 trained IVF); every query whose
     # implementing code changed this round sits < 50 for a fresh driver
@@ -4045,72 +4121,34 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (twin-pointer docstrings), dd05 (threshold-band docstring) ---
     "mm11_resize_real": mm11_resize_real,
     "mm12_byte_stats": mm12_byte_stats,
-    "ss15_ivf_trained_topk": ss15_ivf_trained_topk,
-    "ss16_ivfadc_topk": ss16_ivfadc_topk,
     "tx23_hashed_features": tx23_hashed_features,
     "tx24_hashed_linear_score": tx24_hashed_linear_score,
-    "st06_state_enriched_events": st06_state_enriched_events,
     # --- round-9 front section ---
-    "st04_ingest_shards": st04_ingest_shards,
-    "ss13_pq_rerank_topk": ss13_pq_rerank_topk,
-    "px20_leakage_safe_split": px20_leakage_safe_split,
-    "px21_budget_selection": px21_budget_selection,
-    "ss14_radius_density": ss14_radius_density,
     "gr06_label_propagation": gr06_label_propagation,
-    "st05_hll_monitor": st05_hll_monitor,
     "mm08_real_codec_roundtrip": mm08_real_codec_roundtrip,
     "mm09_audio_frame_energy": mm09_audio_frame_energy,
     "mm10_image_pixel_stats": mm10_image_pixel_stats,
-    "px22_grouped_budget": px22_grouped_budget,
     # --- new in round 8 ---
     "tx21_zipf_stats": tx21_zipf_stats,
-    "px16_quality_aware_dedup": px16_quality_aware_dedup,
-    "ss11_mmr_rerank": ss11_mmr_rerank,
-    "px17_sequence_packing": px17_sequence_packing,
-    "gr05_bfs_hops": gr05_bfs_hops,
     # ss08 rotated UP for r10 (_adc_distance_col extraction reaches
     # pq_adc_topk); q96 — unchanged, fresh green r9 row — yields its slot
-    "ss08_pq_adc_topk": ss08_pq_adc_topk,
     "dq06_fk_integrity": dq06_fk_integrity,
     "st03_ohlc_windows": st03_ohlc_windows,
-    "ss12_knn_label_vote": ss12_knn_label_vote,
     "mm07_inference_batches": mm07_inference_batches,
     "px18_mixture_epoch_plan": px18_mixture_epoch_plan,
-    "dd15_soft_dedup_weights": dd15_soft_dedup_weights,
-    "px19_stratified_shards": px19_stratified_shards,
-    "tx22_source_overlap": tx22_source_overlap,
-    "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,
-    "dd08_char_neardup_pairs": dd08_char_neardup_pairs,
-    "dd04_neardup_pairs": dd04_neardup_pairs,
-    "dd03_minhash_bands": dd03_minhash_bands,
-    "ss04_ivf_topk": ss04_ivf_topk,
     # --- round-8 front section: queries whose implementing code changed
     # this round (the seed_cell_assign/kmeans_assign generated-SQL rebuild
     # in similarity.py reaches dd05/px03/ss05/px09/ss06/ss02; char_shingles'
     # NULL contract reaches dd06/dd10/dd11) — rotated into the driver's
     # 50-query window for fresh green rows; unchanged entries below yield
     # their slots ---
-    "dd05_embedding_neardup": dd05_embedding_neardup,
-    "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,
-    "ss05_knn_join": ss05_knn_join,
-    "px09_semdedup": px09_semdedup,
-    "ss06_kmeans_clusters": ss06_kmeans_clusters,
-    "ss02_label_centroids": ss02_label_centroids,
-    "dd06_simhash": dd06_simhash,
-    "dd10_simhash_neardup": dd10_simhash_neardup,
     "tx20_bpe_encode": tx20_bpe_encode,
     # q90/q91 rotated UP into the window for r10 (two_stage_offsets'
     # integer-div change reaches both); sk07/q95 — unchanged, fresh
     # green r8/r9 rows — yield their slots
-    "q90_distributed_rank": q90_distributed_rank,
-    "q91_compaction_bins": q91_compaction_bins,
-    "px15_epoch_shuffle": px15_epoch_shuffle,
     # dd07/tx19 rotated UP for r10 (local_frame conversion reaches
     # duplicate_clusters' union-find frame and the BPE merge-table frame);
     # gr04/q94 — unchanged, fresh green rows — yield their slots
-    "dd07_dup_clusters": dd07_dup_clusters,
-    "tx19_bpe_merges": tx19_bpe_merges,
-    "dd11_jaccard_estimate": dd11_jaccard_estimate,
     "sk06_kmv_overlap": sk06_kmv_overlap,
     "sk04_hll_distinct": sk04_hll_distinct,
     "sk05_hll_union_daily": sk05_hll_union_daily,
@@ -4137,16 +4175,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq05_skew_report": dq05_skew_report,
     "q86_zorder_layout": q86_zorder_layout,
     "tx12_contamination": tx12_contamination,
-    "px06_incremental_ingest": px06_incremental_ingest,
     "gr03_pagerank_fixed_point": gr03_pagerank_fixed_point,
-    "ss09_int8_quantize": ss09_int8_quantize,
-    "mm06_webdataset_roundtrip": mm06_webdataset_roundtrip,
     "px10_rag_corpus": px10_rag_corpus,
     "px11_dsir_selection": px11_dsir_selection,
     "dd14_event_debounce": dd14_event_debounce,
-    "ss07_pq_encode": ss07_pq_encode,
     "sk03_cms_expr": sk03_cms_expr,
-    "ss10_ivf_deploy_topk": ss10_ivf_deploy_topk,
     "px08_decontaminated_split": px08_decontaminated_split,
     # --- round-5 front section (VERDICT.md r4 "Next round" #1/#4): queries
     # whose implementing code was rewritten in round 4 (cdc.py/merge.py/
@@ -4158,7 +4191,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_emp_state": cdc_emp_state,
     "cdc_dept_state": cdc_dept_state,
     "cdc_pub_event": cdc_pub_event,
-    "cdc_stream_emp_state": cdc_stream_emp_state,
     "q96_weighted_median": q96_weighted_median,
     # --- new in round 5 ---
     "dd09_dup_spans": dd09_dup_spans,
@@ -4181,7 +4213,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq01_constraint_report": dq01_constraint_report,
     "dq03_distribution_drift": dq03_distribution_drift,
     "cdc_emp_history": cdc_emp_history,
-    "cdc_emp_history_incr": cdc_emp_history_incr,
     "cdc_emp_asof_enrich": cdc_emp_asof_enrich,
     "q87_weighted_sample": q87_weighted_sample,
     "q88_asof_nearest": q88_asof_nearest,
@@ -4193,7 +4224,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st02_session_rollup": st02_session_rollup,
     # ss03 gained a full hash oracle late in round 5 (shared plane
     # literals) — rotated forward for a fresh driver row
-    "ss03_ann_lsh_topk": ss03_ann_lsh_topk,
     "q85_sampled_quantiles": q85_sampled_quantiles,
     "q74_rollup_revenue": q74_rollup_revenue,
     "q75_pivot_priority": q75_pivot_priority,
@@ -4220,7 +4250,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx11_pii_scrub": tx11_pii_scrub,
     "tx13_domain_mixture": tx13_domain_mixture,
     "px04_pretraining_curation": px04_pretraining_curation,
-    "cdc_dept_rollup": cdc_dept_rollup,
     "q63_next_purchase_asof": q63_next_purchase_asof,
     # --- driver-unverified as of round 1 (VERDICT.md "Next round" #1) ---
     "q27_above_nation_avg": q27_above_nation_avg,
@@ -4262,7 +4291,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx07_keyterms": tx07_keyterms,
     "tx08_denylist_scrub": tx08_denylist_scrub,
     "tx09_packing_index": tx09_packing_index,
-    "sk01_cms_heavy_hitters": sk01_cms_heavy_hitters,
     "px01_curation_pipeline": px01_curation_pipeline,
     "gr01_pagerank_neardup": gr01_pagerank_neardup,
     # --- green driver rows in CORRECTNESS_r01.json ---
@@ -4273,7 +4301,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx06_subword_counts": tx06_subword_counts,
     "dd01_exact_dup_groups": dd01_exact_dup_groups,
     "dd02_exact_dedup_survivors": dd02_exact_dedup_survivors,
-    "ss01_knn_cosine": ss01_knn_cosine,
     "mm01_binary_meta": mm01_binary_meta,
     "mm04_frame_sample": mm04_frame_sample,
     "mm02_byte_features": mm02_byte_features,
@@ -4300,7 +4327,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_pivot_returnflag": q20_pivot_returnflag,
     "q21_brand_supply_stats": q21_brand_supply_stats,
     "q22_asof_join": q22_asof_join,
-    "q23_range_join_tiers": q23_range_join_tiers,
     "q24_value_percentiles": q24_value_percentiles,
     "q25_corr_stats": q25_corr_stats,
     "q26_grouping_sets": q26_grouping_sets,

@@ -105,8 +105,16 @@ class KafkaLogStreamReader(DataSourceStreamReader):
     # from the engine's checkpoint (partitions() re-syncs the file to the
     # engine's planned end, which also covers restarts).
     def _cursor_file(self) -> str:
+        # Sanitized name + short hash of the RAW groupId: sanitization alone
+        # is not injective ('a/b' and 'a_b' both map to 'a_b'), which would
+        # quietly re-introduce the cursor clobbering the namespacing exists
+        # to prevent (ADVICE r10). The hash suffix makes the mapping
+        # one-to-one while keeping the filename readable.
+        import hashlib
+
         safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in self.group_id)
-        return os.path.join(self.path, f"_rate_cursor_{safe}.json")
+        tag = hashlib.md5(self.group_id.encode("utf-8")).hexdigest()[:8]
+        return os.path.join(self.path, f"_rate_cursor_{safe}_{tag}.json")
 
     def _read_cursor(self) -> dict[str, int] | None:
         try:

@@ -40,6 +40,36 @@ def list_epochs(spark: SparkSession, dir_uri: str) -> list[int]:
     return sorted(out)
 
 
+def dir_has_files(
+    spark: SparkSession, dir_uri: str, suffix: str = ".parquet"
+) -> bool:
+    """True iff ``dir_uri`` exists and directly contains at least one file
+    ending in ``suffix`` — the existence probe a parquet-backed state dir
+    needs before ``spark.read``. Goes through the Hadoop FileSystem API so
+    it is exactly as remote-capable as the reads/writes it guards
+    (ADVICE r10: the os.listdir version is always-False on HDFS/S3, which
+    silently resets incremental state)."""
+    fs, path = _fs_and_path(spark, dir_uri)
+    if not fs.exists(path):
+        return False
+    return any(
+        st.isFile() and st.getPath().getName().endswith(suffix)
+        for st in fs.listStatus(path)
+    )
+
+
+def epoch_is_complete(spark: SparkSession, dir_uri: str, epoch: int) -> bool:
+    """True iff ``dir_uri/epoch=N`` carries the ``_SUCCESS`` marker Spark's
+    file committer writes LAST — i.e. the snapshot write finished. A
+    monitoring read racing a crash-interrupted epoch write must skip the
+    partial directory (ADVICE r10)."""
+    fs, _ = _fs_and_path(spark, dir_uri)
+    jvm = spark._jvm
+    return fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{dir_uri}/epoch={epoch}/_SUCCESS")
+    )
+
+
 def latest_epoch_before(
     spark: SparkSession, dir_uri: str, epoch_id: int
 ) -> int | None:

@@ -667,17 +667,22 @@ def start_hll_monitor(
 
 def read_hll_estimate(spark: SparkSession, store_dir: str, p: int = 12) -> DataFrame:
     """Current ``(m, hll_estimate)`` of an hll-monitor register store —
-    the LATEST cumulative epoch snapshot (each snapshot already folds all
-    history, so only one is ever read)."""
+    the LATEST COMPLETE cumulative epoch snapshot (each snapshot already
+    folds all history, so only one is ever read). Complete = carries the
+    ``_SUCCESS`` marker: a monitor read racing a crash-interrupted epoch
+    write must not consume the partial directory — it falls back to the
+    newest finished epoch instead (ADVICE r10; Spark will replay the
+    crashed epoch and overwrite the partial dir)."""
     from ..operators.sketch import hll_estimate_from_registers
-    from .fsio import list_epochs
+    from .fsio import epoch_is_complete, list_epochs
 
     epochs = list_epochs(spark, store_dir)
-    if not epochs:
-        raise ValueError(f"no hll register snapshots under {store_dir}")
-    return hll_estimate_from_registers(
-        spark.read.parquet(f"{store_dir}/epoch={epochs[-1]}"), p
-    )
+    for e in reversed(epochs):
+        if epoch_is_complete(spark, store_dir, e):
+            return hll_estimate_from_registers(
+                spark.read.parquet(f"{store_dir}/epoch={e}"), p
+            )
+    raise ValueError(f"no complete hll register snapshots under {store_dir}")
 
 
 def enrich_epoch(

@@ -1,0 +1,78 @@
+"""Generate fixtures/query_deps.json: query key -> package files whose
+code executes when the query builds/runs at sf0.001.
+
+Why: the rotation rule (VERDICT r10 #3/#9) says every query whose
+implementing code changed in a round must sit inside the driver's
+front-50 CORRECTNESS window. r10 broke it silently (tx19 was
+local_frame-touched but not rotated). This map makes the rule checkable
+mechanically: scripts/check_rotation.py diffs the round's changed files
+against it.
+
+Granularity: FILE-level for operator/function/source/streaming modules
+(captured live with a profile hook over a real run — no hand-maintained
+table to drift); plans/queries.py and plans/oracle.py are attributed at
+FUNCTION/dict-entry level by check_rotation.py instead (every query
+trivially executes its own wrapper, so file-level would be useless
+there).
+
+Run after adding queries (tests/test_docs_index.py pins coverage):
+
+    python scripts/gen_query_deps.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PKG_DIR = os.path.join(REPO, "kafkatosparktokudu_spark")
+SF = "/root/testdata/sf0.001"
+OUT = os.path.join(REPO, "fixtures", "query_deps.json")
+# attributed at finer granularity by check_rotation.py
+EXCLUDE = {
+    "kafkatosparktokudu_spark/plans/queries.py",
+    "kafkatosparktokudu_spark/plans/oracle.py",
+    "kafkatosparktokudu_spark/plans/__init__.py",
+}
+
+
+def main() -> None:
+    from kafkatosparktokudu_spark.plans.queries import QUERIES
+    from kafkatosparktokudu_spark.session import get_spark
+
+    spark = get_spark(app_name="query-deps", master="local[8]", shuffle_partitions=8)
+    deps: dict[str, list[str]] = {}
+    for i, (name, fn) in enumerate(QUERIES.items()):
+        files: set[str] = set()
+
+        def prof(frame, event, arg, _files=files):
+            if event in ("call", "c_call"):
+                f = frame.f_code.co_filename
+                if f.startswith(PKG_DIR):
+                    _files.add(os.path.relpath(f, REPO))
+
+        # foreachBatch bodies run on streaming microbatch THREADS —
+        # threading.setprofile covers threads started while tracing
+        threading.setprofile(prof)
+        sys.setprofile(prof)
+        try:
+            fn(spark, SF).count()
+        finally:
+            sys.setprofile(None)
+            threading.setprofile(None)
+        deps[name] = sorted(files - EXCLUDE)
+        print(f"[{i + 1}/{len(QUERIES)}] {name}: {len(deps[name])} files", flush=True)
+
+    with open(OUT, "w", encoding="utf-8") as fh:
+        json.dump(deps, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"wrote {OUT} ({len(deps)} queries)")
+
+
+if __name__ == "__main__":
+    main()

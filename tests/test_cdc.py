@@ -873,6 +873,134 @@ def test_upsert_mid_swap_crash_replay_converges(spark, tmp_path):
     assert got == want
 
 
+def test_statestore_rejects_remote_uri(spark, tmp_path):
+    """ADVICE r10: the store's swap/snapshot/purge protocols are
+    os.rename + hardlink based, so a remote URI would make exists()
+    always-False — enrichment joins would silently see an EMPTY dimension
+    side while writes kept landing. Fail fast at construction instead."""
+    import pytest
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("id", T.StringType(), False)])
+    for uri in ("hdfs://nn/x", "s3a://bucket/x", f"file:{tmp_path}/x"):
+        with pytest.raises(ValueError, match="local-filesystem-only"):
+            StateStore(spark, uri, ["id"], schema, 8)
+    # plain local paths (absolute and relative) still construct
+    StateStore(spark, str(tmp_path / "ok"), ["id"], schema, 8)
+
+
+def _mk_kv_store(spark, path, n_buckets=8):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    return StateStore(spark, path, ["id"], schema, n_buckets), schema
+
+
+def test_statestore_rebucket_equivalence(spark, tmp_path):
+    """VERDICT r10 #2: rebucket migrates the store to a new hash geometry
+    with identical contents, point lookups keep working, the persisted
+    meta makes STALE call-site n_buckets arguments harmless, and upserts
+    continue at the new geometry."""
+    import os
+
+    path = str(tmp_path / "st")
+    store, schema = _mk_kv_store(spark, path, n_buckets=8)
+    store.upsert_batch(
+        spark.createDataFrame([(str(i), f"v{i}") for i in range(300)], schema)
+    )
+    before = sorted(tuple(r) for r in store.read().collect())
+
+    store.rebucket(32)
+    assert store.n_buckets == 32
+    buckets = {
+        int(e.split("=")[1])
+        for e in os.listdir(path)
+        if e.startswith("_bucket=")
+    }
+    assert buckets <= set(range(32)) and len(buckets) > 8
+    assert sorted(tuple(r) for r in store.read().collect()) == before
+    got = {r["id"]: r["v"] for r in store.lookup(["7", "299", "nope"]).collect()}
+    assert got == {"7": "v7", "299": "v299"}
+    assert not os.path.exists(path + ".__rebucket_old__")
+    assert not os.path.exists(os.path.join(path, "_REBUCKET_COMMIT"))
+
+    # a handle opened with the PRE-migration constructor default must
+    # adopt the stored geometry (meta wins) — else its lookups would
+    # prune with the wrong modulus and miss rows
+    stale, _ = _mk_kv_store(spark, path, n_buckets=8)
+    assert stale.n_buckets == 32
+    got = {r["id"]: r["v"] for r in stale.lookup(["123"]).collect()}
+    assert got == {"123": "v123"}
+
+    # upserts continue at the new geometry; shrink migration also exact
+    stale.upsert_batch(
+        spark.createDataFrame([("7", "NEW"), ("1000", "x")], stale.schema)
+    )
+    stale.rebucket(4)
+    want = {str(i): f"v{i}" for i in range(300)} | {"7": "NEW", "1000": "x"}
+    assert {r["id"]: r["v"] for r in stale.read().collect()} == want
+    assert stale.rebucket(4) is None  # no-op at current geometry
+
+
+def test_statestore_rebucket_crash_replay(spark, tmp_path, monkeypatch):
+    """Every crash window of the rebucket swap heals at the next handle
+    construction: before the commit marker the migration vanishes; after
+    it the swap completes — contents and point lookups intact either way."""
+    import os
+
+    from kafkatosparktokudu_spark.operators import merge as merge_mod
+
+    path = str(tmp_path / "st")
+    store, schema = _mk_kv_store(spark, path, n_buckets=8)
+    store.upsert_batch(
+        spark.createDataFrame([(str(i), f"v{i}") for i in range(120)], schema)
+    )
+    before = sorted(tuple(r) for r in store.read().collect())
+
+    # window A: staged write never finished (no marker) -> rolled back
+    os.makedirs(path + ".__rebucket_16__/_bucket=0", exist_ok=True)
+    healed, _ = _mk_kv_store(spark, path, n_buckets=8)
+    assert not os.path.exists(path + ".__rebucket_16__")
+    assert healed.n_buckets == 8
+    assert sorted(tuple(r) for r in healed.read().collect()) == before
+
+    # windows B and C: crash at the 1st / 2nd os.rename of the swap
+    for fail_at in (0, 1):
+        st, _ = _mk_kv_store(spark, path)
+        n_before = st.n_buckets
+        real_rename, calls = os.rename, []
+
+        def boom(src, dst, _real=real_rename, _calls=calls, _k=fail_at):
+            if len(_calls) == _k:
+                raise OSError("simulated crash mid-swap")
+            _calls.append((src, dst))
+            return _real(src, dst)
+
+        monkeypatch.setattr(merge_mod.os, "rename", boom)
+        try:
+            st.rebucket(n_before * 2)
+            raise AssertionError("expected simulated crash")
+        except OSError:
+            pass
+        finally:
+            monkeypatch.setattr(merge_mod.os, "rename", real_rename)
+
+        recovered, _ = _mk_kv_store(spark, path, n_buckets=8)
+        # the marker was already committed in both windows -> swap completes
+        assert recovered.n_buckets == n_before * 2
+        assert sorted(tuple(r) for r in recovered.read().collect()) == before
+        got = {r["id"]: r["v"] for r in recovered.lookup(["42"]).collect()}
+        assert got == {"42": "v42"}
+        assert not os.path.exists(path + ".__rebucket_old__")
+        for e in os.listdir(os.path.dirname(path)):
+            assert "__rebucket_" not in e, e
+
+
 def test_purge_soft_deleted_retention(spark, tmp_path):
     """Retention purge drops only soft-deleted rows older than the cutoff,
     rewrites only their buckets, removes buckets it empties, and is

@@ -105,3 +105,30 @@ def test_plans_report_is_fresh():
         f"PLANS.md is stale — rerun scripts/gen_plan_report.py "
         f"(missing={missing_rows} stale={stale_rows})"
     )
+
+
+def test_query_deps_map_covers_all_queries():
+    """fixtures/query_deps.json (scripts/gen_query_deps.py) backs the
+    mechanical rotation check (scripts/check_rotation.py — VERDICT r10
+    #3): every queries() key must have a traced file-dependency row, so
+    adding a query without regenerating the map is a red test, not a
+    silent rotation blind spot."""
+    import json
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "query_deps.json",
+    )
+    with open(path, encoding="utf-8") as fh:
+        deps = json.load(fh)
+    missing = sorted(set(QUERIES) - set(deps))
+    stale = sorted(set(deps) - set(QUERIES))
+    assert not (missing or stale), (
+        f"query_deps.json is stale — rerun scripts/gen_query_deps.py "
+        f"(missing={missing} removed={stale})"
+    )
+    # sanity: deps are real package files
+    for q, files in deps.items():
+        for f in files:
+            assert f.startswith("kafkatosparktokudu_spark/"), (q, f)

@@ -433,7 +433,10 @@ def test_centroid_blocked_neardup_recall(spark):
         return {
             (int(r["vec_a"]), int(r["vec_b"]))
             for r in embedding_neardup_pairs(
-                emb, threshold=threshold, nprobe=nprobe, blocking=blocking
+                # n_cells pinned: the recall envelope below was measured at
+                # 32 cells (the default is auto ~sqrt(n) since r11)
+                emb, threshold=threshold, n_cells=32, nprobe=nprobe,
+                blocking=blocking,
             ).collect()
         }
 
@@ -630,7 +633,9 @@ def test_knn_join_recall_vs_brute(spark):
 
     emb = _emb(spark)
     got = knn_join(
-        emb, emb.filter(F.col("vec_id") < 20), k=5, queries_are_subset=True
+        # n_cells pinned to the envelope this test measured (auto since r11)
+        emb, emb.filter(F.col("vec_id") < 20), k=5, n_cells=32,
+        queries_are_subset=True,
     )
     approx = {}
     for r in got.collect():
@@ -2905,3 +2910,31 @@ def test_byte_stats_exact_sanitize_handles_nonascii_and_empty(spark):
         assert g["sum_bytes"] == sum(data)
         assert g["distinct_bytes"] == len(counts)
         assert (g["top_byte"], g["top_count"]) == (top, counts[top])
+
+
+def test_auto_n_cells_default_sqrt(spark):
+    """VERDICT r10 #6: every cell-blocked operator's docstring promises
+    "n_cells grows ~sqrt(n)" — since r11 that IS the default (None ->
+    ceil(sqrt(n))), not an operator knob to remember. Oracled queries pin
+    explicit values, so the contract there is unchanged."""
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.operators.similarity import (
+        auto_n_cells,
+        seed_cell_assign,
+    )
+
+    emb = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7 + 1).cast("float"), (F.col("id") % 3 + 1).cast("float")
+        ).alias("embedding"),
+    )
+    assert auto_n_cells(emb) == 10  # ceil(sqrt(100))
+    assert auto_n_cells(emb.limit(5)) == 3  # ceil(sqrt(5))
+    cells = seed_cell_assign(emb, nprobe=2)  # n_cells=None -> 10 cells
+    got = cells.agg(F.countDistinct("cell")).first()[0]
+    assert 2 <= got <= 10
+    # every vector gets exactly nprobe probe cells
+    per_vec = cells.groupBy("vec_id").count().agg(F.min("count"), F.max("count")).first()
+    assert per_vec[0] == 2 and per_vec[1] == 2

@@ -251,3 +251,23 @@ def test_kafkalog_concurrent_appends_chaos(spark, tmp_path):
         offs = [o for o, _ in recs]
         assert offs == sorted(offs) and offs == list(range(per_part)), p
         assert all(v == f"p{p}-{o}" for o, v in recs), p
+
+
+def test_rate_cursor_filenames_injective(tmp_path):
+    """ADVICE r10: groupId sanitization alone is not injective ('a/b' and
+    'a_b' both sanitize to 'a_b'), which would let two distinct consumer
+    groups clobber each other's pacing cursor — the exact hazard the
+    per-groupId namespacing was added to prevent. The raw-groupId hash
+    suffix makes the mapping one-to-one."""
+    from kafkatosparktokudu_spark.sources.kafka_shaped import KafkaLogStreamReader
+
+    def cursor(gid: str) -> str:
+        r = KafkaLogStreamReader({"path": str(tmp_path), "groupid": gid})
+        return r._cursor_file()
+
+    ids = ["a/b", "a_b", "a.b", "a b", "a:b", "default", "DEFAULT"]
+    files = [cursor(g) for g in ids]
+    assert len(set(files)) == len(ids), files
+    # same groupId -> same file (the cursor must still be shared across
+    # fresh reader instances of one query)
+    assert cursor("a/b") == cursor("a/b")

@@ -1057,7 +1057,14 @@ def test_label_propagation_matches_python_rounds(spark, edges):
 @given(
     rows=st.lists(
         st.tuples(
-            st.integers(min_value=-(2**40), max_value=2**40),
+            # full int64 range INCLUDING None: a None in an int column used
+            # to send the whole column through pandas float64, silently
+            # rounding values >= 2^53 (ADVICE r10) — the widened strategy
+            # would catch a regression of that fix
+            st.one_of(
+                st.none(),
+                st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            ),
             st.one_of(st.none(), st.text(max_size=8)),
             st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False, width=32)),
         ),
@@ -1080,3 +1087,24 @@ def test_local_frame_equals_plain_createdataframe(spark, rows):
     assert sorted((tuple(r) for r in fast.collect()), key=key) == sorted(
         (tuple(r) for r in plain.collect()), key=key
     )
+
+
+def test_local_frame_bigint_none_exact(spark):
+    """The ADVICE r10 pathology verbatim: a bigint column holding BOTH a
+    None and values >= 2^53 must round-trip bit-exactly (pandas would
+    upcast the column to float64 and round 2^53+1 to 2^53 without any
+    error, so the fallback never engaged). StateStore.lookup keys ride on
+    this path with arbitrary caller ids."""
+    from kafkatosparktokudu_spark.functions.localframe import local_frame
+
+    rows = [
+        (2**53 + 1, "a"),
+        (None, "b"),
+        (-(2**62) - 3, "c"),
+        (2**63 - 1, "d"),
+    ]
+    got = sorted(
+        (tuple(r) for r in local_frame(spark, rows, "k bigint, v string").collect()),
+        key=repr,
+    )
+    assert got == sorted(rows, key=repr)
