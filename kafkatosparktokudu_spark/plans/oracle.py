@@ -5264,3 +5264,30 @@ ORACLE_SQL["px22_grouped_budget"] = f"""
                ORDER BY p_keep DESC, doc_id) <= 3000 AS selected
     FROM q
 """
+
+
+# st07 twin: the cumulative per-epoch histogram snapshots sum-merge, so
+# the monitor's final register store == the batch histogram of the whole
+# table; the quantile read is all-integer rank math (ceil(total*p/q) =
+# (total*p + q-1) // q), both engines exact.
+ORACLE_SQL["st07_quantile_monitor"] = """
+    WITH h AS (
+        SELECT CAST(o_totalprice * 100 AS BIGINT) // 100000 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT bucket,
+               CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER () AS BIGINT) AS n_total
+        FROM h
+    ),
+    qs(q_label, p, q) AS (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100))
+    SELECT q_label,
+           MAX(n_total) AS n_total,
+           MIN(bucket) AS bucket,
+           MIN(bucket) * 100000 AS est_lo_cents,
+           (MIN(bucket) + 1) * 100000 AS est_hi_cents
+    FROM qs JOIN r ON r.cum >= (r.n_total * qs.p + qs.q - 1) // qs.q
+    GROUP BY q_label
+"""

@@ -3879,6 +3879,48 @@ def st05_hll_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Streaming QUANTILE monitor run through its epoch body
+# (streaming/pipeline.py::histogram_monitor_epoch): orders arrive in two
+# o_orderkey halves; each epoch folds its fixed-grid o_totalprice
+# histogram (integer cents div 100000 = $1000 buckets) into a cumulative
+# per-epoch snapshot — snapshot_N = predecessor + batch_N, the st05
+# layout applied to a SUM-merged sketch (counts aren't replay-idempotent,
+# the per-epoch overwrite discipline is). read_quantile_estimate serves
+# p50/p90/p99 from the newest COMPLETE snapshot with all-integer rank
+# math (ceil(total*p/q) = (total*p + q-1) div q), so the oracle replays
+# it bit-for-bit against the batch histogram of the whole table.
+def st07_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import (
+        histogram_monitor_epoch,
+        read_quantile_estimate,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    cut = lo + (hi - lo) // 2
+    tmp = tempfile.mkdtemp(prefix="hist_store_")
+    try:
+        store = f"{tmp}/regs"
+        for epoch, part in enumerate(
+            (
+                orders.filter(F.col("o_orderkey") < cut),
+                orders.filter(F.col("o_orderkey") >= cut),
+            )
+        ):
+            histogram_monitor_epoch(
+                part, "o_totalprice", store, cents_per_bucket=100_000,
+                epoch_id=epoch,
+            )
+        res = read_quantile_estimate(spark, store, cents_per_bucket=100_000)
+        rows = res.collect()
+        return local_frame(spark, rows, res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # kNN majority-vote labeling (operators/similarity.py::knn_label_vote) —
 # each low-id query vector takes the modal label of its ss05 neighbors
 # (votes DESC, label ASC tie-break); one (q_id,label) agg + one tiny
@@ -4063,6 +4105,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # green rows): st01-st03, dd01/dd02/dd09/dd12-dd14,
     # gr01-gr03, px05, px12, tx18 — named in NOTES r11 for next round.
     "tx19_bpe_merges": tx19_bpe_merges,
+    # NEW in r11: streaming quantile monitor (the distribution sibling of
+    # st05's cardinality monitor — sum-merged registers via cumulative
+    # per-epoch snapshots)
+    "st07_quantile_monitor": st07_quantile_monitor,
     "dd05_embedding_neardup": dd05_embedding_neardup,
     "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,
     "ss05_knn_join": ss05_knn_join,

@@ -70,6 +70,16 @@ def epoch_is_complete(spark: SparkSession, dir_uri: str, epoch: int) -> bool:
     )
 
 
+def latest_complete_epoch(spark: SparkSession, dir_uri: str) -> int | None:
+    """Newest epoch whose write FINISHED (``_SUCCESS`` present) — what a
+    monitoring read racing a crash-interrupted epoch write must consume
+    (the partial dir belongs to the engine's replay, not to readers)."""
+    for e in reversed(list_epochs(spark, dir_uri)):
+        if epoch_is_complete(spark, dir_uri, e):
+            return e
+    return None
+
+
 def latest_epoch_before(
     spark: SparkSession, dir_uri: str, epoch_id: int
 ) -> int | None:

@@ -22,6 +22,7 @@ import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -674,15 +675,170 @@ def read_hll_estimate(spark: SparkSession, store_dir: str, p: int = 12) -> DataF
     newest finished epoch instead (ADVICE r10; Spark will replay the
     crashed epoch and overwrite the partial dir)."""
     from ..operators.sketch import hll_estimate_from_registers
-    from .fsio import epoch_is_complete, list_epochs
+    from .fsio import latest_complete_epoch
 
-    epochs = list_epochs(spark, store_dir)
-    for e in reversed(epochs):
-        if epoch_is_complete(spark, store_dir, e):
-            return hll_estimate_from_registers(
-                spark.read.parquet(f"{store_dir}/epoch={e}"), p
+    e = latest_complete_epoch(spark, store_dir)
+    if e is None:
+        raise ValueError(f"no complete hll register snapshots under {store_dir}")
+    return hll_estimate_from_registers(
+        spark.read.parquet(f"{store_dir}/epoch={e}"), p
+    )
+
+
+def histogram_monitor_epoch(
+    batch_df: DataFrame,
+    col: str,
+    store_dir: str,
+    cents_per_bucket: int,
+    epoch_id: int,
+    keep_epochs: int = 3,
+    max_buckets: int = 100_000,
+) -> None:
+    """One micro-batch of the streaming QUANTILE monitor (st07): fold the
+    batch's fixed-grid histogram counts into a cumulative per-epoch
+    register snapshot — the st05 recipe applied to a SUM-merged sketch.
+
+    Counts (unlike HLL's max-merged registers) are NOT idempotent under
+    replay, so the crash-safe layout does the work: snapshot_N =
+    predecessor snapshot + batch_N's counts, written to epoch=N's OWN
+    directory; a replayed epoch re-reads its PREDECESSOR and overwrites
+    only itself, so delivery stays exactly-once with no epoch stamps in
+    the data. Prior-epoch discovery via fsio (HDFS/S3-safe).
+
+    The grid is integer-exact end to end: value → cents (``*100`` on the
+    decimal, exact) → ``cents div cents_per_bucket``. Register table size
+    = value range / bucket width, guarded by ``max_buckets`` (raise the
+    width, not the ceiling, when a stream's range grows — quantile error
+    is ± one bucket by construction).
+    """
+    from ..functions.localframe import local_frame
+    from .fsio import latest_epoch_before, prune_epochs
+
+    spark = batch_df.sparkSession
+    new = (
+        batch_df.select(
+            F.expr(
+                f"CAST({col} * 100 AS BIGINT) div {int(cents_per_bucket)}"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    prior_epoch = latest_epoch_before(spark, store_dir, epoch_id)
+    if prior_epoch is not None:
+        new = new.unionByName(
+            spark.read.parquet(f"{store_dir}/epoch={prior_epoch}")
+        )
+    merged = (
+        new.groupBy("bucket").agg(F.sum("cnt").cast("bigint").alias("cnt")).collect()
+    )
+    if len(merged) > max_buckets:
+        raise ValueError(
+            f"histogram register table would hold {len(merged)} buckets "
+            f"(> max_buckets={max_buckets}); widen cents_per_bucket"
+        )
+    local_frame(spark, merged, "bucket bigint, cnt bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{store_dir}/epoch={epoch_id}")
+    prune_epochs(spark, store_dir, keep_epochs)
+
+
+def start_histogram_monitor(
+    spark: SparkSession,
+    stream: DataFrame,
+    col: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    cents_per_bucket: int,
+    available_now: bool = False,
+    trigger_interval: str = "5 seconds",
+) -> StreamingQuery:
+    """Live quantile monitor (st07) — the distribution sibling of st05's
+    cardinality monitor: every micro-batch folds its histogram into the
+    cumulative register store; ``read_quantile_estimate`` serves
+    p50/p90/p99 (± one bucket) any time without rescanning history. The
+    store after N epochs equals the batch histogram of the concatenated
+    stream EXACTLY (sum associativity + the per-epoch snapshot replay
+    discipline), pinned against the batch twin by test."""
+
+    def _epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        histogram_monitor_epoch(
+            batch_df, col, store_dir, cents_per_bucket, epoch_id=epoch_id
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("histogram_monitor")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
+# quantiles served by the monitor: label -> p/q (exact rational, so the
+# rank threshold ceil(total * p / q) stays in integer arithmetic)
+QUANTILE_LABELS: tuple[tuple[str, int, int], ...] = (
+    ("p50", 1, 2),
+    ("p90", 9, 10),
+    ("p99", 99, 100),
+)
+
+
+def read_quantile_estimate(
+    spark: SparkSession, store_dir: str, cents_per_bucket: int
+) -> DataFrame:
+    """Current quantile estimates of a histogram-monitor register store —
+    the newest COMPLETE epoch snapshot (same ``_SUCCESS`` discipline as
+    read_hll_estimate: a crash-interrupted epoch write belongs to the
+    engine's replay, not to monitor reads).
+
+    For each (label, p, q) in QUANTILE_LABELS: the smallest bucket whose
+    running count reaches ``ceil(total·p/q)`` — all-integer math, so the
+    DuckDB oracle reproduces it bit-for-bit. Returns
+    ``(q_label, n_total, bucket, est_lo_cents, est_hi_cents)``; the true
+    quantile lies in ``[est_lo, est_hi)`` by construction."""
+    from .fsio import latest_complete_epoch
+
+    e = latest_complete_epoch(spark, store_dir)
+    if e is None:
+        raise ValueError(f"no complete histogram snapshots under {store_dir}")
+    regs = spark.read.parquet(f"{store_dir}/epoch={e}")
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = regs.select(
+        "bucket",
+        F.sum("cnt").over(w).cast("bigint").alias("cum"),
+        F.sum("cnt").over(
+            W.orderBy("bucket").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
             )
-    raise ValueError(f"no complete hll register snapshots under {store_dir}")
+        ).cast("bigint").alias("n_total"),
+    )
+    width = int(cents_per_bucket)
+    parts = []
+    for label, p, q in QUANTILE_LABELS:
+        parts.append(
+            cum.filter(
+                F.col("cum") >= F.expr(f"(n_total * {p} + {q - 1}) div {q}")
+            )
+            .orderBy("bucket")
+            .limit(1)
+            .select(
+                F.lit(label).alias("q_label"),
+                "n_total",
+                "bucket",
+                (F.col("bucket") * width).alias("est_lo_cents"),
+                ((F.col("bucket") + 1) * width).alias("est_hi_cents"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
 
 
 def enrich_epoch(

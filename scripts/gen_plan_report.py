@@ -111,6 +111,10 @@ EXCLUDED = [
     # collected-rows frame — the audited plans are px06's gate + px19's
     # deal (both in HEADLINE); its own returned plan is trivial assembly.
     "st04_ingest_shards",
+    # st07: collected-register assembly (bounded by max_buckets) — the
+    # audited plans are the per-epoch histogram groupBy + the windowed
+    # quantile read, both trivial single-exchange shapes over <=grid rows.
+    "st07_quantile_monitor",
     # st05: collected-register assembly (bounded <=2^p rows) — audited
     # plans are sk04/sk05, already in HEADLINE-adjacent coverage.
     "st05_hll_monitor",

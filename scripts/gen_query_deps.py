@@ -17,7 +17,8 @@ there).
 
 Run after adding queries (tests/test_docs_index.py pins coverage):
 
-    python scripts/gen_query_deps.py
+    python scripts/gen_query_deps.py                 # full regen (~30 min)
+    python scripts/gen_query_deps.py --only dd16,st07  # update named rows
 """
 
 from __future__ import annotations
@@ -42,12 +43,32 @@ EXCLUDE = {
 
 
 def main() -> None:
+    import argparse
+
     from kafkatosparktokudu_spark.plans.queries import QUERIES
     from kafkatosparktokudu_spark.session import get_spark
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names: update just these rows in the "
+        "existing map (for newly added queries); stale rows are pruned",
+    )
+    args = ap.parse_args()
+
     spark = get_spark(app_name="query-deps", master="local[8]", shuffle_partitions=8)
     deps: dict[str, list[str]] = {}
-    for i, (name, fn) in enumerate(QUERIES.items()):
+    todo = dict(QUERIES)
+    if args.only:
+        names = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = sorted(set(names) - set(QUERIES))
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        with open(OUT, encoding="utf-8") as fh:
+            deps = {k: v for k, v in json.load(fh).items() if k in QUERIES}
+        todo = {n: QUERIES[n] for n in names}
+    for i, (name, fn) in enumerate(todo.items()):
         files: set[str] = set()
 
         def prof(frame, event, arg, _files=files):
@@ -66,7 +87,7 @@ def main() -> None:
             sys.setprofile(None)
             threading.setprofile(None)
         deps[name] = sorted(files - EXCLUDE)
-        print(f"[{i + 1}/{len(QUERIES)}] {name}: {len(deps[name])} files", flush=True)
+        print(f"[{i + 1}/{len(todo)}] {name}: {len(deps[name])} files", flush=True)
 
     with open(OUT, "w", encoding="utf-8") as fh:
         json.dump(deps, fh, indent=1, sort_keys=True)

@@ -2180,3 +2180,114 @@ def test_fsio_scheme_qualified_uris(spark, tmp_path):
         spark.range(500).select(F.col("id").alias("k")), "k", hll_store, epoch_id=0
     )
     assert read_hll_estimate(spark, hll_store).collect()[0]["hll_estimate"] > 0
+
+
+def test_stream_histogram_monitor_restart_and_crash(spark, tmp_path):
+    """st07 live pipeline: per-epoch cumulative histogram snapshots
+    sum-merge across epochs and a checkpoint restart; the final quantile
+    read equals the batch rule over everything seen; a replayed epoch
+    rewrites a bit-identical snapshot (counts are NOT merge-idempotent —
+    the per-epoch overwrite discipline is what makes replay exactly-once);
+    and a crash mid-write of the newest snapshot neither corrupts monitor
+    reads (_SUCCESS discipline) nor loses accumulated history."""
+    import os
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.sources.batch import load_table
+    from kafkatosparktokudu_spark.streaming.pipeline import (
+        histogram_monitor_epoch,
+        read_quantile_estimate,
+        start_histogram_monitor,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    c1, c2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    thirds = [
+        orders.filter(F.col("o_orderkey") < c1),
+        orders.filter((F.col("o_orderkey") >= c1) & (F.col("o_orderkey") < c2)),
+        orders.filter(F.col("o_orderkey") >= c2),
+    ]
+    src = tmp_path / "orders_src"
+    src.mkdir()
+    for i, part in enumerate(thirds[:2]):
+        part.coalesce(1).write.parquet(str(src / f"b{i}"))
+    store, ckpt = str(tmp_path / "regs"), str(tmp_path / "ckpt")
+    W_CENTS = 100_000
+
+    def _stream():
+        return (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+
+    def batch_quantiles(df):
+        # the st07 oracle rule in plain Python over collected cents
+        cents = sorted(
+            int(r[0]) for r in df.select(
+                F.expr("CAST(o_totalprice * 100 AS BIGINT)")
+            ).collect()
+        )
+        total, out = len(cents), {}
+        for label, p, q in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
+            # smallest bucket whose cumulative count reaches ceil(total*p/q)
+            rank = (total * p + q - 1) // q
+            out[label] = cents[rank - 1] // W_CENTS
+        return out
+
+    q = start_histogram_monitor(
+        spark, _stream(), "o_totalprice", store, ckpt, W_CENTS,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    got2 = {
+        r["q_label"]: r["bucket"]
+        for r in read_quantile_estimate(spark, store, W_CENTS).collect()
+    }
+    assert got2 == batch_quantiles(thirds[0].unionByName(thirds[1]))
+
+    # replay idempotence: counts would double under naive re-folding —
+    # the per-epoch snapshot overwrite makes the store bit-identical
+    before = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    histogram_monitor_epoch(thirds[1], "o_totalprice", store, W_CENTS, epoch_id=1)
+    after = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    assert before == after
+
+    # crash window: newest snapshot half-written (no _SUCCESS) — monitor
+    # reads fall back to the previous complete epoch; replay heals
+    est_before = got2
+    os.remove(f"{store}/epoch=1/_SUCCESS")
+    fallback = {
+        r["q_label"]: r["bucket"]
+        for r in read_quantile_estimate(spark, store, W_CENTS).collect()
+    }
+    assert fallback == batch_quantiles(thirds[0])
+    histogram_monitor_epoch(thirds[1], "o_totalprice", store, W_CENTS, epoch_id=1)
+    healed = {
+        r["q_label"]: r["bucket"]
+        for r in read_quantile_estimate(spark, store, W_CENTS).collect()
+    }
+    assert healed == est_before
+    # worst crash: the whole newest epoch dir gone mid-write — history
+    # lives in the predecessor snapshot, replay reproduces it exactly
+    _sh.rmtree(f"{store}/epoch=1")
+    histogram_monitor_epoch(thirds[1], "o_totalprice", store, W_CENTS, epoch_id=1)
+    assert sorted(tuple(r) for r in spark.read.parquet(store).collect()) == before
+
+    # restart on the same checkpoint with the third file
+    thirds[2].coalesce(1).write.parquet(str(src / "b2"))
+    q2 = start_histogram_monitor(
+        spark, _stream(), "o_totalprice", store, ckpt, W_CENTS,
+        available_now=True,
+    )
+    q2.awaitTermination(180)
+    got3 = {
+        r["q_label"]: r["bucket"]
+        for r in read_quantile_estimate(spark, store, W_CENTS).collect()
+    }
+    assert got3 == batch_quantiles(orders)
