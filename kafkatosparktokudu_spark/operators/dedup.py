@@ -669,6 +669,91 @@ def embedding_neardup_pairs(
     )
 
 
+def lsh_band_plan(
+    docs: DataFrame,
+    tau: float = 0.5,
+    n_hashes: int = N_HASHES,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH BAND PLANNING (dd16) — choose (bands, rows_per_band)
+    empirically for THIS corpus instead of hard-coding it (MMDS ch.3:
+    a (b, r) banding admits a pair of similarity s with probability
+    P(s) = 1 − (1 − s^r)^b; picking b·r = n_hashes trades false
+    positives below the target threshold τ against false negatives
+    above it).
+
+    For every factorization b·r = n_hashes, the expected error MASS is
+    evaluated against the corpus' OBSERVED candidate-pair similarity
+    distribution (exact Jaccard of the LSH candidate pairs — the
+    measurable sample of the near-dup spectrum; pairs no banding of this
+    signature family surfaces are out of scope by construction, the
+    same contract dd04's recall envelope documents):
+
+        exp_fp_ppm = Σ_{pairs s<τ}  round(P(s)·1e6)
+        exp_fn_ppm = Σ_{pairs s≥τ} round((1−P(s))·1e6)
+
+    Cross-engine exactness: s = |∩|/|∪| is a correctly-rounded double
+    both engines compute bit-identically; P(s) is built from s by PLAIN
+    LEFT-ASSOCIATIVE MULTIPLICATION CHAINS (s·s·…, never pow(), whose
+    libm results differ across engines), each per-pair value is rounded
+    to integer ppm FIRST, and only integers are summed — so the
+    aggregation is order-independent and the DuckDB oracle replays it
+    exactly (the dq05 integer-ppm trick applied to the S-curve).
+
+    Returns one row per factorization: ``(bands, rows_per_band,
+    n_pairs, exp_fp_ppm, exp_fn_ppm, exp_err_ppm, is_chosen)`` —
+    is_chosen marks the minimum total error (ties → fewer bands, i.e.
+    the cheaper candidate-generation side).
+
+    Scale shape: one candidate-pair scan (the dd04 sub-quadratic band
+    join) + ONE aggregate computing every factorization's sums in a
+    single pass; the factorization table is O(divisors of n_hashes)
+    rows, assembled driver-side (the k-means-seed convention)."""
+    from ..functions.localframe import local_frame
+
+    spark = docs.sparkSession
+    facts = [
+        (b, n_hashes // b) for b in range(1, n_hashes + 1) if n_hashes % b == 0
+    ]
+    pairs = neardup_pairs_jaccard(docs, threshold=0.0, id_col=id_col)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_pairs")]
+    for b, r in facts:
+        sr = "(" + " * ".join(["jaccard"] * r) + ")"
+        one_minus = f"(1.0D - {sr})"
+        z = "(" + " * ".join([one_minus] * b) + ")"
+        p = f"(1.0D - {z})"
+        aggs.append(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN jaccard < {float(tau)}D THEN "
+                    f"CAST(round({p} * 1000000.0D) AS BIGINT) ELSE 0L END"
+                )
+            ).cast("bigint").alias(f"fp_{b}_{r}")
+        )
+        aggs.append(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN jaccard >= {float(tau)}D THEN "
+                    f"CAST(round((1.0D - {p}) * 1000000.0D) AS BIGINT) "
+                    f"ELSE 0L END"
+                )
+            ).cast("bigint").alias(f"fn_{b}_{r}")
+        )
+    row = pairs.agg(*aggs).first()  # bounded: ONE row, 2·|facts|+1 cols
+    out = []
+    for b, r in facts:
+        fp = int(row[f"fp_{b}_{r}"] or 0)
+        fn = int(row[f"fn_{b}_{r}"] or 0)
+        out.append((b, r, int(row["n_pairs"]), fp, fn, fp + fn))
+    best = min(out, key=lambda t: (t[5], t[0]))
+    return local_frame(
+        spark,
+        [t + (t == best,) for t in out],
+        "bands int, rows_per_band int, n_pairs bigint, exp_fp_ppm bigint, "
+        "exp_fn_ppm bigint, exp_err_ppm bigint, is_chosen boolean",
+    )
+
+
 DUP_SPAN_L = 15
 
 

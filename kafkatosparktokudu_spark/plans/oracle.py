@@ -5291,3 +5291,60 @@ ORACLE_SQL["st07_quantile_monitor"] = """
     FROM qs JOIN r ON r.cum >= (r.n_total * qs.p + qs.q - 1) // qs.q
     GROUP BY q_label
 """
+
+
+def _band_plan_sql(tau: float = 0.5, n_hashes: int = 16) -> str:
+    """dd16 twin: same S-curve-by-multiplication-chain + integer-ppm
+    rounding over the dd04 candidate-pair jaccards (see lsh_band_plan's
+    exactness contract — pow() is never used because libm results differ
+    across engines; per-pair values round to integer ppm BEFORE the sum,
+    so aggregation order can't matter)."""
+    facts = [(b, n_hashes // b) for b in range(1, n_hashes + 1) if n_hashes % b == 0]
+    agg_cols, plan_rows = [], []
+    for b, r in facts:
+        sr = "(" + " * ".join(["s"] * r) + ")"
+        one_minus = f"(1.0 - {sr})"
+        z = "(" + " * ".join([one_minus] * b) + ")"
+        p = f"(1.0 - {z})"
+        agg_cols.append(
+            f"CAST(SUM(CASE WHEN s < {tau} THEN "
+            f"CAST(round({p} * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) "
+            f"AS fp_{b}_{r}"
+        )
+        agg_cols.append(
+            f"CAST(SUM(CASE WHEN s >= {tau} THEN "
+            f"CAST(round((1.0 - {p}) * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) "
+            f"AS fn_{b}_{r}"
+        )
+        plan_rows.append(
+            f"SELECT {b} AS bands, {r} AS rows_per_band, n_pairs, "
+            f"fp_{b}_{r} AS exp_fp_ppm, fn_{b}_{r} AS exp_fn_ppm, "
+            f"fp_{b}_{r} + fn_{b}_{r} AS exp_err_ppm FROM agg"
+        )
+    return f"""
+        WITH {_MINHASH_CTE},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.doc_id < b.doc_id
+             AND (a.band0 = b.band0 OR a.band1 = b.band1
+                  OR a.band2 = b.band2 OR a.band3 = b.band3)
+        ),
+        pj AS (
+            SELECT CAST(len(list_distinct(list_intersect(x.hs, y.hs))) AS DOUBLE)
+                       / len(list_distinct(x.hs || y.hs)) AS s
+            FROM cand JOIN base x ON x.doc_id = doc_a
+                      JOIN base y ON y.doc_id = doc_b
+        ),
+        agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       {", ".join(agg_cols)}
+                FROM pj),
+        plans AS ({" UNION ALL ".join(plan_rows)})
+        SELECT bands, rows_per_band, n_pairs, exp_fp_ppm, exp_fn_ppm,
+               exp_err_ppm,
+               ROW_NUMBER() OVER (ORDER BY exp_err_ppm, bands) = 1 AS is_chosen
+        FROM plans
+    """
+
+
+ORACLE_SQL["dd16_lsh_band_plan"] = _band_plan_sql(tau=0.95)

@@ -1871,6 +1871,21 @@ def dd04_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs_jaccard(_t(spark, sf_dir, "documents"), threshold=0.2)
 
 
+# MinHash-LSH band planning (operators/dedup.py::lsh_band_plan): pick
+# (bands, rows_per_band) for b*r = 16 empirically against THIS corpus's
+# observed candidate-pair Jaccard distribution — expected FP/FN mass per
+# factorization via the S-curve P(s) = 1-(1-s^r)^b, computed with plain
+# multiplication chains + integer-ppm rounding so both engines sum the
+# exact same integers (never pow(), never order-dependent double sums).
+def dd16_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import lsh_band_plan
+
+    # tau=0.95 (the SemDeDup-band production threshold) splits the
+    # fixture's observed candidate spectrum (0.889-0.989), so BOTH
+    # error masses are non-zero and the chosen plan is a real tradeoff
+    return lsh_band_plan(_t(spark, sf_dir, "documents"), tau=0.95)
+
+
 def dd07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import duplicate_clusters, neardup_pairs_jaccard
 
@@ -4109,6 +4124,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # st05's cardinality monitor — sum-merged registers via cumulative
     # per-epoch snapshots)
     "st07_quantile_monitor": st07_quantile_monitor,
+    # NEW in r11: empirical MinHash-LSH band planning (integer-ppm exact)
+    "dd16_lsh_band_plan": dd16_lsh_band_plan,
     "dd05_embedding_neardup": dd05_embedding_neardup,
     "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,
     "ss05_knn_join": ss05_knn_join,

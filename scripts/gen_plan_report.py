@@ -111,6 +111,10 @@ EXCLUDED = [
     # collected-rows frame — the audited plans are px06's gate + px19's
     # deal (both in HEADLINE); its own returned plan is trivial assembly.
     "st04_ingest_shards",
+    # dd16: returned frame is a bounded driver assembly (|divisors| rows);
+    # the audited plan is dd04's candidate join + ONE aggregate, both
+    # already covered by dd04's row.
+    "dd16_lsh_band_plan",
     # st07: collected-register assembly (bounded by max_buckets) — the
     # audited plans are the per-epoch histogram groupBy + the windowed
     # quantile read, both trivial single-exchange shapes over <=grid rows.

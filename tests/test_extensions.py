@@ -2938,3 +2938,32 @@ def test_auto_n_cells_default_sqrt(spark):
     # every vector gets exactly nprobe probe cells
     per_vec = cells.groupBy("vec_id").count().agg(F.min("count"), F.max("count")).first()
     assert per_vec[0] == 2 and per_vec[1] == 2
+
+
+def test_lsh_band_plan_properties(spark, sf_dir):
+    """dd16 (operators/dedup.py::lsh_band_plan): one row per (b, r)
+    factorization of the signature width; exactly one chosen plan =
+    argmin (total err, bands); and the S-curve's shape shows up in the
+    error masses — the many-bands/short-rows extreme admits nearly
+    everything (max false-positive mass), the one-band/long-rows extreme
+    admits nearly nothing (max false-negative mass)."""
+    from kafkatosparktokudu_spark.operators.dedup import lsh_band_plan
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = {(r["bands"], r["rows_per_band"]): r
+            for r in lsh_band_plan(docs, tau=0.95).collect()}
+    assert set(rows) == {(1, 16), (2, 8), (4, 4), (8, 2), (16, 1)}
+    n_pairs = {r["n_pairs"] for r in rows.values()}
+    assert len(n_pairs) == 1  # same candidate sample scored by every plan
+    chosen = [k for k, r in rows.items() if r["is_chosen"]]
+    best = min(rows.values(), key=lambda r: (r["exp_err_ppm"], r["bands"]))
+    assert chosen == [(best["bands"], best["rows_per_band"])]
+    for r in rows.values():
+        assert r["exp_err_ppm"] == r["exp_fp_ppm"] + r["exp_fn_ppm"]
+        assert 0 <= r["exp_fp_ppm"] <= r["n_pairs"] * 1_000_000
+        assert 0 <= r["exp_fn_ppm"] <= r["n_pairs"] * 1_000_000
+    fp = {k: r["exp_fp_ppm"] for k, r in rows.items()}
+    fn = {k: r["exp_fn_ppm"] for k, r in rows.items()}
+    assert fp[(16, 1)] == max(fp.values())  # admit-everything extreme
+    assert fn[(1, 16)] == max(fn.values())  # admit-nothing extreme
