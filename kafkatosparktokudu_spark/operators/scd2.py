@@ -149,6 +149,18 @@ class Scd2Store:
         ogg.history_table_changes."""
         return self.hist.read()
 
+    def rebucket(self, n_new: int) -> None:
+        """Online geometry migration for BOTH underlying stores (the r11
+        StateStore.rebucket protocol — staged rewrite + commit-marker
+        swap, crash windows healed at next construction). The two
+        migrations are not atomic with each other, and don't need to be:
+        each store's modulus travels with its own directory
+        (_STORE_META.json), so raw and hist geometries are independent —
+        a crash between them just leaves one store migrated, correct at
+        either geometry, and a re-run converges."""
+        self.raw.rebucket(n_new)
+        self.hist.rebucket(n_new)
+
     def purge_closed_before(self, cutoff: str) -> int:
         """Hot-key retention: bound a key's re-derivation cost by
         COMPACTING its prefix of versions fully closed before ``cutoff``

@@ -1215,3 +1215,38 @@ def test_scd2_crash_between_writes_replays_to_convergence(spark, tmp_path):
     cols = [f.name for f in QUERIES["cdc_emp_history"](spark, sf).schema.fields]
     got = sorted(map(tuple, store.history().select(*cols).collect()), key=repr)
     assert got == ref
+
+
+def test_scd2_rebucket_mid_stream_equivalence(spark, tmp_path):
+    """Scd2Store.rebucket migrates BOTH underlying stores online: apply
+    half the change log at 8 buckets, rebucket to 32 MID-STREAM, apply
+    the rest — the history must equal the one-shot derivation exactly
+    (including the fixture's planted late-arriving record), and a handle
+    reopened with a stale n_buckets argument adopts the stored geometry."""
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.catalog import default_catalog
+    from kafkatosparktokudu_spark.cdc import read_fixture
+    from kafkatosparktokudu_spark.operators.ogg import (
+        history_table_changes,
+        normalize,
+        parse_ogg,
+        split_valid,
+    )
+    from kafkatosparktokudu_spark.operators.scd2 import Scd2Store
+
+    valid, _ = split_valid(parse_ogg(read_fixture(spark)))
+    emp = normalize(valid).filter(F.col("tab_name") == "emp")
+    cut = emp.agg(F.expr("percentile_approx(seq, 0.5)")).first()[0]
+    target = default_catalog()["emp"]
+    store = Scd2Store(spark, str(tmp_path / "emp"), target, n_buckets=8)
+    store.apply_batch(emp.filter(F.col("seq") < cut))
+    store.rebucket(32)
+    assert store.raw.n_buckets == 32 and store.hist.n_buckets == 32
+    store.apply_batch(emp.filter(F.col("seq") >= cut))
+
+    stale = Scd2Store(spark, str(tmp_path / "emp"), target, n_buckets=8)
+    assert stale.raw.n_buckets == 32 and stale.hist.n_buckets == 32
+    got = sorted(map(tuple, stale.history().collect()), key=repr)
+    want = sorted(map(tuple, history_table_changes(emp, target).collect()), key=repr)
+    assert got == want and len(got) > 0
