@@ -871,9 +871,26 @@ def enrich_epoch(
     AS-OF-stamped dimension join is the cdc_emp_asof_enrich operator).
 
     Scale shape: one keyed join per micro-batch (batch side trigger-
-    bounded; store side bucket-pruned by AQE/broadcast when small), one
-    partitioned write. No state beyond the store itself."""
-    enriched = batch_df.join(store.read(), join_key, how)
+    bounded), one partitioned write. When the store is bucketed on the
+    join key, the dimension side is PRUNED to the buckets the batch's
+    keys hash into (one cheap distinct over the trigger-bounded batch,
+    then the merge path's read_buckets recipe) — so at 100 TB the epoch
+    reads dim data proportional to the BATCH's key locality, not the
+    dimension table (r11; left/inner only — a full_outer join needs the
+    unmatched dim rows pruning would drop). No state beyond the store
+    itself."""
+    dim = None
+    if how in ("left", "inner") and store.bucket_cols == [join_key]:
+        buckets = [
+            r["b"]
+            for r in batch_df.select(store._bucket_col().alias("b"))
+            .distinct()
+            .collect()
+        ]
+        dim = store.read_buckets(buckets)
+    if dim is None:
+        dim = store.read()
+    enriched = batch_df.join(dim, join_key, how)
     enriched.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
 
 

@@ -2291,3 +2291,51 @@ def test_stream_histogram_monitor_restart_and_crash(spark, tmp_path):
         for r in read_quantile_estimate(spark, store, W_CENTS).collect()
     }
     assert got3 == batch_quantiles(orders)
+
+
+def test_enrich_epoch_bucket_pruning_equivalence(spark, tmp_path):
+    """r11: enrich_epoch prunes the dimension scan to the buckets the
+    batch's keys hash into (left/inner on the store's bucket key). The
+    pruned join must equal the full-dimension join bit-for-bit —
+    including left-join null rows for keys absent from the store — and
+    full_outer must NOT prune (it needs the unmatched dim rows)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from kafkatosparktokudu_spark.operators.merge import StateStore
+    from kafkatosparktokudu_spark.streaming.pipeline import enrich_epoch
+
+    dim_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("grade", T.IntegerType(), True),
+        ]
+    )
+    store = StateStore(spark, str(tmp_path / "dims"), ["user_id"], dim_schema, 64)
+    store.upsert_batch(
+        spark.range(500).select(
+            F.col("id").alias("user_id"),
+            (F.col("id") % 7).cast("int").alias("grade"),
+        )
+    )
+    # batch touches 3 known users + one key ABSENT from the store
+    batch = spark.createDataFrame(
+        [(1, 10), (2, 11), (3, 12), (4, 9999)], "event_id bigint, user_id bigint"
+    )
+    out = str(tmp_path / "out")
+    enrich_epoch(batch, 0, store, out, "user_id")
+    got = sorted(tuple(r) for r in spark.read.parquet(f"{out}/epoch=0").collect())
+    want = sorted(
+        tuple(r) for r in batch.join(store.read(), "user_id", "left").collect()
+    )
+    assert got == want
+    assert {r[0] for r in got} == {10, 11, 12, 9999} or {r[1] for r in got} == {10, 11, 12, 9999}
+    # the absent key survived as a null-grade row (pruning didn't eat it)
+    nulls = [t for t in got if t[-1] is None]
+    assert len(nulls) == 1
+
+    # full_outer falls back to the full dim read: every stored user
+    # appears even though the batch only touched 4 keys
+    enrich_epoch(batch, 1, store, out, "user_id", how="full_outer")
+    fo = spark.read.parquet(f"{out}/epoch=1")
+    assert fo.select("user_id").distinct().count() == 501  # 500 dims + 9999
