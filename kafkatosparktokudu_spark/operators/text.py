@@ -1559,3 +1559,54 @@ def hashed_linear_score(
             F.sum("_c").cast("bigint").alias("score"),
         )
     )
+
+
+# The sanitize mapping: NFKC-lite normalizations every LLM ingest runs
+# before tokenization (ftfy/CCNet-style), expressed as ONE translate()
+# table + one whitespace-collapse regex so it stays a single JVM-side
+# projection (no UDF) and is reproducible verbatim in any engine with
+# PostgreSQL translate semantics.
+#   - fullwidth ASCII (U+FF01-FF5E) -> ASCII (letters/digits/punct)
+#   - curly quotes/dashes/ellipsis -> straight ASCII equivalents
+#   - NBSP / ideographic space -> plain space
+#   - zero-width chars (ZWSP/ZWNJ/ZWJ/BOM) and C0 controls (except
+#     \t \n) -> deleted (translate's shorter-replacement deletion rule)
+_FULLWIDTH_SRC = "".join(chr(c) for c in range(0xFF01, 0xFF5F))
+_FULLWIDTH_DST = "".join(chr(c) for c in range(0x21, 0x7F))
+_PUNCT_SRC = "‘’“”–—… 　"
+_PUNCT_DST = "''\"\"--.  "  # ellipsis -> '.', NBSP + ideographic -> space
+_DELETE_SRC = "​‌‍﻿" + "".join(
+    chr(c) for c in range(0x00, 0x20) if chr(c) not in "\t\n"
+)
+SANITIZE_SRC = _FULLWIDTH_SRC + _PUNCT_SRC + _DELETE_SRC
+SANITIZE_DST = _FULLWIDTH_DST + _PUNCT_DST
+
+
+def sanitize_unicode(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode sanitization pass (tx25) — the pre-tokenization cleanup of
+    a real ingest (fullwidth→ASCII, curly punctuation→straight,
+    NBSP/ideographic space→space, zero-width + C0 controls stripped,
+    whitespace runs collapsed, trimmed). ONE translate() over a
+    module-level mapping table plus one ``[ \\t\\n]+`` collapse — stays
+    inside whole-stage codegen, no per-row Python, and the mapping is an
+    inspectable constant (SANITIZE_SRC/DST) rather than logic.
+
+    Returns ``(id, text_clean, n_chars_before, n_chars_after, changed)``
+    — codepoint counts, so the delta is exactly the deleted characters
+    plus collapsed whitespace. Scale: a projection; cost is one scan."""
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.translate(F.col(text_col), SANITIZE_SRC, SANITIZE_DST),
+            "[ \t\n]+",
+            " ",
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        cleaned.alias("text_clean"),
+        F.length(text_col).cast("bigint").alias("n_chars_before"),
+        F.length(cleaned).cast("bigint").alias("n_chars_after"),
+        (cleaned != F.col(text_col)).alias("changed"),
+    )

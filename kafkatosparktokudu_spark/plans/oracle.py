@@ -5348,3 +5348,40 @@ def _band_plan_sql(tau: float = 0.5, n_hashes: int = 16) -> str:
 
 
 ORACLE_SQL["dd16_lsh_band_plan"] = _band_plan_sql(tau=0.95)
+
+
+def _sanitize_sql() -> str:
+    """tx25 twin: the SAME noise construction and the SAME sanitize
+    mapping (operators/text.py::SANITIZE_SRC/DST), with the translate
+    tables built from chr() calls so control characters never appear raw
+    in the SQL text; DuckDB regexp_replace needs the explicit 'g' flag
+    (Spark's replaces all matches by default)."""
+    from ..operators.text import SANITIZE_DST, SANITIZE_SRC
+
+    # variadic concat(), not a ||-chain: DuckDB's binder recursion cap
+    # (128) rejects a 130-element nested || tree
+    src = "concat(" + ", ".join(f"chr({ord(c)})" for c in SANITIZE_SRC) + ")"
+    dst = "concat(" + ", ".join(f"chr({ord(c)})" for c in SANITIZE_DST) + ")"
+    noisy = (
+        "chr(160) || chr(65320) || 'i' || chr(8203) || ' ' || "
+        "replace(text, ' the ', ' ' || chr(65364) || chr(65352) || chr(65349) || ' ') "
+        "|| ' ' || chr(8212) || ' ' || chr(8220) || 'ok' || chr(8221) || chr(9)"
+    )
+    return f"""
+        WITH noisy AS (SELECT doc_id, {noisy} AS text FROM documents),
+        cleaned AS (
+            SELECT doc_id, text,
+                   trim(regexp_replace(
+                       translate(text, {src}, {dst}),
+                       '[ \t\n]+', ' ', 'g')) AS text_clean
+            FROM noisy
+        )
+        SELECT doc_id, text_clean,
+               CAST(length(text) AS BIGINT) AS n_chars_before,
+               CAST(length(text_clean) AS BIGINT) AS n_chars_after,
+               text_clean != text AS changed
+        FROM cleaned
+    """
+
+
+ORACLE_SQL["tx25_unicode_sanitize"] = _sanitize_sql()

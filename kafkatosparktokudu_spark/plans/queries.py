@@ -1886,6 +1886,29 @@ def dd16_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_band_plan(_t(spark, sf_dir, "documents"), tau=0.95)
 
 
+# Unicode sanitize (operators/text.py::sanitize_unicode): NFKC-lite
+# pre-tokenization cleanup -- fullwidth->ASCII, curly punctuation->
+# straight, NBSP->space, zero-width/C0 controls stripped, whitespace
+# collapsed. The fixture text is clean ASCII, so the query INJECTS a
+# deterministic noise wrapper in-plan (NBSP + fullwidth 'H'/'the' +
+# ZWSP + em dash + curly quotes + tabs) that the oracle constructs
+# identically (the mm12 both-sides recipe) -- the sanitize claim is
+# carried on genuinely dirty strings, not the fixture's clean ones.
+def tx25_unicode_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import sanitize_unicode
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    noisy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(" Ｈi​ "),
+            F.expr("replace(text, ' the ', ' ｔｈｅ ')"),
+            F.lit(" — “ok”	"),
+        ).alias("text"),
+    )
+    return sanitize_unicode(noisy)
+
+
 def dd07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import duplicate_clusters, neardup_pairs_jaccard
 
@@ -4126,6 +4149,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st07_quantile_monitor": st07_quantile_monitor,
     # NEW in r11: empirical MinHash-LSH band planning (integer-ppm exact)
     "dd16_lsh_band_plan": dd16_lsh_band_plan,
+    # NEW in r11: unicode sanitization pass (noise constructed in-plan by
+    # BOTH engines -- the mm12 recipe -- then cleaned by the shared
+    # SANITIZE_SRC/DST translate table)
+    "tx25_unicode_sanitize": tx25_unicode_sanitize,
     "dd05_embedding_neardup": dd05_embedding_neardup,
     "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,
     "ss05_knn_join": ss05_knn_join,

@@ -111,6 +111,9 @@ EXCLUDED = [
     # collected-rows frame — the audited plans are px06's gate + px19's
     # deal (both in HEADLINE); its own returned plan is trivial assembly.
     "st04_ingest_shards",
+    # tx25: single-scan translate+regexp projection — trivial plan, no
+    # exchange; the mapping table is data, not plan shape.
+    "tx25_unicode_sanitize",
     # dd16: returned frame is a bounded driver assembly (|divisors| rows);
     # the audited plan is dd04's candidate join + ONE aggregate, both
     # already covered by dd04's row.

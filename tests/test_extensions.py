@@ -2967,3 +2967,34 @@ def test_lsh_band_plan_properties(spark, sf_dir):
     fn = {k: r["exp_fn_ppm"] for k, r in rows.items()}
     assert fp[(16, 1)] == max(fp.values())  # admit-everything extreme
     assert fn[(1, 16)] == max(fn.values())  # admit-nothing extreme
+
+
+def test_sanitize_unicode_known_strings(spark):
+    """tx25's operator on hand-written dirty strings: fullwidth -> ASCII,
+    curly punctuation -> straight, NBSP -> space, zero-width/C0 controls
+    deleted, whitespace collapsed, trimmed; clean ASCII passes through
+    changed=False."""
+    from kafkatosparktokudu_spark.operators.text import sanitize_unicode
+
+    rows = [
+        (1, "Ｈｅｌｌｏ"),          # fullwidth Hello
+        (2, "a b　c"),                          # NBSP + ideographic
+        (3, "“quoted” ‘x’ — y…"),
+        (4, "z​‌‍﻿z"),               # zero-width family
+        (5, "a\x00b\x07c\td\ne"),                        # C0 controls; \t \n kept
+        (6, "  lots   of\t\tspace  "),
+        (7, "already clean"),
+    ]
+    got = {
+        r["doc_id"]: (r["text_clean"], r["changed"])
+        for r in sanitize_unicode(
+            spark.createDataFrame(rows, "doc_id bigint, text string")
+        ).collect()
+    }
+    assert got[1] == ("Hello", True)
+    assert got[2] == ("a b c", True)
+    assert got[3] == ('"quoted" \'x\' - y.', True)  # translate is 1:1 — em dash -> '-'
+    assert got[4] == ("zz", True)
+    assert got[5] == ("abc d e", True)   # \x00/\x07 deleted, \t \n collapsed
+    assert got[6] == ("lots of space", True)
+    assert got[7] == ("already clean", False)
