@@ -12,11 +12,16 @@ window, and nothing caught it. Now the claim is a computation:
   "round " (the driver's round-end commit).
 - Changed files under the package come from ``git diff base..HEAD``
   plus the working tree.
-- plans/queries.py and plans/oracle.py are attributed at FUNCTION /
-  dict-entry granularity (AST line spans on both diff sides, plus a
-  reverse-reference closure so touching a shared helper implicates its
-  consumers); every other package file maps to queries through
-  fixtures/query_deps.json (regenerate with scripts/gen_query_deps.py).
+- EVERY changed file is attributed at FUNCTION/constant/dict-entry
+  granularity (r11.2): AST line spans on both diff sides find the
+  changed top-level names, a reverse-reference closure propagates
+  touched helpers AND module constants to their consumers, and the
+  names intersect with fixtures/query_deps.json's traced
+  ``path::root_qualname`` execution sites (regenerate with
+  scripts/gen_query_deps.py) — so a purely ADDITIVE module edit no
+  longer implicates every query in the file. plans/queries.py and
+  plans/oracle.py intersect with the query/oracle key sets directly
+  (subscript assigns like ``ORACLE_SQL["q"] = ...`` included).
 
 Exit 0 = every affected query is inside the window (prints the set so
 NOTES can quote it); exit 1 = violations listed.
@@ -53,61 +58,70 @@ def _default_base() -> str:
     raise SystemExit("no 'round N' driver commit found; pass --base")
 
 
-def _name_spans(src: str) -> dict[str, tuple[int, int]]:
-    """Top-level def spans + dict-entry spans (key -> line range) for the
-    two plans files: a changed line is attributed to its enclosing name."""
-    spans: dict[str, tuple[int, int]] = {}
-    tree = ast.parse(src)
-    for node in tree.body:
-        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
-            spans[node.name] = (node.lineno, node.end_lineno or node.lineno)
+def _top_entries(src: str):
+    """(name, value_node, span) per top-level definition: functions,
+    classes, constants (Name-target assigns), subscript assigns like
+    ``ORACLE_SQL["q"] = ...`` (attributed to the string key), and
+    dict-literal entries (attributed per key)."""
+    out = []
+    for node in ast.parse(src).body:
+        span = (node.lineno, node.end_lineno or node.lineno)
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            out.append((node.name, node, span))
         elif isinstance(node, (ast.Assign, ast.AnnAssign)):
+            targets = node.targets if isinstance(node, ast.Assign) else [node.target]
             val = node.value
             if isinstance(val, ast.Dict):
                 for k, v in zip(val.keys, val.values):
                     if isinstance(k, ast.Constant) and isinstance(k.value, str):
-                        spans[k.value] = (k.lineno, v.end_lineno or v.lineno)
-    return spans
+                        out.append(
+                            (k.value, v, (k.lineno, v.end_lineno or v.lineno))
+                        )
+                continue
+            for t in targets:
+                if isinstance(t, ast.Name):
+                    out.append((t.id, val, span))
+                elif (
+                    isinstance(t, ast.Subscript)
+                    and isinstance(t.slice, ast.Constant)
+                    and isinstance(t.slice.value, str)
+                ):
+                    out.append((t.slice.value, val, span))
+    return out
 
 
 def _name_refs(src: str) -> dict[str, set[str]]:
-    """name -> top-level names it references (for the helper closure)."""
-    tree = ast.parse(src)
-    top = set()
-    for node in tree.body:
-        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
-            top.add(node.name)
+    """name -> top-level names its body references (for the closure:
+    touching a helper OR a module constant implicates its consumers)."""
+    entries = _top_entries(src)
+    top = {name for name, _, _ in entries}
+
+    def names_in(node) -> set[str]:
+        if node is None:
+            return set()
+        return {n.id for n in ast.walk(node) if isinstance(n, ast.Name)} & top
+
     refs: dict[str, set[str]] = {}
-
-    def names_in(node: ast.AST) -> set[str]:
-        return {
-            n.id for n in ast.walk(node) if isinstance(n, ast.Name)
-        } & top
-
-    for node in tree.body:
-        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
-            refs[node.name] = names_in(node) - {node.name}
-        elif isinstance(node, (ast.Assign, ast.AnnAssign)) and isinstance(
-            node.value, ast.Dict
-        ):
-            for k, v in zip(node.value.keys, node.value.values):
-                if isinstance(k, ast.Constant) and isinstance(k.value, str):
-                    refs[k.value] = names_in(v)
+    for name, node, _ in entries:
+        refs.setdefault(name, set()).update(names_in(node) - {name})
     return refs
 
 
 def _changed_names(base_src: str, head_src: str) -> set[str]:
-    """Names whose body text changed between the two versions, expanded
-    through the reverse-reference closure (changed helper -> consumers)."""
-    base_spans, head_spans = _name_spans(base_src), _name_spans(head_src)
+    """Names whose body text changed between the two versions (every
+    definition site attributed independently), expanded through the
+    reverse-reference closure (changed helper OR module constant ->
+    consumers)."""
+    base_ent = [(n, s, e) for n, _, (s, e) in _top_entries(base_src)]
+    head_ent = [(n, s, e) for n, _, (s, e) in _top_entries(head_src)]
     touched: set[str] = set()
     base_lines, head_lines = base_src.splitlines(), head_src.splitlines()
     sm = difflib.SequenceMatcher(None, base_lines, head_lines, autojunk=False)
     for tag, i1, i2, j1, j2 in sm.get_opcodes():
         if tag == "equal":
             continue
-        for spans, lo, hi in ((base_spans, i1 + 1, i2), (head_spans, j1 + 1, j2)):
-            for name, (s, e) in spans.items():
+        for entries, lo, hi in ((base_ent, i1 + 1, i2), (head_ent, j1 + 1, j2)):
+            for name, s, e in entries:
                 if s <= hi and e >= lo:
                     touched.add(name)
     # closure: a consumer of a touched helper is itself touched
@@ -141,19 +155,33 @@ def main() -> int:
     with open(os.path.join(REPO, "fixtures", "query_deps.json"), encoding="utf-8") as fh:
         deps = json.load(fh)
 
+    def _srcs(path: str) -> tuple[str, str]:
+        try:
+            base_src = _git("show", f"{base}:{path}")
+        except subprocess.CalledProcessError:
+            base_src = ""  # file is new this round: everything in it changed
+        with open(os.path.join(REPO, path), encoding="utf-8") as fh:
+            return base_src, fh.read()
+
     affected: set[str] = set()
-    for plans_file, keys in (
-        (f"{PKG}/plans/queries.py", set(QUERIES)),
-        (f"{PKG}/plans/oracle.py", set(ORACLE_SQL)),
-    ):
+    plans = {f"{PKG}/plans/queries.py": set(QUERIES),
+             f"{PKG}/plans/oracle.py": set(ORACLE_SQL)}
+    for plans_file, keys in plans.items():
         if plans_file not in changed_files:
             continue
-        base_src = _git("show", f"{base}:{plans_file}")
-        with open(os.path.join(REPO, plans_file), encoding="utf-8") as fh:
-            head_src = fh.read()
-        affected |= _changed_names(base_src, head_src) & keys
-    for f in changed_files - {f"{PKG}/plans/queries.py", f"{PKG}/plans/oracle.py"}:
-        affected |= {q for q, files in deps.items() if f in files}
+        affected |= _changed_names(*_srcs(plans_file)) & keys
+    for f in sorted(changed_files - set(plans)):
+        if not os.path.exists(os.path.join(REPO, f)):
+            # deleted file: conservatively implicate every query that
+            # executed anything in it
+            affected |= {
+                q for q, sites in deps.items()
+                if any(s.startswith(f + "::") for s in sites)
+            }
+            continue
+        changed = _changed_names(*_srcs(f))
+        hits = {f"{f}::{n}" for n in changed}
+        affected |= {q for q, sites in deps.items() if hits & set(sites)}
 
     missing = [q for q in sorted(affected) if q not in deps and q in order]
     window = order[: args.window]

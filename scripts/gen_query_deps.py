@@ -8,12 +8,16 @@ local_frame-touched but not rotated). This map makes the rule checkable
 mechanically: scripts/check_rotation.py diffs the round's changed files
 against it.
 
-Granularity: FILE-level for operator/function/source/streaming modules
+Granularity: FUNCTION-level everywhere (r11.2) — each row maps a query
+to the ``path::root_qualname`` code objects that actually executed
 (captured live with a profile hook over a real run — no hand-maintained
-table to drift); plans/queries.py and plans/oracle.py are attributed at
-FUNCTION/dict-entry level by check_rotation.py instead (every query
-trivially executes its own wrapper, so file-level would be useless
-there).
+table to drift; nested/local functions attribute to their top-level
+root). check_rotation.py AST-diffs each changed file to its changed
+top-level names (constants propagate to the functions referencing them)
+and intersects with these rows, so an ADDITIVE module edit no longer
+implicates every query in the file. plans/queries.py and
+plans/oracle.py keep their special handling (every query trivially
+executes its own wrapper).
 
 Run after adding queries (tests/test_docs_index.py pins coverage):
 
@@ -69,13 +73,15 @@ def main() -> None:
             deps = {k: v for k, v in json.load(fh).items() if k in QUERIES}
         todo = {n: QUERIES[n] for n in names}
     for i, (name, fn) in enumerate(todo.items()):
-        files: set[str] = set()
+        sites: set[str] = set()
 
-        def prof(frame, event, arg, _files=files):
+        def prof(frame, event, arg, _sites=sites):
             if event in ("call", "c_call"):
-                f = frame.f_code.co_filename
+                code = frame.f_code
+                f = code.co_filename
                 if f.startswith(PKG_DIR):
-                    _files.add(os.path.relpath(f, REPO))
+                    root = code.co_qualname.split(".", 1)[0]
+                    _sites.add(f"{os.path.relpath(f, REPO)}::{root}")
 
         # foreachBatch bodies run on streaming microbatch THREADS —
         # threading.setprofile covers threads started while tracing
@@ -86,8 +92,10 @@ def main() -> None:
         finally:
             sys.setprofile(None)
             threading.setprofile(None)
-        deps[name] = sorted(files - EXCLUDE)
-        print(f"[{i + 1}/{len(todo)}] {name}: {len(deps[name])} files", flush=True)
+        deps[name] = sorted(
+            s for s in sites if s.split("::", 1)[0] not in EXCLUDE
+        )
+        print(f"[{i + 1}/{len(todo)}] {name}: {len(deps[name])} sites", flush=True)
 
     with open(OUT, "w", encoding="utf-8") as fh:
         json.dump(deps, fh, indent=1, sort_keys=True)

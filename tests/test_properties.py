@@ -1108,3 +1108,42 @@ def test_local_frame_bigint_none_exact(spark):
         key=repr,
     )
     assert got == sorted(rows, key=repr)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=0, max_codepoint=0xFFFD,
+                blacklist_categories=("Cs",),  # no lone surrogates
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_sanitize_unicode_idempotent_and_bounded(spark, texts):
+    """tx25 property on ARBITRARY unicode (full BMP, any category): the
+    sanitize pass is idempotent — sanitize(sanitize(x)) == sanitize(x),
+    i.e. one pass reaches the fixed point (a second translate finds no
+    mapped chars, collapse finds no runs, trim nothing to trim) — and
+    never grows the text (every rule deletes, collapses, or maps 1:1)."""
+    from kafkatosparktokudu_spark.operators.text import sanitize_unicode
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    once = {
+        r["doc_id"]: (r["text_clean"], r["n_chars_before"], r["n_chars_after"])
+        for r in sanitize_unicode(df).collect()
+    }
+    again_input = spark.createDataFrame(
+        [(i, v[0]) for i, v in once.items()], "doc_id bigint, text string"
+    )
+    twice = {
+        r["doc_id"]: r["text_clean"] for r in sanitize_unicode(again_input).collect()
+    }
+    for i, (clean, n_before, n_after) in once.items():
+        assert twice[i] == clean, (texts[i], clean, twice[i])
+        assert n_after <= n_before
