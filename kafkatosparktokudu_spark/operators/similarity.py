@@ -1134,25 +1134,11 @@ def pq_encode(
     m = len(codebooks)
     d = len(codebooks[0][0])
 
-    def _sq_sql(s: int, q: list[float]) -> str:
-        terms = [
-            f"(element_at(v, {s * d + i + 1}) - {float(x)!r}D)"
-            f" * (element_at(v, {s * d + i + 1}) - {float(x)!r}D)"
-            for i, x in enumerate(q)
-        ]
-        return "(" + " + ".join(terms) + ")"
-
-    def _best_sql(s: int) -> str:
-        structs = ", ".join(
-            f"named_struct('d', round({_sq_sql(s, q)}, 6), 'code', {c})"
-            for c, q in enumerate(codebooks[s])
-        )
-        return f"element_at(array_sort(array({structs})), 1)"
-
     staged = emb.select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     ).select(
-        "vec_id", *[F.expr(_best_sql(s)).alias(f"_b{s}") for s in range(m)]
+        "vec_id",
+        *[F.expr(_pq_best_sql(codebooks, s, d)).alias(f"_b{s}") for s in range(m)],
     )
     err_sql = "CAST(" + " + ".join(
         f"CAST(_b{s}.d AS DECIMAL(12,6))" for s in range(m)
@@ -1244,6 +1230,109 @@ def _adc_distance_col(
         for s in range(m)
     ]
     return F.round(reduce(lambda a, b: a + b, adc_terms), 6)
+
+
+def _pq_best_sql(codebooks: list[list[list[float]]], s: int, d: int) -> str:
+    """The per-subspace argmin struct expression shared by pq_encode and
+    pq_codebooks_trained_exact (extracted mechanically in r11 —
+    byte-identical string, so the ss07/ss08 oracle contract is
+    untouched): rounded-6 flat squared distance to every centroid
+    literal, code-ASC tie-break via array_sort's total struct order."""
+
+    def _sq_sql(q: list[float]) -> str:
+        terms = [
+            f"(element_at(v, {s * d + i + 1}) - {float(x)!r}D)"
+            f" * (element_at(v, {s * d + i + 1}) - {float(x)!r}D)"
+            for i, x in enumerate(q)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    structs = ", ".join(
+        f"named_struct('d', round({_sq_sql(q)}, 6), 'code', {c})"
+        for c, q in enumerate(codebooks[s])
+    )
+    return f"element_at(array_sort(array({structs})), 1)"
+
+
+def pq_codebooks_trained_exact(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 4,
+    n_dims: int = 64,
+    n_iters: int = 2,
+) -> list[list[list[float]]]:
+    """DISTRIBUTED, SQL-replayable per-subspace Lloyd's for PQ codebooks
+    (ss17) — the PQ analogue of ss15's trained coarse quantizer, and the
+    graduation of ``pq_codebooks_trained``'s rows-only claim: every step
+    follows the ss06 decimal-exact contract, so the DuckDB oracle
+    RETRAINS the codebooks bit-for-bit:
+
+    - seeds: subspace slices of the ``k`` lowest-vec_id vectors (the
+      ss07 seeded codebooks — iteration 1's assignment IS ss07's enc);
+    - assignment: per subspace argmin of ROUNDED(6) flat squared L2
+      with code-ASC tie-break (`_pq_best_sql`, the exact expression
+      pq_encode compiles);
+    - update: component means as DECIMAL(18,9) sums cast to double then
+      divided by the member count — bit-identical in both engines; a
+      code that loses every member keeps its previous centroid (the
+      numpy deploy path's rule).
+
+    Unlike the deploy path (numpy over a bounded hash-sample), training
+    runs over the FULL table: one scan + ONE (s, code, i)-keyed shuffle
+    per iteration; the driver transfer is the m·k·d codebook itself.
+
+    Returns the ``C[m][k][d]`` shape ``pq_encode``/``pq_adc_topk``
+    consume — the trained codebooks slot into the whole PQ family."""
+    d = n_dims // m
+    staged = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    seed_rows = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"need >= {k} vectors to seed {k} codes")
+    cb: list[list[list[float]]] = [
+        [
+            [float(r["embedding"][s * d + i]) for i in range(d)]
+            for r in seed_rows
+        ]
+        for s in range(m)
+    ]
+    for _ in range(n_iters - 1):
+        codes_arr = "array(" + ", ".join(f"_b{s}.code" for s in range(m)) + ")"
+        a = staged.select(
+            "v",
+            *[F.expr(_pq_best_sql(cb, s, d)).alias(f"_b{s}") for s in range(m)],
+        ).select("v", F.expr(codes_arr).alias("codes"))
+        comp = (
+            a.select(
+                F.posexplode(F.slice(F.col("v"), 1, n_dims)).alias("pos", "val"),
+                "codes",
+            )
+            .select(
+                F.expr(f"pos div {d}").cast("int").alias("s"),
+                F.expr(f"element_at(codes, CAST(pos div {d} AS INT) + 1)")
+                .cast("int")
+                .alias("code"),
+                F.expr(f"pos % {d}").cast("int").alias("i"),
+                F.col("val").cast("decimal(18,9)").alias("val"),
+            )
+            .groupBy("s", "code", "i")
+            .agg((F.sum("val").cast("double") / F.count("val")).alias("c"))
+            .collect()
+        )
+        means: dict[tuple[int, int], dict[int, float]] = {}
+        for r in comp:
+            means.setdefault((r["s"], r["code"]), {})[r["i"]] = r["c"]
+        cb = [
+            [
+                [means[(s, c)][i] for i in range(d)]
+                if (s, c) in means
+                else cb[s][c]  # empty code keeps its previous centroid
+                for c in range(k)
+            ]
+            for s in range(m)
+        ]
+    return cb
 
 
 def pq_adc_topk(

@@ -5385,3 +5385,89 @@ def _sanitize_sql() -> str:
 
 
 ORACLE_SQL["tx25_unicode_sanitize"] = _sanitize_sql()
+
+
+def _pq_trained_ctes(m: int = 8, k: int = 4, d: int = 8) -> str:
+    """ss17 twin: RETRAIN the PQ codebooks in SQL (one Lloyd update over
+    the seeded assignment — which is exactly ss07's enc), then replay the
+    ss08 ADC search against the trained book. Exactness contract =
+    similarity.py::pq_codebooks_trained_exact: rounded-6 flat squared
+    distances with code-ASC tie-break, DECIMAL(18,9) component means cast
+    to double once, empty codes keep their seed centroid."""
+    codes_list = "[" + ", ".join(f"enc.code{s}" for s in range(m)) + "]"
+
+    def cvdist(vec: str) -> str:
+        # flat squared L2 between a full vector's subspace slice (slice
+        # index driven by the cb row's own s) and the cb row's cv — same
+        # term order as the Spark literal expressions
+        return " + ".join(
+            f"({vec}[c.s*{d} + {i} + 1] - c.cv[{i + 1}])"
+            f" * ({vec}[c.s*{d} + {i} + 1] - c.cv[{i + 1}])"
+            for i in range(d)
+        )
+
+    enc1_cols = ", ".join(
+        f"MAX(CASE WHEN s = {s} THEN code END) AS code{s}" for s in range(m)
+    )
+    adc_joins = " ".join(
+        f"JOIN cb1 c{s} ON c{s}.s = {s} AND c{s}.code = enc1.code{s}"
+        for s in range(m)
+    )
+
+    def qdist(s: int) -> str:
+        return " + ".join(
+            f"(q.qv[{s * d + i + 1}] - c{s}.cv[{i + 1}])"
+            f" * (q.qv[{s * d + i + 1}] - c{s}.cv[{i + 1}])"
+            for i in range(d)
+        )
+
+    adc_sum = " + ".join(f"({qdist(s)})" for s in range(m))
+    return f"""{_pq_ctes(m, k, d)},
+        comp AS (
+            SELECT t.s AS s, ({codes_list})[t.s + 1] AS code, u.i AS i,
+                   CAST(SUM(CAST(e.v[t.s*{d} + u.i + 1] AS DECIMAL(18,9)))
+                        AS DOUBLE) / COUNT(*) AS c
+            FROM enc JOIN e USING (vec_id), range({m}) t(s), range({d}) u(i)
+            GROUP BY 1, 2, 3
+        ),
+        mv AS (SELECT s, code, list(c ORDER BY i) AS cv FROM comp
+               GROUP BY s, code),
+        cb0 AS (
+            SELECT t.s AS s, p.code,
+                   p.sv[t.s*{d} + 1 : t.s*{d} + {d}] AS cv
+            FROM pseeds p, range({m}) t(s)
+        ),
+        cb1 AS (
+            SELECT cb0.s, cb0.code, COALESCE(mv.cv, cb0.cv) AS cv
+            FROM cb0 LEFT JOIN mv ON mv.s = cb0.s AND mv.code = cb0.code
+        ),
+        pd1 AS (
+            SELECT e.vec_id, c.s, c.code,
+                   round({cvdist('e.v')}, 6) AS dd
+            FROM e CROSS JOIN cb1 c
+        ),
+        sel AS (
+            SELECT vec_id, s, code FROM (
+                SELECT vec_id, s, code,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY dd, code) AS rn
+                FROM pd1) WHERE rn = 1
+        ),
+        enc1 AS (SELECT vec_id, {enc1_cols} FROM sel GROUP BY vec_id),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        adc AS (
+            SELECT enc1.vec_id, round({adc_sum}, 6) AS adc_dist
+            FROM enc1 CROSS JOIN q {adc_joins}
+            WHERE enc1.vec_id <> 0
+        )"""
+
+
+ORACLE_SQL["ss17_pq_trained_adc"] = f"""
+    WITH {_pq_trained_ctes()}
+    SELECT rank, vec_id, adc_dist FROM (
+        SELECT CAST(row_number() OVER (ORDER BY adc_dist, vec_id)
+                    AS INTEGER) AS rank,
+               vec_id, adc_dist
+        FROM adc
+    ) WHERE rank <= 10
+"""

@@ -2398,6 +2398,26 @@ def ss08_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, qv, pq_codebooks(emb), k=10, exclude_id=0)
 
 
+def ss17_pq_trained_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED-codebook PQ ADC search, fully hash-oracled (operators/
+    similarity.py::pq_codebooks_trained_exact): distributed per-subspace
+    Lloyd's through the ss06 decimal-exact contract — the DuckDB oracle
+    RETRAINS the codebooks bit-for-bit (seed slices → rounded-6 argmin
+    assignment → DECIMAL(18,9) component means, empty codes keep their
+    seeds) and then replays the ss08 ADC search against them. Graduates
+    the trained-PQ claim the numpy deploy path (pq_codebooks_trained)
+    could only rows-only-check — the PQ analogue of ss15."""
+    from ..operators.similarity import pq_adc_topk, pq_codebooks_trained_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    cb = pq_codebooks_trained_exact(emb, m=8, k=4, n_dims=64, n_iters=2)
+    return pq_adc_topk(emb, qv, cb, k=10, exclude_id=0)
+
+
 def ss13_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage PQ serving: ADC over the codes table builds a 100-wide
     shortlist, the TRUE squared distance re-ranks only those candidates
@@ -4153,6 +4173,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # BOTH engines -- the mm12 recipe -- then cleaned by the shared
     # SANITIZE_SRC/DST translate table)
     "tx25_unicode_sanitize": tx25_unicode_sanitize,
+    # NEW in r11: trained-codebook PQ ADC (the oracle retrains the
+    # per-subspace Lloyd's bit-for-bit -- ss15's graduation recipe
+    # applied to PQ, retiring the last numpy-only trained claim)
+    "ss17_pq_trained_adc": ss17_pq_trained_adc,
     "dd05_embedding_neardup": dd05_embedding_neardup,
     "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,
     "ss05_knn_join": ss05_knn_join,

@@ -40,6 +40,7 @@ HEADLINE = [
     # round-6 additions
     "ss04_ivf_topk",
     "ss08_pq_adc_topk",
+    "ss17_pq_trained_adc",
     "q74_rollup_revenue",
     "q76_rolling_revenue",
     "q77_price_distribution",

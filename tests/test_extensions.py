@@ -2998,3 +2998,33 @@ def test_sanitize_unicode_known_strings(spark):
     assert got[5] == ("abc d e", True)   # \x00/\x07 deleted, \t \n collapsed
     assert got[6] == ("lots of space", True)
     assert got[7] == ("already clean", False)
+
+
+def test_pq_trained_exact_reduces_distortion(spark):
+    """ss17's distributed trainer (pq_codebooks_trained_exact) must (a)
+    actually move the codebooks off their seeds, (b) keep the C[m][k][d]
+    shape the PQ family consumes, and (c) not increase total
+    reconstruction error vs the seeded books — Lloyd's both steps
+    (re-assign, then mean update) are non-increasing in total squared
+    distortion, up to the rounded-6 assignment contract."""
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.operators.similarity import (
+        pq_codebooks,
+        pq_codebooks_trained_exact,
+        pq_encode,
+    )
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    seeded = pq_codebooks(emb, k=4)
+    trained = pq_codebooks_trained_exact(emb, m=8, k=4, n_dims=64, n_iters=2)
+    assert len(trained) == 8 and all(
+        len(cb) == 4 and all(len(c) == 8 for c in cb) for cb in trained
+    )
+    assert trained != seeded  # the update step really ran
+    err_seed = pq_encode(emb, seeded).agg(F.sum("recon_err")).first()[0]
+    err_train = pq_encode(emb, trained).agg(F.sum("recon_err")).first()[0]
+    assert err_train <= err_seed + 1e-6, (err_train, err_seed)
