@@ -5293,6 +5293,33 @@ ORACLE_SQL["st07_quantile_monitor"] = """
 """
 
 
+# st08 twin: the streaming interval join drains to exactly the batch
+# interval join — every (click, same-user purchase within the preceding
+# hour) pair, no more (watermark eviction only bounds STATE; with the
+# fixture in one micro-batch every match is in reach), no fewer.
+ORACLE_SQL["st08_stream_interval_join"] = """
+    SELECT c.user_id AS user_id,
+           c.event_id AS click_id,
+           c.ts AS click_ts,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.user_id = c.user_id
+     AND p.ts <= c.ts
+     AND p.ts >= c.ts - INTERVAL 1 HOUR
+"""
+
+
+# st09 twin: dedup state drops the second (cross-micro-batch) copy of
+# every row, so the drained stream == the distinct base rows (event_id
+# is unique in the fixture, so DISTINCT == the base projection).
+ORACLE_SQL["st09_stream_dedup"] = """
+    SELECT event_id, ts, user_id, event_type, value FROM events
+"""
+
+
 def _band_plan_sql(tau: float = 0.5, n_hashes: int = 16) -> str:
     """dd16 twin: same S-curve-by-multiplication-chain + integer-ppm
     rounding over the dd04 candidate-pair jaccards (see lsh_band_plan's

@@ -3979,6 +3979,95 @@ def st07_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Stream-stream interval join run LIVE (streaming/pipeline.py::
+# stream_interval_join): every click pairs with the same user's purchases
+# in the preceding hour; BOTH sides carry watermarks and the join
+# condition bounds event-time distance, so either side's state is evicted
+# once the watermark passes — bounded memory on unbounded streams (the
+# canonical Structured Streaming interval join; the reference's DStream
+# loop has no join at all, ConsumerMain.scala:47-64 processes topics
+# independently). The whole fixture lands in ONE source file ⇒ one
+# micro-batch, making the inner join arrival-order-proof; the multi-batch
+# and outer-eviction faces are pinned live in tests/test_streaming.py.
+# The oracle replays the identical interval join in SQL — streaming and
+# batch must agree row-for-row.
+def st08_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import stream_interval_join
+
+    events = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="st08_")
+    try:
+        src = f"{tmp}/src"
+        events.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            stream_interval_join(
+                stream.filter(F.col("event_type") == "click"),
+                stream.filter(F.col("event_type") == "purchase"),
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        res = spark.read.parquet(f"{tmp}/out")
+        rows = res.collect()  # materialize before the temp dirs vanish
+        return local_frame(spark, rows, res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# Streaming dedup run LIVE (streaming/pipeline.py::stream_dedup →
+# dropDuplicatesWithinWatermark): the SAME fixture rows arrive TWICE, in
+# two files with maxFilesPerTrigger=1, so the second copy lands a
+# micro-batch later and must be dropped by dedup STATE carried across
+# batches — the watermark spans the whole fixture (60 days > the 30-day
+# ts span), so nothing is late-dropped and the state genuinely does the
+# work. The streaming analog of dd02's exact dedup for the ingest path
+# (an at-least-once Kafka source redelivers; this is the operator that
+# makes the downstream exactly-once). Oracle = the distinct base rows.
+def st09_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import stream_dedup
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="st09_")
+    try:
+        src = f"{tmp}/src"
+        events.coalesce(1).write.parquet(src)
+        events.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream_dedup(stream, watermark="60 days")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        res = spark.read.parquet(f"{tmp}/out")
+        rows = res.collect()  # materialize before the temp dirs vanish
+        return local_frame(spark, rows, res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # kNN majority-vote labeling (operators/similarity.py::knn_label_vote) —
 # each low-id query vector takes the modal label of its ss05 neighbors
 # (votes DESC, label ASC tie-break); one (q_id,label) agg + one tiny
@@ -4167,6 +4256,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # st05's cardinality monitor — sum-merged registers via cumulative
     # per-epoch snapshots)
     "st07_quantile_monitor": st07_quantile_monitor,
+    # stream-stream interval join + cross-batch streaming dedup, run LIVE
+    "st08_stream_interval_join": st08_stream_interval_join,
+    "st09_stream_dedup": st09_stream_dedup,
     # NEW in r11: empirical MinHash-LSH band planning (integer-ppm exact)
     "dd16_lsh_band_plan": dd16_lsh_band_plan,
     # NEW in r11: unicode sanitization pass (noise constructed in-plan by

@@ -152,6 +152,39 @@ def test_stream_dedup_drops_duplicates(spark, tmp_path):
     assert n == events.count()
 
 
+def test_stream_dedup_state_carries_across_micro_batches(spark, tmp_path):
+    """The st09 construction, instrumented: the SAME rows arrive twice in
+    two files with maxFilesPerTrigger=1, so the second copy lands a LATER
+    micro-batch and must be dropped by dedup state (the watermark spans
+    the fixture — nothing is late-dropped). Pins both the ≥2-batch drain
+    (availableNow honors maxFilesPerTrigger) and the exact output."""
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "xb_src")
+    events.coalesce(1).write.parquet(src)
+    events.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_dedup(stream, watermark="60 days")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("xb_dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    fed = [p for p in q.recentProgress if p.numInputRows > 0]
+    assert len(fed) >= 2, "second file must arrive in its own micro-batch"
+    got = {tuple(r) for r in spark.table("xb_dedup_out").collect()}
+    want = {tuple(r) for r in events.collect()}
+    assert got == want
+
+
 def test_offsets_csv_translation():
     csv = "tt,0,39,39\ntt,1,30,30\ntt,2,40,40\ntt,3,107,107\ntt,4,95,95\n"
     assert (
