@@ -1610,3 +1610,102 @@ def sanitize_unicode(
         F.length(cleaned).cast("bigint").alias("n_chars_after"),
         (cleaned != F.col(text_col)).alias("changed"),
     )
+
+
+# BM25 per-(doc, term) contribution — ONE expression string shared
+# verbatim by the Spark plan (F.expr) and the DuckDB oracle, over
+# identically-named columns (tf, df, dl, n_docs, total_dl), so every
+# float op (idf's log2, the length-normalized tf saturation) is evaluated
+# through the same parse tree on both engines. Cross-engine exactness
+# contract (the tx15/dd16 recipe):
+#   - log2 is the ONLY libm call; it is rounded to 6 decimals BEFORE use
+#     (proven stable in tx15's surprisal oracle);
+#   - every constant is spelled identically on both sides (2.2 = k1+1,
+#     1.2 = k1, 0.25 = 1-b, 0.75 = b — the Okapi defaults; 0.25/0.75 are
+#     binary-exact, 2.2/1.2 parse to the same double under both engines'
+#     correctly-rounded decimal->double literal conversion);
+#   - the final per-(doc,term) value is rounded to 6 decimals and summed
+#     as DECIMAL, so the per-doc aggregate is order-independent.
+BM25_CONTRIB_EXPR = (
+    "CAST(round("
+    "round(log2(1 + (CAST(n_docs - df AS DOUBLE) + 0.5)"
+    " / (CAST(df AS DOUBLE) + 0.5)), 6)"
+    " * ((CAST(tf AS DOUBLE) * 2.2)"
+    " / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75"
+    " * (CAST(dl AS DOUBLE) / (CAST(total_dl AS DOUBLE)"
+    " / CAST(n_docs AS DOUBLE))))))"
+    ", 6) AS DECIMAL(12,6))"
+)
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: list[str],
+    top_n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval (tx26) — Robertson/Spärck Jones Okapi BM25
+    (k1=1.2, b=0.75) of every document against a bag of query terms: the
+    classical lexical ranker (and the usual hybrid-retrieval partner of
+    the ss* dense searches; the reference has no retrieval at all — its
+    scope ends at CDC ingest, README.md:53). idf = log2(1 + (N-df+0.5)/
+    (df+0.5)) (the +1 'plus' form, always positive), tf saturates at k1
+    and is length-normalized by b against the corpus mean doc length.
+
+    Plan shape: ONE tokenize-explode — dl rides along as a projected
+    column (size of the staged token array), so tf needs NO join back to
+    a per-doc side (at scale that side is O(N docs); a first plan-audit
+    draft let Catalyst broadcast it — wrong at 100 TB); df is a window
+    count over the postings themselves (no second scan — a naive
+    ``tf.groupBy(term)`` re-executes the whole explode lineage); the
+    (N, total_dl) corpus stats are a 1-row aggregate over a
+    projection-only second scan (no explode), broadcast. Shuffles: the
+    (doc,term) groupBy and the term-window over |postings of the query
+    terms| only — the classical inverted-index cost, never all-terms.
+
+    Returns ``(rank, doc_id, n_terms_hit, bm25)``, top_n by (score DESC,
+    doc_id) — ties broken on the DECIMAL score, so ranking is exact."""
+    from pyspark.sql import Window
+
+    staged = docs.select(F.col(id_col), tokens(text_col).alias("arr"))
+    toks = staged.select(
+        F.col(id_col),
+        F.size("arr").cast("bigint").alias("dl"),
+        F.explode("arr").alias("term"),
+    )
+    stats = staged.select(F.size("arr").cast("bigint").alias("dl")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_dl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.max("dl").alias("dl"),  # constant per doc
+        )
+    )
+    wdf = Window.partitionBy("term")
+    scored = (
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(wdf).cast("bigint")
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.expr(BM25_CONTRIB_EXPR).alias("contrib"))
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.sum("contrib").alias("bm25_dec"),
+        F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+    )
+    w = Window.orderBy(F.col("bm25_dec").desc(), F.col(id_col))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "rank",
+            F.col(id_col),
+            "n_terms_hit",
+            F.col("bm25_dec").cast("double").alias("bm25"),
+        )
+    )

@@ -5312,6 +5312,58 @@ ORACLE_SQL["st08_stream_interval_join"] = """
 """
 
 
+def _bm25_sql(terms: tuple[str, ...] = ("merge", "vector", "stream"),
+              top_n: int = 20) -> str:
+    """tx26 twin: evaluates text.py::BM25_CONTRIB_EXPR VERBATIM over CTEs
+    exposing the same column names (tf, df, dl, n_docs, total_dl) — one
+    float parse tree, two engines. The only libm call (log2) is rounded
+    to 6 decimals before use and the per-(doc,term) contribution rounds
+    to DECIMAL(12,6) before the per-doc sum (order-independent)."""
+    from ..operators.text import BM25_CONTRIB_EXPR
+
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ),
+        dl AS (
+            SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl
+            FROM documents
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS total_dl
+            FROM dl
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks WHERE term IN ({in_list}) GROUP BY 1, 2
+        ),
+        dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                  FROM tf GROUP BY 1),
+        scored AS (
+            SELECT doc_id, {BM25_CONTRIB_EXPR} AS contrib
+            FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+                 CROSS JOIN stats
+        ),
+        agg AS (
+            SELECT doc_id, SUM(contrib) AS bm25_dec,
+                   CAST(COUNT(*) AS INTEGER) AS n_terms_hit
+            FROM scored GROUP BY 1
+        )
+        SELECT rank, doc_id, n_terms_hit, bm25 FROM (
+            SELECT CAST(row_number() OVER (
+                       ORDER BY bm25_dec DESC, doc_id) AS INTEGER) AS rank,
+                   doc_id, n_terms_hit,
+                   CAST(bm25_dec AS DOUBLE) AS bm25
+            FROM agg
+        ) WHERE rank <= {top_n}
+    """
+
+
+ORACLE_SQL["tx26_bm25_rank"] = _bm25_sql()
+
+
 # st09 twin: dedup state drops the second (cross-micro-batch) copy of
 # every row, so the drained stream == the distinct base rows (event_id
 # is unique in the fixture, so DISTINCT == the base projection).

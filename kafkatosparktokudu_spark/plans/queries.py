@@ -1909,6 +1909,23 @@ def tx25_unicode_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sanitize_unicode(noisy)
 
 
+# BM25 ranked retrieval (operators/text.py::bm25_rank): Okapi BM25 of
+# every document against a fixed bag of query terms — the classical
+# lexical ranker, and the hybrid-retrieval partner of the ss* dense
+# searches. The query terms are mid-frequency corpus words so idf
+# genuinely varies; the oracle evaluates the SAME contribution
+# expression string (text.py::BM25_CONTRIB_EXPR) over the same CTE
+# column names, so both engines share one float parse tree.
+def tx26_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bm25_rank
+
+    return bm25_rank(
+        _t(spark, sf_dir, "documents"),
+        query_terms=["merge", "vector", "stream"],
+        top_n=20,
+    )
+
+
 def dd07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import duplicate_clusters, neardup_pairs_jaccard
 
@@ -4259,6 +4276,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stream-stream interval join + cross-batch streaming dedup, run LIVE
     "st08_stream_interval_join": st08_stream_interval_join,
     "st09_stream_dedup": st09_stream_dedup,
+    # BM25 lexical retrieval — shared-expression float contract
+    "tx26_bm25_rank": tx26_bm25_rank,
     # NEW in r11: empirical MinHash-LSH band planning (integer-ppm exact)
     "dd16_lsh_band_plan": dd16_lsh_band_plan,
     # NEW in r11: unicode sanitization pass (noise constructed in-plan by

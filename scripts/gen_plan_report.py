@@ -97,6 +97,8 @@ HEADLINE = [
     "ss15_ivf_trained_topk",
     "ss16_ivfadc_topk",
     "tx24_hashed_linear_score",
+    # round-11 additions
+    "tx26_bm25_rank",
 ]
 
 
