@@ -459,3 +459,91 @@ def label_propagation(
             break
         labeled = merged
     return labeled
+
+
+def link_prediction(
+    edges: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    top_n: int = 20,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor link prediction (gr07) over an UNDIRECTED edge
+    list given as id-ordered pairs (a < b, deduplicated — the near-dup
+    pair shape): for every NON-adjacent pair with at least one common
+    neighbor, the classical similarity scores — common-neighbor count,
+    Jaccard of the neighborhoods (exact integer ppm), and Adamic-Adar
+    (Σ 1/log2(deg(w)) over common neighbors w; every common neighbor has
+    degree ≥ 2 by construction, so the log is never 0). Over a duplicate
+    graph this predicts the pairs the LSH candidate generation MISSED —
+    transitive near-dups whose direct similarity fell under the band
+    threshold (the dd07 connected-components view says they're the same
+    cluster; this ranks the unobserved links).
+
+    Exactness contract: cn/deg/jaccard_ppm are all-integer (ppm via
+    bigint multiply-then-div); Adamic-Adar uses the tx15 recipe — the
+    only libm call (log2) feeds a per-neighbor term rounded to 6
+    decimals, summed as DECIMAL so the aggregate is order-independent.
+
+    Scale shape: one wedge self-join keyed on the center vertex
+    (O(Σ deg(w)²) candidate mass — the triangle-counting cost family),
+    one (u,v) groupBy, one anti-join against the observed edges, two
+    degree attaches. ``max_degree`` caps the wedge-center degree (skip
+    hubs) — the standard production bound that makes the candidate mass
+    linear on hub-skewed graphs; leave None for exact small-graph use
+    (oracled queries pin None so hashes never move)."""
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).persist()
+    e.count()  # pin: feeds adjacency twice + the anti-join
+    adj = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    centers = deg if max_degree is None else deg.filter(F.col("d") <= max_degree)
+    # wedge enumeration: center w pairs every two of its neighbors once
+    l, r = adj.alias("l"), adj.alias("r")
+    wedges = (
+        l.join(r, (F.col("l.src") == F.col("r.src")) & (F.col("l.dst") < F.col("r.dst")))
+        .join(centers.alias("cd"), F.col("l.src") == F.col("cd.src"))
+        .select(
+            F.col("l.dst").alias("u"),
+            F.col("r.dst").alias("v"),
+            F.expr(
+                "CAST(round(1 / log2(CAST(d AS DOUBLE)), 6) AS DECIMAL(12,6))"
+            ).alias("aa_term"),
+        )
+    )
+    cn = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cn"),
+        F.sum("aa_term").alias("aa_dec"),
+    )
+    non_adj = cn.join(e, ["u", "v"], "left_anti")
+    du = deg.select(F.col("src").alias("u"), F.col("d").alias("deg_a"))
+    dv = deg.select(F.col("src").alias("v"), F.col("d").alias("deg_b"))
+    scored = (
+        non_adj.join(du, "u")
+        .join(dv, "v")
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("(1000000 * cn) div (deg_a + deg_b - cn)").cast("bigint"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col("jaccard_ppm").desc(), F.col("cn").desc(), F.col("u"), F.col("v")
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "rank",
+            F.col("u").alias("node_a"),
+            F.col("v").alias("node_b"),
+            "cn",
+            "deg_a",
+            "deg_b",
+            "jaccard_ppm",
+            F.col("aa_dec").cast("double").alias("adamic_adar"),
+        )
+    )
+    return out

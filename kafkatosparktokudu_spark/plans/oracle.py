@@ -5550,3 +5550,59 @@ ORACLE_SQL["ss17_pq_trained_adc"] = f"""
         FROM adc
     ) WHERE rank <= 10
 """
+
+# Link prediction over the gr04/gr05 support>=2 co-purchase graph:
+# wedge-join candidate pairs (common neighbor = wedge center), drop
+# observed edges, score with all-integer cn/jaccard_ppm + the tx15
+# round-6 log2 recipe for Adamic-Adar (per-neighbor term rounded to
+# DECIMAL(12,6) BEFORE the order-independent sum).
+ORACLE_SQL["gr07_link_prediction"] = """
+        WITH li AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        edges AS MATERIALIZED (
+            SELECT x.p AS u, y.p AS v FROM li x JOIN li y USING (o)
+            WHERE x.p < y.p GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ),
+        adj AS (
+            SELECT u AS src, v AS dst FROM edges
+            UNION ALL SELECT v, u FROM edges
+        ),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+                FROM adj GROUP BY src),
+        wedges AS (
+            SELECT l.dst AS u, r.dst AS v,
+                   CAST(round(1 / log2(CAST(d.d AS DOUBLE)), 6)
+                        AS DECIMAL(12,6)) AS aa_term
+            FROM adj l JOIN adj r ON l.src = r.src AND l.dst < r.dst
+            JOIN deg d ON d.src = l.src
+        ),
+        cna AS (
+            SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn,
+                   SUM(aa_term) AS aa_dec
+            FROM wedges GROUP BY u, v
+        ),
+        non_adj AS (
+            SELECT cna.* FROM cna
+            LEFT JOIN edges e ON e.u = cna.u AND e.v = cna.v
+            WHERE e.u IS NULL
+        ),
+        scored AS (
+            SELECT n.u, n.v, n.cn, du.d AS deg_a, dv.d AS deg_b,
+                   CAST((1000000 * n.cn) // (du.d + dv.d - n.cn)
+                        AS BIGINT) AS jaccard_ppm,
+                   n.aa_dec
+            FROM non_adj n JOIN deg du ON du.src = n.u
+                           JOIN deg dv ON dv.src = n.v
+        )
+        SELECT rank, node_a, node_b, cn, deg_a, deg_b, jaccard_ppm,
+               adamic_adar
+        FROM (
+            SELECT CAST(row_number() OVER (
+                       ORDER BY jaccard_ppm DESC, cn DESC, u, v)
+                       AS INTEGER) AS rank,
+                   u AS node_a, v AS node_b, cn, deg_a, deg_b,
+                   jaccard_ppm, CAST(aa_dec AS DOUBLE) AS adamic_adar
+            FROM scored
+        ) WHERE rank <= 20
+    """

@@ -1909,6 +1909,35 @@ def tx25_unicode_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sanitize_unicode(noisy)
 
 
+# Common-neighbor link prediction (operators/graph.py::link_prediction)
+# over the gr04/gr05 support>=2 co-purchase graph: ranks NON-adjacent
+# part pairs with shared co-purchase neighbors — "parts bought with the
+# same parts but never (strongly) together", the classical
+# recommendation shape. (The near-dup graph is the wrong fixture here:
+# LSH clusters are closed cliques, so it has zero open wedges — pinned
+# by test_link_prediction_empty_on_clique.) cn/deg/jaccard_ppm
+# all-integer; Adamic-Adar via the tx15 round-6 log2 recipe summed as
+# DECIMAL.
+def gr07_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import link_prediction
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pairs = (
+        li.withColumnRenamed("p", "pa")
+        .join(li.withColumnRenamed("p", "pb"), "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= 2)
+        .select(F.col("pa").alias("doc_a"), F.col("pb").alias("doc_b"))
+    )
+    return link_prediction(pairs, top_n=20)
+
+
 # BM25 ranked retrieval (operators/text.py::bm25_rank): Okapi BM25 of
 # every document against a fixed bag of query terms — the classical
 # lexical ranker, and the hybrid-retrieval partner of the ss* dense
@@ -4278,6 +4307,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st09_stream_dedup": st09_stream_dedup,
     # BM25 lexical retrieval — shared-expression float contract
     "tx26_bm25_rank": tx26_bm25_rank,
+    # link prediction over the near-dup graph (LSH-missed pairs)
+    "gr07_link_prediction": gr07_link_prediction,
     # NEW in r11: empirical MinHash-LSH band planning (integer-ppm exact)
     "dd16_lsh_band_plan": dd16_lsh_band_plan,
     # NEW in r11: unicode sanitization pass (noise constructed in-plan by

@@ -99,6 +99,7 @@ HEADLINE = [
     "tx24_hashed_linear_score",
     # round-11 additions
     "tx26_bm25_rank",
+    "gr07_link_prediction",
 ]
 
 

@@ -885,6 +885,41 @@ def test_triangle_stats_known_graphs(spark):
     assert abs(r2["clustering_coeff"] - round(12 / 15, 6)) < 1e-12
 
 
+def test_link_prediction_known_graphs(spark):
+    """Path graph 0-1-2: the only candidate is (0,2) via center 1 —
+    cn=1, deg 1/1, jaccard = 1e6 // (1+1-1) = 1_000_000 ppm, Adamic-Adar
+    = 1/log2(2) = 1.0. A clique (the LSH-cluster shape) has NO open
+    wedges, so link prediction is empty — the reason gr07 runs on the
+    co-purchase graph, not the near-dup graph. A hub star (center 0,
+    leaves 1..4): every leaf pair is a candidate with cn=1 and
+    aa = round(1/log2(4), 6) = 0.5; max_degree=3 removes the hub as a
+    wedge center and empties the result (the scale knob)."""
+    from kafkatosparktokudu_spark.operators.graph import link_prediction
+
+    path = spark.createDataFrame([(0, 1), (1, 2)], "doc_a long, doc_b long")
+    r = link_prediction(path).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["node_a"], row["node_b"], row["cn"]) == (0, 2, 1)
+    assert (row["deg_a"], row["deg_b"]) == (1, 1)
+    assert row["jaccard_ppm"] == 1_000_000
+    assert abs(row["adamic_adar"] - 1.0) < 1e-12
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    clique = spark.createDataFrame(k4, "doc_a long, doc_b long")
+    assert link_prediction(clique).count() == 0
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "doc_a long, doc_b long"
+    )
+    rows = link_prediction(star).collect()
+    assert len(rows) == 6  # C(4,2) leaf pairs
+    for row in rows:
+        assert row["cn"] == 1 and row["jaccard_ppm"] == 1_000_000
+        assert abs(row["adamic_adar"] - 0.5) < 1e-12
+    assert link_prediction(star, max_degree=3).count() == 0
+
+
 def test_triangle_orientation_bounds_hub_fanout(spark):
     """Planted hub graph: node 0 (lowest id) connected to 200 leaves, plus
     triangles among a few leaf pairs. Id-ordered orientation would give the
