@@ -785,3 +785,75 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "fmt", "payload").mapInPandas(
         op, PIXEL_STATS_SCHEMA
     )
+
+
+AUDIO_DECIMATE_SCHEMA = (
+    "doc_id bigint, rate_in int, rate_out int, n_in bigint, n_out bigint, "
+    "sum_out bigint, sum_sq_out bigint, peak_out int"
+)
+
+
+def audio_decimate(media: DataFrame, factor: int = 4) -> DataFrame:
+    """REAL audio downsample over the mm08 WAV payloads (mm13): parse the
+    RIFF header (sample rate) and the PCM-16 data section, keep every
+    ``factor``-th sample (plain decimation — integer-exact by
+    construction; a production resampler low-pass-filters first, which is
+    float DSP and belongs behind the same env gate as PIL — the
+    INDEX-SELECTION semantics, header rewrite and rate math are what this
+    operator pins), and emit per-doc integer stats of the decimated
+    signal: kept-sample count, Σs, Σs² and max|s|, plus the new nominal
+    rate = rate_in div factor. The pre-tokenization step of every audio
+    pipeline that normalizes heterogeneous sample rates before
+    feature-extraction (rates here are 8/12/16 kHz by the encode plan, so
+    factor=4 maps them onto 2/3/4 kHz deterministically).
+
+    All arithmetic is integer, so the mm13 oracle recomputes every value
+    exactly from the encode plan (sample k of doc d is
+    (byte(text, k mod len) - 64) * 128; kept iff k mod factor = 0).
+
+    Scale: one row in → one row out, each payload decoded inside its own
+    Arrow batch; embarrassingly parallel, no shuffle at all."""
+    import struct
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, fmt, payload in zip(
+                pdf["doc_id"], pdf["fmt"], pdf["payload"]
+            ):
+                if fmt != "wav":
+                    continue
+                b = bytes(payload)
+                if b[:4] != b"RIFF" or b[36:40] != b"data":
+                    continue
+                rate = struct.unpack("<I", b[24:28])[0]
+                dlen = struct.unpack("<I", b[40:44])[0]
+                s = np.frombuffer(b[44 : 44 + dlen], dtype="<i2").astype(
+                    np.int64
+                )
+                kept = s[::factor]
+                out.append(
+                    (
+                        int(doc_id),
+                        int(rate),
+                        int(rate // factor),
+                        int(len(s)),
+                        int(len(kept)),
+                        int(kept.sum()) if len(kept) else 0,
+                        int((kept * kept).sum()) if len(kept) else 0,
+                        int(np.abs(kept).max()) if len(kept) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "rate_in", "rate_out", "n_in", "n_out",
+                    "sum_out", "sum_sq_out", "peak_out",
+                ],
+            )
+
+    return media.select("doc_id", "fmt", "payload").mapInPandas(
+        op, AUDIO_DECIMATE_SCHEMA
+    )

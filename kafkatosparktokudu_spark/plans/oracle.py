@@ -5606,3 +5606,39 @@ ORACLE_SQL["gr07_link_prediction"] = """
             FROM scored
         ) WHERE rank <= 20
     """
+
+
+# mm13 twin: replay the mm08 WAV encode plan (odd doc_ids; ns = 32 +
+# n_chars % 101; sample k = (byte(text, k mod len) - 64) * 128; rate =
+# 8000 + 4000*(doc_id % 3)) and keep every 4th sample — decimation is
+# index selection, so every output is exact integer arithmetic. Same
+# ASCII-guarded direct byte form as mm09/mm10 (see the guard note
+# above mm09's oracle).
+ORACLE_SQL["mm13_audio_decimate"] = """
+    WITH w AS (
+        SELECT doc_id, text, length(text) AS l,
+               32 + n_chars % 101 AS ns
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    s AS (
+        SELECT doc_id, k,
+               (ord(substr(text, CAST(k % l AS INTEGER) + 1, 1)) - 64) * 128
+                   AS v
+        FROM (
+            SELECT doc_id, text, l,
+                   unnest(generate_series(0, CAST(ns - 1 AS BIGINT))) AS k
+            FROM w
+        )
+        WHERE k % 4 = 0
+    )
+    SELECT s.doc_id,
+           CAST(8000 + 4000 * (s.doc_id % 3) AS INTEGER) AS rate_in,
+           CAST((8000 + 4000 * (s.doc_id % 3)) // 4 AS INTEGER) AS rate_out,
+           CAST(MAX(w.ns) AS BIGINT) AS n_in,
+           CAST(COUNT(*) AS BIGINT) AS n_out,
+           CAST(SUM(v) AS BIGINT) AS sum_out,
+           CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq_out,
+           CAST(MAX(abs(v)) AS INTEGER) AS peak_out
+    FROM s JOIN w USING (doc_id)
+    GROUP BY s.doc_id
+"""

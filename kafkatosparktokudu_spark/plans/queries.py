@@ -2139,6 +2139,17 @@ def mm11_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_real(attach_real_binary(_t(spark, sf_dir, "documents")))
 
 
+# REAL audio decimation (operators/multimodal.py::audio_decimate): the
+# WAV payloads' PCM-16 samples, every 4th kept — rate normalization
+# before audio feature extraction, all-integer so the oracle recomputes
+# it exactly from the encode plan (sample k = (byte(text, k mod len) -
+# 64) * 128, kept iff k mod 4 = 0; rates 8/12/16 kHz -> 2/3/4 kHz).
+def mm13_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_real_binary, audio_decimate
+
+    return audio_decimate(attach_real_binary(_t(spark, sf_dir, "documents")))
+
+
 def mm12_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact byte statistics (operators/multimodal.py::
     byte_stats_exact — the hash-oracled twin retiring mm02's rows-only
@@ -4309,6 +4320,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx26_bm25_rank": tx26_bm25_rank,
     # link prediction over the near-dup graph (LSH-missed pairs)
     "gr07_link_prediction": gr07_link_prediction,
+    # real PCM decimation (rate normalization), integer-exact
+    "mm13_audio_decimate": mm13_audio_decimate,
     # NEW in r11: empirical MinHash-LSH band planning (integer-ppm exact)
     "dd16_lsh_band_plan": dd16_lsh_band_plan,
     # NEW in r11: unicode sanitization pass (noise constructed in-plan by

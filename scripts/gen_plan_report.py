@@ -144,9 +144,10 @@ EXCLUDED = [
     "mm08_real_codec_roundtrip",
     "mm09_audio_frame_energy",
     "mm10_image_pixel_stats",
-    # mm11/mm12: same single-scan mapInPandas chain shape as mm08-10.
+    # mm11/mm12/mm13: same single-scan mapInPandas chain shape as mm08-10.
     "mm11_resize_real",
     "mm12_byte_stats",
+    "mm13_audio_decimate",
     # tx23 is tx24's sub-plan (explode + keyed groupBy); tx24 is audited.
     "tx23_hashed_features",
     "cdc_dept_rollup",
