@@ -5642,3 +5642,43 @@ ORACLE_SQL["mm13_audio_decimate"] = """
     FROM s JOIN w USING (doc_id)
     GROUP BY s.doc_id
 """
+
+
+# sk08 twin: rebuild BOTH expression CMS tables with the sk03 md5 hash
+# formula, per-row dot products, min over rows; truth is the exact join
+# count. All integer (DuckDB's HUGEINT sum is intermediate only).
+def _cms_join_sql(depth: int = 4, width: int = 1024) -> str:
+    def cms(side: str, cnt: str) -> str:
+        return f"""(
+        SELECT rr.r AS r,
+               ('0x' || substr(md5('r' || rr.r || '#' ||
+                    CAST(v AS VARCHAR)), 1, 8))::BIGINT % {width} AS bucket,
+               COUNT(*) AS {cnt}
+        FROM {side} CROSS JOIN range({depth}) rr(r)
+        GROUP BY 1, 2
+    )"""
+
+    return f"""
+    WITH a AS (SELECT user_id AS v FROM events WHERE event_type = 'click'),
+    b AS (SELECT user_id AS v FROM events WHERE event_type = 'purchase'),
+    ra AS {cms('a', 'ca')},
+    rb AS {cms('b', 'cb')},
+    dots AS (
+        SELECT ra.r, SUM(ca * cb) AS dot
+        FROM ra JOIN rb ON rb.r = ra.r AND rb.bucket = ra.bucket
+        GROUP BY 1
+    ),
+    est AS (SELECT CAST(MIN(dot) AS BIGINT) AS est_join_size FROM dots),
+    tru AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_join_size
+            FROM a JOIN b ON b.v = a.v)
+    SELECT CAST({depth} AS INTEGER) AS depth,
+           CAST({width} AS INTEGER) AS width,
+           true_join_size,
+           est_join_size,
+           CAST((1000000 * (est_join_size - true_join_size))
+                // true_join_size AS BIGINT) AS overest_ppm
+    FROM est, tru
+"""
+
+
+ORACLE_SQL["sk08_cms_join_size"] = _cms_join_sql()

@@ -1938,6 +1938,28 @@ def gr07_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(pairs, top_n=20)
 
 
+# CMS inner-product join-size estimation (operators/sketch.py::
+# cms_join_size): "how big is clicks ⋈ purchases on user_id?" from two
+# O(depth·width) sketches — the cardinality input a planner needs
+# without running the join. est >= truth always; overestimate in
+# integer ppm. Completes the sketch family's set-operation story
+# (HLL unions, KMV intersects, CMS sizes the join).
+def sk08_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cms_join_size
+
+    ev = _t(spark, sf_dir, "events")
+    # width=1024: additive error ~ N_a*N_b/width keeps the estimate
+    # planner-grade (vs width=64's measured ~3x overshoot at sf0.01);
+    # sketch is still only depth*width = 4096 cells
+    return cms_join_size(
+        ev.filter(F.col("event_type") == "click"),
+        "user_id",
+        ev.filter(F.col("event_type") == "purchase"),
+        "user_id",
+        width=1024,
+    )
+
+
 # BM25 ranked retrieval (operators/text.py::bm25_rank): Okapi BM25 of
 # every document against a fixed bag of query terms — the classical
 # lexical ranker, and the hybrid-retrieval partner of the ss* dense
@@ -4322,6 +4344,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr07_link_prediction": gr07_link_prediction,
     # real PCM decimation (rate normalization), integer-exact
     "mm13_audio_decimate": mm13_audio_decimate,
+    # CMS inner-product join-size estimate (planner cardinality input)
+    "sk08_cms_join_size": sk08_cms_join_size,
     # NEW in r11: empirical MinHash-LSH band planning (integer-ppm exact)
     "dd16_lsh_band_plan": dd16_lsh_band_plan,
     # NEW in r11: unicode sanitization pass (noise constructed in-plan by

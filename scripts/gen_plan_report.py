@@ -148,6 +148,10 @@ EXCLUDED = [
     "mm11_resize_real",
     "mm12_byte_stats",
     "mm13_audio_decimate",
+    # sk08: two sk03-shaped sketch scans (map-side collapse into
+    # depth*width cells) + a <=4096-row join — the audited sketch-scan
+    # plan is sk01's row; nothing new to audit.
+    "sk08_cms_join_size",
     # tx23 is tx24's sub-plan (explode + keyed groupBy); tx24 is audited.
     "tx23_hashed_features",
     "cdc_dept_rollup",

@@ -33,6 +33,25 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
+def test_cms_join_size_error_bound(spark):
+    """CMS inner-product join-size estimate: est >= truth ALWAYS
+    (collisions only add mass), and the overshoot stays within a few
+    multiples of the expected additive error N_a*N_b/width (Markov on
+    the per-row collision mass, min over depth rows tightens it)."""
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.operators.sketch import cms_join_size
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purch = ev.filter(F.col("event_type") == "purchase")
+    row = cms_join_size(clicks, "user_id", purch, "user_id", width=1024).head()
+    assert row["est_join_size"] >= row["true_join_size"]
+    na, nb = clicks.count(), purch.count()
+    assert row["est_join_size"] - row["true_join_size"] <= 4 * na * nb / 1024
+
+
 def test_approx_distinct_error_bound(spark):
     """HLL++ estimate within 2% rsd (≈3x sigma margin) of exact distinct."""
     from kafkatosparktokudu_spark.plans.queries import (
