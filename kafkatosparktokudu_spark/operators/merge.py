@@ -724,3 +724,75 @@ def upsert_many(
         if store._read_meta() is None:
             store._write_meta()  # first write of this table: pin geometry
     shutil.rmtree(staging, ignore_errors=True)
+
+
+def propagate_deletes(
+    forget: DataFrame,
+    direct: dict[str, tuple[DataFrame, str]],
+    cascade: dict[str, tuple[DataFrame, str, str, str]] | None = None,
+) -> tuple[dict[str, DataFrame], DataFrame]:
+    """Compliance delete propagation (px23) — the right-to-be-forgotten
+    sweep every data platform eventually runs: given a one-column
+    ``forget`` frame of keys to erase, anti-join every ``direct`` table
+    (name → (df, key_col)) against it, and CASCADE through foreign keys
+    (child name → (child_df, child_fk, parent_name, parent_pk)): a
+    child row dies when its FK points at a parent row being deleted —
+    the lineitem-of-a-forgotten-customer's-order shape. The reference's
+    delete is per-record logical (delete_state='1',
+    KuduManager.scala:78-84); this is the BATCH physical sweep that a
+    retention/compliance job layers on top.
+
+    Returns ``(scrubbed, audit)``: the scrubbed frames (callers write
+    them back through the StateStore / partitioned-write discipline so
+    only affected buckets rewrite), and a one-row-per-table audit
+    (table_name, n_before, n_deleted, n_retained) — the evidence a
+    compliance run must produce.
+
+    Scale: the forget list is a bounded request list — broadcast it;
+    the cascaded parent-PK set can be arbitrarily large, so those
+    anti-joins stay shuffle-planned (AQE picks broadcast when it fits).
+    Every table is scanned twice (audit count + scrub) — at 100 TB run
+    the audit off the scrub's write metrics instead."""
+    fcol = forget.columns[0]
+    fkeys = F.broadcast(forget.select(F.col(fcol).alias("_forget_k")).distinct())
+
+    scrubbed: dict[str, DataFrame] = {}
+    audits: list[DataFrame] = []
+
+    def _audit(name: str, df: DataFrame, doomed_keys: DataFrame, key: str) -> None:
+        hit = df.join(doomed_keys, F.col(key) == F.col(doomed_keys.columns[0]), "left_semi")
+        n_before = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_before"))
+        n_del = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_deleted"))
+        audits.append(
+            n_before.crossJoin(n_del).select(
+                F.lit(name).alias("table_name"),
+                "n_before",
+                "n_deleted",
+                (F.col("n_before") - F.col("n_deleted"))
+                .cast("bigint")
+                .alias("n_retained"),
+            )
+        )
+
+    for name, (df, key) in direct.items():
+        _audit(name, df, fkeys, key)
+        scrubbed[name] = df.join(
+            fkeys, F.col(key) == F.col("_forget_k"), "left_anti"
+        )
+
+    for name, (df, fk, parent_name, parent_pk) in (cascade or {}).items():
+        pdf, pkey = direct[parent_name]
+        doomed = (
+            pdf.join(fkeys, F.col(pkey) == F.col("_forget_k"), "left_semi")
+            .select(F.col(parent_pk).alias("_doomed_pk"))
+            .distinct()
+        )
+        _audit(name, df, doomed, fk)
+        scrubbed[name] = df.join(
+            doomed, F.col(fk) == F.col("_doomed_pk"), "left_anti"
+        )
+
+    audit = audits[0]
+    for a in audits[1:]:
+        audit = audit.unionAll(a)
+    return scrubbed, audit.orderBy("table_name")

@@ -5682,3 +5682,40 @@ def _cms_join_sql(depth: int = 4, width: int = 1024) -> str:
 
 
 ORACLE_SQL["sk08_cms_join_size"] = _cms_join_sql()
+
+
+# px23 twin: the same forget rule (c_custkey % 20 = 3), direct deletes
+# on customer/orders, FK cascade onto lineitem via the doomed orders'
+# orderkeys; audit counts are plain integers.
+ORACLE_SQL["px23_delete_propagation"] = """
+    WITH forget AS (
+        SELECT c_custkey AS k FROM customer WHERE c_custkey % 20 = 3
+    ),
+    doomed_orders AS (
+        SELECT DISTINCT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT k FROM forget)
+    ),
+    a AS (
+        SELECT 'customer' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_before,
+               CAST(SUM(CASE WHEN c_custkey IN (SELECT k FROM forget)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+        FROM customer
+        UNION ALL
+        SELECT 'orders',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_custkey IN (SELECT k FROM forget)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN l_orderkey IN
+                                  (SELECT o_orderkey FROM doomed_orders)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+    )
+    SELECT table_name, n_before, n_deleted,
+           CAST(n_before - n_deleted AS BIGINT) AS n_retained
+    FROM a ORDER BY table_name
+"""

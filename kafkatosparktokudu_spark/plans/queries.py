@@ -1938,6 +1938,32 @@ def gr07_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(pairs, top_n=20)
 
 
+# Compliance delete propagation (operators/merge.py::propagate_deletes)
+# — right-to-be-forgotten: customers with c_custkey % 20 = 3 are erased
+# from customer and orders directly, and from lineitem by FK CASCADE
+# (lineitems of a forgotten customer's orders). Returns the per-table
+# audit a compliance run must produce; the scrubbed frames themselves
+# are anti-joins callers write back through the bucketed-store
+# discipline. The forget list broadcasts; the cascaded orderkey set
+# stays shuffle-planned.
+def px23_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import propagate_deletes
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    forget = cust.filter(F.col("c_custkey") % 20 == 3).select("c_custkey")
+    scrubbed, audit = propagate_deletes(
+        forget,
+        direct={
+            "customer": (cust, "c_custkey"),
+            "orders": (orders, "o_custkey"),
+        },
+        cascade={"lineitem": (li, "l_orderkey", "orders", "o_orderkey")},
+    )
+    return audit
+
+
 # CMS inner-product join-size estimation (operators/sketch.py::
 # cms_join_size): "how big is clicks ⋈ purchases on user_id?" from two
 # O(depth·width) sketches — the cardinality input a planner needs
@@ -4346,6 +4372,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm13_audio_decimate": mm13_audio_decimate,
     # CMS inner-product join-size estimate (planner cardinality input)
     "sk08_cms_join_size": sk08_cms_join_size,
+    # right-to-be-forgotten delete cascade + audit
+    "px23_delete_propagation": px23_delete_propagation,
     # NEW in r11: empirical MinHash-LSH band planning (integer-ppm exact)
     "dd16_lsh_band_plan": dd16_lsh_band_plan,
     # NEW in r11: unicode sanitization pass (noise constructed in-plan by

@@ -152,6 +152,10 @@ EXCLUDED = [
     # depth*width cells) + a <=4096-row join — the audited sketch-scan
     # plan is sk01's row; nothing new to audit.
     "sk08_cms_join_size",
+    # px23: returned frame is a 3-row audit union of 1-row aggregates;
+    # the scrub anti-joins are q36-class (broadcast anti) shapes, and
+    # the scrubbed-frame semantics are the test's concern.
+    "px23_delete_propagation",
     # tx23 is tx24's sub-plan (explode + keyed groupBy); tx24 is audited.
     "tx23_hashed_features",
     "cdc_dept_rollup",

@@ -33,6 +33,46 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
+def test_propagate_deletes_scrubbed_frames(spark):
+    """px23's audit is the oracled face; this pins the SCRUBBED frames:
+    no forgotten key survives, the FK cascade leaves no orphan-by-doom
+    lineitem, rows not hit are untouched, and counts reconcile with the
+    audit."""
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.operators.merge import propagate_deletes
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    cust = load_table(spark, SF_SMOKE, "customer")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    forget = cust.filter(F.col("c_custkey") % 20 == 3).select("c_custkey")
+    scrubbed, audit = propagate_deletes(
+        forget,
+        direct={"customer": (cust, "c_custkey"), "orders": (orders, "o_custkey")},
+        cascade={"lineitem": (li, "l_orderkey", "orders", "o_orderkey")},
+    )
+    fkeys = {r[0] for r in forget.collect()}
+    assert scrubbed["customer"].filter(
+        F.col("c_custkey").isin(fkeys)
+    ).count() == 0
+    assert scrubbed["orders"].filter(F.col("o_custkey").isin(fkeys)).count() == 0
+    doomed_ok = {
+        r[0]
+        for r in orders.filter(F.col("o_custkey").isin(fkeys))
+        .select("o_orderkey")
+        .collect()
+    }
+    assert scrubbed["lineitem"].filter(
+        F.col("l_orderkey").isin(doomed_ok)
+    ).count() == 0
+    rows = {r["table_name"]: r for r in audit.collect()}
+    for name, df in scrubbed.items():
+        assert df.count() == rows[name]["n_retained"], name
+    # untouched rows survive verbatim: retained set == anti-join of source
+    assert scrubbed["orders"].count() == orders.count() - len(doomed_ok)
+
+
 def test_cms_join_size_error_bound(spark):
     """CMS inner-product join-size estimate: est >= truth ALWAYS
     (collisions only add mass), and the overshoot stays within a few
