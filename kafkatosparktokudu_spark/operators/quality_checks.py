@@ -790,3 +790,56 @@ def fk_integrity_report(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def fd_profile(
+    specs: list[tuple[str, DataFrame, str, str]],
+) -> DataFrame:
+    """Functional-dependency profiler (dq07) — does X → Y hold in the
+    data? For each (table_name, df, lhs, rhs) candidate, the exact
+    dependency census: distinct LHS values, distinct (LHS, RHS) pairs,
+    the number of LHS values mapping to MORE than one RHS (violators),
+    the violation fraction in integer ppm of distinct LHS, and the
+    verdict. ppm = 0 ⇔ the FD holds; small ppm = an "approximate FD"
+    (the schema-inference / anomaly-detection signal profilers like
+    Metanome's TANE surface). Complements dq06's FK integrity (inclusion
+    dependency) with the FUNCTIONAL dependency — together they are the
+    two constraint families schema discovery mines.
+
+    NULL semantics: rows with NULL in lhs or rhs are excluded (SQL's
+    countDistinct convention) — an FD claim over NULLs is undefined.
+
+    Scale: one groupBy(lhs) per candidate (map-side partial aggregation;
+    the shuffle carries one row per distinct LHS, not per input row) +
+    a 1-row rollup; candidates run independently and union bounded
+    (|specs|) rows."""
+    outs: list[DataFrame] = []
+    for name, df, lhs, rhs in specs:
+        base = df.filter(F.col(lhs).isNotNull() & F.col(rhs).isNotNull())
+        per_lhs = base.groupBy(lhs).agg(
+            F.countDistinct(rhs).alias("n_rhs")
+        )
+        outs.append(
+            per_lhs.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_distinct_lhs"),
+                F.sum("n_rhs").cast("bigint").alias("n_distinct_pairs"),
+                F.sum((F.col("n_rhs") > 1).cast("int"))
+                .cast("bigint")
+                .alias("n_violating_lhs"),
+            ).select(
+                F.lit(name).alias("table_name"),
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                "n_distinct_lhs",
+                "n_distinct_pairs",
+                "n_violating_lhs",
+                F.expr("(1000000 * n_violating_lhs) div n_distinct_lhs")
+                .cast("bigint")
+                .alias("violation_ppm"),
+                (F.col("n_violating_lhs") == 0).alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("table_name", "lhs", "rhs")

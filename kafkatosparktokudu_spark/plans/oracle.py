@@ -5719,3 +5719,36 @@ ORACLE_SQL["px23_delete_propagation"] = """
            CAST(n_before - n_deleted AS BIGINT) AS n_retained
     FROM a ORDER BY table_name
 """
+
+
+# dq07 twin: the same per-candidate groupBy(lhs)/countDistinct(rhs)
+# census, all integer.
+def _fd_case(name: str, table: str, lhs: str, rhs: str) -> str:
+    return f"""
+        SELECT '{name}' AS table_name, '{lhs}' AS lhs, '{rhs}' AS rhs,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_lhs,
+               CAST(SUM(n_rhs) AS BIGINT) AS n_distinct_pairs,
+               CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_lhs,
+               CAST((1000000 * SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END))
+                    // COUNT(*) AS BIGINT) AS violation_ppm,
+               SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds
+        FROM (
+            SELECT {lhs}, COUNT(DISTINCT {rhs}) AS n_rhs FROM {table}
+            WHERE {lhs} IS NOT NULL AND {rhs} IS NOT NULL GROUP BY {lhs}
+        )"""
+
+
+ORACLE_SQL["dq07_fd_profile"] = (
+    " UNION ALL ".join(
+        _fd_case(*s)
+        for s in [
+            ("orders", "orders", "o_orderkey", "o_custkey"),
+            ("orders", "orders", "o_custkey", "o_orderpriority"),
+            ("nation", "nation", "n_nationkey", "n_regionkey"),
+            ("lineitem", "lineitem", "l_orderkey", "l_suppkey"),
+            ("lineitem", "lineitem", "l_partkey", "l_suppkey"),
+        ]
+    )
+    + " ORDER BY table_name, lhs, rhs"
+)

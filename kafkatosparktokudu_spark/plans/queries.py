@@ -1938,6 +1938,28 @@ def gr07_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(pairs, top_n=20)
 
 
+# Functional-dependency profiler (operators/quality_checks.py::
+# fd_profile): exact X→Y dependency census over candidate pairs — PK
+# dependencies hold (o_orderkey→o_custkey, n_nationkey→n_regionkey),
+# non-keys fail with a measured violation fraction (approximate-FD ppm).
+# Complements dq06's inclusion dependency with the functional one.
+def dq07_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality_checks import fd_profile
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    return fd_profile(
+        [
+            ("orders", orders, "o_orderkey", "o_custkey"),
+            ("orders", orders, "o_custkey", "o_orderpriority"),
+            ("nation", nation, "n_nationkey", "n_regionkey"),
+            ("lineitem", li, "l_orderkey", "l_suppkey"),
+            ("lineitem", li, "l_partkey", "l_suppkey"),
+        ]
+    )
+
+
 # Compliance delete propagation (operators/merge.py::propagate_deletes)
 # — right-to-be-forgotten: customers with c_custkey % 20 = 3 are erased
 # from customer and orders directly, and from lineitem by FK CASCADE
@@ -4374,6 +4396,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sk08_cms_join_size": sk08_cms_join_size,
     # right-to-be-forgotten delete cascade + audit
     "px23_delete_propagation": px23_delete_propagation,
+    # functional-dependency census (exact + approximate-FD ppm)
+    "dq07_fd_profile": dq07_fd_profile,
     # NEW in r11: empirical MinHash-LSH band planning (integer-ppm exact)
     "dd16_lsh_band_plan": dd16_lsh_band_plan,
     # NEW in r11: unicode sanitization pass (noise constructed in-plan by

@@ -156,6 +156,9 @@ EXCLUDED = [
     # the scrub anti-joins are q36-class (broadcast anti) shapes, and
     # the scrubbed-frame semantics are the test's concern.
     "px23_delete_propagation",
+    # dq07: a union of per-candidate groupBy + 1-row rollups — the
+    # dq01 constraint-report plan class; nothing new to audit.
+    "dq07_fd_profile",
     # tx23 is tx24's sub-plan (explode + keyed groupBy); tx24 is audited.
     "tx23_hashed_features",
     "cdc_dept_rollup",
