@@ -5752,3 +5752,18 @@ ORACLE_SQL["dq07_fd_profile"] = (
     )
     + " ORDER BY table_name, lhs, rhs"
 )
+
+
+# st10 twin: the drained leaderboard == the batch top-3 per event_type
+# (value DESC, event_id ASC tie-break) — the applyInPandasWithState fold
+# must reproduce the plain windowed rank exactly.
+ORACLE_SQL["st10_stream_topk"] = """
+    SELECT event_type, CAST(rank AS INTEGER) AS rank, value, event_id
+    FROM (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id) AS rank,
+               value, event_id
+        FROM events
+    ) WHERE rank <= 3
+"""

@@ -4195,6 +4195,43 @@ def st09_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Stateful streaming top-k leaderboard run LIVE (streaming/pipeline.py::
+# stream_topk_per_key, applyInPandasWithState): per event_type the
+# current top-3 (value DESC, event_id tie-break) — the
+# continuous-leaderboard shape no built-in windowed agg expresses
+# because the ranking must survive across micro-batches. One source file
+# ⇒ one batch here, so the emission equals the batch top-3 the oracle
+# computes; cross-batch state + checkpoint-restart parity are pinned in
+# tests/test_streaming.py::test_stream_topk_per_key_across_restarts.
+def st10_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import stream_topk_per_key
+
+    events = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="st10_")
+    try:
+        src = f"{tmp}/src"
+        events.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            stream_topk_per_key(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        res = spark.read.parquet(f"{tmp}/out")
+        rows = res.collect()  # materialize before the temp dirs vanish
+        return local_frame(spark, rows, res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # kNN majority-vote labeling (operators/similarity.py::knn_label_vote) —
 # each low-id query vector takes the modal label of its ss05 neighbors
 # (votes DESC, label ASC tie-break); one (q_id,label) agg + one tiny
@@ -4398,6 +4435,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "px23_delete_propagation": px23_delete_propagation,
     # functional-dependency census (exact + approximate-FD ppm)
     "dq07_fd_profile": dq07_fd_profile,
+    # stateful streaming top-k leaderboard, run LIVE
+    "st10_stream_topk": st10_stream_topk,
     # NEW in r11: empirical MinHash-LSH band planning (integer-ppm exact)
     "dd16_lsh_band_plan": dd16_lsh_band_plan,
     # NEW in r11: unicode sanitization pass (noise constructed in-plan by
