@@ -1709,3 +1709,86 @@ def bm25_rank(
             F.col("bm25_dec").cast("double").alias("bm25"),
         )
     )
+
+
+# The 8-word stopword-presence list of the Gopher/MassiveText quality
+# rules (Rae et al. 2021, table A1's "stop word" heuristic) — shared
+# with the tx27 oracle.
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs: DataFrame, min_stops: int = 2) -> DataFrame:
+    """Gopher/MassiveText quality rules (tx27 — Rae et al. 2021 appendix
+    A1, the heuristic filter battery most open corpora replicate): per
+    document, a named PASS/FAIL flag per rule plus the overall verdict —
+    unlike tx02's composite score, this is the auditable rule-by-rule
+    face (which rule killed the doc matters when tuning a corpus).
+
+    Rules (every threshold an INTEGER cross-multiplication — no
+    division, so both engines compare exactly):
+      - word_count_ok:  50 ≤ n_words ≤ 100000
+      - mean_len_ok:    3 ≤ mean word length ≤ 10
+                        (3·n_words ≤ Σ len(word) ≤ 10·n_words)
+      - symbol_ok:      (#hash + #ellipsis) / words ≤ 0.1
+      - alpha_ok:       ≥ 80% of words contain an alphabetic char
+      - bullet_ok:      < 90% of lines start with a bullet
+      - ellipsis_ok:    < 30% of lines end with an ellipsis
+      - stopword_ok:    ≥ ``min_stops`` distinct words from the 8-word
+                        stop list (paper default 2; the synthetic
+                        fixture's ~54-word docs carry at most one, so
+                        the oracled query pins 1 — same rule, scaled
+                        threshold, documented rather than silently
+                        always-False)
+
+    Scale: a single-scan projection of array expressions — no shuffle,
+    no UDF; the rule battery runs inside whole-stage codegen."""
+    arr = tokens("text")
+    docs = docs.select("doc_id", "text").withColumn("arr", arr)
+    n_words = F.size("arr").cast("bigint")
+    sum_chars = F.expr(
+        "aggregate(transform(arr, x -> CAST(length(x) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+    n_hash = F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+    n_ellipsis = (
+        F.length("text") - F.length(F.expr("replace(text, '...', '')"))
+    ) / 3
+    n_sym = (n_hash + n_ellipsis).cast("bigint")
+    n_alpha = F.expr(
+        "size(filter(arr, x -> x rlike '[A-Za-z]'))"
+    ).cast("bigint")
+    lines = F.expr("split(text, '\n')")
+    n_lines = F.size(lines).cast("bigint")
+    n_bullet = F.expr(
+        "size(filter(split(text, '\n'),"
+        " x -> ltrim(x) LIKE '-%' OR ltrim(x) LIKE '*%'))"
+    ).cast("bigint")
+    n_ell_lines = F.expr(
+        "size(filter(split(text, '\n'), x -> rtrim(x) LIKE '%...'))"
+    ).cast("bigint")
+    stops_sql = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
+    n_stops = F.expr(
+        "size(array_intersect(array_distinct(transform(arr, x -> lower(x))),"
+        f" array({stops_sql})))"
+    ).cast("bigint")
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        ((F.lit(50) <= n_words) & (n_words <= 100000)).alias("word_count_ok"),
+        (
+            (3 * n_words <= sum_chars) & (sum_chars <= 10 * n_words)
+        ).alias("mean_len_ok"),
+        (10 * n_sym <= n_words).alias("symbol_ok"),
+        (5 * n_alpha >= 4 * n_words).alias("alpha_ok"),
+        (10 * n_bullet < 9 * n_lines).alias("bullet_ok"),
+        (10 * n_ell_lines < 3 * n_lines).alias("ellipsis_ok"),
+        (n_stops >= min_stops).alias("stopword_ok"),
+    )
+    flags = [
+        "word_count_ok", "mean_len_ok", "symbol_ok", "alpha_ok",
+        "bullet_ok", "ellipsis_ok", "stopword_ok",
+    ]
+    passed = F.lit(True)
+    for f in flags:
+        passed = passed & F.col(f)
+    return out.withColumn("passed", passed)

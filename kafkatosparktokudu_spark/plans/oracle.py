@@ -5767,3 +5767,60 @@ ORACLE_SQL["st10_stream_topk"] = """
         FROM events
     ) WHERE rank <= 3
 """
+
+
+# tx27 twin: the same integer cross-multiplied rule battery; list HOFs
+# mirror Spark's array expressions, replace() counts are identical
+# non-overlapping semantics in both engines.
+def _gopher_sql(min_stops: int = 1) -> str:
+    from ..operators.text import GOPHER_STOPS
+
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
+    return f"""
+        WITH t AS (
+            SELECT doc_id, text, {_TOKS} AS l,
+                   string_split(text, chr(10)) AS lines
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   CAST(len(l) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(l, x -> length(x)))
+                        AS BIGINT) AS sum_chars,
+                   CAST(length(text) - length(replace(text, '#', ''))
+                        + (length(text) - length(replace(text, '...', ''))) // 3
+                        AS BIGINT) AS n_sym,
+                   CAST(len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]')))
+                        AS BIGINT) AS n_alpha,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(list_filter(lines,
+                        x -> ltrim(x) LIKE '-%' OR ltrim(x) LIKE '*%'))
+                        AS BIGINT) AS n_bullet,
+                   CAST(len(list_filter(lines, x -> rtrim(x) LIKE '%...'))
+                        AS BIGINT) AS n_ell_lines,
+                   CAST(len(list_intersect(
+                        list_distinct(list_transform(l, x -> lower(x))),
+                        [{stops}])) AS BIGINT) AS n_stops
+            FROM t
+        )
+        SELECT doc_id, n_words,
+               50 <= n_words AND n_words <= 100000 AS word_count_ok,
+               3 * n_words <= sum_chars AND sum_chars <= 10 * n_words
+                   AS mean_len_ok,
+               10 * n_sym <= n_words AS symbol_ok,
+               5 * n_alpha >= 4 * n_words AS alpha_ok,
+               10 * n_bullet < 9 * n_lines AS bullet_ok,
+               10 * n_ell_lines < 3 * n_lines AS ellipsis_ok,
+               n_stops >= {min_stops} AS stopword_ok,
+               (50 <= n_words AND n_words <= 100000)
+               AND (3 * n_words <= sum_chars AND sum_chars <= 10 * n_words)
+               AND (10 * n_sym <= n_words)
+               AND (5 * n_alpha >= 4 * n_words)
+               AND (10 * n_bullet < 9 * n_lines)
+               AND (10 * n_ell_lines < 3 * n_lines)
+               AND (n_stops >= {min_stops}) AS passed
+        FROM m
+    """
+
+
+ORACLE_SQL["tx27_gopher_rules"] = _gopher_sql()

@@ -1938,6 +1938,19 @@ def gr07_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(pairs, top_n=20)
 
 
+# Gopher/MassiveText rule battery (operators/text.py::gopher_rules):
+# the published heuristic quality filter, rule-by-rule — every
+# threshold an integer cross-multiplication, single-scan projection.
+def tx27_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import gopher_rules
+
+    # min_stops=1: the fixture's ~54-word synthetic docs carry at most
+    # one of the 8 published stop words (measured: 0x118 / 1x382 at
+    # sf0.01) — the paper's >=2 would be always-False here; the scaled
+    # threshold keeps the rule a genuine splitter (76%/24%)
+    return gopher_rules(_t(spark, sf_dir, "documents"), min_stops=1)
+
+
 # Functional-dependency profiler (operators/quality_checks.py::
 # fd_profile): exact X→Y dependency census over candidate pairs — PK
 # dependencies hold (o_orderkey→o_custkey, n_nationkey→n_regionkey),
@@ -4437,6 +4450,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq07_fd_profile": dq07_fd_profile,
     # stateful streaming top-k leaderboard, run LIVE
     "st10_stream_topk": st10_stream_topk,
+    # Gopher rule battery (auditable per-rule quality flags)
+    "tx27_gopher_rules": tx27_gopher_rules,
     # NEW in r11: empirical MinHash-LSH band planning (integer-ppm exact)
     "dd16_lsh_band_plan": dd16_lsh_band_plan,
     # NEW in r11: unicode sanitization pass (noise constructed in-plan by

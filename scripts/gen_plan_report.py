@@ -162,6 +162,9 @@ EXCLUDED = [
     # dq07: a union of per-candidate groupBy + 1-row rollups — the
     # dq01 constraint-report plan class; nothing new to audit.
     "dq07_fd_profile",
+    # tx27: single-scan codegen projection of array expressions (the
+    # tx25 plan class); the rule battery is data, not plan shape.
+    "tx27_gopher_rules",
     # tx23 is tx24's sub-plan (explode + keyed groupBy); tx24 is audited.
     "tx23_hashed_features",
     "cdc_dept_rollup",

@@ -33,6 +33,39 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
+def test_gopher_rules_each_rule_fires(spark):
+    """Hand-built docs exercise every Gopher rule in isolation (the
+    fixture corpus only splits on word_count/stopword): bullets,
+    ellipsis lines, symbol spam, non-alpha words, short docs, long-word
+    salad — each fails exactly its own rule."""
+    from kafkatosparktokudu_spark.operators.text import gopher_rules
+
+    good = "the quick brown fox jumps over that lazy dog with " * 6  # 60 words
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "tiny doc the with"),  # word_count fails
+            (3, ("supercalifragilisticexpialidocious " * 60) + "the with"),  # mean_len
+            (4, good + " " + "# " * 10),  # symbols: 10 hashes / 70 words > 0.1
+            (5, good + " " + "123 456 789 000 111 222 333 444 555 666 "
+                "777 888 999 101 202 303".replace(",", "")),  # alpha < 80%
+            (6, "\n".join(["- bullet the with point"] * 10)),  # bullets >= 90%
+            (7, "\n".join(["the line with trails..."] * 10)),  # ellipsis >= 30%
+            (8, "word salad without stop list items " * 10),  # stopwords
+        ],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in gopher_rules(docs, min_stops=2).collect()}
+    assert r[1]["passed"]
+    assert not r[2]["word_count_ok"] and r[2]["mean_len_ok"]
+    assert not r[3]["mean_len_ok"] and r[3]["word_count_ok"]
+    assert not r[4]["symbol_ok"] and r[4]["word_count_ok"]
+    assert not r[5]["alpha_ok"]
+    assert not r[6]["bullet_ok"]
+    assert not r[7]["ellipsis_ok"]
+    assert not r[8]["stopword_ok"]
+
+
 def test_propagate_deletes_scrubbed_frames(spark):
     """px23's audit is the oracled face; this pins the SCRUBBED frames:
     no forgotten key survives, the FK cascade leaves no orphan-by-doom
