@@ -1219,3 +1219,66 @@ def leakage_safe_split(
             F.lit("eval"),
         ).otherwise(F.lit("train")),
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    min_containment_ppm: int = 500_000,
+    hs_df: DataFrame | None = None,
+) -> DataFrame:
+    """Containment scoring of LSH candidate pairs (dd17 — Broder 1997's
+    containment coefficient c(A,B) = |A∩B| / |A|): the ASYMMETRIC
+    companion to dd04's symmetric Jaccard, the signal that catches
+    subset duplication — a short document swallowed whole by a longer
+    one scores c ≈ 1 in one direction while Jaccard (what the LSH bands
+    and dd04's verifier measure) stays at |A|/|B|. Recall caveat, stated
+    not hidden: candidates still come from the JACCARD-tuned bands, so a
+    subset pair only surfaces when its Jaccard clears the band S-curve —
+    full subset recall at low Jaccard needs prefix/suffix banding or
+    dd09's ExactSubstr, which is why both exist.
+
+    All-integer output (sizes + ppm ratios via bigint multiply-div):
+    per surviving pair, |A|, |B|, |A∩B|, containment both directions,
+    Jaccard, and the subset_dup verdict (max containment ≥ 0.9 while
+    Jaccard < 0.7 — high engulfment the symmetric score underranks).
+
+    Scale: identical cost shape to dd04 (banded candidates, exact set
+    ops only on candidates); the hashed-shingle frame is persisted once
+    and shared across the band join and both verify sides."""
+    if hs_df is None:
+        hs_df = hashed_shingles(docs, id_col).persist()
+        hs_df.count()
+    cands = lsh_candidate_pairs(docs, id_col, hs_df=hs_df)
+    joined = cands.join(
+        hs_df.withColumnRenamed(id_col, "doc_a").withColumnRenamed("hs", "hs_a"),
+        "doc_a",
+    ).join(
+        hs_df.withColumnRenamed(id_col, "doc_b").withColumnRenamed("hs", "hs_b"),
+        "doc_b",
+    )
+    scored = joined.select(
+        "doc_a",
+        "doc_b",
+        F.size("hs_a").cast("bigint").alias("n_a"),
+        F.size("hs_b").cast("bigint").alias("n_b"),
+        F.size(F.array_intersect("hs_a", "hs_b")).cast("bigint").alias("n_common"),
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        F.expr("(1000000 * n_common) div n_a").cast("bigint").alias("cont_a_ppm"),
+        F.expr("(1000000 * n_common) div n_b").cast("bigint").alias("cont_b_ppm"),
+        F.expr("(1000000 * n_common) div (n_a + n_b - n_common)")
+        .cast("bigint")
+        .alias("jaccard_ppm"),
+    )
+    return scored.filter(
+        F.greatest("cont_a_ppm", "cont_b_ppm") >= min_containment_ppm
+    ).withColumn(
+        "subset_dup",
+        (F.greatest("cont_a_ppm", "cont_b_ppm") >= 900_000)
+        & (F.col("jaccard_ppm") < 700_000),
+    )

@@ -103,14 +103,15 @@ def _sig_band_exprs() -> tuple[str, str]:
     return sig_exprs, band_exprs
 
 
-def _minhash_sql() -> tuple[str, str]:
+def _minhash_sql(source: str = "documents") -> tuple[str, str]:
     """(bands_sql, bands_cte) built from the same MINHASH_PARAMS the Spark
-    operator uses."""
+    operator uses; ``source`` lets dd17 run the identical pipeline over a
+    corpus CTE defined earlier in the WITH chain."""
     from ..functions.hashing import MERSENNE31
 
     sig_exprs, band_exprs = _sig_band_exprs()
     cte = f"""
-        toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+        toks AS (SELECT doc_id, {_TOKS} AS l FROM {source}),
         sh AS (SELECT doc_id,
                       list_distinct(list_transform(l[1:len(l)-2],
                           (x,i) -> x || ' ' || l[i+1] || ' ' || l[i+2])) AS s
@@ -5824,3 +5825,52 @@ def _gopher_sql(min_stops: int = 1) -> str:
 
 
 ORACLE_SQL["tx27_gopher_rules"] = _gopher_sql()
+
+
+# dd17 twin: the same prefix-clone corpus construction, the identical
+# minhash/band pipeline over it (source-parameterized _minhash_sql), and
+# the all-integer containment scoring.
+def _containment_sql() -> str:
+    _, cte = _minhash_sql(source="corpus")
+    return f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 200000,
+                   substr(text, 1, 1 + (7 * length(text)) // 10)
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        {cte},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.doc_id < b.doc_id
+             AND (a.band0 = b.band0 OR a.band1 = b.band1
+                  OR a.band2 = b.band2 OR a.band3 = b.band3)
+        ),
+        sized AS (
+            SELECT doc_a, doc_b,
+                   CAST(len(x.hs) AS BIGINT) AS n_a,
+                   CAST(len(y.hs) AS BIGINT) AS n_b,
+                   CAST(len(list_distinct(list_intersect(x.hs, y.hs)))
+                        AS BIGINT) AS n_common
+            FROM cand JOIN base x ON x.doc_id = doc_a
+                      JOIN base y ON y.doc_id = doc_b
+        ),
+        scored AS (
+            SELECT doc_a, doc_b, n_a, n_b, n_common,
+                   CAST((1000000 * n_common) // n_a AS BIGINT) AS cont_a_ppm,
+                   CAST((1000000 * n_common) // n_b AS BIGINT) AS cont_b_ppm,
+                   CAST((1000000 * n_common) // (n_a + n_b - n_common)
+                        AS BIGINT) AS jaccard_ppm
+            FROM sized
+        )
+        SELECT *,
+               greatest(cont_a_ppm, cont_b_ppm) >= 900000
+               AND jaccard_ppm < 700000 AS subset_dup
+        FROM scored
+        WHERE greatest(cont_a_ppm, cont_b_ppm) >= 500000
+    """
+
+
+ORACLE_SQL["dd17_containment_pairs"] = _containment_sql()

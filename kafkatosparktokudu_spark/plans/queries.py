@@ -1938,6 +1938,24 @@ def gr07_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(pairs, top_n=20)
 
 
+# Broder containment over LSH candidates (operators/dedup.py::
+# containment_pairs): the asymmetric dedup signal — every 3rd doc gets a
+# 70%-prefix clone injected in-plan (the oracle constructs it
+# identically), and the clone pairs score containment ≈ 1 while Jaccard
+# sits near 0.7 — subset duplication the symmetric score underranks.
+def dd17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.expr("substring(text, 1, 1 + (7 * length(text)) div 10)").alias(
+            "text"
+        ),
+    )
+    return containment_pairs(docs.unionAll(clones))
+
+
 # Gopher/MassiveText rule battery (operators/text.py::gopher_rules):
 # the published heuristic quality filter, rule-by-rule — every
 # threshold an integer cross-multiplication, single-scan projection.
@@ -4452,6 +4470,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st10_stream_topk": st10_stream_topk,
     # Gopher rule battery (auditable per-rule quality flags)
     "tx27_gopher_rules": tx27_gopher_rules,
+    # Broder containment (asymmetric subset-dup signal)
+    "dd17_containment_pairs": dd17_containment_pairs,
     # NEW in r11: empirical MinHash-LSH band planning (integer-ppm exact)
     "dd16_lsh_band_plan": dd16_lsh_band_plan,
     # NEW in r11: unicode sanitization pass (noise constructed in-plan by

@@ -165,6 +165,9 @@ EXCLUDED = [
     # tx27: single-scan codegen projection of array expressions (the
     # tx25 plan class); the rule battery is data, not plan shape.
     "tx27_gopher_rules",
+    # dd17: dd04's banded-candidate plan over a unioned corpus with an
+    # integer scoring projection — covered by dd04's audited row.
+    "dd17_containment_pairs",
     # tx23 is tx24's sub-plan (explode + keyed groupBy); tx24 is audited.
     "tx23_hashed_features",
     "cdc_dept_rollup",
