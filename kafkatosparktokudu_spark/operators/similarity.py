@@ -384,6 +384,7 @@ def ivf_topk_seeded(
     n_cells: int = 16,
     nprobe: int = 4,
     exclude_id: int | None = None,
+    predicate: F.Column | None = None,
 ) -> DataFrame:
     """Oracle-reproducible IVF search — the ss03 graduation trick applied
     to ss04: cells are anchored on the ``n_cells`` lowest-vec_id vectors
@@ -460,6 +461,16 @@ def ivf_topk_seeded(
     ).filter(F.expr(f"array_contains({probe_cells_sql}, cell)"))
     if exclude_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_id)
+    if predicate is not None:
+        # FILTERED search (ss18): the metadata predicate prunes candidates
+        # BEFORE the re-rank (pre-filter semantics — the k results are the
+        # true top-k among qualifying vectors in the probed cells, never a
+        # post-filtered short list). The probe set stays geometry-only; a
+        # very selective predicate therefore wants a higher nprobe, the
+        # standard filtered-IVF trade (at the build_ivf_index layout the
+        # predicate column can join `cell` in the partition spec, making
+        # this prune file-level too).
+        cand = cand.filter(predicate)
     rerank_sql = (
         f"round(aggregate(zip_with(v, {qv_lit}, (a, b) -> a * b), "
         f"0D, (acc, x) -> acc + x) / (nv * {qn!r}D), 6)"

@@ -5874,3 +5874,44 @@ def _containment_sql() -> str:
 
 
 ORACLE_SQL["dd17_containment_pairs"] = _containment_sql()
+
+
+# st11 twin: the drained funnel emissions == the batch per-stage first
+# completion times under q80's strict-order rule (stage N's time is the
+# min ts of qualifying events strictly after stage N-1's time).
+ORACLE_SQL["st11_stream_funnel"] = """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE event_type = 'click' AND ts > t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(ts) AS t3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE event_type = 'purchase' AND ts > t2
+        GROUP BY e.user_id
+    )
+    SELECT user_id, CAST(1 AS INTEGER) AS stage, t1 AS ts FROM s1
+    UNION ALL
+    SELECT user_id, CAST(2 AS INTEGER), t2 FROM s2
+    UNION ALL
+    SELECT user_id, CAST(3 AS INTEGER), t3 FROM s3
+"""
+
+
+# ss18 twin: EXACTLY ss04's seeded-cell probe pipeline with the label
+# predicate added to the candidate clause (pre-filter semantics — the
+# filter applies before the top-k, not after). Derived from ss04's SQL
+# so the two contracts cannot drift.
+_SS18_SQL = ORACLE_SQL["ss04_ivf_topk"].replace(
+    "WHERE a.cell IN (SELECT cell FROM probe) AND e.vec_id <> 0",
+    "WHERE a.cell IN (SELECT cell FROM probe) AND e.vec_id <> 0"
+    " AND e.label = 2",
+)
+assert "AND e.label = 2" in _SS18_SQL
+ORACLE_SQL["ss18_filtered_topk"] = _SS18_SQL

@@ -4263,6 +4263,62 @@ def st10_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Streaming funnel tracker run LIVE (streaming/pipeline.py::
+# stream_funnel, applyInPandasWithState): per-user stage-advancement
+# rows (stage N strictly after stage N-1 — q80's rule) drained
+# availableNow; with the fixture in one micro-batch the emissions equal
+# the batch per-stage first-completion times the oracle computes.
+# Cross-batch state + restart parity stay pinned in
+# tests/test_streaming.py::test_stream_funnel_matches_batch_across_restart.
+def st11_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import stream_funnel
+
+    events = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="st11_")
+    try:
+        src = f"{tmp}/src"
+        events.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            stream_funnel(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        res = spark.read.parquet(f"{tmp}/out")
+        rows = res.collect()  # materialize before the temp dirs vanish
+        return local_frame(spark, rows, res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# FILTERED ANN search (operators/similarity.py::ivf_topk_seeded with a
+# metadata predicate): top-k among label=2 vectors only, pre-filter
+# semantics — the predicate prunes candidates BEFORE the re-rank, so
+# the k results are the true top-k among qualifying vectors in the
+# probed cells (the filtered-search capability every vector store
+# exposes; post-filtering a short list returns fewer/wrong results).
+# Same seeded-cell oracle contract as ss04 + the label clause.
+def ss18_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk_seeded
+
+    qv = _query_vec(spark, sf_dir, 0)
+    return ivf_topk_seeded(
+        _t(spark, sf_dir, "embeddings"),
+        qv,
+        k=10,
+        exclude_id=0,
+        predicate=F.col("label") == 2,
+    )
+
+
 # kNN majority-vote labeling (operators/similarity.py::knn_label_vote) —
 # each low-id query vector takes the modal label of its ss05 neighbors
 # (votes DESC, label ASC tie-break); one (q_id,label) agg + one tiny
@@ -4472,6 +4528,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx27_gopher_rules": tx27_gopher_rules,
     # Broder containment (asymmetric subset-dup signal)
     "dd17_containment_pairs": dd17_containment_pairs,
+    # streaming funnel tracker, run LIVE (q80's strict-order rule)
+    "st11_stream_funnel": st11_stream_funnel,
+    # filtered ANN (pre-filter semantics over probed IVF cells)
+    "ss18_filtered_topk": ss18_filtered_topk,
     # NEW in r11: empirical MinHash-LSH band planning (integer-ppm exact)
     "dd16_lsh_band_plan": dd16_lsh_band_plan,
     # NEW in r11: unicode sanitization pass (noise constructed in-plan by

@@ -139,9 +139,14 @@ EXCLUDED = [
     # tests' concern, and the batch twin of st08's join is q22-class.
     "st08_stream_interval_join",
     "st09_stream_dedup",
-    # st10: live applyInPandasWithState drain returning a collected-rows
-    # frame; the batch twin's plan is a plain windowed rank (q08-class).
+    # st10/st11: live applyInPandasWithState drains returning
+    # collected-rows frames; batch twins are q08-class rank / q80-class
+    # funnel plans.
     "st10_stream_topk",
+    "st11_stream_funnel",
+    # ss18: ss04's audited single-job probe plan + one pushed predicate
+    # filter on the candidate scan; nothing new to audit.
+    "ss18_filtered_topk",
     # mm08/09/10: one scan -> mapInPandas encode -> mapInPandas parse; the
     # plans are single Python-eval chains, nothing to audit beyond mm02/mm07.
     "mm08_real_codec_roundtrip",
