@@ -59,6 +59,10 @@ SECONDARY_QUERIES = [
     "ss16_ivfadc_topk",         # IVF-ADC composed (cell pruning x PQ codes)
     "tx23_hashed_features",     # dictionary-free feature hashing
     "mm11_resize_real",         # real decoded-pixel integer resize
+    # r11 session-2 additions (warm walls ~0.9s / ~3.0s / ~2.5s at sf0.1)
+    "tx26_bm25_rank",           # BM25 lexical retrieval (explode+window+rank)
+    "gr07_link_prediction",     # wedge-join common-neighbor link prediction
+    "dd17_containment_pairs",   # Broder containment over LSH candidates
 ]
 
 
