@@ -547,3 +547,97 @@ def link_prediction(
         )
     )
     return out
+
+
+def personalized_pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    seed: int | None = None,
+    top_n: int = 20,
+) -> DataFrame:
+    """Integer fixed-point PERSONALIZED PageRank (gr08) — random walk
+    with restart: the teleport mass goes to ONE seed node instead of
+    uniformly everywhere, so ranks measure proximity TO THE SEED — the
+    classical graph-similarity / recommendation score ("parts most
+    related to this part" over a co-purchase graph), the per-node
+    complement of gr03's global importance.
+
+    Same exactness contract as ``pagerank_fixed_point`` (all BIGINT,
+    integer div, floor-leaked mass is deterministic and identical on
+    both engines — an exact ORDERING signal):
+
+        r0(v)  = scale · [v = seed]
+        r_i(v) = [v = seed] · ((den−num)·scale) div den
+                 + (num · contrib_i(v)) div den
+
+    ``seed=None`` picks the lowest node id (deterministic, both engines
+    recompute it). Requires no dangling nodes — symmetrize first.
+
+    Returns the top ``top_n`` by (rank_fp DESC, node) with a rank index.
+    Scale shape: identical to gr03 — one shuffle join + one keyed agg
+    per iteration, localCheckpoint keeps plans linear; the final top-n
+    is TakeOrdered, never a global sort."""
+    from pyspark.sql import Window
+
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if seed is None:
+        seed = nodes.agg(F.min("node")).first()[0]
+    out_deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    dangling = nodes.join(out_deg, "node", "left_anti").count()
+    if dangling:
+        raise ValueError(
+            f"personalized_pagerank_fixed_point requires no dangling nodes "
+            f"({dangling} found); symmetrize the graph"
+        )
+    adj = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("to"))
+        .join(out_deg, "node")
+        .localCheckpoint(eager=True)
+    )
+    base_seed = ((damping_den - damping_num) * scale) // damping_den
+    ranks = nodes.withColumn(
+        "rank_fp",
+        F.when(F.col("node") == seed, F.lit(scale)).otherwise(F.lit(0)).cast("long"),
+    )
+    for _ in range(n_iter):
+        contribs = (
+            adj.join(ranks, "node")
+            .groupBy(F.col("to").alias("node"))
+            .agg(F.sum(F.expr("rank_fp div out_deg")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("node") == seed, F.lit(base_seed)).otherwise(
+                        F.lit(0)
+                    )
+                    + F.expr(
+                        f"({damping_num} * coalesce(c, CAST(0 AS BIGINT)))"
+                        f" div {damping_den}"
+                    )
+                )
+                .cast("long")
+                .alias("rank_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    w = Window.orderBy(F.col("rank_fp").desc(), F.col("node"))
+    return (
+        ranks.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("rank", "node", "rank_fp")
+    )

@@ -5915,3 +5915,54 @@ _SS18_SQL = ORACLE_SQL["ss04_ivf_topk"].replace(
 )
 assert "AND e.label = 2" in _SS18_SQL
 ORACLE_SQL["ss18_filtered_topk"] = _SS18_SQL
+
+
+# gr08 twin: chained-CTE unroll of the personalized fixed-point
+# iteration (the gr03 oracle pattern with the teleport term conditional
+# on the seed — the lowest node id, recomputed in SQL). All BIGINT.
+def _ppr_sql(n_iter: int = 3, scale: int = 10**12, num: int = 85,
+             den: int = 100, top_n: int = 20) -> str:
+    base_seed = ((den - num) * scale) // den
+    ctes = [
+        "li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,"
+        " l_partkey AS p FROM lineitem)",
+        "e AS MATERIALIZED (SELECT x.p AS u, y.p AS v FROM li x"
+        " JOIN li y USING (o) WHERE x.p < y.p"
+        " GROUP BY 1, 2 HAVING COUNT(*) >= 2)",
+        "sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e"
+        " UNION ALL SELECT v, u FROM e)",
+        "nodes AS (SELECT DISTINCT src AS node FROM sym)",
+        "sd AS (SELECT MIN(node) AS seed FROM nodes)",
+        "deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS od"
+        " FROM sym GROUP BY src)",
+        f"r0 AS (SELECT node, CAST(CASE WHEN node = seed THEN {scale}"
+        f" ELSE 0 END AS BIGINT) AS r FROM nodes, sd)",
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        ctes.append(
+            f"c{i} AS (SELECT s.dst AS node, SUM(r // od) AS c"
+            f" FROM sym s JOIN deg d ON d.node = s.src"
+            f" JOIN r{p} ON r{p}.node = s.src GROUP BY s.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nodes.node,"
+            f" CAST(CASE WHEN nodes.node = sd.seed THEN {base_seed}"
+            f" ELSE 0 END + ({num} * COALESCE(c, 0)) // {den} AS BIGINT)"
+            f" AS r FROM nodes CROSS JOIN sd"
+            f" LEFT JOIN c{i} ON c{i}.node = nodes.node)"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT rank, node, rank_fp FROM (
+        SELECT CAST(row_number() OVER (ORDER BY r DESC, node)
+                    AS INTEGER) AS rank,
+               node, r AS rank_fp
+        FROM r{n_iter}
+    ) WHERE rank <= {top_n}
+    """
+    )
+
+
+ORACLE_SQL["gr08_personalized_pagerank"] = _ppr_sql()

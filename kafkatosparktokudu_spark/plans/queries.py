@@ -1956,6 +1956,35 @@ def dd17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs.unionAll(clones))
 
 
+# Personalized PageRank (operators/graph.py::
+# personalized_pagerank_fixed_point): random walk with restart from the
+# lowest-id part over the symmetrized support>=2 co-purchase graph —
+# "parts most related to THIS part", the per-node complement of gr03's
+# global rank. Same all-BIGINT fixed-point contract; top-20.
+def gr08_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import personalized_pagerank_fixed_point
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pairs = (
+        li.withColumnRenamed("p", "pa")
+        .join(li.withColumnRenamed("p", "pb"), "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= 2)
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    return personalized_pagerank_fixed_point(edges, n_iter=3)
+
+
 # Gopher/MassiveText rule battery (operators/text.py::gopher_rules):
 # the published heuristic quality filter, rule-by-rule — every
 # threshold an integer cross-multiplication, single-scan projection.
@@ -4532,6 +4561,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st11_stream_funnel": st11_stream_funnel,
     # filtered ANN (pre-filter semantics over probed IVF cells)
     "ss18_filtered_topk": ss18_filtered_topk,
+    # personalized PageRank (random walk with restart, integer exact)
+    "gr08_personalized_pagerank": gr08_personalized_pagerank,
     # NEW in r11: empirical MinHash-LSH band planning (integer-ppm exact)
     "dd16_lsh_band_plan": dd16_lsh_band_plan,
     # NEW in r11: unicode sanitization pass (noise constructed in-plan by

@@ -198,6 +198,9 @@ EXCLUDED = [
     # gr06: iterative localCheckpoint rounds — final plan is checkpoint-
     # flattened like gr04; per-round shape pinned by the planted test.
     "gr06_label_propagation",
+    # gr08: gr03's iterative checkpoint-flattened shape with a seeded
+    # teleport term; per-iteration plan identical to the audited gr03.
+    "gr08_personalized_pagerank",
     "mm01_binary_meta",
     "mm02_byte_features",
     "mm03_decode_resize",

@@ -885,6 +885,36 @@ def test_triangle_stats_known_graphs(spark):
     assert abs(r2["clustering_coeff"] - round(12 / 15, 6)) < 1e-12
 
 
+def test_personalized_pagerank_proximity_ordering(spark):
+    """PPR on a symmetrized path 0-1-2-3-4 seeded at node 0: rank mass
+    must decay with hop distance from the seed (the proximity semantics
+    that distinguish PPR from global PageRank, where the middle of a
+    path outranks the ends); the seed itself ranks first. Also: explicit
+    seed overrides the lowest-id default, and a dangling (directed)
+    graph is rejected."""
+    import pytest as _pt
+
+    from kafkatosparktokudu_spark.operators.graph import (
+        personalized_pagerank_fixed_point,
+    )
+
+    path = [(i, i + 1) for i in range(4)]
+    edges = spark.createDataFrame(
+        path + [(b, a) for a, b in path], "src long, dst long"
+    )
+    rows = personalized_pagerank_fixed_point(edges, n_iter=4).collect()
+    ranks = {r["node"]: r["rank_fp"] for r in rows}
+    assert rows[0]["node"] == 0  # seed first
+    assert ranks[0] > ranks[1] > ranks[2] > ranks[3] >= ranks[4]
+
+    seeded = personalized_pagerank_fixed_point(edges, n_iter=4, seed=4).collect()
+    assert seeded[0]["node"] == 4
+
+    directed = spark.createDataFrame(path, "src long, dst long")
+    with _pt.raises(ValueError, match="dangling"):
+        personalized_pagerank_fixed_point(directed, n_iter=2)
+
+
 def test_link_prediction_known_graphs(spark):
     """Path graph 0-1-2: the only candidate is (0,2) via center 1 —
     cn=1, deg 1/1, jaccard = 1e6 // (1+1-1) = 1_000_000 ppm, Adamic-Adar
