@@ -902,13 +902,23 @@ def test_personalized_pagerank_proximity_ordering(spark):
     edges = spark.createDataFrame(
         path + [(b, a) for a, b in path], "src long, dst long"
     )
-    rows = personalized_pagerank_fixed_point(edges, n_iter=4).collect()
+    # n_iter=24: the path is bipartite, so low iteration counts carry a
+    # parity pulse (mass alternates between odd/even distances); by 24
+    # rounds the 0.85^k oscillation has settled. Converged facts (exact
+    # integer sim mirrored in this test's derivation): non-seed ranks
+    # decay with hop distance, and the seed outranks everything from
+    # 2 hops out — but NOT necessarily its own neighbor (degree-1 seed
+    # pushes all mass to node 1 each step; node 1 also collects from
+    # node 2 — converged node-1 rank legitimately exceeds the seed's).
+    rows = personalized_pagerank_fixed_point(edges, n_iter=24).collect()
     ranks = {r["node"]: r["rank_fp"] for r in rows}
-    assert rows[0]["node"] == 0  # seed first
-    assert ranks[0] > ranks[1] > ranks[2] > ranks[3] >= ranks[4]
+    assert ranks[1] > ranks[2] > ranks[3] > ranks[4]
+    assert ranks[0] > ranks[2]
 
-    seeded = personalized_pagerank_fixed_point(edges, n_iter=4, seed=4).collect()
-    assert seeded[0]["node"] == 4
+    # mirror symmetry: seeding the other end reflects the whole vector
+    seeded = personalized_pagerank_fixed_point(edges, n_iter=24, seed=4).collect()
+    mirror = {r["node"]: r["rank_fp"] for r in seeded}
+    assert mirror == {4 - v: rk for v, rk in ranks.items()}
 
     directed = spark.createDataFrame(path, "src long, dst long")
     with _pt.raises(ValueError, match="dangling"):
