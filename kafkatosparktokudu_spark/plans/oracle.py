@@ -5966,3 +5966,37 @@ def _ppr_sql(n_iter: int = 3, scale: int = 10**12, num: int = 85,
 
 
 ORACLE_SQL["gr08_personalized_pagerank"] = _ppr_sql()
+
+
+# st12 twin: q17's lag + running-sum sessions, MINUS each user's final
+# (still-open) session — the emission set of the streaming sessionizer.
+ORACLE_SQL["st12_stream_sessionize"] = """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_id, ts,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_idx
+        FROM flagged
+    ),
+    grouped AS (
+        SELECT user_id, session_idx,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end
+        FROM sessions
+        GROUP BY user_id, session_idx
+    )
+    SELECT user_id, session_idx, n_events, session_start, session_end
+    FROM grouped g
+    WHERE session_idx < (SELECT MAX(session_idx) FROM grouped m
+                         WHERE m.user_id = g.user_id)
+"""

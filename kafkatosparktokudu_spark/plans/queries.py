@@ -1956,6 +1956,42 @@ def dd17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs.unionAll(clones))
 
 
+# Streaming sessionizer run LIVE (streaming/pipeline.py::
+# stream_sessionize, applyInPandasWithState): every CLOSED session
+# streams out as one row; the still-open tail session never emits — the
+# defining streaming/batch difference, so the oracle is q17's lag +
+# running-sum sessions MINUS each user's final session. Cross-batch
+# session straddling + restart parity stay pinned in
+# tests/test_streaming.py.
+def st12_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import stream_sessionize
+
+    events = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="st12_")
+    try:
+        src = f"{tmp}/src"
+        events.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            stream_sessionize(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        res = spark.read.parquet(f"{tmp}/out")
+        rows = res.collect()  # materialize before the temp dirs vanish
+        return local_frame(spark, rows, res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Personalized PageRank (operators/graph.py::
 # personalized_pagerank_fixed_point): random walk with restart from the
 # lowest-id part over the symmetrized support>=2 co-purchase graph —
@@ -4563,6 +4599,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss18_filtered_topk": ss18_filtered_topk,
     # personalized PageRank (random walk with restart, integer exact)
     "gr08_personalized_pagerank": gr08_personalized_pagerank,
+    # streaming sessionizer, run LIVE (closed sessions == q17 minus tails)
+    "st12_stream_sessionize": st12_stream_sessionize,
     # NEW in r11: empirical MinHash-LSH band planning (integer-ppm exact)
     "dd16_lsh_band_plan": dd16_lsh_band_plan,
     # NEW in r11: unicode sanitization pass (noise constructed in-plan by

@@ -139,11 +139,12 @@ EXCLUDED = [
     # tests' concern, and the batch twin of st08's join is q22-class.
     "st08_stream_interval_join",
     "st09_stream_dedup",
-    # st10/st11: live applyInPandasWithState drains returning
+    # st10/st11/st12: live applyInPandasWithState drains returning
     # collected-rows frames; batch twins are q08-class rank / q80-class
-    # funnel plans.
+    # funnel / q17-class sessionize plans.
     "st10_stream_topk",
     "st11_stream_funnel",
+    "st12_stream_sessionize",
     # ss18: ss04's audited single-job probe plan + one pushed predicate
     # filter on the candidate scan; nothing new to audit.
     "ss18_filtered_topk",
