@@ -857,3 +857,137 @@ def audio_decimate(media: DataFrame, factor: int = 4) -> DataFrame:
     return media.select("doc_id", "fmt", "payload").mapInPandas(
         op, AUDIO_DECIMATE_SCHEMA
     )
+
+
+VIDEO_MAGIC = b"VID0"
+VIDEO_FRAME_SCHEMA = (
+    "doc_id bigint, sample_idx int, src_frame int, n_frames int, "
+    "width int, height int, sum_r bigint, sum_g bigint, sum_b bigint, "
+    "n_px int"
+)
+
+
+def _video_plan(n_chars: int) -> tuple[int, int, int]:
+    """(n_frames, w, h) of a doc's synthetic video — integer arithmetic
+    a SQL oracle recomputes. Changing this changes the mm14 oracle."""
+    return 2 + n_chars % 5, 3 + n_chars % 5, 2 + n_chars % 3
+
+
+def attach_real_video(docs: DataFrame) -> DataFrame:
+    """documents → REAL multi-frame video payloads (mm14's encode half):
+    ``VID0`` magic + uint32 frame count + that many CONCATENATED genuine
+    24-bit BMPs (equal dims per doc, from ``_video_plan``); frame f's
+    pixel k derives from text byte (k + f) mod len — the same
+    deterministic pixel rule as mm08's stills, phase-shifted per frame
+    so every frame is distinct. No RNG, no codec libs; one blob per
+    row."""
+    import struct
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                k_frames, w, h = _video_plan(int(n_chars))
+                tb = (text or " ").encode("utf-8") or b" "
+                frames = []
+                for f in range(k_frames):
+                    pix = []
+                    for k in range(w * h):
+                        b = tb[(k + f) % len(tb)]
+                        pix.append((b, 255 - b, (b * 7) % 256))
+                    frames.append(_bmp_bytes(w, h, pix))
+                payload = (
+                    VIDEO_MAGIC
+                    + struct.pack("<I", k_frames)
+                    + b"".join(frames)
+                )
+                rows.append((int(doc_id), payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id", "text", "n_chars").mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
+def video_frame_sample_real(media: DataFrame, n_sample: int = 2) -> DataFrame:
+    """REAL video frame sampling (mm14 — retires mm04's stub boundary
+    for the container this repo can construct): parse the VID0 header,
+    slice the ``n_sample`` evenly-spaced frames (src = (j·K) div
+    n_sample — mm04's timestamp-sampler rule), and FULLY DECODE each
+    sampled frame's BMP (magic, pixel offset, dims from the header;
+    bottom-up padded BGR rows walked back out with numpy) into exact
+    integer channel sums. The sampling plan, container parse, per-frame
+    decode and the one-row-in/N-rows-out batch shape are all real; only
+    the codec is the repo's pure-struct BMP instead of H.264 (the
+    av/ffmpeg demuxer stays the documented env gate, mm04).
+
+    Scale: a blob never crosses partitions; output is n_sample rows per
+    video regardless of frame count or size. The non-sampled frames'
+    bytes are never touched — the demuxer-seek behavior that makes
+    frame sampling cheap on real containers."""
+    import struct
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != VIDEO_MAGIC or len(b) < 8:
+                    continue
+                k_frames = struct.unpack("<I", b[4:8])[0]
+                body = b[8:]
+                if k_frames == 0 or len(body) % k_frames:
+                    continue
+                fsize = len(body) // k_frames
+                for j in range(min(n_sample, k_frames)):
+                    f = (j * k_frames) // min(n_sample, k_frames)
+                    fb = body[f * fsize : (f + 1) * fsize]
+                    # full validation before the reshape: a truncated
+                    # container whose body HAPPENS to divide k_frames
+                    # slices misaligned frames — malformed blobs must
+                    # skip, never fail the task (decode_media_real's
+                    # contract)
+                    if len(fb) < 26 or fb[:2] != b"BM":
+                        continue
+                    off = struct.unpack("<I", fb[10:14])[0]
+                    w, h = struct.unpack("<ii", fb[18:26])
+                    row_size = (3 * w + 3) // 4 * 4
+                    if (
+                        w <= 0
+                        or h <= 0
+                        or off + row_size * h > len(fb)
+                    ):
+                        continue
+                    img = np.frombuffer(
+                        fb[off : off + row_size * h], dtype=np.uint8
+                    ).reshape(h, row_size)[:, : 3 * w].reshape(h, w, 3)
+                    rgb = img[::-1, :, ::-1].astype(np.int64)
+                    rows.append(
+                        (
+                            int(doc_id),
+                            int(j),
+                            int(f),
+                            int(k_frames),
+                            int(w),
+                            int(h),
+                            int(rgb[:, :, 0].sum()),
+                            int(rgb[:, :, 1].sum()),
+                            int(rgb[:, :, 2].sum()),
+                            int(w * h),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_idx", "src_frame", "n_frames",
+                    "width", "height", "sum_r", "sum_g", "sum_b", "n_px",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        op, VIDEO_FRAME_SCHEMA
+    )

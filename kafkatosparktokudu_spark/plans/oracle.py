@@ -6000,3 +6000,46 @@ ORACLE_SQL["st12_stream_sessionize"] = """
     WHERE session_idx < (SELECT MAX(session_idx) FROM grouped m
                          WHERE m.user_id = g.user_id)
 """
+
+
+# mm14 twin: replay the video encode plan — K = 2 + n_chars%5 frames of
+# w = 3 + n_chars%5 by h = 2 + n_chars%3 pixels; sampled frame j (of 2)
+# is src = (j*K)//2; frame f's pixel k = text byte (k+f) mod len with
+# the mm08 channel rule (r=b, g=255-b, b=(7b)%256). Same ASCII-guarded
+# byte form as mm09/mm10.
+ORACLE_SQL["mm14_video_frame_sample"] = """
+    WITH w AS (
+        SELECT doc_id, text, length(text) AS l,
+               2 + n_chars % 5 AS kf,
+               3 + n_chars % 5 AS wid,
+               2 + n_chars % 3 AS hei
+        FROM documents
+    ),
+    samp AS (
+        SELECT doc_id, text, l, kf, wid, hei, j,
+               CAST((j * kf) // 2 AS INTEGER) AS f
+        FROM w CROSS JOIN (SELECT unnest([0, 1]) AS j)
+    ),
+    px AS (
+        SELECT doc_id, j, f, kf, wid, hei,
+               ord(substr(text,
+                   CAST((k + f) % l AS INTEGER) + 1, 1)) AS b
+        FROM (
+            SELECT *, unnest(generate_series(0,
+                       CAST(wid * hei - 1 AS BIGINT))) AS k
+            FROM samp
+        )
+    )
+    SELECT doc_id,
+           CAST(j AS INTEGER) AS sample_idx,
+           CAST(f AS INTEGER) AS src_frame,
+           CAST(kf AS INTEGER) AS n_frames,
+           CAST(wid AS INTEGER) AS width,
+           CAST(hei AS INTEGER) AS height,
+           CAST(SUM(b) AS BIGINT) AS sum_r,
+           CAST(SUM(255 - b) AS BIGINT) AS sum_g,
+           CAST(SUM((b * 7) % 256) AS BIGINT) AS sum_b,
+           CAST(wid * hei AS INTEGER) AS n_px
+    FROM px
+    GROUP BY doc_id, j, f, kf, wid, hei
+"""

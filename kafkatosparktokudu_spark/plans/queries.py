@@ -2316,6 +2316,21 @@ def mm13_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_decimate(attach_real_binary(_t(spark, sf_dir, "documents")))
 
 
+# REAL video frame sampling (operators/multimodal.py::
+# attach_real_video/video_frame_sample_real): VID0 container of K
+# genuine BMP frames per doc, 2 evenly-spaced frames sliced and FULLY
+# decoded to integer channel sums — retires mm04's stub boundary for
+# the container the repo can construct (the ffmpeg demuxer stays the
+# documented env gate). Oracle replays sampling + pixel rule from the
+# encode plan.
+def mm14_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_real_video, video_frame_sample_real
+
+    return video_frame_sample_real(
+        attach_real_video(_t(spark, sf_dir, "documents"))
+    )
+
+
 def mm12_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact byte statistics (operators/multimodal.py::
     byte_stats_exact — the hash-oracled twin retiring mm02's rows-only
@@ -4601,6 +4616,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr08_personalized_pagerank": gr08_personalized_pagerank,
     # streaming sessionizer, run LIVE (closed sessions == q17 minus tails)
     "st12_stream_sessionize": st12_stream_sessionize,
+    # real multi-frame video sampling (container parse + frame decode)
+    "mm14_video_frame_sample": mm14_video_frame_sample,
     # NEW in r11: empirical MinHash-LSH band planning (integer-ppm exact)
     "dd16_lsh_band_plan": dd16_lsh_band_plan,
     # NEW in r11: unicode sanitization pass (noise constructed in-plan by

@@ -153,10 +153,12 @@ EXCLUDED = [
     "mm08_real_codec_roundtrip",
     "mm09_audio_frame_energy",
     "mm10_image_pixel_stats",
-    # mm11/mm12/mm13: same single-scan mapInPandas chain shape as mm08-10.
+    # mm11/mm12/mm13/mm14: same single-scan mapInPandas chain shape as
+    # mm08-10.
     "mm11_resize_real",
     "mm12_byte_stats",
     "mm13_audio_decimate",
+    "mm14_video_frame_sample",
     # sk08: two sk03-shaped sketch scans (map-side collapse into
     # depth*width cells) + a <=4096-row join — the audited sketch-scan
     # plan is sk01's row; nothing new to audit.

@@ -33,6 +33,42 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
+def test_video_frame_sample_real_contract(spark):
+    """mm14's decode face on hand-built inputs: a valid 3-frame video
+    yields 2 sampled rows (src frames 0 and 1 = (j*3)//2), each frame's
+    channel sums match the pure-Python pixel rule; corrupted magic and a
+    body not divisible by the frame count are SKIPPED, not task
+    failures."""
+    from kafkatosparktokudu_spark.operators.multimodal import (
+        attach_real_video,
+        video_frame_sample_real,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcdef", 6)], "doc_id long, text string, n_chars long"
+    )
+    media = attach_real_video(docs)
+    payload = bytes(media.head()["payload"])
+    rows = video_frame_sample_real(media).collect()
+    # n_chars=6 -> K = 2+6%5 = 3 frames, w = 3+1 = 4, h = 2+0 = 2
+    assert [(r["sample_idx"], r["src_frame"], r["n_frames"]) for r in rows] == [
+        (0, 0, 3), (1, 1, 3),
+    ]
+    tb = b"abcdef"
+    for r in rows:
+        f = r["src_frame"]
+        px = [tb[(k + f) % 6] for k in range(8)]
+        assert r["sum_r"] == sum(px)
+        assert r["sum_g"] == sum(255 - b for b in px)
+        assert r["sum_b"] == sum((b * 7) % 256 for b in px)
+
+    bad = spark.createDataFrame(
+        [(2, b"XXXX" + payload[4:]), (3, payload[:-3])],
+        "doc_id long, payload binary",
+    )
+    assert video_frame_sample_real(bad).count() == 0
+
+
 def test_gopher_rules_each_rule_fires(spark):
     """Hand-built docs exercise every Gopher rule in isolation (the
     fixture corpus only splits on word_count/stopword): bullets,
