@@ -6043,3 +6043,10 @@ ORACLE_SQL["mm14_video_frame_sample"] = """
     FROM px
     GROUP BY doc_id, j, f, kf, wid, hei
 """
+
+
+# st13 twin: SHARES q93's oracle verbatim — one micro-batch in
+# (ts, event_id) order makes the streaming monitor's emission set
+# exactly the batch rolling-window anomaly set (the cdc_stream_emp_state
+# convention: streaming and batch must agree bit-for-bit).
+ORACLE_SQL["st13_stream_zscore"] = ORACLE_SQL["q93_rolling_zscore"]

@@ -1956,6 +1956,42 @@ def dd17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs.unionAll(clones))
 
 
+# Streaming z-score anomaly monitor run LIVE (streaming/pipeline.py::
+# stream_zscore_anomalies): each event scored against its user's last-20
+# window state BEFORE folding in (the batch strictly-preceding frame),
+# integer-cents exact moments. One micro-batch in (ts, event_id) order
+# == the batch rolling window, so st13 SHARES q93's oracle verbatim.
+# Cross-batch state + restart parity stay pinned in
+# tests/test_streaming.py::test_stream_zscore_matches_batch_across_restart.
+def st13_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import stream_zscore_anomalies
+
+    events = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="st13_")
+    try:
+        src = f"{tmp}/src"
+        events.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            stream_zscore_anomalies(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        res = spark.read.parquet(f"{tmp}/out")
+        rows = res.collect()  # materialize before the temp dirs vanish
+        return local_frame(spark, rows, res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Streaming sessionizer run LIVE (streaming/pipeline.py::
 # stream_sessionize, applyInPandasWithState): every CLOSED session
 # streams out as one row; the still-open tail session never emits — the
@@ -4618,6 +4654,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st12_stream_sessionize": st12_stream_sessionize,
     # real multi-frame video sampling (container parse + frame decode)
     "mm14_video_frame_sample": mm14_video_frame_sample,
+    # streaming z-score anomaly monitor, run LIVE (shares q93 oracle)
+    "st13_stream_zscore": st13_stream_zscore,
     # NEW in r11: empirical MinHash-LSH band planning (integer-ppm exact)
     "dd16_lsh_band_plan": dd16_lsh_band_plan,
     # NEW in r11: unicode sanitization pass (noise constructed in-plan by

@@ -145,6 +145,8 @@ EXCLUDED = [
     "st10_stream_topk",
     "st11_stream_funnel",
     "st12_stream_sessionize",
+    # st13: live drain sharing q93's oracle; q93's plan is audited.
+    "st13_stream_zscore",
     # ss18: ss04's audited single-job probe plan + one pushed predicate
     # filter on the candidate scan; nothing new to audit.
     "ss18_filtered_topk",
