@@ -1561,6 +1561,51 @@ def hashed_linear_score(
     )
 
 
+def hashed_tfidf_features(
+    docs: DataFrame, n_features: int = 1024, id_col: str = "doc_id"
+) -> DataFrame:
+    """Hashed TF-IDF featurizer (tx28) — tx23's dictionary-free hashed
+    TF vectors weighted by inverse document frequency over the SAME
+    hashed feature space (df counts collision-folded exactly like tf:
+    the hash is the contract, its lossiness is the method's documented
+    tradeoff). Completes the hashing-trick featurizer pair: tx23 feeds
+    counts-based models, this feeds the retrieval/linear-classifier
+    stacks that want idf damping — with still NO vocabulary state.
+
+    idf = round(log2(1 + N/df), 6) (the tx15/tx26 cross-engine float
+    recipe: log2 is the only libm call, rounded before use); tfidf =
+    round(tf · idf, 6). Per-row values only — nothing float is ever
+    summed, so no decimal-sum staging is needed.
+
+    Scale shape: the tx23 aggregate + ONE feature-keyed window (the
+    shuffle carries (doc, feature) rows, ≤ n_docs × n_features) + a
+    1-row N broadcast. n_features stays the only memory knob."""
+    from pyspark.sql import Window
+
+    f = hashed_tf_features(docs, n_features, id_col)
+    nd = (
+        f.select(id_col)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    wdf = Window.partitionBy("feature_id")
+    return (
+        f.withColumn("df", F.count(F.lit(1)).over(wdf).cast("bigint"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col(id_col),
+            "feature_id",
+            "tf",
+            "df",
+            F.expr(
+                "CAST(round(CAST(tf AS DOUBLE)"
+                " * round(log2(1 + CAST(n_docs AS DOUBLE)"
+                " / CAST(df AS DOUBLE)), 6), 6) AS DOUBLE)"
+            ).alias("tfidf"),
+        )
+    )
+
+
 # The sanitize mapping: NFKC-lite normalizations every LLM ingest runs
 # before tokenization (ftfy/CCNet-style), expressed as ONE translate()
 # table + one whitespace-collapse regex so it stays a single JVM-side

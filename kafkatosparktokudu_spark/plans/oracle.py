@@ -6050,3 +6050,26 @@ ORACLE_SQL["mm14_video_frame_sample"] = """
 # exactly the batch rolling-window anomaly set (the cdc_stream_emp_state
 # convention: streaming and batch must agree bit-for-bit).
 ORACLE_SQL["st13_stream_zscore"] = ORACLE_SQL["q93_rolling_zscore"]
+
+
+# tx28 twin: tx23's hashed aggregate + df via the same feature-keyed
+# count + the round-6 log2 idf; per-row floats only, never summed.
+ORACLE_SQL["tx28_hashed_tfidf"] = f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               CAST({_H32.format(x='tok')} % 1024 AS INTEGER) AS feature_id,
+               CAST(COUNT(*) AS BIGINT) AS tf
+        FROM t GROUP BY doc_id, feature_id
+    ),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM f),
+    d AS (SELECT feature_id, CAST(COUNT(*) AS BIGINT) AS df
+          FROM f GROUP BY feature_id)
+    SELECT f.doc_id, f.feature_id, f.tf, d.df,
+           CAST(round(CAST(tf AS DOUBLE)
+                * round(log2(1 + CAST(n_docs AS DOUBLE)
+                / CAST(df AS DOUBLE)), 6), 6) AS DOUBLE) AS tfidf
+    FROM f JOIN d USING (feature_id) CROSS JOIN nd
+"""

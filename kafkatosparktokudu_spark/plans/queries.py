@@ -2070,6 +2070,17 @@ def tx27_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(_t(spark, sf_dir, "documents"), min_stops=1)
 
 
+# Hashed TF-IDF (operators/text.py::hashed_tfidf_features): tx23's
+# dictionary-free hashed TF weighted by idf over the SAME hashed
+# feature space — the hashing-trick featurizer pair's retrieval half;
+# idf via the round-6 log2 recipe, per-row values only (nothing float
+# is summed).
+def tx28_hashed_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import hashed_tfidf_features
+
+    return hashed_tfidf_features(_t(spark, sf_dir, "documents"))
+
+
 # Functional-dependency profiler (operators/quality_checks.py::
 # fd_profile): exact X→Y dependency census over candidate pairs — PK
 # dependencies hold (o_orderkey→o_custkey, n_nationkey→n_regionkey),
@@ -4656,6 +4667,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm14_video_frame_sample": mm14_video_frame_sample,
     # streaming z-score anomaly monitor, run LIVE (shares q93 oracle)
     "st13_stream_zscore": st13_stream_zscore,
+    # hashed TF-IDF (dictionary-free featurizer, idf-weighted)
+    "tx28_hashed_tfidf": tx28_hashed_tfidf,
     # NEW in r11: empirical MinHash-LSH band planning (integer-ppm exact)
     "dd16_lsh_band_plan": dd16_lsh_band_plan,
     # NEW in r11: unicode sanitization pass (noise constructed in-plan by

@@ -180,6 +180,9 @@ EXCLUDED = [
     "dd17_containment_pairs",
     # tx23 is tx24's sub-plan (explode + keyed groupBy); tx24 is audited.
     "tx23_hashed_features",
+    # tx28: tx23's aggregate + one feature-keyed window + 1-row
+    # broadcast — the tx26 df-window shape, already audited there.
+    "tx28_hashed_tfidf",
     "cdc_dept_rollup",
     "cdc_dept_state",
     "cdc_emp_asof_enrich",
