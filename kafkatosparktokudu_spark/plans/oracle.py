@@ -6073,3 +6073,23 @@ ORACLE_SQL["tx28_hashed_tfidf"] = f"""
                 / CAST(df AS DOUBLE)), 6), 6) AS DOUBLE) AS tfidf
     FROM f JOIN d USING (feature_id) CROSS JOIN nd
 """
+
+
+# q97 twin: the rolling distinct count replayed as a range self-join +
+# COUNT(DISTINCT) — correct at oracle scale; the engine's plan is ONE
+# window pass (size of collect_set over a RANGE frame). Both engines
+# floor microsecond timestamps to epoch seconds (epoch_us // 1000000 ==
+# Spark's cast-to-long truncation for positive epochs).
+ORACLE_SQL["q97_rolling_distinct"] = """
+    WITH e AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(ts) // 1000000 AS ts_sec
+        FROM events
+    )
+    SELECT a.event_id, a.user_id, a.ts_sec,
+           CAST(COUNT(DISTINCT b.event_type) AS INTEGER) AS n_types_7d
+    FROM e a JOIN e b
+      ON b.user_id = a.user_id
+     AND b.ts_sec BETWEEN a.ts_sec - 604800 AND a.ts_sec
+    GROUP BY a.event_id, a.user_id, a.ts_sec
+"""

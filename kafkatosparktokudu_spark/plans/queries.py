@@ -2070,6 +2070,34 @@ def tx27_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(_t(spark, sf_dir, "documents"), min_stops=1)
 
 
+# Rolling DISTINCT count (q97): per event, how many distinct event
+# types its user produced in the trailing 7 days — the sliding-window
+# cardinality neither engine has native syntax for (Spark has no
+# COUNT(DISTINCT) OVER; the plan is size(collect_set) over a RANGE
+# frame on epoch seconds). The oracle replays it as a range self-join +
+# distinct count — O(n·window) only at oracle scale; the Spark plan
+# stays one window pass. Second-boundary rule shared exactly: both
+# engines floor microsecond timestamps to epoch seconds.
+def q97_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        sec.alias("ts_sec"),
+        F.size(F.collect_set("event_type").over(w))
+        .cast("int")
+        .alias("n_types_7d"),
+    )
+
+
 # Hashed TF-IDF (operators/text.py::hashed_tfidf_features): tx23's
 # dictionary-free hashed TF weighted by idf over the SAME hashed
 # feature space — the hashing-trick featurizer pair's retrieval half;
@@ -4669,6 +4697,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st13_stream_zscore": st13_stream_zscore,
     # hashed TF-IDF (dictionary-free featurizer, idf-weighted)
     "tx28_hashed_tfidf": tx28_hashed_tfidf,
+    # rolling distinct-count window (no native COUNT(DISTINCT) OVER)
+    "q97_rolling_distinct": q97_rolling_distinct,
     # NEW in r11: empirical MinHash-LSH band planning (integer-ppm exact)
     "dd16_lsh_band_plan": dd16_lsh_band_plan,
     # NEW in r11: unicode sanitization pass (noise constructed in-plan by

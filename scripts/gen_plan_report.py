@@ -100,6 +100,7 @@ HEADLINE = [
     # round-11 additions
     "tx26_bm25_rank",
     "gr07_link_prediction",
+    "q97_rolling_distinct",
 ]
 
 
