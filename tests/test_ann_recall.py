@@ -219,3 +219,59 @@ def test_ivfadc_full_probe_degenerates_to_adc(spark, corpus):
         if vid in plain_d:
             assert dist == plain_d[vid]
     assert len(pruned) == K
+
+
+def test_filtered_recall_curve(spark, corpus):
+    """ss18 (pre-filter IVF): recall@10 AMONG LABEL-QUALIFYING vectors
+    vs the exact filtered brute force — the filtered-search tradeoff
+    measured: recall climbs with nprobe and reaches EXACTLY 1.0 at full
+    probe (the probe set is geometry-only, so a selective predicate at
+    fixed nprobe can only lose qualifying candidates, never gain
+    non-qualifying ones — every returned id must carry the label)."""
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.operators.similarity import ivf_topk_seeded
+
+    emb, ids, x, id2row = corpus
+    labels = {
+        int(r["vec_id"]): int(r["label"])
+        for r in emb.select("vec_id", "label").collect()
+    }
+    label = 2
+    qids = [int(i) for i in ids[:N_QUERIES]]
+
+    def exact_filtered(qid):
+        qrow = id2row[qid]
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = np.round(xn @ xn[qrow], 6)
+        order = sorted(range(len(ids)), key=lambda j: (-sims[j], ids[j]))
+        return [
+            int(ids[j])
+            for j in order
+            if int(ids[j]) != qid and labels[int(ids[j])] == label
+        ][:K]
+
+    curve = {}
+    for nprobe in (2, 4, 16):
+        hits = tot = 0
+        for qid in qids:
+            want = set(exact_filtered(qid))
+            got = [
+                r["vec_id"]
+                for r in ivf_topk_seeded(
+                    emb,
+                    [float(v) for v in x[id2row[qid]]],
+                    k=K,
+                    n_cells=16,
+                    nprobe=nprobe,
+                    exclude_id=qid,
+                    predicate=F.col("label") == label,
+                ).collect()
+            ]
+            assert all(labels[g] == label for g in got)  # pre-filter holds
+            hits += len(set(got) & want)
+            tot += len(want)
+        curve[nprobe] = hits / tot
+    assert curve[2] <= curve[4] + 1e-9 <= curve[16] + 2e-9
+    assert curve[16] == 1.0  # full probe == exact filtered brute force
+    print("filtered recall@10 by nprobe:", curve)
