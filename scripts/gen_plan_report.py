@@ -166,6 +166,9 @@ EXCLUDED = [
     # depth*width cells) + a <=4096-row join — the audited sketch-scan
     # plan is sk01's row; nothing new to audit.
     "sk08_cms_join_size",
+    # sk09: one sk03-shaped signed-sketch scan + a 4-row median —
+    # same audited sketch-scan class.
+    "sk09_cms_self_join_size",
     # px23: returned frame is a 3-row audit union of 1-row aggregates;
     # the scrub anti-joins are q36-class (broadcast anti) shapes, and
     # the scrubbed-frame semantics are the test's concern.

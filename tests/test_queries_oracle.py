@@ -142,6 +142,30 @@ def test_propagate_deletes_scrubbed_frames(spark):
     assert scrubbed["orders"].count() == orders.count() - len(doomed_ok)
 
 
+def test_ams_f2_error_bound_and_skew_signal(spark):
+    """AMS count-sketch F2: unbiased with relative error ~sqrt(2/width)
+    — assert within a 6-sigma-ish band on the near-unique key (the
+    regime a plain CMS self-dot overestimated 12.7x), AND that a
+    planted hot key blows F2 up by the expected quadratic mass with the
+    estimate tracking it — the skew signal actually firing."""
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.operators.sketch import ams_f2_estimate
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    row = ams_f2_estimate(li, "l_orderkey", width=1024).head()
+    band = 6 * (2.0 / 1024) ** 0.5  # ~26%
+    assert abs(row["est_f2"] - row["true_f2"]) <= band * row["true_f2"]
+
+    # planted hot key: 3000 extra rows on ONE key adds ~3000^2 to F2
+    hot = li.select(F.lit(1).alias("k")).limit(3000)
+    skewed = li.select(F.col("l_orderkey").alias("k")).unionAll(hot)
+    srow = ams_f2_estimate(skewed, "k", width=1024).head()
+    assert srow["true_f2"] > row["true_f2"] + 3000 * 3000 // 2
+    assert abs(srow["est_f2"] - srow["true_f2"]) <= band * srow["true_f2"]
+
+
 def test_cms_join_size_error_bound(spark):
     """CMS inner-product join-size estimate: est >= truth ALWAYS
     (collisions only add mass), and the overshoot stays within a few
