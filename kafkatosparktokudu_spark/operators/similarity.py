@@ -1376,7 +1376,7 @@ def pq_adc_topk(
     # rank window then runs over only the k survivors, so its
     # single-partition sort is O(k), not O(n).
     topk = scored.orderBy(F.col("adc_dist"), F.col("vec_id")).limit(k)
-    w = W.orderBy(F.col("adc_dist"), F.col("vec_id"))
+    w = W.orderBy(F.col("adc_dist"), F.col("vec_id"))  # bounded-ok: <=k rows post-limit
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "rank", "vec_id", "adc_dist"
     )
@@ -1435,7 +1435,7 @@ def pq_adc_rerank_topk(
     from pyspark.sql import Window as W
 
     topk = cand.orderBy(F.col("l2_dist"), F.col("vec_id")).limit(k)
-    w = W.orderBy(F.col("l2_dist"), F.col("vec_id"))
+    w = W.orderBy(F.col("l2_dist"), F.col("vec_id"))  # bounded-ok: <=k rows post-limit
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "rank", "vec_id", "l2_dist"
     )
@@ -1508,7 +1508,7 @@ def ivfadc_topk(
     from pyspark.sql import Window as W
 
     topk = scored.orderBy(F.col("adc_dist"), F.col("vec_id")).limit(k)
-    w = W.orderBy(F.col("adc_dist"), F.col("vec_id"))
+    w = W.orderBy(F.col("adc_dist"), F.col("vec_id"))  # bounded-ok: <=k rows post-limit
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "rank", "vec_id", "adc_dist"
     )

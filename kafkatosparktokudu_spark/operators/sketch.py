@@ -639,7 +639,7 @@ def histogram_quantiles_from_bins(
         .persist()
     )
     hist.count()
-    w = Window.orderBy("bin_id").rowsBetween(
+    w = Window.orderBy("bin_id").rowsBetween(  # bounded-ok: <=n_bins histogram rows
         Window.unboundedPreceding, -1
     )
     hist = hist.select(
@@ -833,7 +833,7 @@ def ams_f2_estimate(
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy("dot", "row")
+    w = Window.orderBy("dot", "row")  # bounded-ok: <=depth sketch rows
     est = (
         per_row.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == (depth - 1) // 2 + 1)

@@ -3690,7 +3690,7 @@ def q87_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.log(u) / F.col("n_chars")).alias("es_key"),
     )
     topk = scored.orderBy(F.col("es_key").desc(), "doc_id").limit(50)
-    w = W.orderBy(F.col("es_key").desc(), "doc_id")
+    w = W.orderBy(F.col("es_key").desc(), "doc_id")  # bounded-ok: <=50 rows post-limit
     return topk.select(
         "doc_id",
         "n_chars",
@@ -4680,7 +4680,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st09_stream_dedup": st09_stream_dedup,
     # BM25 lexical retrieval — shared-expression float contract
     "tx26_bm25_rank": tx26_bm25_rank,
-    # link prediction over the near-dup graph (LSH-missed pairs)
+    # link prediction over the co-purchase graph (support>=2)
     "gr07_link_prediction": gr07_link_prediction,
     # real PCM decimation (rate normalization), integer-exact
     "mm13_audio_decimate": mm13_audio_decimate,

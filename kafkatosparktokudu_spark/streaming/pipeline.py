@@ -808,12 +808,12 @@ def read_quantile_estimate(
     if e is None:
         raise ValueError(f"no complete histogram snapshots under {store_dir}")
     regs = spark.read.parquet(f"{store_dir}/epoch={e}")
-    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)  # bounded-ok: <=n_buckets register rows
     cum = regs.select(
         "bucket",
         F.sum("cnt").over(w).cast("bigint").alias("cum"),
         F.sum("cnt").over(
-            W.orderBy("bucket").rowsBetween(
+            W.orderBy("bucket").rowsBetween(  # bounded-ok: <=n_buckets register rows
                 W.unboundedPreceding, W.unboundedFollowing
             )
         ).cast("bigint").alias("n_total"),
