@@ -4659,29 +4659,84 @@ def tx20_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-11 front section (VERDICT r10 #3/#9, computed by
-    # scripts/check_rotation.py against fixtures/query_deps.json):
-    # 65 queries are implicated by this round's changed files
-    # (localframe int-exactness, merge.py rebucket+meta, fsio probes,
-    # dedup/similarity auto n_cells, pipeline read_hll_estimate, 9
-    # harness local_frame swaps, n_cells oracle pins) — more than the
-    # window holds, so the window is SATURATED with the 50 highest-risk
-    # (tx19 leads — the r10 rotation miss); the 15 lowest-risk overflow
-    # (file-level-implicated only, changed functions unreached, fresh
-    # green rows): st01-st03, dd01/dd02/dd09/dd12-dd14,
-    # gr01-gr03, px05, px12, tx18 — named in NOTES r11 for next round.
-    "tx19_bpe_merges": tx19_bpe_merges,
+    # --- round-12 front section (the driver verifies the FIRST 50 keys;
+    # computed by scripts/check_rotation.py): leads with the 24-query
+    # r11 rotation OVERFLOW (VERDICT r11 #1 — their freshest driver
+    # stamp predates r11's code churn), then the 9 further queries
+    # implicated by this round's changes (the gr07/gr08/tx26 TakeOrdered
+    # top-k fix touches shared spans in graph/text/sketch/similarity/
+    # pipeline), then this round's work targets (ss18 filtered-ANN
+    # pruning, dd05 two-level IVF, st04 ingest profile) and their
+    # likely closure neighbors.
+    "dd03_minhash_bands": dd03_minhash_bands,
+    "dd04_neardup_pairs": dd04_neardup_pairs,
+    "dd06_simhash": dd06_simhash,
+    "dd08_char_neardup_pairs": dd08_char_neardup_pairs,
+    "dd10_simhash_neardup": dd10_simhash_neardup,
+    "dd11_jaccard_estimate": dd11_jaccard_estimate,
+    "px09_semdedup": px09_semdedup,
+    "q90_distributed_rank": q90_distributed_rank,
+    "q91_compaction_bins": q91_compaction_bins,
+    "sk01_cms_heavy_hitters": sk01_cms_heavy_hitters,
+    "ss01_knn_cosine": ss01_knn_cosine,
+    "ss02_label_centroids": ss02_label_centroids,
+    "ss03_ann_lsh_topk": ss03_ann_lsh_topk,
+    "ss04_ivf_topk": ss04_ivf_topk,
+    "ss06_kmeans_clusters": ss06_kmeans_clusters,
+    "ss07_pq_encode": ss07_pq_encode,
+    "ss08_pq_adc_topk": ss08_pq_adc_topk,
+    "ss09_int8_quantize": ss09_int8_quantize,
+    "ss10_ivf_deploy_topk": ss10_ivf_deploy_topk,
+    "ss11_mmr_rerank": ss11_mmr_rerank,
+    "ss13_pq_rerank_topk": ss13_pq_rerank_topk,
+    "ss15_ivf_trained_topk": ss15_ivf_trained_topk,
+    "ss16_ivfadc_topk": ss16_ivfadc_topk,
+    "tx22_source_overlap": tx22_source_overlap,
+    # link prediction over the co-purchase graph (support>=2)
+    "gr07_link_prediction": gr07_link_prediction,
+    # personalized PageRank (random walk with restart, integer exact)
+    "gr08_personalized_pagerank": gr08_personalized_pagerank,
+    "q87_weighted_sample": q87_weighted_sample,
+    "sk07_histogram_quantiles": sk07_histogram_quantiles,
+    # F2 / self-join size (key-skew diagnostic from the CMS)
+    "sk09_cms_self_join_size": sk09_cms_self_join_size,
+    # NEW in r11: trained-codebook PQ ADC (the oracle retrains the
+    # per-subspace Lloyd's bit-for-bit -- ss15's graduation recipe
+    # applied to PQ, retiring the last numpy-only trained claim)
+    "ss17_pq_trained_adc": ss17_pq_trained_adc,
     # NEW in r11: streaming quantile monitor (the distribution sibling of
     # st05's cardinality monitor — sum-merged registers via cumulative
     # per-epoch snapshots)
     "st07_quantile_monitor": st07_quantile_monitor,
+    # --- new in round 8 ---
+    "tx21_zipf_stats": tx21_zipf_stats,
+    # BM25 lexical retrieval — shared-expression float contract
+    "tx26_bm25_rank": tx26_bm25_rank,
+    # filtered ANN (pre-filter semantics over probed IVF cells)
+    "ss18_filtered_topk": ss18_filtered_topk,
+    "dd05_embedding_neardup": dd05_embedding_neardup,
+    "st04_ingest_shards": st04_ingest_shards,
+    "ss05_knn_join": ss05_knn_join,
+    "ss12_knn_label_vote": ss12_knn_label_vote,
+    "ss14_radius_density": ss14_radius_density,
+    "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,
+    "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,
+    "px16_quality_aware_dedup": px16_quality_aware_dedup,
+    "px06_incremental_ingest": px06_incremental_ingest,
+    "dd07_dup_clusters": dd07_dup_clusters,
+    "dd15_soft_dedup_weights": dd15_soft_dedup_weights,
+    # NEW in r11: empirical MinHash-LSH band planning (integer-ppm exact)
+    "dd16_lsh_band_plan": dd16_lsh_band_plan,
+    # Broder containment (asymmetric subset-dup signal)
+    "dd17_containment_pairs": dd17_containment_pairs,
+    # Gopher rule battery (auditable per-rule quality flags)
+    "tx27_gopher_rules": tx27_gopher_rules,
+    # hashed TF-IDF (dictionary-free featurizer, idf-weighted)
+    "tx28_hashed_tfidf": tx28_hashed_tfidf,
+    "tx19_bpe_merges": tx19_bpe_merges,
     # stream-stream interval join + cross-batch streaming dedup, run LIVE
     "st08_stream_interval_join": st08_stream_interval_join,
     "st09_stream_dedup": st09_stream_dedup,
-    # BM25 lexical retrieval — shared-expression float contract
-    "tx26_bm25_rank": tx26_bm25_rank,
-    # link prediction over the co-purchase graph (support>=2)
-    "gr07_link_prediction": gr07_link_prediction,
     # real PCM decimation (rate normalization), integer-exact
     "mm13_audio_decimate": mm13_audio_decimate,
     # CMS inner-product join-size estimate (planner cardinality input)
@@ -4692,87 +4747,34 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq07_fd_profile": dq07_fd_profile,
     # stateful streaming top-k leaderboard, run LIVE
     "st10_stream_topk": st10_stream_topk,
-    # Gopher rule battery (auditable per-rule quality flags)
-    "tx27_gopher_rules": tx27_gopher_rules,
-    # Broder containment (asymmetric subset-dup signal)
-    "dd17_containment_pairs": dd17_containment_pairs,
     # streaming funnel tracker, run LIVE (q80's strict-order rule)
     "st11_stream_funnel": st11_stream_funnel,
-    # filtered ANN (pre-filter semantics over probed IVF cells)
-    "ss18_filtered_topk": ss18_filtered_topk,
-    # personalized PageRank (random walk with restart, integer exact)
-    "gr08_personalized_pagerank": gr08_personalized_pagerank,
     # streaming sessionizer, run LIVE (closed sessions == q17 minus tails)
     "st12_stream_sessionize": st12_stream_sessionize,
     # real multi-frame video sampling (container parse + frame decode)
     "mm14_video_frame_sample": mm14_video_frame_sample,
     # streaming z-score anomaly monitor, run LIVE (shares q93 oracle)
     "st13_stream_zscore": st13_stream_zscore,
-    # hashed TF-IDF (dictionary-free featurizer, idf-weighted)
-    "tx28_hashed_tfidf": tx28_hashed_tfidf,
     # rolling distinct-count window (no native COUNT(DISTINCT) OVER)
     "q97_rolling_distinct": q97_rolling_distinct,
-    # F2 / self-join size (key-skew diagnostic from the CMS)
-    "sk09_cms_self_join_size": sk09_cms_self_join_size,
-    # NEW in r11: empirical MinHash-LSH band planning (integer-ppm exact)
-    "dd16_lsh_band_plan": dd16_lsh_band_plan,
     # NEW in r11: unicode sanitization pass (noise constructed in-plan by
     # BOTH engines -- the mm12 recipe -- then cleaned by the shared
     # SANITIZE_SRC/DST translate table)
     "tx25_unicode_sanitize": tx25_unicode_sanitize,
-    # NEW in r11: trained-codebook PQ ADC (the oracle retrains the
-    # per-subspace Lloyd's bit-for-bit -- ss15's graduation recipe
-    # applied to PQ, retiring the last numpy-only trained claim)
-    "ss17_pq_trained_adc": ss17_pq_trained_adc,
-    "dd05_embedding_neardup": dd05_embedding_neardup,
-    "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,
-    "ss05_knn_join": ss05_knn_join,
-    "ss12_knn_label_vote": ss12_knn_label_vote,
-    "ss14_radius_density": ss14_radius_density,
-    "st04_ingest_shards": st04_ingest_shards,
     "st05_hll_monitor": st05_hll_monitor,
     "st06_state_enriched_events": st06_state_enriched_events,
-    "px06_incremental_ingest": px06_incremental_ingest,
     "cdc_dept_rollup": cdc_dept_rollup,
     "cdc_emp_history_incr": cdc_emp_history_incr,
     "cdc_stream_emp_state": cdc_stream_emp_state,
     "q23_range_join_tiers": q23_range_join_tiers,
     "mm06_webdataset_roundtrip": mm06_webdataset_roundtrip,
-    "dd07_dup_clusters": dd07_dup_clusters,
-    "dd15_soft_dedup_weights": dd15_soft_dedup_weights,
     "gr05_bfs_hops": gr05_bfs_hops,
-    "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,
     "px15_epoch_shuffle": px15_epoch_shuffle,
-    "px16_quality_aware_dedup": px16_quality_aware_dedup,
     "px17_sequence_packing": px17_sequence_packing,
     "px19_stratified_shards": px19_stratified_shards,
     "px20_leakage_safe_split": px20_leakage_safe_split,
     "px21_budget_selection": px21_budget_selection,
     "px22_grouped_budget": px22_grouped_budget,
-    "q90_distributed_rank": q90_distributed_rank,
-    "q91_compaction_bins": q91_compaction_bins,
-    "sk01_cms_heavy_hitters": sk01_cms_heavy_hitters,
-    "ss11_mmr_rerank": ss11_mmr_rerank,
-    "dd03_minhash_bands": dd03_minhash_bands,
-    "dd04_neardup_pairs": dd04_neardup_pairs,
-    "dd06_simhash": dd06_simhash,
-    "dd08_char_neardup_pairs": dd08_char_neardup_pairs,
-    "dd10_simhash_neardup": dd10_simhash_neardup,
-    "dd11_jaccard_estimate": dd11_jaccard_estimate,
-    "px09_semdedup": px09_semdedup,
-    "tx22_source_overlap": tx22_source_overlap,
-    "ss01_knn_cosine": ss01_knn_cosine,
-    "ss02_label_centroids": ss02_label_centroids,
-    "ss03_ann_lsh_topk": ss03_ann_lsh_topk,
-    "ss04_ivf_topk": ss04_ivf_topk,
-    "ss06_kmeans_clusters": ss06_kmeans_clusters,
-    "ss07_pq_encode": ss07_pq_encode,
-    "ss08_pq_adc_topk": ss08_pq_adc_topk,
-    "ss09_int8_quantize": ss09_int8_quantize,
-    "ss10_ivf_deploy_topk": ss10_ivf_deploy_topk,
-    "ss13_pq_rerank_topk": ss13_pq_rerank_topk,
-    "ss15_ivf_trained_topk": ss15_ivf_trained_topk,
-    "ss16_ivfadc_topk": ss16_ivfadc_topk,
     # --- round-10 front section: new queries lead (mm11 real resize,
     # mm12 exact byte stats, ss15 trained IVF); every query whose
     # implementing code changed this round sits < 50 for a fresh driver
@@ -4789,8 +4791,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm08_real_codec_roundtrip": mm08_real_codec_roundtrip,
     "mm09_audio_frame_energy": mm09_audio_frame_energy,
     "mm10_image_pixel_stats": mm10_image_pixel_stats,
-    # --- new in round 8 ---
-    "tx21_zipf_stats": tx21_zipf_stats,
     # ss08 rotated UP for r10 (_adc_distance_col extraction reaches
     # pq_adc_topk); q96 — unchanged, fresh green r9 row — yields its slot
     "dq06_fk_integrity": dq06_fk_integrity,
@@ -4818,7 +4818,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx18_ngram_novelty": tx18_ngram_novelty,
     "q93_rolling_zscore": q93_rolling_zscore,
     "q92_hilbert_layout": q92_hilbert_layout,
-    "sk07_histogram_quantiles": sk07_histogram_quantiles,
     "q95_ohlc_candles": q95_ohlc_candles,
     # --- round-7 front section: every query whose implementing code (or
     # oracle) changed this round sits inside the driver's 50-query window
@@ -4875,7 +4874,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq03_distribution_drift": dq03_distribution_drift,
     "cdc_emp_history": cdc_emp_history,
     "cdc_emp_asof_enrich": cdc_emp_asof_enrich,
-    "q87_weighted_sample": q87_weighted_sample,
     "q88_asof_nearest": q88_asof_nearest,
     "q89_twap": q89_twap,
     "dq02_column_profile": dq02_column_profile,
