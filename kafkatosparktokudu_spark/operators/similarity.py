@@ -487,34 +487,112 @@ def build_ivf_index(
     path: str,
     n_cells: int = 16,
     iters: int = 5,
+    partition_cols: tuple[str, ...] = ("cell",),
 ) -> list[list[float]]:
     """Materialize the IVF index: train centroids, assign cells, write the
-    table partitioned by ``cell``, and store centroids + per-cell counts in
-    a ``_ivf_meta.json`` sidecar (the leading underscore keeps it out of
-    parquet file listings).
+    table partitioned by ``partition_cols``, and store centroids + per-cell
+    counts in a ``_ivf_meta.json`` sidecar (the leading underscore keeps it
+    out of parquet file listings).
 
     With ``cell`` as a physical partition column, a probe query is pruned at
     the FILE level — non-probed cells are never listed into the scan, the
-    100 TB layout FAISS-style IVF assumes. The per-query ``ivf_topk`` above
-    is the index-free variant; this is the scale path.
+    100 TB layout FAISS-style IVF assumes. For FILTERED search (ss18) add
+    the predicate column to the spec — ``("cell", "label")`` — and the
+    metadata predicate prunes at the file level too: probing cell c for
+    label v lists only the (c, v) directory, so a full-probe within-label
+    scan reads exactly the qualifying rows (VERDICT r11 #3a). The per-query
+    ``ivf_topk`` above is the index-free variant; this is the scale path.
     """
     import json
     import os
 
     spark = emb.sparkSession
     cents = train_ivf_centroids(emb, n_cells, iters)
-    ivf_assign(emb, cents).write.mode("overwrite").partitionBy("cell").parquet(path)
+    ivf_assign(emb, cents).write.mode("overwrite").partitionBy(
+        *partition_cols
+    ).parquet(path)
+    idx = spark.read.parquet(path)
     counts = {
         int(r["cell"]): r["count"]
-        for r in spark.read.parquet(path).groupBy("cell").count().collect()
+        for r in idx.groupBy("cell").count().collect()
     }
     meta = {
         "centroids": cents,
         "cell_counts": {str(c): n for c, n in counts.items()},
     }
+    if len(partition_cols) > 1:
+        # per-partition-tuple counts — the selectivity input the
+        # filtered-probe rule reads driver-side (no cluster job at query
+        # time); keys are "cell|v1|v2..." in partition_cols order.
+        meta["partition_cols"] = list(partition_cols)
+        meta["group_counts"] = {
+            "|".join(str(r[c]) for c in partition_cols): r["count"]
+            for r in idx.groupBy(*partition_cols).count().collect()
+        }
     with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
         json.dump(meta, f)
     return cents
+
+
+def filtered_nprobe(
+    base_nprobe: int, total: int, qualifying: int, n_cells: int
+) -> int:
+    """Selectivity-scaled probe width for filtered ANN (VERDICT r11 #3b).
+
+    Geometry-only probing under a pre-filter loses recall in proportion to
+    the predicate's selectivity (r11 measured 0.35/0.45 at nprobe 2/4 vs
+    0.585 unfiltered): each probed cell contributes only its QUALIFYING
+    members, so at equal ``nprobe`` the filtered candidate pool is s× the
+    unfiltered one. The standard filtered-IVF trade probes 1/s more cells,
+    keeping the candidate-ROW budget constant:
+
+        nprobe_eff = min(n_cells, ceil(base_nprobe / s))
+                   = min(n_cells, ceil(base_nprobe * total / qualifying))
+
+    Pure-integer ceil — ``(b*t + q - 1) // q`` — so the DuckDB oracle
+    reproduces the exact probe width (no float selectivity to drift).
+    Rows scanned ≈ nprobe_eff * (qualifying/n_cells) ≈ base_nprobe *
+    (total/n_cells): the unfiltered budget. An empty qualifying set probes
+    everything (the answer is empty either way; full probe keeps the
+    contract total)."""
+    if qualifying <= 0:
+        return n_cells
+    return min(n_cells, (base_nprobe * total + qualifying - 1) // qualifying)
+
+
+def filtered_seeded_topk_scaled(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    base_nprobe: int = 1,
+    label_col: str = "label",
+    label_value: int = 2,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ss19: filtered IVF search with the selectivity-scaled probe rule —
+    ``ivf_topk_seeded``'s pre-filter semantics, but the probe width is
+    ``filtered_nprobe`` of the measured predicate selectivity instead of a
+    geometry-only constant. One exact count aggregate (a metadata-cheap
+    1-row job, the ``auto_n_cells`` discipline) feeds the integer formula;
+    the DuckDB oracle recomputes the same counts and the same ceil, so the
+    probe set — and therefore the hash — cannot drift."""
+    row = emb.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+        F.sum(F.when(F.col(label_col) == label_value, 1).otherwise(0))
+        .cast("bigint")
+        .alias("qual"),
+    ).collect()[0]
+    np_eff = filtered_nprobe(base_nprobe, row["total"], row["qual"], n_cells)
+    return ivf_topk_seeded(
+        emb,
+        query_vec,
+        k=k,
+        n_cells=n_cells,
+        nprobe=np_eff,
+        exclude_id=exclude_id,
+        predicate=F.col(label_col) == label_value,
+    )
 
 
 def probe_cells(
@@ -577,6 +655,68 @@ def ivf_index_topk(
         cand.select(
             "vec_id",
             "label",
+            F.round(
+                cosine_literal(as_double(F.col("embedding")), query_vec), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def filtered_ivf_index_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    base_nprobe: int = 4,
+    label_col: str = "label",
+    label_value: int = 2,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Filtered search over a materialized IVF index built with
+    ``partition_cols=("cell", label_col)`` (VERDICT r11 #3).
+
+    Everything before the scan is driver-side sidecar arithmetic — no
+    cluster job: the per-(cell,label) counts give the predicate's exact
+    selectivity, ``filtered_nprobe`` scales the probe width to hold the
+    candidate-row budget at ``base_nprobe`` unfiltered cells, and the scan
+    filter is ``cell IN probe AND label = v`` — BOTH partition columns, so
+    Spark lists only the probed (cell, v) directories. The plan's
+    PartitionFilters carry both predicates (asserted in
+    tests/test_ann_recall.py); non-qualifying files are never opened,
+    which is what lets the rule probe 1/s more cells at the same bytes
+    read."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+    pcols = meta.get("partition_cols", ["cell"])
+    if label_col not in pcols:
+        raise ValueError(
+            f"index at {path} is not partitioned by {label_col!r}; "
+            f"rebuild with partition_cols=('cell', {label_col!r})"
+        )
+    li = pcols.index(label_col)
+    total = sum(meta["cell_counts"].values())
+    qual = sum(
+        n
+        for key, n in meta["group_counts"].items()
+        if key.split("|")[li] == str(label_value)
+    )
+    n_cells = len(meta["centroids"])
+    np_eff = filtered_nprobe(base_nprobe, total, qual, n_cells)
+    probe = probe_cells(path, query_vec, k, nprobe=np_eff)
+    cand = spark.read.parquet(path).filter(
+        F.col("cell").isin(probe) & (F.col(label_col) == label_value)
+    )
+    if exclude_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_id)
+    return (
+        cand.select(
+            "vec_id",
+            F.col(label_col).alias("label"),
             F.round(
                 cosine_literal(as_double(F.col("embedding")), query_vec), 6
             ).alias("cos_sim"),

@@ -6128,3 +6128,30 @@ ORACLE_SQL["sk09_cms_self_join_size"] = """
                AS err_ppm
     FROM med, tru
 """
+
+
+# ss19 twin: ss18's filtered probe pipeline with the SELECTIVITY-SCALED
+# probe width (VERDICT r11 #3b) — a sel CTE recomputes the exact integer
+# rule np = LEAST(n_cells, ceil(base_nprobe * total / qualifying)) =
+# (1 * COUNT(*) + q - 1) // q over the same table, and the probe rank
+# cutoff reads it as a scalar subquery. Derived from ss04's SQL like
+# ss18, so the three contracts cannot drift.
+_SS19_SQL = ORACLE_SQL["ss04_ivf_topk"].replace(
+    "seeds AS (",
+    "sel AS (\n"
+    "            SELECT LEAST(16, (1 * COUNT(*)\n"
+    "                + SUM(CASE WHEN label = 2 THEN 1 ELSE 0 END) - 1)\n"
+    "                // SUM(CASE WHEN label = 2 THEN 1 ELSE 0 END)) AS np\n"
+    "            FROM e\n"
+    "        ),\n"
+    "        seeds AS (",
+).replace(
+    "WHERE rn <= 4",
+    "WHERE rn <= (SELECT np FROM sel)",
+).replace(
+    "WHERE a.cell IN (SELECT cell FROM probe) AND e.vec_id <> 0",
+    "WHERE a.cell IN (SELECT cell FROM probe) AND e.vec_id <> 0"
+    " AND e.label = 2",
+)
+assert "(SELECT np FROM sel)" in _SS19_SQL and "AND e.label = 2" in _SS19_SQL
+ORACLE_SQL["ss19_filtered_scaled_topk"] = _SS19_SQL

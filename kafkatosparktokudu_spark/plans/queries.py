@@ -4487,6 +4487,29 @@ def ss18_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Selectivity-SCALED filtered ANN (operators/similarity.py::
+# filtered_seeded_topk_scaled, VERDICT r11 #3b): ss18's pre-filter, but
+# the probe width is ceil(base_nprobe / selectivity) — pure-integer, so
+# the oracle recomputes it: label 2 is 47/500 rows at sf0.01, so
+# base_nprobe=1 probes ceil(500/47)=11 of 16 cells. Holds the
+# candidate-ROW budget of 1 unfiltered cell while recovering the recall
+# that geometry-only probing loses under a selective predicate (the r11
+# curve measured 0.35/0.45 at nprobe 2/4).
+def ss19_filtered_scaled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import filtered_seeded_topk_scaled
+
+    qv = _query_vec(spark, sf_dir, 0)
+    return filtered_seeded_topk_scaled(
+        _t(spark, sf_dir, "embeddings"),
+        qv,
+        k=10,
+        n_cells=16,
+        base_nprobe=1,
+        label_value=2,
+        exclude_id=0,
+    )
+
+
 # kNN majority-vote labeling (operators/similarity.py::knn_label_vote) —
 # each low-id query vector takes the modal label of its ss05 neighbors
 # (votes DESC, label ASC tie-break); one (q_id,label) agg + one tiny
@@ -4714,6 +4737,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx26_bm25_rank": tx26_bm25_rank,
     # filtered ANN (pre-filter semantics over probed IVF cells)
     "ss18_filtered_topk": ss18_filtered_topk,
+    # NEW in r12: selectivity-scaled filtered ANN (integer probe rule)
+    "ss19_filtered_scaled_topk": ss19_filtered_scaled_topk,
     "dd05_embedding_neardup": dd05_embedding_neardup,
     "st04_ingest_shards": st04_ingest_shards,
     "ss05_knn_join": ss05_knn_join,

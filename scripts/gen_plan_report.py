@@ -151,6 +151,10 @@ EXCLUDED = [
     # ss18: ss04's audited single-job probe plan + one pushed predicate
     # filter on the candidate scan; nothing new to audit.
     "ss18_filtered_topk",
+    # ss19: the same ss04/ss18 probe plan with a wider literal probe set
+    # (the selectivity-scaled nprobe is computed driver-side from one
+    # 1-row count aggregate); nothing new to audit.
+    "ss19_filtered_scaled_topk",
     # mm08/09/10: one scan -> mapInPandas encode -> mapInPandas parse; the
     # plans are single Python-eval chains, nothing to audit beyond mm02/mm07.
     "mm08_real_codec_roundtrip",

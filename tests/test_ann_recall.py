@@ -275,3 +275,137 @@ def test_filtered_recall_curve(spark, corpus):
     assert curve[2] <= curve[4] + 1e-9 <= curve[16] + 2e-9
     assert curve[16] == 1.0  # full probe == exact filtered brute force
     print("filtered recall@10 by nprobe:", curve)
+
+
+def test_filtered_scaled_recall_equal_budget(spark, corpus):
+    """VERDICT r11 #3b: the selectivity-scaled probe rule (ss19) holds the
+    candidate-ROW budget of ``base_nprobe`` unfiltered cells while probing
+    1/s more cells — recall at the SAME scan budget where the r11 curve
+    measured geometry-only probing at 0.35 (nprobe=2) must clear 0.8.
+
+    Measured r12 @ sf0.01 (label=2, s=47/500): base_nprobe=1 probes 11/16
+    cells, recall 0.77; base_nprobe=2 scales past n_cells (ceil(2/s)=22),
+    i.e. FULL probe of the qualifying subset — recall exactly 1.0 while
+    scanning 47 qualifying rows vs the 62-row unfiltered budget."""
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.operators.similarity import (
+        filtered_nprobe,
+        filtered_seeded_topk_scaled,
+        seed_cell_assign,
+    )
+
+    emb, ids, x, id2row = corpus
+    labels = {
+        int(r["vec_id"]): int(r["label"])
+        for r in emb.select("vec_id", "label").collect()
+    }
+    label, n_cells = 2, 16
+    total, qual = len(ids), sum(1 for v in labels.values() if v == label)
+    qids = [int(i) for i in ids[:N_QUERIES]]
+
+    def exact_filtered(qid):
+        qrow = id2row[qid]
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = np.round(xn @ xn[qrow], 6)
+        order = sorted(range(len(ids)), key=lambda j: (-sims[j], ids[j]))
+        return [
+            int(ids[j])
+            for j in order
+            if int(ids[j]) != qid and labels[int(ids[j])] == label
+        ][:K]
+
+    # per-cell qualifying counts under the same seeded assignment, for the
+    # scan-budget accounting (at the (cell,label) index layout these are
+    # the only rows the probed files contain)
+    cells = seed_cell_assign(emb, n_cells=n_cells, nprobe=1)  # argmax cell,
+    # the single-cell corpus assignment ivf_topk_seeded scans
+    qual_per_cell = {
+        int(r["cell"]): r["n"]
+        for r in cells.join(
+            emb.select("vec_id", "label").filter(F.col("label") == label),
+            "vec_id",
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    recall, scanned = {}, {}
+    for base in (1, 2):
+        np_eff = filtered_nprobe(base, total, qual, n_cells)
+        hits = tot = 0
+        for qid in qids:
+            want = set(exact_filtered(qid))
+            got = {
+                r["vec_id"]
+                for r in filtered_seeded_topk_scaled(
+                    emb,
+                    [float(v) for v in x[id2row[qid]]],
+                    k=K,
+                    n_cells=n_cells,
+                    base_nprobe=base,
+                    label_value=label,
+                    exclude_id=qid,
+                ).collect()
+            }
+            assert all(labels[g] == label for g in got)  # pre-filter holds
+            hits += len(set(got) & want)
+            tot += len(want)
+        recall[base] = hits / tot
+        # worst-case rows a probe can touch = the np_eff largest
+        # qualifying cells (query-independent upper bound)
+        scanned[base] = sum(
+            sorted(qual_per_cell.values(), reverse=True)[:np_eff]
+        )
+    budget = {b: b * total // n_cells for b in recall}  # unfiltered rows/cell
+    print("scaled filtered recall:", recall, "scanned:", scanned, "budget:", budget)
+    assert recall[1] >= 0.7, (recall, scanned)
+    assert recall[2] == 1.0, (recall, scanned)  # full qualifying probe
+    assert scanned[2] <= budget[2], (scanned, budget)  # equal-budget claim
+    assert recall[1] <= recall[2]
+
+
+def test_filtered_index_partition_pruning(spark, corpus, tmp_path):
+    """VERDICT r11 #3a: an IVF index built with partition_cols=("cell",
+    "label") prunes a filtered probe at the FILE level — the scan's
+    PartitionFilters carry BOTH predicates, and the full-probe filtered
+    search returns exactly the filtered brute-force top-k (trained-
+    centroid probe order, full probe via the scaled rule)."""
+    from kafkatosparktokudu_spark.operators.similarity import (
+        build_ivf_index,
+        filtered_ivf_index_topk,
+    )
+
+    emb, ids, x, id2row = corpus
+    labels = {
+        int(r["vec_id"]): int(r["label"])
+        for r in emb.select("vec_id", "label").collect()
+    }
+    label = 2
+    path = str(tmp_path / "ivf_idx")
+    build_ivf_index(emb, path, n_cells=16, partition_cols=("cell", "label"))
+
+    qid = int(ids[0])
+    qv = [float(v) for v in x[id2row[qid]]]
+    # base_nprobe=4 at s~0.094 scales past 16 cells -> full probe: the
+    # result must EQUAL the exact filtered brute force
+    res = filtered_ivf_index_topk(
+        spark, path, qv, k=K, base_nprobe=4, label_value=label,
+        exclude_id=qid,
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan, plan
+    assert any("label" in ln and "cell" in ln for ln in scan), scan
+
+    got = [r["vec_id"] for r in res.collect()]
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    sims = np.round(xn @ xn[id2row[qid]], 6)
+    order = sorted(range(len(ids)), key=lambda j: (-sims[j], ids[j]))
+    want = [
+        int(ids[j])
+        for j in order
+        if int(ids[j]) != qid and labels[int(ids[j])] == label
+    ][:K]
+    assert got == want, (got, want)
