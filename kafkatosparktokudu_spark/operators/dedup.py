@@ -254,11 +254,49 @@ def _explode_bands(sig: DataFrame, id_col: str) -> DataFrame:
     ).select(id_col, "bh.band_idx", "bh.h")
 
 
+GATE_META = "_STORE_META.json"
+
+
+def _gate_meta(store_dir: str) -> dict | None:
+    """Persisted gate-store geometry (the merge.py ``_STORE_META``
+    discipline): the bucket modulus travels WITH the directory, so a
+    reader can never probe with the wrong layout."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(store_dir, GATE_META), encoding="utf-8") as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _write_gate_meta(store_dir: str, n_buckets: int) -> None:
+    import json
+    import os
+
+    os.makedirs(store_dir, exist_ok=True)
+    tmp = os.path.join(store_dir, GATE_META + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"layout": "bucketed", "n_buckets": n_buckets}, fh)
+    os.replace(tmp, os.path.join(store_dir, GATE_META))
+
+
+def _band_bucket(h: Column, n_buckets: int) -> Column:
+    """Bucket of a band hash (an md5 HEX string): its first 8 hex digits
+    as an int, mod the store modulus — deterministic and engine-portable
+    (the md5_hash32 recipe applied to an already-md5 value)."""
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(n_buckets)
+    ).cast("int")
+
+
 def incremental_neardup_ingest(
     batch: DataFrame,
     store_dir: str,
     threshold: float = 0.2,
     id_col: str = "doc_id",
+    bucketed_n: int | None = None,
 ) -> DataFrame:
     """Ingest-time near-dup gate over a PERSISTENT signature store — the
     continuously-fed corpus shape: each arriving batch is (1) deduplicated
@@ -269,20 +307,38 @@ def incremental_neardup_ingest(
     ``(doc_id, is_dup, matched_id)`` where matched_id is the in-batch
     cluster keeper or the smallest matching stored id.
 
-    Store = plain parquet of (doc_id, hs, band0..bandN): bands are the
-    blocking key (candidate generation joins band hashes — sub-quadratic
-    against the whole history), hs the verification payload. State grows
-    with ACCEPTED docs only — the bounded-state trade every incremental
-    dedup makes: a duplicate's signature is discarded, so a later doc
-    matching only that discarded duplicate (not its kept cluster-mate) is
-    admitted, where a global batch job (px02) would chain them. Documented
-    semantics, pinned by test_incremental_ingest_*.
+    TWO store layouts, selected by the store's own ``_STORE_META.json``
+    (the merge.py discipline — geometry travels with the directory):
+
+    - FLAT (default for new stores with ``bucketed_n=None``): plain
+      parquet of (doc_id, hs, band0..bandN). Every epoch re-reads and
+      re-explodes the whole history's band columns and the verify join
+      scans the whole ``hs`` payload column — fine while batches are a
+      sizable fraction of history (the st04 bench shape).
+    - BUCKETED (VERDICT r11 #5 — pass ``bucketed_n`` at store creation,
+      or let an existing meta pick it): ``store/bands`` holds the
+      EXPLODED (doc_id, band_idx, h) rows partitioned by
+      ``bucket = md5-prefix(h) % n``; ``store/payload`` holds
+      (doc_id, hs) partitioned by ``idb = doc_id % n``. The probe then
+      (a) lists only the band buckets the BATCH's hashes touch, and
+      (b) reads the hs payload only for the id-buckets of actual LSH
+      candidates — per-epoch gate I/O tracks the BATCH, not the history.
+      That is the trickle-ingest regime (batch ≪ history, n ≫ the
+      batch's distinct band hashes); measured in
+      scripts/stress_ingest_gate.py. Flags output is IDENTICAL across
+      layouts (equivalence test in test_extensions.py).
+
+    State grows with ACCEPTED docs only — the bounded-state trade every
+    incremental dedup makes: a duplicate's signature is discarded, so a
+    later doc matching only that discarded duplicate (not its kept
+    cluster-mate) is admitted, where a global batch job (px02) would
+    chain them. Documented semantics, pinned by test_incremental_ingest_*.
 
     Scale shape: per batch — one shingle+hash pass over the batch, one
     in-batch LSH (sub-quadratic), one band join against the store
-    (shuffle keyed on band hash, the store side is bucketable), a
-    candidates-only Jaccard verify, one append. Nothing rescans the
-    accepted corpus' text."""
+    (file-pruned to touched buckets under the bucketed layout), a
+    candidates-only Jaccard verify (payload file-pruned to candidate
+    id-buckets), one append. Nothing rescans the accepted corpus' text."""
     spark = batch.sparkSession
     hs_new = hashed_shingles(batch, id_col).persist()
     hs_new.count()  # pin before the self-join (same rationale as dd04)
@@ -294,6 +350,18 @@ def incremental_neardup_ingest(
     )
     keepers = hs_new.join(in_dup.select(id_col), id_col, "left_anti")
     bands_new = _bands_from_hashed(keepers, id_col)
+    meta = _gate_meta(store_dir)
+    if meta is not None:
+        return _ingest_gate_bucketed(
+            spark, store_dir, int(meta["n_buckets"]), threshold, id_col,
+            hs_new, in_dup, keepers, bands_new,
+        )
+    if bucketed_n is not None:
+        _write_gate_meta(store_dir, int(bucketed_n))
+        return _ingest_gate_bucketed(
+            spark, store_dir, int(bucketed_n), threshold, id_col,
+            hs_new, in_dup, keepers, bands_new,
+        )
     # (2) keepers vs the accepted history. The existence probe goes through
     # the Hadoop FileSystem API (fsio), NOT os.listdir: the store is read
     # and appended via spark.read/write, so on an HDFS/S3 sig_dir a
@@ -364,6 +432,144 @@ def incremental_neardup_ingest(
         flags.filter(F.col("is_dup")).select(id_col), id_col, "left_anti"
     )
     accepted.write.mode("append").parquet(store_dir)
+    hs_new.unpersist()
+    return flags
+
+
+def _ingest_gate_bucketed(
+    spark,
+    store_dir: str,
+    n_buckets: int,
+    threshold: float,
+    id_col: str,
+    hs_new: DataFrame,
+    in_dup: DataFrame,
+    keepers: DataFrame,
+    bands_new: DataFrame,
+) -> DataFrame:
+    """Bucketed-history arm of ``incremental_neardup_ingest`` (VERDICT r11
+    #5): the history-facing reads are FILE-PRUNED through the partitioned
+    layout —
+
+    - band probe: only the buckets the batch's band hashes touch are
+      listed (a trickle batch touches ~|batch bands| of n buckets);
+    - hs verify: only the id-buckets of actual LSH candidates are read
+      (the big shingle-payload column is never scanned wholesale).
+
+    The two distinct-bucket collects are bounded by n_buckets rows each —
+    the price of driver-side partition pruning, the merge.py StateStore
+    discipline. Flags output is identical to the flat layout (equivalence
+    pinned in test_extensions.py); only storage and probe I/O differ.
+    Assumes a NUMERIC id (the flat arm's empty-frame schema makes the
+    same assumption)."""
+    from ..streaming.fsio import dir_nonempty
+
+    bands_dir, payload_dir = f"{store_dir}/bands", f"{store_dir}/payload"
+    en = (
+        _explode_bands(bands_new, id_col)
+        .withColumnRenamed(id_col, "new_id")
+        .withColumn("bucket", _band_bucket(F.col("h"), n_buckets))
+        .persist()
+    )
+    en.count()  # pin: probed twice (touched-buckets collect + join) + append
+    cand = None
+    if dir_nonempty(spark, bands_dir):
+        touched = sorted(
+            r["bucket"] for r in en.select("bucket").distinct().collect()
+        )
+        old_bands = spark.read.parquet(bands_dir).filter(
+            F.col("bucket").isin(touched)
+        )
+        cand = (
+            en.select("new_id", "band_idx", "h")
+            .join(
+                old_bands.select(
+                    F.col(id_col).alias("old_id"), "band_idx", "h"
+                ),
+                ["band_idx", "h"],
+            )
+            .select("new_id", "old_id")
+            .distinct()
+            .persist()
+        )
+        idbs = sorted(
+            r["idb"]
+            for r in cand.select(
+                F.pmod(F.col("old_id"), F.lit(n_buckets))
+                .cast("int")
+                .alias("idb")
+            )
+            .distinct()
+            .collect()
+        )
+        if idbs:
+            payload = spark.read.parquet(payload_dir).filter(
+                F.col("idb").isin(idbs)
+            )
+            jac = F.size(F.array_intersect("hs_n", "hs_o")).cast(
+                "double"
+            ) / F.size(F.array_union("hs_n", "hs_o"))
+            old_matches = (
+                cand.join(
+                    keepers.select(
+                        F.col(id_col).alias("new_id"), F.col("hs").alias("hs_n")
+                    ),
+                    "new_id",
+                )
+                .join(
+                    payload.select(
+                        F.col(id_col).alias("old_id"), F.col("hs").alias("hs_o")
+                    ),
+                    "old_id",
+                )
+                .filter(jac >= threshold)
+                .groupBy("new_id")
+                .agg(F.min("old_id").alias("matched_old"))
+            )
+        else:
+            old_matches = spark.createDataFrame(
+                [], "new_id bigint, matched_old bigint"
+            )
+    else:
+        old_matches = spark.createDataFrame(
+            [], "new_id bigint, matched_old bigint"
+        )
+    flags = (
+        hs_new.select(id_col)
+        .join(in_dup, id_col, "left")
+        .join(
+            old_matches.withColumnRenamed("new_id", id_col), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            (F.col("matched_in").isNotNull() | F.col("matched_old").isNotNull())
+            .alias("is_dup"),
+            F.coalesce("matched_in", "matched_old").alias("matched_id"),
+        )
+        # localCheckpoint for the same reason as the flat arm: cut lineage
+        # BEFORE the appends below, or a lazy flags would rescan the store
+        # post-append and flag every accepted doc as its own duplicate
+        .localCheckpoint()
+    )
+    accepted_ids = keepers.select(id_col).join(
+        flags.filter(F.col("is_dup")).select(id_col), id_col, "left_anti"
+    )
+    # appends: repartition ON the partition column first, so each writer
+    # task holds whole buckets (without it every task can emit a file into
+    # every bucket directory — n_tasks × n_buckets small files)
+    en.join(accepted_ids.withColumnRenamed(id_col, "new_id"), "new_id").select(
+        F.col("new_id").alias(id_col), "band_idx", "h", "bucket"
+    ).repartition(F.col("bucket")).write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(bands_dir)
+    keepers.select(id_col, "hs").join(accepted_ids, id_col).withColumn(
+        "idb", F.pmod(F.col(id_col), F.lit(n_buckets)).cast("int")
+    ).repartition(F.col("idb")).write.mode("append").partitionBy(
+        "idb"
+    ).parquet(payload_dir)
+    if cand is not None:
+        cand.unpersist()
+    en.unpersist()
     hs_new.unpersist()
     return flags
 

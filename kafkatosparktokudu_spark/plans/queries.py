@@ -4744,7 +4744,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr07_link_prediction": gr07_link_prediction,
     # personalized PageRank (random walk with restart, integer exact)
     "gr08_personalized_pagerank": gr08_personalized_pagerank,
-    "q87_weighted_sample": q87_weighted_sample,
+    "st05_hll_monitor": st05_hll_monitor,
     "sk07_histogram_quantiles": sk07_histogram_quantiles,
     # F2 / self-join size (key-skew diagnostic from the CMS)
     "sk09_cms_self_join_size": sk09_cms_self_join_size,
@@ -4813,7 +4813,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # BOTH engines -- the mm12 recipe -- then cleaned by the shared
     # SANITIZE_SRC/DST translate table)
     "tx25_unicode_sanitize": tx25_unicode_sanitize,
-    "st05_hll_monitor": st05_hll_monitor,
+    "q87_weighted_sample": q87_weighted_sample,
     "st06_state_enriched_events": st06_state_enriched_events,
     "cdc_dept_rollup": cdc_dept_rollup,
     "cdc_emp_history_incr": cdc_emp_history_incr,

@@ -89,6 +89,19 @@ def latest_epoch_before(
     return max(prior) if prior else None
 
 
+def dir_nonempty(spark: SparkSession, dir_uri: str) -> bool:
+    """True iff ``dir_uri`` exists and has at least one child entry (file
+    OR subdirectory) — the existence probe for PARTITIONED parquet state
+    dirs, whose direct children are ``col=value`` directories rather than
+    files (``dir_has_files`` is the probe for flat stores). Same Hadoop
+    FileSystem API rationale: exactly as remote-capable as the
+    reads/writes it guards."""
+    fs, path = _fs_and_path(spark, dir_uri)
+    if not fs.exists(path):
+        return False
+    return len(fs.listStatus(path)) > 0
+
+
 def prune_epochs(
     spark: SparkSession, dir_uri: str, keep_latest: int
 ) -> list[int]:

@@ -538,7 +538,13 @@ def ingest_shards_epoch(
         spark,
         [(b, base.get(b, 0) + new_cnt.get(b, 0)) for b in range(n_bands)],
         "band int, n bigint",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{cdir}/epoch={epoch_id}")
+    ).repartition(1).write.mode("overwrite").parquet(
+        f"{cdir}/epoch={epoch_id}"
+    )  # repartition(1), NOT coalesce(1): an Arrow local_frame is an RDD of
+    # Arrow batches behind Python workers; coalesce(1) makes ONE task drain
+    # all 32 of them SEQUENTIALLY (measured 4-7 s per 10-row write, every
+    # epoch); repartition reads them in parallel then shuffles <=n_bands
+    # rows to the single writer (measured ~0.6 s warm).
 
 
 def start_ingest_shard_pipeline(
@@ -625,8 +631,8 @@ def hll_monitor_epoch(
     merged = (
         new.groupBy("bucket").agg(F.max("reg").alias("reg")).collect()
     )  # bounded: <= 2^p rows
-    local_frame(spark, merged, "bucket bigint, reg int").coalesce(
-        1
+    local_frame(spark, merged, "bucket bigint, reg int").repartition(
+        1  # not coalesce(1) — see the st04 counters note (4-7 s/epoch tax)
     ).write.mode("overwrite").parquet(f"{store_dir}/epoch={epoch_id}")
     prune_epochs(spark, store_dir, keep_epochs)
 
@@ -737,8 +743,8 @@ def histogram_monitor_epoch(
             f"histogram register table would hold {len(merged)} buckets "
             f"(> max_buckets={max_buckets}); widen cents_per_bucket"
         )
-    local_frame(spark, merged, "bucket bigint, cnt bigint").coalesce(
-        1
+    local_frame(spark, merged, "bucket bigint, cnt bigint").repartition(
+        1  # not coalesce(1) — see the st04 counters note (4-7 s/epoch tax)
     ).write.mode("overwrite").parquet(f"{store_dir}/epoch={epoch_id}")
     prune_epochs(spark, store_dir, keep_epochs)
 
