@@ -294,6 +294,55 @@ def main() -> None:
     results["cdc_sync_200k"] = round(cdc_secs, 3)
     cdc_rate = round(m.total / cdc_secs, 1)
 
+    # kafka-shaped CDC path (VERDICT r11 #7): the SAME 200k fixture through
+    # the kafkalog Python DataSource -> readStream -> foreachBatch MERGE —
+    # the measured throughput baseline for the claimed one-line broker
+    # swap (DEPLOY). Protocol mirrors cdc_sync_200k: one untimed drain
+    # populates the warehouse (+ codegen), then each timed rep re-drains
+    # the same log from offset 0 on a FRESH checkpoint into the existing
+    # state — the steady-state per-backlog cost. The wall additionally
+    # pays the streaming machinery + the Python source read (5 JSONL
+    # partition logs through Python workers), which the file path does
+    # not — that delta is exactly what this key exists to record.
+    from kafkatosparktokudu_spark.config import PipelineConfig
+    from kafkatosparktokudu_spark.sources.kafka_shaped import (
+        append_records,
+        kafka_shaped_source,
+    )
+    from kafkatosparktokudu_spark.streaming.pipeline import start_cdc_sync
+
+    kdir = tempfile.mkdtemp(prefix="bench_kshaped_")
+    try:
+        lines = [r["value"] for r in raw.collect()]
+        for p in range(5):  # 5 partitions, the reference's topic layout
+            append_records(f"{kdir}/log", p, lines[p::5])
+        k_reps = []
+        for rep in range(4):  # rep 0 = untimed warmup
+            cfg = PipelineConfig(
+                warehouse_dir=f"{kdir}/wh",
+                checkpoint_dir=f"{kdir}/ckpt{rep}",
+                metrics_dir=f"{kdir}/metrics",
+            )
+            spark._jvm.System.gc()
+            start = time.time()
+            q = start_cdc_sync(
+                spark,
+                kafka_shaped_source(spark, f"{kdir}/log", group_id=f"b{rep}"),
+                cfg,
+                available_now=True,
+            )
+            q.awaitTermination(600)
+            if rep > 0:
+                k_reps.append(time.time() - start)
+        k_secs = sorted(k_reps)[1]
+        secondary["cdc_kafka_shaped_200k"] = round(k_secs, 3)
+        spread["cdc_kafka_shaped_200k"] = [
+            round(min(k_reps), 3), round(max(k_reps), 3),
+        ]
+        kafka_shaped_rate = round(N_CDC_RECORDS / k_secs, 1)
+    finally:
+        shutil.rmtree(kdir, ignore_errors=True)
+
     # LLM-ingest throughput (st04): docs/s through the full streaming epoch
     # body — near-dup GATE against the accepted history → quality score →
     # stratified shard DEAL (VERDICT r9 #8: the CDC path had a rec/s
@@ -354,6 +403,7 @@ def main() -> None:
                 "cdc_rate_rec_s": cdc_rate,
                 "baseline_cdc_rate_rec_s": 10000,
                 "ingest_rate_docs_s": ingest_rate,
+                "cdc_kafka_shaped_rate_rec_s": kafka_shaped_rate,
                 "ingest_epoch_sec": round(ingest_secs, 3),
                 "secondary": secondary,
                 # protocol + environment stamps: per-query numbers are the

@@ -787,6 +787,8 @@ def embedding_neardup_pairs(
     n_cells: int | None = None,
     nprobe: int = 4,
     blocking: str = "seeds",
+    n_subcells: int | None = None,
+    nprobe_sub: int = 2,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by IVF-style cells
     (SemDeDup's cluster-then-pairwise shape): candidates are pairs sharing
@@ -810,6 +812,17 @@ def embedding_neardup_pairs(
       the same nprobe is strictly better on clustered data). Not
       SQL-expressible, so the oracle keeps the seed variant; recall vs
       brute force is pinned by test_centroid_blocked_neardup_recall.
+
+    TWO-LEVEL blocking (``n_subcells``, VERDICT r11 #6): each coarse
+    cell splits into anchor-argmax sub-cells (similarity.subcell_assign
+    — a broadcast anchor join, no literal-SQL blowup) and candidates
+    must share (cell, sub) — measured on the x16 corpus: wall 319 s
+    single → 168 s at (16,2) → 74 s at (16,1). Recall on GENUINE
+    near-duplicates is full (100/100 planted cos~0.995 twins at every
+    setting — near-identical vectors share their argmax sub, the same
+    argument as level 1); the low-tau TOPICAL regime trades recall
+    (0.75 at (16,2), 0.92 at (8,2) vs single at tau=0.3), so use
+    sub-cells in the production tau band below, not for topical mining.
 
     THRESHOLD SELECTION (the real 100 TB knob — measured, r10, x16
     decorrelated corpus of 32k vectors via scripts/sweep_dd05_tau.py):
@@ -848,13 +861,26 @@ def embedding_neardup_pairs(
         cells = ivf_assign_multiprobe(emb, cents, nprobe=nprobe)
     else:
         cells = seed_cell_assign(emb, n_cells=n_cells, nprobe=nprobe)
-    a, b = cells.alias("ca"), cells.alias("cb")
-    cand = (
-        a.join(
-            b,
-            (F.col("ca.cell") == F.col("cb.cell"))
-            & (F.col("ca.vec_id") < F.col("cb.vec_id")),
+    # TWO-LEVEL blocking (VERDICT r11 #6, off the oracle path — the
+    # oracled dd05 pins the single-level seeded contract): split each
+    # coarse cell into n_subcells anchor-argmax sub-cells and require
+    # candidates to share (cell, sub) instead of just cell — pair mass
+    # drops another ~(n_subcells/nprobe_sub²)×. Recall floor vs
+    # single-level pinned in test_extensions.py; ×16 wall in NOTES.
+    join_keys = ["cell"]
+    if n_subcells is not None:
+        from .similarity import subcell_assign
+
+        cells = subcell_assign(
+            emb, cells, n_subcells=n_subcells, nprobe_sub=nprobe_sub
         )
+        join_keys = ["cell", "sub"]
+    a, b = cells.alias("ca"), cells.alias("cb")
+    on = F.col("ca.vec_id") < F.col("cb.vec_id")
+    for k in join_keys:
+        on = (F.col(f"ca.{k}") == F.col(f"cb.{k}")) & on
+    cand = (
+        a.join(b, on)
         .select(
             F.col("ca.vec_id").alias("vec_a"), F.col("cb.vec_id").alias("vec_b")
         )

@@ -377,6 +377,67 @@ def seed_cell_assign(
     )
 
 
+def subcell_assign(
+    emb: DataFrame,
+    cells: DataFrame,
+    n_subcells: int = 16,
+    nprobe_sub: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Second-level IVF assignment (VERDICT r11 #6 — the hierarchical
+    step of a two-level index): given a coarse (vec_id, cell) multiprobe
+    assignment, split every coarse cell into ``n_subcells`` sub-cells and
+    return (vec_id, cell, sub) rows with each vector in its
+    ``nprobe_sub`` best sub-cells per probed coarse cell.
+
+    Anchors are DATA POINTS — per coarse cell, the ``n_subcells``
+    lowest-id members (the seed_cell_assign determinism applied within
+    the cell), joined as a BROADCAST table rather than a literal SQL
+    matrix: at n_cells·n_subcells anchors (thousands), a literal
+    expression string would be megabytes, while the broadcast join costs
+    |assignment rows| × n_subcells scored pairs and nothing else. Two
+    near-identical vectors in the same coarse cell score its anchors
+    near-identically, so they share their argmax sub-cell with
+    probability → 1 as similarity → 1 — the same blocking guarantee the
+    coarse level gives, compounded.
+
+    Scale shape: one window per coarse cell (bounded by cell size) to
+    pick anchors, one broadcast join + one keyed top-``nprobe_sub``
+    window for assignment. Candidate pair mass for a blocked self-join
+    drops from ~n²·p²/n_cells to ~n²·(p·p_sub)²/(n_cells·n_subcells)."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import as_double, dot, norm
+
+    e = emb.select(
+        F.col(id_col), as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    members = cells.join(e, id_col)
+    aw = W.partitionBy("cell").orderBy(id_col)
+    anchors = (
+        members.withColumn("sub", F.row_number().over(aw) - 1)
+        .filter(F.col("sub") < n_subcells)
+        .select(
+            F.col("cell"),
+            F.col("sub"),
+            F.col("v").alias("av"),
+            F.col("nrm").alias("anrm"),
+        )
+    )
+    scored = members.join(F.broadcast(anchors), "cell").withColumn(
+        "s",
+        F.round(
+            dot(F.col("v"), F.col("av")) / (F.col("nrm") * F.col("anrm")), 6
+        ),
+    )
+    sw = W.partitionBy(id_col, "cell").orderBy(F.col("s").desc(), F.col("sub"))
+    return (
+        scored.withColumn("rn", F.row_number().over(sw))
+        .filter(F.col("rn") <= nprobe_sub)
+        .select(id_col, "cell", "sub")
+    )
+
+
 def ivf_topk_seeded(
     emb: DataFrame,
     query_vec: list[float],
