@@ -377,6 +377,59 @@ def seed_cell_assign(
     )
 
 
+def seeded_probe_cells(
+    emb: DataFrame,
+    query_vec: list[float],
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> list[int]:
+    """The probe set ``ivf_topk_seeded`` embeds as a constant-folded
+    literal, returned to the DRIVER instead: evaluated through the SAME
+    engine expression tree over a one-row frame, so the cells (and their
+    order) match the in-plan probe — and therefore the DuckDB oracle —
+    exactly. Needed by the MATERIALIZED-index path (ss20), where the
+    probe must become a partition filter on a parquet read rather than a
+    predicate inside one fused plan."""
+    seeds = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(n_cells).collect()
+    )
+    seed_vecs = [[float(x) for x in r["embedding"]] for r in seeds]
+    qv = [float(x) for x in query_vec]
+    qv_lit = _sql_arr(qv)
+    q_norm_sql = (
+        f"sqrt(aggregate(zip_with({qv_lit}, {qv_lit}, (a, b) -> a * b), "
+        f"0D, (acc, x) -> acc + x))"
+    )
+    scored = _scored_cells_sql(
+        _sql_vecs(seed_vecs), _sql_arr(_anchor_norms(seed_vecs)), qv_lit, q_norm_sql
+    )
+    probe_sql = (
+        f"transform(slice(array_sort({scored}), 1, {int(nprobe)}), s -> s.cell)"
+    )
+    spark = emb.sparkSession
+    row = spark.range(1).select(F.expr(probe_sql).alias("p")).collect()[0]
+    return [int(c) for c in row["p"]]
+
+
+def build_seeded_filtered_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    label_col: str = "label",
+) -> None:
+    """Materialize the SEEDED-cell IVF index partitioned by
+    (cell, label): the oracle-replayable sibling of ``build_ivf_index``
+    — the argmax seeded assignment (the ss04/ss18/ss19 contract) becomes
+    a physical partition column next to the predicate column, so a
+    filtered probe (ss20) prunes files on BOTH. Embeddings round-trip
+    parquet bit-exactly (float arrays), so a probe over the index
+    reproduces the in-plan query's hashes."""
+    cells = seed_cell_assign(emb, n_cells=n_cells, nprobe=1)
+    emb.join(cells, "vec_id").write.mode("overwrite").partitionBy(
+        "cell", label_col
+    ).parquet(path)
+
+
 def subcell_assign(
     emb: DataFrame,
     cells: DataFrame,

@@ -6162,3 +6162,10 @@ ORACLE_SQL["ss19_filtered_scaled_topk"] = _SS19_SQL
 # contribution expression, sidecar n_docs/total_dl are the same exact
 # integers) — so the oracle IS tx26's, verbatim.
 ORACLE_SQL["tx29_bm25_postings"] = ORACLE_SQL["tx26_bm25_rank"]
+
+
+# ss20 twin: the MATERIALIZED (cell,label)-partitioned index must drive
+# ss19's exact search contract — same seeded probe set (evaluated through
+# the same engine expression), same pre-filter, parquet-exact embeddings
+# — so the oracle IS ss19's, verbatim.
+ORACLE_SQL["ss20_filtered_index_topk"] = ORACLE_SQL["ss19_filtered_scaled_topk"]

@@ -4535,6 +4535,61 @@ def ss19_filtered_scaled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Filtered ANN over the MATERIALIZED (cell,label)-partitioned seeded
+# index (operators/similarity.py::build_seeded_filtered_index +
+# seeded_probe_cells, VERDICT r11 #3a): ss19's exact search contract
+# driven through a physical index — probe cells become PARTITION FILTERS
+# on the parquet read (file-level pruning on BOTH cell and label), the
+# probe set comes from the SAME engine expression ivf_topk_seeded
+# constant-folds, and embeddings round-trip parquet bit-exactly — so
+# this shares ss19's oracle VERBATIM.
+def ss20_filtered_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..functions.vectors import as_double, cosine_literal
+    from ..operators.similarity import (
+        build_seeded_filtered_index,
+        filtered_nprobe,
+        seeded_probe_cells,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    row = emb.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+        F.sum(F.when(F.col("label") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("qual"),
+    ).collect()[0]
+    np_eff = filtered_nprobe(1, row["total"], row["qual"], 16)
+    tmp = tempfile.mkdtemp(prefix="ss20_")
+    try:
+        build_seeded_filtered_index(emb, f"{tmp}/idx", n_cells=16)
+        probe = seeded_probe_cells(emb, qv, n_cells=16, nprobe=np_eff)
+        res = (
+            spark.read.parquet(f"{tmp}/idx")
+            .filter(
+                F.col("cell").isin(probe)
+                & (F.col("label") == 2)
+                & (F.col("vec_id") != 0)
+            )
+            .select(
+                "vec_id",
+                F.col("label").cast("int").alias("label"),
+                F.round(
+                    cosine_literal(as_double(F.col("embedding")), qv), 6
+                ).alias("cos_sim"),
+            )
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+            .limit(10)
+        )
+        rows = res.collect()  # materialize before the temp index vanishes
+        return local_frame(spark, rows, res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # kNN majority-vote labeling (operators/similarity.py::knn_label_vote) —
 # each low-id query vector takes the modal label of its ss05 neighbors
 # (votes DESC, label ASC tie-break); one (q_id,label) agg + one tiny
@@ -4766,6 +4821,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss18_filtered_topk": ss18_filtered_topk,
     # NEW in r12: selectivity-scaled filtered ANN (integer probe rule)
     "ss19_filtered_scaled_topk": ss19_filtered_scaled_topk,
+    # NEW in r12: ss19 driven through the materialized (cell,label) index
+    "ss20_filtered_index_topk": ss20_filtered_index_topk,
     "dd05_embedding_neardup": dd05_embedding_neardup,
     "st04_ingest_shards": st04_ingest_shards,
     "ss05_knn_join": ss05_knn_join,

@@ -155,6 +155,10 @@ EXCLUDED = [
     # the driver collects); the probe plan's bucket-level PartitionFilters
     # are asserted in tests/test_extensions.py instead.
     "tx29_bm25_postings",
+    # ss20: collected-rows local frame over a tempdir index; the probe
+    # scan's (cell,label) PartitionFilters are the test_ann_recall
+    # pruning assertion's shape.
+    "ss20_filtered_index_topk",
     # ss19: the same ss04/ss18 probe plan with a wider literal probe set
     # (the selectivity-scaled nprobe is computed driver-side from one
     # 1-row count aggregate); nothing new to audit.
