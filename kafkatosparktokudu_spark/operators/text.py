@@ -1810,7 +1810,12 @@ def build_bm25_index(
         )
         .withColumn("bucket", F.pmod(md5_hash32(F.col("term")), F.lit(n_buckets)))
     )
-    post.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    # repartition ON the partition column first: without it every writer
+    # task can emit a file into every bucket directory (n_tasks × n_buckets
+    # small files — the gate-store lesson applied here too)
+    post.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
     stats = staged.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.size("arr").cast("bigint")).cast("bigint").alias("total_dl"),
