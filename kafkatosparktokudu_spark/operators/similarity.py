@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_hash32
+from ..functions.topk import ranked_top_n
 from ..functions.vectors import as_double, cosine_literal
 
 N_PLANES = 8
@@ -375,6 +376,54 @@ def seed_cell_assign(
             f"s -> s.cell))"
         ).alias("cell"),
     )
+
+
+def rrf_fuse(
+    lex: DataFrame,
+    dense: DataFrame,
+    id_col: str = "doc_id",
+    k_rrf: int = 60,
+    top_n: int = 20,
+) -> DataFrame:
+    """Reciprocal-Rank Fusion (ss21 — Cormack et al. SIGIR'09, the
+    standard hybrid-retrieval combiner): fuse a lexical ranking (BM25,
+    tx26 contract) with a dense ranking (cosine top-k, ss01 contract) by
+    summing 1/(k+rank) per side. Rank-only fusion — no score calibration
+    across incommensurable scales, which is exactly why RRF is the
+    production default for BM25+vector hybrids.
+
+    Cross-engine exactness: the reciprocal is INTEGER —
+    ``10^9 div (k_rrf + rank)`` per side (0 when the side missed the
+    document), summed as BIGINT, so the fused ordering is bit-identical
+    in Spark and DuckDB (no float division anywhere).
+
+    Inputs are each side's top-N frame with a ``rank`` column (both are
+    TakeOrdered products — bounded), so the full-outer fusion join is a
+    ≤2N-row broadcast-scale operation regardless of corpus size; the
+    final top-n is the ranked_top_n house helper."""
+    side = f"{10**9} div ({int(k_rrf)} + %s)"
+    l = lex.select(F.col(id_col), F.col("rank").alias("lex_rank"))
+    d = dense.select(F.col(id_col), F.col("rank").alias("dense_rank"))
+    fused = l.join(d, id_col, "full_outer").select(
+        id_col,
+        "lex_rank",
+        "dense_rank",
+        (
+            F.expr(
+                "CASE WHEN lex_rank IS NULL THEN CAST(0 AS BIGINT) "
+                f"ELSE {side % 'lex_rank'} END"
+            )
+            + F.expr(
+                "CASE WHEN dense_rank IS NULL THEN CAST(0 AS BIGINT) "
+                f"ELSE {side % 'dense_rank'} END"
+            )
+        )
+        .cast("bigint")
+        .alias("rrf_ppb"),
+    )
+    return ranked_top_n(
+        fused, [F.col("rrf_ppb").desc(), F.col(id_col)], top_n
+    ).select("rank", id_col, "rrf_ppb", "lex_rank", "dense_rank")
 
 
 def seeded_probe_cells(

@@ -6169,3 +6169,47 @@ ORACLE_SQL["tx29_bm25_postings"] = ORACLE_SQL["tx26_bm25_rank"]
 # the same engine expression), same pre-filter, parquet-exact embeddings
 # — so the oracle IS ss19's, verbatim.
 ORACLE_SQL["ss20_filtered_index_topk"] = ORACLE_SQL["ss19_filtered_scaled_topk"]
+
+
+# ss21 twin: RRF fusion of the tx26 BM25 top-50 (the _bm25_sql pipeline
+# re-parameterized) with the ss01 dense cosine top-50 — the reciprocal
+# is INTEGER (10^9 // (60+rank)) on both sides, so fusion order is
+# bit-identical across engines.
+def _rrf_sql(k_rrf: int = 60, side_n: int = 50, top_n: int = 20) -> str:
+    lex_ranked = _bm25_sql(top_n=side_n)
+    return f"""
+        WITH lex AS (
+            SELECT doc_id, rank AS lex_rank FROM ({lex_ranked})
+        ),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        dense AS (
+            SELECT doc_id, rank AS dense_rank FROM (
+                SELECT vec_id AS doc_id,
+                       CAST(row_number() OVER (
+                           ORDER BY round(list_cosine_similarity(v, qv), 6)
+                                    DESC, vec_id) AS INTEGER) AS rank
+                FROM e, q WHERE vec_id <> 0
+            ) WHERE rank <= {side_n}
+        ),
+        fused AS (
+            SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+                   l.lex_rank, d.dense_rank,
+                   CAST(
+                     (CASE WHEN l.lex_rank IS NULL THEN 0
+                           ELSE 1000000000 // ({k_rrf} + l.lex_rank) END)
+                   + (CASE WHEN d.dense_rank IS NULL THEN 0
+                           ELSE 1000000000 // ({k_rrf} + d.dense_rank) END)
+                   AS BIGINT) AS rrf_ppb
+            FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+        )
+        SELECT rank, doc_id, rrf_ppb, lex_rank, dense_rank FROM (
+            SELECT CAST(row_number() OVER (
+                       ORDER BY rrf_ppb DESC, doc_id) AS INTEGER) AS rank,
+                   doc_id, rrf_ppb, lex_rank, dense_rank
+            FROM fused
+        ) WHERE rank <= {top_n}
+    """
+
+
+ORACLE_SQL["ss21_hybrid_rrf"] = _rrf_sql()

@@ -4590,6 +4590,40 @@ def ss20_filtered_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Hybrid retrieval via Reciprocal-Rank Fusion (operators/similarity.py::
+# rrf_fuse): BM25 top-50 (tx26's terms/contract) fused with dense cosine
+# top-50 (ss01's contract, query = embedding 0; doc_id == vec_id in the
+# fixture) by integer 10^9 div (60+rank) per side — the production
+# BM25+vector combiner (Cormack et al. RRF), rank-only so no score
+# calibration, bit-exact in both engines (no float division anywhere).
+def ss21_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.topk import ranked_top_n
+    from ..functions.vectors import as_double, cosine_literal
+    from ..operators.similarity import rrf_fuse
+    from ..operators.text import bm25_rank
+
+    lex = bm25_rank(
+        _t(spark, sf_dir, "documents"),
+        query_terms=["merge", "vector", "stream"],
+        top_n=50,
+    )
+    qv = _query_vec(spark, sf_dir, 0)
+    scored = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_literal(as_double(F.col("embedding")), qv), 6
+            ).alias("cos_sim"),
+        )
+    )
+    dense = ranked_top_n(
+        scored, [F.col("cos_sim").desc(), F.col("doc_id")], 50
+    )
+    return rrf_fuse(lex, dense, top_n=20)
+
+
 # kNN majority-vote labeling (operators/similarity.py::knn_label_vote) —
 # each low-id query vector takes the modal label of its ss05 neighbors
 # (votes DESC, label ASC tie-break); one (q_id,label) agg + one tiny
@@ -4823,6 +4857,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss19_filtered_scaled_topk": ss19_filtered_scaled_topk,
     # NEW in r12: ss19 driven through the materialized (cell,label) index
     "ss20_filtered_index_topk": ss20_filtered_index_topk,
+    # NEW in r12: hybrid BM25+dense retrieval via integer RRF
+    "ss21_hybrid_rrf": ss21_hybrid_rrf,
     "dd05_embedding_neardup": dd05_embedding_neardup,
     "st04_ingest_shards": st04_ingest_shards,
     "ss05_knn_join": ss05_knn_join,

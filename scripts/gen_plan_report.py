@@ -159,6 +159,10 @@ EXCLUDED = [
     # scan's (cell,label) PartitionFilters are the test_ann_recall
     # pruning assertion's shape.
     "ss20_filtered_index_topk",
+    # ss21: both fusion inputs are TakeOrdered <=50-row frames (tx26's
+    # audited plan + an ss01-shaped scan); the fusion itself is a
+    # <=100-row full-outer join — nothing scale-bearing to audit.
+    "ss21_hybrid_rrf",
     # ss19: the same ss04/ss18 probe plan with a wider literal probe set
     # (the selectivity-scaled nprobe is computed driver-side from one
     # 1-row count aggregate); nothing new to audit.
