@@ -6213,3 +6213,9 @@ def _rrf_sql(k_rrf: int = 60, side_n: int = 50, top_n: int = 20) -> str:
 
 
 ORACLE_SQL["ss21_hybrid_rrf"] = _rrf_sql()
+
+
+# cdc_kafka_emp_state twin: the kafka-shaped source must produce the
+# exact batch-replay state (partition interleaving and all), so the
+# oracle IS cdc_emp_state's, verbatim.
+ORACLE_SQL["cdc_kafka_emp_state"] = ORACLE_SQL["cdc_emp_state"]

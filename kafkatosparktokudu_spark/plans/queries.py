@@ -1003,6 +1003,49 @@ def cdc_stream_emp_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.read()
 
 
+def cdc_kafka_emp_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME final emp state through the KAFKA-SHAPED source
+    (sources/kafka_shaped.py — the Python Data Source standing in for the
+    reference's broker ingestion, KafkaManager.scala:39-47): the fixture
+    split round-robin across 3 partition logs like a keyed topic, drained
+    by real offset-range micro-batches into the foreachBatch MERGE.
+    Shares cdc_emp_state's oracle — the broker-shaped path must agree
+    with batch replay bit-for-bit (partition interleaving included; the
+    per-record (offset, partition) seq keeps LWW deterministic)."""
+    import tempfile
+
+    from ..catalog import default_catalog
+    from ..cdc import DEFAULT_FIXTURE
+    from ..config import PipelineConfig
+    from ..operators.merge import StateStore
+    from ..sources.kafka_shaped import append_records, kafka_shaped_source
+    from ..streaming.pipeline import start_cdc_sync
+
+    tmp = tempfile.mkdtemp(prefix="cdc_kafka_")
+    with open(DEFAULT_FIXTURE, encoding="utf-8") as fh:
+        lines = fh.read().splitlines()
+    for p in (0, 1, 2):
+        append_records(f"{tmp}/log", p, lines[p::3])
+    cfg = PipelineConfig(
+        warehouse_dir=f"{tmp}/wh",
+        checkpoint_dir=f"{tmp}/ckpt",
+        metrics_dir=f"{tmp}/metrics",
+    )
+    q = start_cdc_sync(
+        spark,
+        kafka_shaped_source(spark, f"{tmp}/log"),
+        cfg,
+        available_now=True,
+        now_str="2024-06-01 00:00:00",
+    )
+    q.awaitTermination(300)
+    cat = default_catalog()
+    store = StateStore(
+        spark, f"{cfg.warehouse_dir}/emp", ["id"], cat["emp"].full_schema
+    )
+    return store.read()
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline extensions (BASELINE.json north-star): text analysis, dedup
 # (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding-cosine),
@@ -4861,6 +4904,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss21_hybrid_rrf": ss21_hybrid_rrf,
     "dd05_embedding_neardup": dd05_embedding_neardup,
     "st04_ingest_shards": st04_ingest_shards,
+    # NEW in r12: the same state through the kafka-shaped source (S1 face)
+    "cdc_kafka_emp_state": cdc_kafka_emp_state,
     "ss05_knn_join": ss05_knn_join,
     "ss12_knn_label_vote": ss12_knn_label_vote,
     "ss14_radius_density": ss14_radius_density,

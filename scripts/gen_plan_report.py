@@ -210,6 +210,9 @@ EXCLUDED = [
     "cdc_emp_state",
     "cdc_pub_event",
     "cdc_stream_emp_state",
+    # cdc_kafka_emp_state: same live-drain class through the kafka-shaped
+    # Python source; the MERGE plan is the audited StateStore shape.
+    "cdc_kafka_emp_state",
     "dd01_exact_dup_groups",
     "dd02_exact_dedup_survivors",
     "dd06_simhash",
