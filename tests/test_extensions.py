@@ -3224,3 +3224,57 @@ def test_two_level_blocking_planted_dup_recall(spark):
             ).collect()
         }
         assert got >= planted, (kw, len(got & planted))
+
+
+def test_filtered_nprobe_edges():
+    """The integer probe rule's edges: empty qualifying set -> full probe
+    (the answer is empty either way; full probe keeps the contract
+    total), unselective predicate -> the base width, and the ceil is
+    exact (never undershoots 1/s)."""
+    from kafkatosparktokudu_spark.operators.similarity import filtered_nprobe
+
+    assert filtered_nprobe(2, 1000, 0, 16) == 16          # nothing qualifies
+    assert filtered_nprobe(2, 1000, 1000, 16) == 2        # s = 1
+    assert filtered_nprobe(1, 500, 47, 16) == 11          # ceil(500/47)
+    assert filtered_nprobe(4, 500, 47, 16) == 16          # capped at n_cells
+    # ceil property: nprobe_eff * qual >= base * total OR capped
+    for base, total, qual, n in ((1, 997, 31, 64), (3, 1234, 200, 32)):
+        eff = filtered_nprobe(base, total, qual, n)
+        assert eff == n or eff * qual >= base * total
+
+
+def test_ranked_top_n_matches_global_window(spark):
+    """ranked_top_n (TakeOrdered + bounded rank window) must equal the
+    naive global row_number window on a total ordering — same survivors,
+    same ranks — while planning TakeOrderedAndProject instead of an
+    unbounded Exchange SinglePartition."""
+    from pyspark.sql import Window
+
+    from kafkatosparktokudu_spark.functions.topk import ranked_top_n
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 37 % 101).alias("score")
+    )
+    order = [F.col("score").desc(), F.col("id")]
+    got = [
+        tuple(r)
+        for r in ranked_top_n(df, order, 15)
+        .select("rank", "id", "score")
+        .collect()
+    ]
+    w = Window.orderBy(*order)
+    want = [
+        tuple(r)
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 15)
+        .select("rank", "id", "score")
+        .collect()
+    ]
+    assert sorted(got) == sorted(want)
+    plan = (
+        ranked_top_n(df, order, 15)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
