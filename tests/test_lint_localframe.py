@@ -56,3 +56,43 @@ def test_no_plain_list_createdataframe_in_package():
         f"functions.localframe.local_frame or add a '{MARKER}: <why>' "
         f"comment: {bad}"
     )
+
+
+def test_no_coalesce1_before_write():
+    """Mechanical guard for the r12 finding: ``.coalesce(1)`` ahead of a
+    write is a 4-7 s PER-CALL tax when the frame is an Arrow local_frame
+    (one task drains all 32 Arrow partitions through sequential Python
+    workers — it never warms); ``repartition(1)`` is the single-file
+    idiom (parallel read, <=n-row shuffle, 0.6 s warm). On a JVM-backed
+    scan coalesce(1) is harmless — mark those sites with
+    ``# coalesce-ok: <why>`` on the call's line span; anything unmarked
+    fails, so the next local-frame snapshot writer can't reintroduce the
+    tax."""
+    import re
+
+    marker = "# coalesce-ok"
+    bad = []
+    for path in sorted(PKG.rglob("*.py")):
+        lines = path.read_text(encoding="utf-8").splitlines()
+        for i, ln in enumerate(lines):
+            if ".coalesce(" not in ln:
+                continue
+            # the write may sit on the same or a following chained line
+            span = " ".join(lines[i : i + 4])
+            if not re.search(r"\.coalesce\(\s*1\s*\)", span):
+                continue
+            if ".write" not in span:
+                continue
+            # only the Arrow-local-frame class: a JVM-backed scan's
+            # coalesce(1) has no Python partitions to drain sequentially
+            stmt = " ".join(lines[max(0, i - 3) : i + 4])
+            if "local_frame(" not in stmt:
+                continue
+            if any(marker in lines[j] for j in range(i, min(i + 4, len(lines)))):
+                continue
+            bad.append(f"{path.relative_to(PKG.parent)}:{i + 1}")
+    assert not bad, (
+        "coalesce(1) before a write — use repartition(1) (the Arrow "
+        f"local_frame tax, NOTES r12) or mark a JVM-backed site with "
+        f"'{marker}: <why>': {bad}"
+    )
