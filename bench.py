@@ -63,6 +63,9 @@ SECONDARY_QUERIES = [
     "tx26_bm25_rank",           # BM25 lexical retrieval (explode+window+rank)
     "gr07_link_prediction",     # wedge-join common-neighbor link prediction
     "dd17_containment_pairs",   # Broder containment over LSH candidates
+    # r12 additions (regression-trackable from r13)
+    "ss19_filtered_scaled_topk",  # selectivity-scaled filtered ANN
+    "ss21_hybrid_rrf",            # integer-RRF hybrid retrieval
 ]
 
 
