@@ -257,29 +257,108 @@ def _explode_bands(sig: DataFrame, id_col: str) -> DataFrame:
 GATE_META = "_STORE_META.json"
 
 
-def _gate_meta(store_dir: str) -> dict | None:
+def _gate_meta(spark, store_dir: str) -> dict | None:
     """Persisted gate-store geometry (the merge.py ``_STORE_META``
     discipline): the bucket modulus travels WITH the directory, so a
-    reader can never probe with the wrong layout."""
-    import json
-    import os
+    reader can never probe with the wrong layout.
 
-    try:
-        with open(os.path.join(store_dir, GATE_META), encoding="utf-8") as fh:
-            return json.load(fh)
-    except (OSError, ValueError):
+    Read through the Hadoop FileSystem API (ADVICE r12): the store itself
+    is read/written via spark.read, so on an HDFS/S3 ``store_dir`` a
+    driver-local ``open()`` never sees the meta — the bucketed store would
+    silently degrade to the flat arm with an EMPTY history (every epoch
+    re-admits duplicates and appends flat parquet into the store root,
+    corrupting the layout). Absence → None (new or flat store); an
+    EXISTING meta that fails to parse raises — never fall back silently."""
+    import json
+
+    from ..streaming.fsio import read_text
+
+    raw = read_text(spark, f"{store_dir.rstrip('/')}/{GATE_META}")
+    if raw is None:
         return None
+    try:
+        return json.loads(raw)
+    except ValueError as exc:
+        raise ValueError(
+            f"gate store meta {store_dir}/{GATE_META} exists but is "
+            f"unreadable ({exc}); refusing to guess the layout — repair or "
+            "rebuild the store"
+        ) from exc
 
 
-def _write_gate_meta(store_dir: str, n_buckets: int) -> None:
+def _write_gate_meta(spark, store_dir: str, n_buckets: int) -> None:
     import json
-    import os
 
-    os.makedirs(store_dir, exist_ok=True)
-    tmp = os.path.join(store_dir, GATE_META + ".tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump({"layout": "bucketed", "n_buckets": n_buckets}, fh)
-    os.replace(tmp, os.path.join(store_dir, GATE_META))
+    from ..streaming.fsio import write_text_atomic
+
+    write_text_atomic(
+        spark,
+        f"{store_dir.rstrip('/')}/{GATE_META}",
+        json.dumps({"layout": "bucketed", "n_buckets": n_buckets}),
+    )
+
+
+def migrate_gate_store(spark, store_dir: str, n_buckets: int) -> None:
+    """Migrate a FLAT-layout ingest-gate store into the BUCKETED layout
+    in place (ADVICE r12 — the alternative to rejecting ``bucketed_n``
+    over an existing history). Idempotent and decision-free under crash
+    replay, the merge.py rebucket discipline:
+
+    1. rewrite the flat history into ``store/bands`` (exploded, bucketed
+       on the band-hash prefix) and ``store/payload`` (hs, bucketed on
+       doc_id) with mode=overwrite — a re-run after a crash here simply
+       rewrites the same content;
+    2. write ``_STORE_META.json`` LAST — only now do probes route to the
+       bucketed arm;
+    3. delete the flat parquet files from the store root (cleanup; the
+       bucketed arm never reads the root, so a crash between 2 and 3
+       leaves harmless stale files that a re-run removes).
+
+    A store whose meta already exists is either fully migrated (no flat
+    files left → error, nothing to do — re-running overwrite against a
+    store that has accepted post-migration epochs would DROP them) or in
+    the step-3 crash window (flat files still present → finish cleanup)."""
+    from ..streaming.fsio import delete_direct_files, dir_has_files
+
+    meta = _gate_meta(spark, store_dir)
+    flat_present = dir_has_files(spark, store_dir, suffix=".parquet")
+    if meta is not None:
+        if flat_present:
+            delete_direct_files(spark, store_dir, suffix=".parquet")
+            return
+        raise ValueError(
+            f"gate store {store_dir} is already bucketed "
+            f"(n_buckets={meta.get('n_buckets')}); nothing to migrate"
+        )
+    if not flat_present:
+        raise ValueError(
+            f"gate store {store_dir} holds no flat history; just pass "
+            "bucketed_n on the first ingest call instead"
+        )
+    # glob the root-level files only: a migration crashed between steps 1
+    # and 2 leaves bands/ and payload/ subdirs whose files a bare
+    # directory read would sweep into the flat-schema scan
+    old = spark.read.parquet(f"{store_dir}/*.parquet")
+    id_col = next(c for c in old.columns if c not in {"hs"} and not c.startswith("band"))
+    bands_dir, payload_dir = f"{store_dir}/bands", f"{store_dir}/payload"
+    (
+        _explode_bands(old, id_col)
+        .withColumn("bucket", _band_bucket(F.col("h"), n_buckets))
+        .repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(bands_dir)
+    )
+    (
+        old.select(id_col, "hs")
+        .withColumn("idb", F.pmod(F.col(id_col), F.lit(n_buckets)).cast("int"))
+        .repartition(F.col("idb"))
+        .write.mode("overwrite")
+        .partitionBy("idb")
+        .parquet(payload_dir)
+    )
+    _write_gate_meta(spark, store_dir, int(n_buckets))
+    delete_direct_files(spark, store_dir, suffix=".parquet")
 
 
 def _band_bucket(h: Column, n_buckets: int) -> Column:
@@ -350,14 +429,28 @@ def incremental_neardup_ingest(
     )
     keepers = hs_new.join(in_dup.select(id_col), id_col, "left_anti")
     bands_new = _bands_from_hashed(keepers, id_col)
-    meta = _gate_meta(store_dir)
+    meta = _gate_meta(spark, store_dir)
     if meta is not None:
         return _ingest_gate_bucketed(
             spark, store_dir, int(meta["n_buckets"]), threshold, id_col,
             hs_new, in_dup, keepers, bands_new,
         )
     if bucketed_n is not None:
-        _write_gate_meta(store_dir, int(bucketed_n))
+        # Refuse to bucket OVER an existing flat history (ADVICE r12):
+        # writing the meta here would switch every later probe to the
+        # bucketed arm while the accepted history still sits as flat
+        # parquet in the store root — silently abandoned, so duplicates
+        # of previously-accepted docs are re-admitted from this epoch on.
+        from ..streaming.fsio import dir_has_files as _dhf
+
+        if _dhf(spark, store_dir, suffix=".parquet"):
+            raise ValueError(
+                f"gate store {store_dir} already holds a FLAT-layout "
+                "history; run migrate_gate_store(spark, store_dir, "
+                "n_buckets) first (idempotent, crash-safe), then call "
+                "without bucketed_n — the meta routes the layout"
+            )
+        _write_gate_meta(spark, store_dir, int(bucketed_n))
         return _ingest_gate_bucketed(
             spark, store_dir, int(bucketed_n), threshold, id_col,
             hs_new, in_dup, keepers, bands_new,
@@ -372,7 +465,10 @@ def incremental_neardup_ingest(
 
     store_exists = dir_has_files(spark, store_dir, suffix=".parquet")
     if store_exists:
-        old = spark.read.parquet(store_dir)
+        # root-level glob, not a directory read: a migrate_gate_store run
+        # crashed before its meta write leaves bands/payload subdirs that
+        # must not be swept into the flat-schema scan
+        old = spark.read.parquet(f"{store_dir}/*.parquet")
         cand = (
             _explode_bands(bands_new.alias("n"), id_col)
             .withColumnRenamed(id_col, "new_id")

@@ -102,6 +102,72 @@ def dir_nonempty(spark: SparkSession, dir_uri: str) -> bool:
     return len(fs.listStatus(path)) > 0
 
 
+def read_text(spark: SparkSession, file_uri: str) -> str | None:
+    """Contents of a small control file (store meta, commit markers) via
+    the Hadoop FileSystem API, or None if the file does not exist. Read
+    errors OTHER than absence propagate — a store whose meta exists but
+    cannot be read must fail loudly, never silently degrade (ADVICE r12:
+    a driver-local ``open()`` on an HDFS/S3 store dir swallowed OSError
+    and demoted a bucketed gate store to the flat arm with an empty
+    history)."""
+    fs, path = _fs_and_path(spark, file_uri)
+    if not fs.exists(path):
+        return None
+    stream = fs.open(path)
+    try:
+        out = bytearray()
+        buf = spark._jvm.java.io.BufferedReader(
+            spark._jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        line = buf.readLine()
+        while line is not None:
+            out.extend(line.encode("utf-8"))
+            line = buf.readLine()
+            if line is not None:
+                out.extend(b"\n")
+        return out.decode("utf-8")
+    finally:
+        stream.close()
+
+
+def write_text_atomic(spark: SparkSession, file_uri: str, text: str) -> None:
+    """Write a small control file via the Hadoop FileSystem API: create
+    ``file_uri.tmp`` (overwrite), then rename over the target — atomic on
+    HDFS and local filesystems (rename-into-place), last-writer-wins on
+    object stores, and in every case exactly as remote-capable as the
+    spark.read/write calls it accompanies."""
+    fs, path = _fs_and_path(spark, file_uri)
+    jvm = spark._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(file_uri + ".tmp")
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+    if fs.exists(path):
+        fs.delete(path, False)
+    if not fs.rename(tmp, path):
+        raise OSError(f"atomic rename failed for {file_uri}")
+
+
+def delete_direct_files(
+    spark: SparkSession, dir_uri: str, suffix: str = ".parquet"
+) -> int:
+    """Delete the files DIRECTLY under ``dir_uri`` ending in ``suffix``
+    (subdirectories untouched) and return how many — the cleanup step of
+    a flat→bucketed store migration, via the same Hadoop FileSystem API
+    as everything else here."""
+    fs, path = _fs_and_path(spark, dir_uri)
+    if not fs.exists(path):
+        return 0
+    n = 0
+    for st in fs.listStatus(path):
+        if st.isFile() and st.getPath().getName().endswith(suffix):
+            fs.delete(st.getPath(), False)
+            n += 1
+    return n
+
+
 def prune_epochs(
     spark: SparkSession, dir_uri: str, keep_latest: int
 ) -> list[int]:

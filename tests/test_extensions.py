@@ -3191,6 +3191,59 @@ def test_incremental_ingest_bucketed_equivalence(spark, tmp_path):
     assert fb == ff
 
 
+def test_gate_store_flat_to_bucketed_migration(spark, tmp_path):
+    """ADVICE r12: (a) passing bucketed_n over an EXISTING flat history
+    must refuse (writing the meta would silently abandon the accepted
+    history and re-admit its duplicates); (b) migrate_gate_store rewrites
+    flat→bucketed in place, after which probes match a never-migrated
+    flat store flag-for-flag; (c) a second migrate refuses (re-running
+    overwrite would drop post-migration epochs); (d) a corrupt meta
+    fails loudly instead of silently degrading to the flat arm."""
+    import pytest
+
+    from kafkatosparktokudu_spark.operators.dedup import (
+        incremental_neardup_ingest,
+        migrate_gate_store,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lam mu nu xi omicron pi rho sigma tau upsilon"
+    uniq = "red orange yellow green blue indigo violet black white gray " \
+           "pink brown cyan magenta olive navy teal maroon silver gold"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, uniq)], "doc_id bigint, text string")
+    b2 = spark.createDataFrame(
+        [(3, base + " tiny change"), (4, uniq + " small tweak")],
+        "doc_id bigint, text string")
+    flat, mig = str(tmp_path / "flat"), str(tmp_path / "mig")
+    incremental_neardup_ingest(b1, flat).collect()
+    incremental_neardup_ingest(b1, mig).collect()
+    # (a) bucketed_n over a flat history refuses
+    with pytest.raises(ValueError, match="FLAT-layout history"):
+        incremental_neardup_ingest(b2, mig, bucketed_n=16).collect()
+    # (b) migrate, then the next batch matches the flat twin exactly
+    migrate_gate_store(spark, mig, 16)
+    import os
+    assert os.path.exists(f"{mig}/_STORE_META.json")
+    assert not [f for f in os.listdir(mig) if f.endswith(".parquet")]
+    ff = {r["doc_id"]: (r["is_dup"], r["matched_id"])
+          for r in incremental_neardup_ingest(b2, flat).collect()}
+    fm = {r["doc_id"]: (r["is_dup"], r["matched_id"])
+          for r in incremental_neardup_ingest(b2, mig).collect()}
+    assert fm == ff and ff[3] == (True, 1)
+    # (c) re-migrating an already-bucketed store refuses
+    with pytest.raises(ValueError, match="already bucketed"):
+        migrate_gate_store(spark, mig, 16)
+    # (d) a corrupt meta raises instead of silently picking a layout
+    # (corrupt THROUGH the Hadoop FS so the local-FS .crc sidecar stays
+    # consistent — a raw Python overwrite surfaces as ChecksumException,
+    # which is also loud, but here we pin the parse-failure path)
+    from kafkatosparktokudu_spark.streaming.fsio import write_text_atomic
+    write_text_atomic(spark, f"{mig}/_STORE_META.json", "{not json")
+    with pytest.raises(ValueError, match="unreadable"):
+        incremental_neardup_ingest(b2, mig).collect()
+
+
 def test_two_level_blocking_planted_dup_recall(spark):
     """VERDICT r11 #6: two-level (cell, sub) blocking must keep FULL
     recall on genuine near-duplicates (the production tau band) while
