@@ -6138,10 +6138,17 @@ ORACLE_SQL["sk09_cms_self_join_size"] = """
 # ss18, so the three contracts cannot drift.
 _SS19_SQL = ORACLE_SQL["ss04_ivf_topk"].replace(
     "seeds AS (",
+    # NULLIF mirrors filtered_nprobe's qualifying<=0 edge (ADVICE r12):
+    # zero qualifying rows must resolve to the FULL probe (np=16 — the
+    # label filter then yields the same empty result as the engine), not
+    # a division-by-zero error. DuckDB's LEAST skips NULL operands, so
+    # the COALESCE is belt-and-braces for the all-NULL case.
     "sel AS (\n"
-    "            SELECT LEAST(16, (1 * COUNT(*)\n"
-    "                + SUM(CASE WHEN label = 2 THEN 1 ELSE 0 END) - 1)\n"
-    "                // SUM(CASE WHEN label = 2 THEN 1 ELSE 0 END)) AS np\n"
+    "            SELECT COALESCE(LEAST(16, (1 * COUNT(*)\n"
+    "                + NULLIF(SUM(CASE WHEN label = 2 THEN 1 ELSE 0 END),"
+    " 0) - 1)\n"
+    "                // NULLIF(SUM(CASE WHEN label = 2 THEN 1 ELSE 0 END),"
+    " 0)), 16) AS np\n"
     "            FROM e\n"
     "        ),\n"
     "        seeds AS (",

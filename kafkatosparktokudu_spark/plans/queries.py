@@ -997,7 +997,9 @@ def cdc_stream_emp_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         available_now=True,
         now_str="2024-06-01 00:00:00",
     )
-    q.awaitTermination(300)
+    # awaitTermination(timeout) returns False on timeout — fail loudly
+    # instead of reading partial warehouse state on a slow box (ADVICE r12)
+    assert q.awaitTermination(300), "streaming drain timed out after 300s"
     cat = default_catalog()
     store = StateStore(spark, f"{cfg.warehouse_dir}/emp", ["id"], cat["emp"].full_schema)
     return store.read()
@@ -1038,7 +1040,9 @@ def cdc_kafka_emp_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         available_now=True,
         now_str="2024-06-01 00:00:00",
     )
-    q.awaitTermination(300)
+    # awaitTermination(timeout) returns False on timeout — fail loudly
+    # instead of reading partial warehouse state on a slow box (ADVICE r12)
+    assert q.awaitTermination(300), "streaming drain timed out after 300s"
     cat = default_catalog()
     store = StateStore(
         spark, f"{cfg.warehouse_dir}/emp", ["id"], cat["emp"].full_schema
@@ -2027,7 +2031,8 @@ def st13_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # returns False on timeout — never read a partial sink (ADVICE r12)
+        assert q.awaitTermination(300), "streaming drain timed out after 300s"
         res = spark.read.parquet(f"{tmp}/out")
         rows = res.collect()  # materialize before the temp dirs vanish
         return local_frame(spark, rows, res.schema)
@@ -2063,7 +2068,8 @@ def st12_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # returns False on timeout — never read a partial sink (ADVICE r12)
+        assert q.awaitTermination(300), "streaming drain timed out after 300s"
         res = spark.read.parquet(f"{tmp}/out")
         rows = res.collect()  # materialize before the temp dirs vanish
         return local_frame(spark, rows, res.schema)
@@ -4409,7 +4415,8 @@ def st08_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # returns False on timeout — never read a partial sink (ADVICE r12)
+        assert q.awaitTermination(300), "streaming drain timed out after 300s"
         res = spark.read.parquet(f"{tmp}/out")
         rows = res.collect()  # materialize before the temp dirs vanish
         return local_frame(spark, rows, res.schema)
@@ -4454,7 +4461,8 @@ def st09_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # returns False on timeout — never read a partial sink (ADVICE r12)
+        assert q.awaitTermination(300), "streaming drain timed out after 300s"
         res = spark.read.parquet(f"{tmp}/out")
         rows = res.collect()  # materialize before the temp dirs vanish
         return local_frame(spark, rows, res.schema)
@@ -4491,7 +4499,8 @@ def st10_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # returns False on timeout — never read a partial sink (ADVICE r12)
+        assert q.awaitTermination(300), "streaming drain timed out after 300s"
         res = spark.read.parquet(f"{tmp}/out")
         rows = res.collect()  # materialize before the temp dirs vanish
         return local_frame(spark, rows, res.schema)
@@ -4527,7 +4536,8 @@ def st11_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # returns False on timeout — never read a partial sink (ADVICE r12)
+        assert q.awaitTermination(300), "streaming drain timed out after 300s"
         res = spark.read.parquet(f"{tmp}/out")
         rows = res.collect()  # materialize before the temp dirs vanish
         return local_frame(spark, rows, res.schema)
@@ -4839,22 +4849,33 @@ def tx20_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-12 front section (the driver verifies the FIRST 50 keys;
-    # computed by scripts/check_rotation.py): leads with the 24-query
-    # r11 rotation OVERFLOW (VERDICT r11 #1 — their freshest driver
-    # stamp predates r11's code churn), then the 9 further queries
-    # implicated by this round's changes (the gr07/gr08/tx26 TakeOrdered
-    # top-k fix touches shared spans in graph/text/sketch/similarity/
-    # pipeline), then this round's work targets (ss18 filtered-ANN
-    # pruning, dd05 two-level IVF, st04 ingest profile) and their
-    # likely closure neighbors.
-    "dd03_minhash_bands": dd03_minhash_bands,
-    "dd04_neardup_pairs": dd04_neardup_pairs,
-    "dd06_simhash": dd06_simhash,
-    "dd08_char_neardup_pairs": dd08_char_neardup_pairs,
-    "dd10_simhash_neardup": dd10_simhash_neardup,
-    "dd11_jaccard_estimate": dd11_jaccard_estimate,
-    "px09_semdedup": px09_semdedup,
+    # --- round-13 front section (the driver verifies the FIRST 50 keys;
+    # computed by scripts/check_rotation.py): leads with the 7-query
+    # r12 rotation OVERFLOW (VERDICT r12 #1 — their freshest driver
+    # stamp predates r12's churn; all 7 re-proven at sf0.01 twice at
+    # the r12 HEAD, but the driver stamp is the authoritative record),
+    # then this round's work targets (filtered deploy-path ANN, hybrid
+    # index serving, incremental ingest-gate CC, tau-aware two-level
+    # IVF) and the queries check_rotation attributes to their churn.
+    "cdc_stream_emp_state": cdc_stream_emp_state,
+    "dd16_lsh_band_plan": dd16_lsh_band_plan,
+    "dd17_containment_pairs": dd17_containment_pairs,
+    "q87_weighted_sample": q87_weighted_sample,
+    "tx19_bpe_merges": tx19_bpe_merges,
+    "tx27_gopher_rules": tx27_gopher_rules,
+    "tx28_hashed_tfidf": tx28_hashed_tfidf,
+    # r13-affected (check_rotation at HEAD): px06 rides the gate-store
+    # meta/migration hardening in dedup.py (ADVICE r12), st08–st13 the
+    # awaitTermination fail-loud fix shared by every live streaming face.
+    # Displaced to the back for these slots: dd03/dd04/dd06/dd08/dd10/
+    # dd11/px09 — all unchanged with fresh green r12 driver rows.
+    "px06_incremental_ingest": px06_incremental_ingest,
+    "st08_stream_interval_join": st08_stream_interval_join,
+    "st09_stream_dedup": st09_stream_dedup,
+    "st10_stream_topk": st10_stream_topk,
+    "st11_stream_funnel": st11_stream_funnel,
+    "st12_stream_sessionize": st12_stream_sessionize,
+    "st13_stream_zscore": st13_stream_zscore,
     "q90_distributed_rank": q90_distributed_rank,
     "q91_compaction_bins": q91_compaction_bins,
     "sk01_cms_heavy_hitters": sk01_cms_heavy_hitters,
