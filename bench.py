@@ -264,6 +264,73 @@ def main() -> None:
     finally:
         shutil.rmtree(bm_tmp, ignore_errors=True)
 
+    # Hybrid index-only serving (ss22 vs ss21, VERDICT r12 #5): build the
+    # postings + seeded-IVF indexes once, then time 3 fused probes that
+    # never touch the raw tables, against 3 inline ss21-shaped runs —
+    # hybrid_index_build / hybrid_probe3_total / hybrid_inline3_total.
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.functions.topk import ranked_top_n
+    from kafkatosparktokudu_spark.functions.vectors import (
+        as_double,
+        cosine_literal,
+    )
+    from kafkatosparktokudu_spark.operators.similarity import (
+        build_seeded_filtered_index,
+        rrf_fuse,
+    )
+
+    hy_emb = _lt(spark, sf_dir, "embeddings")
+    hy_qv = [
+        float(x)
+        for x in hy_emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+
+    def _dense_top50(src):
+        scored = src.filter(F.col("vec_id") != 0).select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_literal(as_double(F.col("embedding")), hy_qv), 6
+            ).alias("cos_sim"),
+        )
+        return ranked_top_n(
+            scored, [F.col("cos_sim").desc(), F.col("doc_id")], 50
+        )
+
+    hy_tmp = tempfile.mkdtemp(prefix="bench_hybrid_")
+    try:
+        spark.catalog.clearCache()
+        start = time.time()
+        build_bm25_index(bm_docs, f"{hy_tmp}/lex")
+        build_seeded_filtered_index(hy_emb, f"{hy_tmp}/dense", n_cells=16)
+        secondary["hybrid_index_build"] = round(time.time() - start, 3)
+        dense_idx = spark.read.parquet(f"{hy_tmp}/dense")
+        # one untimed warmup per path (house protocol)
+        rrf_fuse(
+            bm25_index_topk(spark, f"{hy_tmp}/lex", term_sets[0], top_n=50),
+            _dense_top50(dense_idx), top_n=20,
+        ).write.format("noop").mode("overwrite").save()
+        rrf_fuse(
+            bm25_rank(bm_docs, term_sets[0], top_n=50),
+            _dense_top50(hy_emb), top_n=20,
+        ).write.format("noop").mode("overwrite").save()
+        start = time.time()
+        for ts in term_sets:
+            rrf_fuse(
+                bm25_index_topk(spark, f"{hy_tmp}/lex", ts, top_n=50),
+                _dense_top50(dense_idx), top_n=20,
+            ).write.format("noop").mode("overwrite").save()
+        secondary["hybrid_probe3_total"] = round(time.time() - start, 3)
+        start = time.time()
+        for ts in term_sets:
+            rrf_fuse(
+                bm25_rank(bm_docs, ts, top_n=50),
+                _dense_top50(hy_emb), top_n=20,
+            ).write.format("noop").mode("overwrite").save()
+        secondary["hybrid_inline3_total"] = round(time.time() - start, 3)
+    finally:
+        shutil.rmtree(hy_tmp, ignore_errors=True)
+
     # CDC throughput: full parse→normalize→fold→MERGE of a synthetic batch
     from kafkatosparktokudu_spark.cdc import sync_batch
 

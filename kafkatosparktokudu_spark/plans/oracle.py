@@ -6226,3 +6226,11 @@ ORACLE_SQL["ss21_hybrid_rrf"] = _rrf_sql()
 # exact batch-replay state (partition interleaving and all), so the
 # oracle IS cdc_emp_state's, verbatim.
 ORACLE_SQL["cdc_kafka_emp_state"] = ORACLE_SQL["cdc_emp_state"]
+
+
+# ss22 twin: the hybrid RRF ranking served from the MATERIALIZED BM25
+# postings index + seeded IVF index must reproduce ss21's inline fused
+# ranking bit-for-bit (bm25_index_topk == bm25_rank is tx29's proven
+# contract; the full-probe index read round-trips embeddings exactly),
+# so the oracle IS ss21's, verbatim.
+ORACLE_SQL["ss22_hybrid_index_rrf"] = ORACLE_SQL["ss21_hybrid_rrf"]

@@ -4677,6 +4677,67 @@ def ss21_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(lex, dense, top_n=20)
 
 
+def ss22_hybrid_index_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ss21's hybrid RRF ranking served ENTIRELY from materialized
+    indexes (VERDICT r12 #5 — the production serving shape): the lexical
+    side probes the tx29 BM25 postings index (bucket-pruned — the
+    tokenize shuffle is paid at build time, the probe reads only the
+    query terms' postings), the dense side reads the ss20 seeded IVF
+    layout; at probe time NEITHER raw corpus table is touched. Shares
+    ss21's oracle VERBATIM — the materialized-equals-inline contract
+    ss20/tx29 established, applied to the fused ranking:
+
+    - lexical: ``bm25_index_topk`` reproduces ``bm25_rank`` bit-for-bit
+      (tx29's proven contract) at top_n=50;
+    - dense: full-probe read of the seeded index — parquet round-trips
+      float arrays bit-exactly, so the rounded cosine top-50 equals
+      ss21's in-plan scan. Full probe IS the exactness pin (the ss15/
+      ss17 discipline: the verification twin is exact; production dense
+      serving probes approximately via ``ivf_index_topk``);
+    - fusion: the same integer-RRF ``rrf_fuse`` — rank-only, ≤100-row
+      join, broadcast-class at any corpus size.
+
+    The amortization is measured in bench.py (hybrid_index_probe vs
+    ss21's inline wall): the per-query cost drops to postings-probe +
+    index scan + a 100-row fusion, with zero tokenize work."""
+    import shutil
+    import tempfile
+
+    from ..functions.topk import ranked_top_n
+    from ..functions.vectors import as_double, cosine_literal
+    from ..operators.similarity import build_seeded_filtered_index, rrf_fuse
+    from ..operators.text import bm25_index_topk, build_bm25_index
+
+    qv = _query_vec(spark, sf_dir, 0)
+    tmp = tempfile.mkdtemp(prefix="ss22_")
+    try:
+        build_bm25_index(_t(spark, sf_dir, "documents"), f"{tmp}/lex")
+        build_seeded_filtered_index(
+            _t(spark, sf_dir, "embeddings"), f"{tmp}/dense", n_cells=16
+        )
+        lex = bm25_index_topk(
+            spark, f"{tmp}/lex", ["merge", "vector", "stream"], top_n=50
+        )
+        scored = (
+            spark.read.parquet(f"{tmp}/dense")
+            .filter(F.col("vec_id") != 0)
+            .select(
+                F.col("vec_id").alias("doc_id"),
+                F.round(
+                    cosine_literal(as_double(F.col("embedding")), qv), 6
+                ).alias("cos_sim"),
+            )
+        )
+        dense = ranked_top_n(
+            scored, [F.col("cos_sim").desc(), F.col("doc_id")], 50
+        )
+        res = rrf_fuse(lex, dense, top_n=20)
+        rows = res.collect()  # materialize before the temp indexes vanish
+        return local_frame(spark, rows, res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # kNN majority-vote labeling (operators/similarity.py::knn_label_vote) —
 # each low-id query vector takes the modal label of its ss05 neighbors
 # (votes DESC, label ASC tie-break); one (q_id,label) agg + one tiny
@@ -4923,6 +4984,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss20_filtered_index_topk": ss20_filtered_index_topk,
     # NEW in r12: hybrid BM25+dense retrieval via integer RRF
     "ss21_hybrid_rrf": ss21_hybrid_rrf,
+    # NEW in r13: the same fused ranking served from the MATERIALIZED
+    # postings + IVF indexes (index-only serving; shares ss21's oracle)
+    "ss22_hybrid_index_rrf": ss22_hybrid_index_rrf,
     "dd05_embedding_neardup": dd05_embedding_neardup,
     "st04_ingest_shards": st04_ingest_shards,
     # NEW in r12: the same state through the kafka-shaped source (S1 face)

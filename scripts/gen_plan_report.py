@@ -159,6 +159,11 @@ EXCLUDED = [
     # scan's (cell,label) PartitionFilters are the test_ann_recall
     # pruning assertion's shape.
     "ss20_filtered_index_topk",
+    # ss22: collected-rows local frame over TWO tempdir indexes (the
+    # postings probe is tx29's audited plan, the dense read ss20's, the
+    # fusion ss21's <=100-row join — all three plan classes already
+    # covered by their inline/index twins)
+    "ss22_hybrid_index_rrf",
     # ss21: both fusion inputs are TakeOrdered <=50-row frames (tx26's
     # audited plan + an ss01-shaped scan); the fusion itself is a
     # <=100-row full-outer join — nothing scale-bearing to audit.
