@@ -4997,21 +4997,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,
     "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,
     "px16_quality_aware_dedup": px16_quality_aware_dedup,
-    "px06_incremental_ingest": px06_incremental_ingest,
     "dd07_dup_clusters": dd07_dup_clusters,
     "dd15_soft_dedup_weights": dd15_soft_dedup_weights,
-    # NEW in r11: empirical MinHash-LSH band planning (integer-ppm exact)
-    "dd16_lsh_band_plan": dd16_lsh_band_plan,
-    # Broder containment (asymmetric subset-dup signal)
-    "dd17_containment_pairs": dd17_containment_pairs,
-    # Gopher rule battery (auditable per-rule quality flags)
-    "tx27_gopher_rules": tx27_gopher_rules,
-    # hashed TF-IDF (dictionary-free featurizer, idf-weighted)
-    "tx28_hashed_tfidf": tx28_hashed_tfidf,
-    "tx19_bpe_merges": tx19_bpe_merges,
-    # stream-stream interval join + cross-batch streaming dedup, run LIVE
-    "st08_stream_interval_join": st08_stream_interval_join,
-    "st09_stream_dedup": st09_stream_dedup,
+    # displaced from the r13 window (unchanged, fresh green r12 rows):
+    "dd03_minhash_bands": dd03_minhash_bands,
+    "dd04_neardup_pairs": dd04_neardup_pairs,
+    "dd06_simhash": dd06_simhash,
+    "dd08_char_neardup_pairs": dd08_char_neardup_pairs,
+    "dd10_simhash_neardup": dd10_simhash_neardup,
+    "dd11_jaccard_estimate": dd11_jaccard_estimate,
+    "px09_semdedup": px09_semdedup,
     # real PCM decimation (rate normalization), integer-exact
     "mm13_audio_decimate": mm13_audio_decimate,
     # CMS inner-product join-size estimate (planner cardinality input)
@@ -5020,27 +5015,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "px23_delete_propagation": px23_delete_propagation,
     # functional-dependency census (exact + approximate-FD ppm)
     "dq07_fd_profile": dq07_fd_profile,
-    # stateful streaming top-k leaderboard, run LIVE
-    "st10_stream_topk": st10_stream_topk,
-    # streaming funnel tracker, run LIVE (q80's strict-order rule)
-    "st11_stream_funnel": st11_stream_funnel,
-    # streaming sessionizer, run LIVE (closed sessions == q17 minus tails)
-    "st12_stream_sessionize": st12_stream_sessionize,
     # real multi-frame video sampling (container parse + frame decode)
     "mm14_video_frame_sample": mm14_video_frame_sample,
-    # streaming z-score anomaly monitor, run LIVE (shares q93 oracle)
-    "st13_stream_zscore": st13_stream_zscore,
     # rolling distinct-count window (no native COUNT(DISTINCT) OVER)
     "q97_rolling_distinct": q97_rolling_distinct,
     # NEW in r11: unicode sanitization pass (noise constructed in-plan by
     # BOTH engines -- the mm12 recipe -- then cleaned by the shared
     # SANITIZE_SRC/DST translate table)
     "tx25_unicode_sanitize": tx25_unicode_sanitize,
-    "q87_weighted_sample": q87_weighted_sample,
     "st06_state_enriched_events": st06_state_enriched_events,
     "cdc_dept_rollup": cdc_dept_rollup,
     "cdc_emp_history_incr": cdc_emp_history_incr,
-    "cdc_stream_emp_state": cdc_stream_emp_state,
     "q23_range_join_tiers": q23_range_join_tiers,
     "mm06_webdataset_roundtrip": mm06_webdataset_roundtrip,
     "gr05_bfs_hops": gr05_bfs_hops,
