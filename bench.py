@@ -126,8 +126,12 @@ def _load_stamp() -> dict:
 def _load_gate() -> dict:
     """Refuse to start while the box is hot (VERDICT r10 #1): BENCH_r10's
     +24.7% paper regression was machine load (load1=5.39 at start), which
-    the protocol STAMPED but didn't act on. Wait, bounded, for load1 to
-    drop under the gate; if it never does, proceed anyway with
+    the protocol STAMPED but didn't act on. Gate on ``max(load1, load5)``
+    (VERDICT r12: a box that just went quiet passes a load1-only gate
+    while the last half-hour's contention still echoes in the page/buffer
+    caches and CPU thermals — BENCH_r12 started at load1=1.58 but
+    load5=3.03/load15=2.99 and every carried key drifted +5–45%). Wait,
+    bounded, for the gate; if it never passes, proceed anyway with
     ``timed_out: true`` so the artifact says its numbers are suspect.
 
     Knobs: SPARK_GRAFT_LOAD_GATE (threshold, default 2.0; 0 disables),
@@ -141,18 +145,21 @@ def _load_gate() -> dict:
     start = time.time()
     while True:
         try:
-            load1 = os.getloadavg()[0]
+            load1, load5, _ = os.getloadavg()
         except OSError:
             gate["unavailable"] = True
             return gate
         gate["polls"] += 1
-        if load1 <= threshold:
+        eff = max(load1, load5)
+        if eff <= threshold:
             gate["load1_at_pass"] = round(load1, 2)
+            gate["load5_at_pass"] = round(load5, 2)
             gate["waited_s"] = round(time.time() - start, 1)
             return gate
         if time.time() - start > timeout_s:
             gate["timed_out"] = True
             gate["load1_at_pass"] = round(load1, 2)
+            gate["load5_at_pass"] = round(load5, 2)
             gate["waited_s"] = round(time.time() - start, 1)
             return gate
         time.sleep(15)

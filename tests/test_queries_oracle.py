@@ -1,6 +1,20 @@
-"""Every query with an oracle must match DuckDB exactly (driver mimic)."""
+"""Every query with an oracle must match DuckDB exactly (driver mimic).
+
+The parity sweep runs at sf0.001 by default (fast in-repo smoke); set
+``SPARK_GRAFT_SF=sf0.01`` (any sf name under /root/testdata) to run the
+SAME 239-oracle sweep at the driver's correctness scale in one command
+(VERDICT r12 #3):
+
+    SPARK_GRAFT_SF=sf0.01 python -m pytest tests/test_queries_oracle.py \
+        -q -k "oracle_parity or all_queries_run"
+
+Only the full-surface sweeps honor the knob — the hand-computed fixture
+tests below pin sf0.001-specific expected values and stay there.
+"""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
@@ -10,17 +24,20 @@ from kafkatosparktokudu_spark.plans.queries import QUERIES
 from .oracle_harness import compare
 from .conftest import SF_SMOKE
 
+_SF_NAME = os.environ.get("SPARK_GRAFT_SF", "")
+SF_PARITY = f"/root/testdata/{_SF_NAME}" if _SF_NAME else SF_SMOKE
+
 
 @pytest.mark.parametrize("name", sorted(ORACLE_SQL))
 def test_oracle_parity(spark, name):
     assert name in QUERIES, f"oracle {name} has no query"
-    ok, msg = compare(spark, QUERIES[name], ORACLE_SQL[name], SF_SMOKE)
+    ok, msg = compare(spark, QUERIES[name], ORACLE_SQL[name], SF_PARITY)
     assert ok, f"{name}: {msg}"
 
 
 def test_all_queries_run(spark):
     for name, fn in QUERIES.items():
-        df = fn(spark, SF_SMOKE)
+        df = fn(spark, SF_PARITY)
         assert df.count() >= 0, name
 
 
