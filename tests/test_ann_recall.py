@@ -366,6 +366,107 @@ def test_filtered_scaled_recall_equal_budget(spark, corpus):
     assert recall[1] <= recall[2]
 
 
+def test_filtered_index_deploy_recall_scaled_vs_geometry(spark, corpus, tmp_path):
+    """VERDICT r12 #4: the selectivity-scaled probe rule measured on the
+    TRAINED/deploy index path (build_ivf_index sidecar counts →
+    filtered_nprobe → partition-pruned scan), not just the seeded
+    verification contract — geometry-only probing at base_nprobe cells
+    vs the scaled rule, recall@10 among label-qualifying vectors over 10
+    queries. The scaled arm must (a) never lose to geometry-only at the
+    same base_nprobe, (b) clear the seeded path's floor at base=1,
+    (c) reach exactly 1.0 once the rule scales past n_cells (full probe
+    of the qualifying files = filtered brute force), and (d) carry BOTH
+    partition columns in the scan's PartitionFilters (the file-level
+    prune that funds the extra cells)."""
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.functions.vectors import (
+        as_double,
+        cosine_literal,
+    )
+    from kafkatosparktokudu_spark.operators.similarity import (
+        build_ivf_index,
+        filtered_ivf_index_topk,
+        ivf_index_topk,
+        probe_cells,
+    )
+
+    emb, ids, x, id2row = corpus
+    labels = {
+        int(r["vec_id"]): int(r["label"])
+        for r in emb.select("vec_id", "label").collect()
+    }
+    label = 2
+    path = str(tmp_path / "ivf_deploy")
+    build_ivf_index(emb, path, n_cells=16, partition_cols=("cell", "label"))
+    qids = [int(i) for i in ids[:N_QUERIES]]
+
+    def exact_filtered(qid):
+        qrow = id2row[qid]
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = np.round(xn @ xn[qrow], 6)
+        order = sorted(range(len(ids)), key=lambda j: (-sims[j], ids[j]))
+        return [
+            int(ids[j])
+            for j in order
+            if int(ids[j]) != qid and labels[int(ids[j])] == label
+        ][:K]
+
+    geo, scaled = {}, {}
+    for base in (1, 2, 4):
+        g_hits = s_hits = tot = 0
+        for qid in qids:
+            qv = [float(v) for v in x[id2row[qid]]]
+            want = set(exact_filtered(qid))
+            # geometry-only arm: probe base_nprobe nearest cells, filter
+            # to the label INSIDE them (the r11 pre-scaling behavior)
+            probe = probe_cells(path, qv, k=K, nprobe=base)
+            g = {
+                r["vec_id"]
+                for r in spark.read.parquet(path)
+                .filter(
+                    F.col("cell").isin(probe)
+                    & (F.col("label") == label)
+                    & (F.col("vec_id") != qid)
+                )
+                .select(
+                    "vec_id",
+                    F.round(
+                        cosine_literal(as_double(F.col("embedding")), qv), 6
+                    ).alias("cos_sim"),
+                )
+                .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+                .limit(K)
+                .collect()
+            }
+            res = filtered_ivf_index_topk(
+                spark, path, qv, k=K, base_nprobe=base,
+                label_value=label, exclude_id=qid,
+            )
+            if qid == qids[0] and base == 1:
+                plan = res._jdf.queryExecution().executedPlan().toString()
+                scan = [
+                    ln for ln in plan.splitlines() if "PartitionFilters" in ln
+                ]
+                assert scan and any(
+                    "cell" in ln and "label" in ln for ln in scan
+                ), plan
+            s = {r["vec_id"] for r in res.collect()}
+            assert all(labels[v] == label for v in s)
+            g_hits += len(g & want)
+            s_hits += len(s & want)
+            tot += len(want)
+        geo[base], scaled[base] = g_hits / tot, s_hits / tot
+        assert scaled[base] >= geo[base], (base, geo, scaled)
+    print("deploy filtered recall geometry-only:", geo, "scaled:", scaled)
+    assert scaled[1] >= 0.7, (geo, scaled)
+    # base=4 at s~0.094 scales past 16 cells -> full qualifying probe
+    assert scaled[4] == 1.0, (geo, scaled)
+    # the unfiltered deploy path at the same index is unaffected (guard)
+    assert ivf_index_topk(spark, path, [float(v) for v in x[id2row[qids[0]]]],
+                          k=K, nprobe=16, exclude_id=qids[0]).count() == K
+
+
 def test_filtered_index_partition_pruning(spark, corpus, tmp_path):
     """VERDICT r11 #3a: an IVF index built with partition_cols=("cell",
     "label") prunes a filtered probe at the FILE level — the scan's
