@@ -792,19 +792,28 @@ def duplicate_clusters(
     edge list (already a vanishing fraction of the corpus after LSH +
     Jaccard verification) is collected and solved with driver-side
     union-find — the same runtime size-switch AQE applies to joins.
-    """
-    sym = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-    edges = sym.distinct().localCheckpoint(eager=True)
 
-    # Fast path: near-dup pair graphs are a vanishing fraction of the corpus
-    # (LSH + Jaccard verification already happened), so when the edge list
-    # is provably small, solve it driver-side with union-find — one collect
-    # instead of diameter-many shuffle rounds. Keeping the smaller root as
-    # parent makes find(x) return the component's min id directly, matching
-    # the distributed fixpoint exactly.
-    if edges.count() <= small_graph_edges:
+    Job shape (VERDICT r12 #6 — this is the per-epoch CC cost inside the
+    ingest gate, so every driver job counts): the small-graph probe is a
+    SINGLE bounded ``limit(N+1).collect()`` of the raw verified pairs —
+    no symmetrize/distinct shuffle, no localCheckpoint write, no
+    separate count job (union-find needs neither symmetric edges nor
+    dedup; the accepted keepers' "cluster ids" are definitionally their
+    own ids, so there is no cross-epoch CC state to persist — the
+    per-epoch cost IS the LSH evaluation plus this probe). ``pairs`` is
+    persisted first so the rare large-graph fallback reuses the cached
+    verify output instead of re-running the LSH join.
+    """
+    from ..functions.localframe import local_frame
+
+    # limit is (pair rows); the historical threshold counted SYMMETRIZED
+    # edges (2x unique pairs), so halve it for an equivalent size guard
+    max_pairs = max(1, small_graph_edges // 2)
+    pinned = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).persist()
+    probe = pinned.limit(max_pairs + 1).collect()
+    if len(probe) <= max_pairs:
         parent: dict = {}
 
         def find(x):
@@ -815,8 +824,7 @@ def duplicate_clusters(
                 parent[x], x = r, parent[x]
             return r
 
-        rows = edges.collect()
-        for row in rows:
+        for row in probe:
             ra, rb = find(row["src"]), find(row["dst"])
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
@@ -827,12 +835,17 @@ def duplicate_clusters(
                 T.StructField("cluster_id", node_type, False),
             ]
         )
-        nodes = {row["src"] for row in rows}
-        from ..functions.localframe import local_frame
-
+        nodes = {row["src"] for row in probe} | {row["dst"] for row in probe}
+        pinned.unpersist()
         return local_frame(
             pairs.sparkSession, [(n, find(n)) for n in sorted(nodes)], schema
         )
+
+    sym = pinned.unionByName(
+        pinned.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    edges = sym.distinct().localCheckpoint(eager=True)
+    pinned.unpersist()
 
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -883,8 +896,8 @@ def embedding_neardup_pairs(
     n_cells: int | None = None,
     nprobe: int = 4,
     blocking: str = "seeds",
-    n_subcells: int | None = None,
-    nprobe_sub: int = 2,
+    n_subcells: int | None | str = "auto",
+    nprobe_sub: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by IVF-style cells
     (SemDeDup's cluster-then-pairwise shape): candidates are pairs sharing
@@ -920,6 +933,15 @@ def embedding_neardup_pairs(
     (0.75 at (16,2), 0.92 at (8,2) vs single at tau=0.3), so use
     sub-cells in the production tau band below, not for topical mining.
 
+    ``n_subcells="auto"`` (the default, VERDICT r12 #7) routes that rule
+    itself: at ``threshold >= PRODUCTION_TAU_BAND[0]`` — the regime where
+    two-level recall is provably full — it resolves to (16, 1), the
+    measured 4.3x configuration; below the band it resolves to
+    single-level, preserving the oracled low-tau contract (dd05 runs at
+    tau=0.3 and is unaffected). Pass an int or None to override either
+    way; ``nprobe_sub=None`` defaults to 1 under auto-routing and to the
+    historical 2 when ``n_subcells`` is given explicitly.
+
     THRESHOLD SELECTION (the real 100 TB knob — measured, r10, x16
     decorrelated corpus of 32k vectors via scripts/sweep_dd05_tau.py):
     the pair OUTPUT is Theta(fraction of pairs genuinely >= tau), so tau
@@ -943,6 +965,21 @@ def embedding_neardup_pairs(
 
     if blocking not in ("seeds", "centroids"):
         raise ValueError(f"blocking must be seeds|centroids, got {blocking!r}")
+    if isinstance(n_subcells, str):
+        if n_subcells != "auto":
+            raise ValueError(f"n_subcells must be int|None|'auto', got {n_subcells!r}")
+        # tau-aware routing (VERDICT r12 #7): in the production tau band
+        # two-level blocking keeps full near-dup recall, so take the
+        # measured-best (16, 1) automatically; below the band stay
+        # single-level (the topical regime where sub-cells cost recall).
+        if threshold >= PRODUCTION_TAU_BAND[0]:
+            n_subcells = 16
+            if nprobe_sub is None:
+                nprobe_sub = 1
+        else:
+            n_subcells = None
+    if nprobe_sub is None:
+        nprobe_sub = 2
     if n_cells is None:
         from .similarity import auto_n_cells
 

@@ -3277,6 +3277,43 @@ def test_two_level_blocking_planted_dup_recall(spark):
             ).collect()
         }
         assert got >= planted, (kw, len(got & planted))
+    # tau-aware auto-routing (VERDICT r12 #7): in the production band the
+    # DEFAULT now takes the measured-best (16, 1) — pair-for-pair equal
+    # to passing it explicitly, full planted recall included
+    auto = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_pairs(corpus, 0.9, nprobe=4).collect()
+    }
+    explicit = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_pairs(
+            corpus, 0.9, nprobe=4, n_subcells=16, nprobe_sub=1
+        ).collect()
+    }
+    assert auto == explicit and auto >= planted
+
+
+def test_two_level_auto_routing_low_tau_single_level(spark):
+    """VERDICT r12 #7 flip-side: below PRODUCTION_TAU_BAND the auto
+    default must stay SINGLE-LEVEL — identical pairs to an explicit
+    n_subcells=None run (the oracled dd05 low-tau contract), where
+    two-level at the same tau provably drops topical pairs."""
+    from kafkatosparktokudu_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    auto = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_pairs(emb, 0.3, n_cells=32).collect()
+    }
+    single = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_pairs(
+            emb, 0.3, n_cells=32, n_subcells=None
+        ).collect()
+    }
+    assert auto == single and len(auto) > 0
 
 
 def test_filtered_nprobe_edges():
