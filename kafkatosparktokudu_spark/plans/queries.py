@@ -4991,10 +4991,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st04_ingest_shards": st04_ingest_shards,
     # NEW in r12: the same state through the kafka-shaped source (S1 face)
     "cdc_kafka_emp_state": cdc_kafka_emp_state,
+    # px03 rides the tau-aware two-level default in embedding_neardup_pairs
+    # (the helper it calls changed); ss05 — unchanged, fresh green r12
+    # row — yields its slot
+    "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,
     "ss05_knn_join": ss05_knn_join,
     "ss12_knn_label_vote": ss12_knn_label_vote,
     "ss14_radius_density": ss14_radius_density,
-    "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,
     "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,
     "px16_quality_aware_dedup": px16_quality_aware_dedup,
     "dd07_dup_clusters": dd07_dup_clusters,
