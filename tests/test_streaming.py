@@ -2012,6 +2012,39 @@ def test_ingest_shards_all_dup_epoch_continues_numbering(spark, tmp_path):
     assert all(is_dup and m == i - 100 for i, (is_dup, m) in flags.items())
 
 
+def test_fsio_text_roundtrip_and_direct_file_delete(spark, tmp_path):
+    """streaming/fsio.py r13 helpers: control-file text round-trips
+    through the Hadoop FileSystem API (absence -> None, overwrite is
+    atomic rename-into-place, unicode survives, multi-line content
+    preserved), and delete_direct_files removes only root-level files
+    of the given suffix — subdirectories (a bucketed layout's partition
+    dirs) untouched."""
+    from kafkatosparktokudu_spark.streaming.fsio import (
+        delete_direct_files,
+        read_text,
+        write_text_atomic,
+    )
+
+    uri = str(tmp_path / "store" / "_META.json")
+    assert read_text(spark, uri) is None
+    write_text_atomic(spark, uri, '{"n": 1}')
+    assert read_text(spark, uri) == '{"n": 1}'
+    write_text_atomic(spark, uri, 'line1\nliné2')  # overwrite + unicode
+    assert read_text(spark, uri) == 'line1\nliné2'
+    root = str(tmp_path / "store")
+    spark.range(2).write.mode("overwrite").parquet(f"{root}/sub")
+    (tmp_path / "store" / "a.parquet").write_bytes(b"x")
+    (tmp_path / "store" / "b.parquet").write_bytes(b"y")
+    assert delete_direct_files(spark, root, suffix=".parquet") == 2
+    assert not [f for f in (tmp_path / "store").iterdir()
+                if f.name.endswith(".parquet") and f.is_file()]
+    # subdir parquet (the bucketed layout) survives
+    assert spark.read.parquet(f"{root}/sub").count() == 2
+    # meta survives too (wrong suffix)
+    assert read_text(spark, uri) == 'line1\nliné2'
+    assert delete_direct_files(spark, str(tmp_path / "absent")) == 0
+
+
 def test_fsio_epoch_listing_and_retention(spark, tmp_path):
     """streaming/fsio.py: epoch discovery goes through the Hadoop
     FileSystem API (works for any URI scheme Spark can write, closing
