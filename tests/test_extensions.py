@@ -3135,6 +3135,68 @@ def test_bm25_postings_index_matches_inline_and_prunes(spark, tmp_path):
     assert len(want) <= len(terms)
 
 
+def test_hybrid_index_serving_reads_no_raw_table(spark, tmp_path):
+    """ss22 contract (VERDICT r12 #5): the index-only hybrid probe's
+    physical plan scans ONLY the two materialized index directories —
+    no FileScan over the raw documents/embeddings parquet — and its
+    fused top-20 equals the inline ss21 pipeline row-for-row (the
+    shared-oracle claim, asserted engine-side here)."""
+    from kafkatosparktokudu_spark.functions.topk import ranked_top_n
+    from kafkatosparktokudu_spark.functions.vectors import (
+        as_double,
+        cosine_literal,
+    )
+    from kafkatosparktokudu_spark.operators.similarity import (
+        build_seeded_filtered_index,
+        rrf_fuse,
+    )
+    from kafkatosparktokudu_spark.operators.text import (
+        bm25_index_topk,
+        bm25_rank,
+        build_bm25_index,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    lex_dir, dense_dir = str(tmp_path / "lex"), str(tmp_path / "dense")
+    build_bm25_index(docs, lex_dir)
+    build_seeded_filtered_index(emb, dense_dir, n_cells=16)
+
+    def dense_top50(src):
+        scored = src.filter(F.col("vec_id") != 0).select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_literal(as_double(F.col("embedding")), qv), 6
+            ).alias("cos_sim"),
+        )
+        return ranked_top_n(
+            scored, [F.col("cos_sim").desc(), F.col("doc_id")], 50
+        )
+
+    terms = ["merge", "vector", "stream"]
+    probe = rrf_fuse(
+        bm25_index_topk(spark, lex_dir, terms, top_n=50),
+        dense_top50(spark.read.parquet(dense_dir)),
+        top_n=20,
+    )
+    inline = rrf_fuse(
+        bm25_rank(docs, terms, top_n=50), dense_top50(emb), top_n=20
+    )
+    assert [tuple(r) for r in probe.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "Location" in ln]
+    assert scans, plan
+    for ln in scans:
+        assert ("lex" in ln or "dense" in ln), ln
+        assert "testdata" not in ln, ln
+
+
 def test_incremental_ingest_bucketed_equivalence(spark, tmp_path):
     """VERDICT r11 #5: the BUCKETED gate-store layout (bands exploded and
     partitioned by band-hash bucket, hs payload partitioned by id bucket)
