@@ -4937,11 +4937,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st11_stream_funnel": st11_stream_funnel,
     "st12_stream_sessionize": st12_stream_sessionize,
     "st13_stream_zscore": st13_stream_zscore,
-    "q90_distributed_rank": q90_distributed_rank,
-    "q91_compaction_bins": q91_compaction_bins,
-    "sk01_cms_heavy_hitters": sk01_cms_heavy_hitters,
-    "ss01_knn_cosine": ss01_knn_cosine,
-    "ss02_label_centroids": ss02_label_centroids,
+    # riders of the single-collect duplicate_clusters restructure (every
+    # consumer of the CC helper gets a fresh driver stamp); q90/q91/sk01/
+    # ss01/ss02 — unchanged, fresh green r12 rows — yield these slots
+    "dd07_dup_clusters": dd07_dup_clusters,
+    "dd15_soft_dedup_weights": dd15_soft_dedup_weights,
+    "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,
+    "px16_quality_aware_dedup": px16_quality_aware_dedup,
+    "px20_leakage_safe_split": px20_leakage_safe_split,
     "ss03_ann_lsh_topk": ss03_ann_lsh_topk,
     "ss04_ivf_topk": ss04_ivf_topk,
     "ss06_kmeans_clusters": ss06_kmeans_clusters,
@@ -4998,11 +5001,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss05_knn_join": ss05_knn_join,
     "ss12_knn_label_vote": ss12_knn_label_vote,
     "ss14_radius_density": ss14_radius_density,
-    "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,
-    "px16_quality_aware_dedup": px16_quality_aware_dedup,
-    "dd07_dup_clusters": dd07_dup_clusters,
-    "dd15_soft_dedup_weights": dd15_soft_dedup_weights,
     # displaced from the r13 window (unchanged, fresh green r12 rows):
+    "q90_distributed_rank": q90_distributed_rank,
+    "q91_compaction_bins": q91_compaction_bins,
+    "sk01_cms_heavy_hitters": sk01_cms_heavy_hitters,
+    "ss01_knn_cosine": ss01_knn_cosine,
+    "ss02_label_centroids": ss02_label_centroids,
     "dd03_minhash_bands": dd03_minhash_bands,
     "dd04_neardup_pairs": dd04_neardup_pairs,
     "dd06_simhash": dd06_simhash,
@@ -5035,7 +5039,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "px15_epoch_shuffle": px15_epoch_shuffle,
     "px17_sequence_packing": px17_sequence_packing,
     "px19_stratified_shards": px19_stratified_shards,
-    "px20_leakage_safe_split": px20_leakage_safe_split,
     "px21_budget_selection": px21_budget_selection,
     "px22_grouped_budget": px22_grouped_budget,
     # --- round-10 front section: new queries lead (mm11 real resize,
