@@ -3296,6 +3296,19 @@ def test_gate_store_flat_to_bucketed_migration(spark, tmp_path):
     # (c) re-migrating an already-bucketed store refuses
     with pytest.raises(ValueError, match="already bucketed"):
         migrate_gate_store(spark, mig, 16)
+    # (c2) step-3 crash window: meta written but root cleanup didn't run
+    # (stale flat files next to a live bucketed store) — a migrate re-run
+    # finishes the cleanup instead of refusing or double-writing
+    import shutil
+    stale = str(tmp_path / "flat2")
+    incremental_neardup_ingest(b1, stale).collect()
+    for f in os.listdir(stale):
+        if f.endswith(".parquet"):
+            shutil.copy(f"{stale}/{f}", f"{mig}/{f}")
+    before = spark.read.parquet(f"{mig}/payload").count()
+    migrate_gate_store(spark, mig, 16)  # cleanup-only re-run
+    assert not [f for f in os.listdir(mig) if f.endswith(".parquet")]
+    assert spark.read.parquet(f"{mig}/payload").count() == before
     # (d) a corrupt meta raises instead of silently picking a layout
     # (corrupt THROUGH the Hadoop FS so the local-FS .crc sidecar stays
     # consistent — a raw Python overwrite surfaces as ChecksumException,
