@@ -335,6 +335,25 @@ def main() -> None:
                 _dense_top50(hy_emb), top_n=20,
             ).write.format("noop").mode("overwrite").save()
         secondary["hybrid_inline3_total"] = round(time.time() - start, 3)
+        # the PRODUCTION dense shape: approximate probe (nprobe=4 of 16
+        # cells, partition-pruned) instead of the exactness-pinning full
+        # probe — bench-only, no oracle claim (results are approximate)
+        from kafkatosparktokudu_spark.operators.similarity import (
+            seeded_probe_cells,
+        )
+
+        ap = seeded_probe_cells(
+            dense_idx.select("vec_id", "embedding"), hy_qv,
+            n_cells=16, nprobe=4,
+        )
+        start = time.time()
+        for ts in term_sets:
+            rrf_fuse(
+                bm25_index_topk(spark, f"{hy_tmp}/lex", ts, top_n=50),
+                _dense_top50(dense_idx.filter(F.col("cell").isin(ap))),
+                top_n=20,
+            ).write.format("noop").mode("overwrite").save()
+        secondary["hybrid_probe3_approx_total"] = round(time.time() - start, 3)
     finally:
         shutil.rmtree(hy_tmp, ignore_errors=True)
 
