@@ -467,6 +467,86 @@ def test_filtered_index_deploy_recall_scaled_vs_geometry(spark, corpus, tmp_path
                           k=K, nprobe=16, exclude_id=qids[0]).count() == K
 
 
+def test_hybrid_approx_dense_fused_recall(spark, tmp_path):
+    """The production hybrid-serving configuration (bench key
+    hybrid_probe3_approx_total): dense side partition-pruned to the
+    query's nprobe nearest seeded cells instead of the exactness-
+    pinning full probe. Measures recall@20 of the EXACT fused top-20
+    inside the approx fused top-20 over the bench term sets — RRF's
+    rank-only fusion degrades gracefully because the lexical side is
+    exact either way and dense rank errors only perturb reciprocal
+    ranks. Floor set one step below measured (sf0.01)."""
+    from pyspark.sql import functions as F
+
+    from kafkatosparktokudu_spark.functions.topk import ranked_top_n
+    from kafkatosparktokudu_spark.functions.vectors import (
+        as_double,
+        cosine_literal,
+    )
+    from kafkatosparktokudu_spark.operators.similarity import (
+        build_seeded_filtered_index,
+        rrf_fuse,
+        seeded_probe_cells,
+    )
+    from kafkatosparktokudu_spark.operators.text import (
+        bm25_index_topk,
+        build_bm25_index,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    lex_dir, dense_dir = str(tmp_path / "lex"), str(tmp_path / "dense")
+    build_bm25_index(docs, lex_dir)
+    build_seeded_filtered_index(emb, dense_dir, n_cells=16)
+    idx = spark.read.parquet(dense_dir)
+    probe = seeded_probe_cells(
+        idx.select("vec_id", "embedding"), qv, n_cells=16, nprobe=4
+    )
+
+    def dense_top50(src):
+        scored = src.filter(F.col("vec_id") != 0).select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_literal(as_double(F.col("embedding")), qv), 6
+            ).alias("cos_sim"),
+        )
+        return ranked_top_n(
+            scored, [F.col("cos_sim").desc(), F.col("doc_id")], 50
+        )
+
+    term_sets = [
+        ["merge", "vector", "stream"],
+        ["index", "join", "window"],
+        ["data", "batch", "kudu"],
+    ]
+    hits = tot = 0
+    per = {}
+    for ts in term_sets:
+        lex = bm25_index_topk(spark, lex_dir, ts, top_n=50)
+        exact = {
+            r["doc_id"]
+            for r in rrf_fuse(lex, dense_top50(idx), top_n=20).collect()
+        }
+        approx = {
+            r["doc_id"]
+            for r in rrf_fuse(
+                lex,
+                dense_top50(idx.filter(F.col("cell").isin(probe))),
+                top_n=20,
+            ).collect()
+        }
+        per[" ".join(ts)] = len(exact & approx) / len(exact)
+        hits += len(exact & approx)
+        tot += len(exact)
+    print("hybrid approx-dense fused recall@20 by terms:", per,
+          "mean:", hits / tot)
+    assert hits / tot >= 0.8, per
+
+
 def test_filtered_index_partition_pruning(spark, corpus, tmp_path):
     """VERDICT r11 #3a: an IVF index built with partition_cols=("cell",
     "label") prunes a filtered probe at the FILE level — the scan's
