@@ -40,7 +40,11 @@ def main() -> None:
     emb, n = build_x16(spark)
     print(f"x16 corpus: {emb.count()} vectors")
     settings = [
-        ("single auto", dict()),
+        # r13: the DEFAULT is tau-aware — at TAU=0.8 (>= the production
+        # band floor) dict() auto-routes to (16, 1); the explicit
+        # n_subcells=None row is the old single-level baseline
+        ("single (explicit)", dict(n_subcells=None)),
+        ("auto (default)", dict()),
         ("two-level (16,2)", dict(n_subcells=16, nprobe_sub=2)),
         ("two-level (16,1)", dict(n_subcells=16, nprobe_sub=1)),
     ]
