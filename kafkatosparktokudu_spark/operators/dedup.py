@@ -889,6 +889,17 @@ def duplicate_clusters(
 # below the low edge, output ~ n^2 and the job cost is in the ANSWER.
 PRODUCTION_TAU_BAND = (0.7, 0.95)
 
+# Rows-per-coarse-cell breakeven for engaging TWO-LEVEL blocking under
+# n_subcells="auto" (r13 regime map, NOTES: at ~180 rows/cell — the
+# sqrt-n auto-celling operating point — two-level is a ~1.25x wall win
+# inside run variance; at ~1000 rows/cell — a fixed n_cells the corpus
+# outgrew — it is 10.0x). The sub-cell assignment overhead (~n*nprobe*
+# n_subcells broadcast-anchor dots + one keyed window) is density-
+# independent per row, while the candidate-join saving scales with
+# rows/cell, so density — not tau — decides WHETHER it pays; tau still
+# gates recall safety (below the band, sub-cells drop topical pairs).
+TWO_LEVEL_DENSITY_FLOOR = 256
+
 
 def embedding_neardup_pairs(
     emb: DataFrame,
@@ -933,14 +944,20 @@ def embedding_neardup_pairs(
     (0.75 at (16,2), 0.92 at (8,2) vs single at tau=0.3), so use
     sub-cells in the production tau band below, not for topical mining.
 
-    ``n_subcells="auto"`` (the default, VERDICT r12 #7) routes that rule
-    itself: at ``threshold >= PRODUCTION_TAU_BAND[0]`` — the regime where
-    two-level recall is provably full — it resolves to (16, 1), the
-    measured 4.3x configuration; below the band it resolves to
-    single-level, preserving the oracled low-tau contract (dd05 runs at
-    tau=0.3 and is unaffected). Pass an int or None to override either
-    way; ``nprobe_sub=None`` defaults to 1 under auto-routing and to the
-    historical 2 when ``n_subcells`` is given explicitly.
+    ``n_subcells="auto"`` (the default; VERDICT r12 #7, density-refined
+    r13) routes that rule itself on TWO gates: recall safety
+    (``threshold >= PRODUCTION_TAU_BAND[0]`` — the regime where two-level
+    recall is provably full; below the band it resolves to single-level,
+    preserving the oracled low-tau contract — dd05 runs at tau=0.3 and is
+    unaffected) and payoff (coarse-cell density ``n/n_cells >=
+    TWO_LEVEL_DENSITY_FLOOR`` — the r13 regime map measured ~1.25x at
+    sqrt-n auto-celling density vs **10.0x** when a fixed ``n_cells`` has
+    been outgrown to ~1000 rows/cell, so two-level is engaged exactly
+    where it is insurance, not overhead). When both gates pass it
+    resolves to the measured-best (16, 1). Pass an int or None to
+    override either way; ``nprobe_sub=None`` defaults to 1 under
+    auto-routing and to the historical 2 when ``n_subcells`` is given
+    explicitly.
 
     THRESHOLD SELECTION (the real 100 TB knob — measured, r10, x16
     decorrelated corpus of 32k vectors via scripts/sweep_dd05_tau.py):
@@ -965,30 +982,41 @@ def embedding_neardup_pairs(
 
     if blocking not in ("seeds", "centroids"):
         raise ValueError(f"blocking must be seeds|centroids, got {blocking!r}")
-    if isinstance(n_subcells, str):
-        if n_subcells != "auto":
-            raise ValueError(f"n_subcells must be int|None|'auto', got {n_subcells!r}")
-        # tau-aware routing (VERDICT r12 #7): in the production tau band
-        # two-level blocking keeps full near-dup recall, so take the
-        # measured-best (16, 1) automatically; below the band stay
-        # single-level (the topical regime where sub-cells cost recall).
-        if threshold >= PRODUCTION_TAU_BAND[0]:
-            n_subcells = 16
-            if nprobe_sub is None:
-                nprobe_sub = 1
-        else:
-            n_subcells = None
-    if nprobe_sub is None:
-        nprobe_sub = 2
+    if isinstance(n_subcells, str) and n_subcells != "auto":
+        raise ValueError(f"n_subcells must be int|None|'auto', got {n_subcells!r}")
+    n_rows = None
     if n_cells is None:
-        from .similarity import auto_n_cells
+        import math
 
         # resolve ONCE here (not inside seed_cell_assign) so the docstring
         # claim "n_cells grows ~sqrt(n)" is the DEFAULT behavior, not a
         # knob the operator forgets to turn at scale (VERDICT r10 #6 —
         # measured on the x16 corpus: auto 180 cells vs fixed 32 cuts the
-        # candidate join mass ~5.6x, NOTES r11)
-        n_cells = auto_n_cells(emb)
+        # candidate join mass ~5.6x, NOTES r11). Inlined from auto_n_cells
+        # so the (metadata-cheap) count is shared with density routing.
+        n_rows = emb.count()
+        n_cells = max(1, math.ceil(math.sqrt(n_rows)))
+    if n_subcells == "auto":
+        # tau- AND density-aware routing (VERDICT r12 #7, refined r13):
+        # engage two-level only where it is both SAFE (threshold inside
+        # the production tau band — full near-dup recall; below it
+        # sub-cells drop topical pairs) and WORTH IT (coarse cells denser
+        # than the measured breakeven — two-level's real role is
+        # insurance for cells the corpus outgrew; at sqrt-n auto-celling
+        # density it is a wash, see TWO_LEVEL_DENSITY_FLOOR).
+        if threshold >= PRODUCTION_TAU_BAND[0]:
+            if n_rows is None:
+                n_rows = emb.count()
+            if n_rows / n_cells >= TWO_LEVEL_DENSITY_FLOOR:
+                n_subcells = 16
+                if nprobe_sub is None:
+                    nprobe_sub = 1
+            else:
+                n_subcells = None
+        else:
+            n_subcells = None
+    if nprobe_sub is None:
+        nprobe_sub = 2
     if blocking == "centroids":
         cents = train_ivf_centroids(emb, n_cells=n_cells)
         cells = ivf_assign_multiprobe(emb, cents, nprobe=nprobe)

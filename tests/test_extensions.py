@@ -3352,20 +3352,49 @@ def test_two_level_blocking_planted_dup_recall(spark):
             ).collect()
         }
         assert got >= planted, (kw, len(got & planted))
-    # tau-aware auto-routing (VERDICT r12 #7): in the production band the
-    # DEFAULT now takes the measured-best (16, 1) — pair-for-pair equal
-    # to passing it explicitly, full planted recall included
+    # tau+density auto-routing (VERDICT r12 #7, refined r13): in the
+    # production band the DEFAULT engages the measured-best (16, 1) only
+    # when coarse cells are denser than TWO_LEVEL_DENSITY_FLOOR — the
+    # insurance regime where two-level measured 10x. n_cells=2 puts this
+    # 700-row corpus at 350 rows/cell (>= the 256 floor): pair-for-pair
+    # equal to passing (16, 1) explicitly. Recall here is pinned on EXACT
+    # duplicates (identical vectors score bit-identical rounded cosines
+    # to every anchor, so no blocking level can ever separate them); the
+    # perturbed-twin recall claims live in the explicit loop above at
+    # realistic sqrt-n celling.
+    exact = emb.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 20000).alias("vec_id"), "embedding"
+    )
+    dense_corpus = corpus.unionByName(exact)
+    planted_exact = {(i, i + 20000) for i in range(100)}
     auto = {
         (r["vec_a"], r["vec_b"])
-        for r in embedding_neardup_pairs(corpus, 0.9, nprobe=4).collect()
+        for r in embedding_neardup_pairs(
+            dense_corpus, 0.9, nprobe=2, n_cells=2
+        ).collect()
     }
     explicit = {
         (r["vec_a"], r["vec_b"])
         for r in embedding_neardup_pairs(
-            corpus, 0.9, nprobe=4, n_subcells=16, nprobe_sub=1
+            dense_corpus, 0.9, nprobe=2, n_cells=2, n_subcells=16,
+            nprobe_sub=1,
         ).collect()
     }
-    assert auto == explicit and auto >= planted
+    assert auto == explicit and auto >= planted_exact
+    # ...while at sqrt-n auto-celling density (600 rows / 25 cells = 24
+    # rows/cell, far under the floor) the same tau routes SINGLE-level —
+    # the regime map's "wash" operating point pays no sub-cell overhead
+    sparse_auto = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_pairs(corpus, 0.9, nprobe=4).collect()
+    }
+    sparse_single = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_pairs(
+            corpus, 0.9, nprobe=4, n_subcells=None
+        ).collect()
+    }
+    assert sparse_auto == sparse_single and sparse_auto >= planted
 
 
 def test_two_level_auto_routing_low_tau_single_level(spark):
