@@ -665,36 +665,129 @@ def build_ivf_index(
     label v lists only the (c, v) directory, so a full-probe within-label
     scan reads exactly the qualifying rows (VERDICT r11 #3a). The per-query
     ``ivf_topk`` above is the index-free variant; this is the scale path.
-    """
-    import json
-    import os
 
+    INCREMENTAL layout (r13): rows live under an ``epoch=N`` partition
+    prefix so ``upsert_ivf_index`` can add vectors later without a
+    rebuild; the sidecar records per-epoch counts plus the cumulative
+    totals probes read, and ``committed_epochs`` is the commit record —
+    probes scan only committed epochs, so a crashed upsert (files
+    written, sidecar not) is invisible until its replay completes. The
+    extra partition level costs nothing at probe time: cell/label
+    pruning is unchanged (all partition columns prune independently)."""
     spark = emb.sparkSession
     cents = train_ivf_centroids(emb, n_cells, iters)
-    ivf_assign(emb, cents).write.mode("overwrite").partitionBy(
-        *partition_cols
-    ).parquet(path)
-    idx = spark.read.parquet(path)
-    counts = {
-        int(r["cell"]): r["count"]
-        for r in idx.groupBy("cell").count().collect()
-    }
+    ivf_assign(emb, cents).withColumn("epoch", F.lit(0)).write.mode(
+        "overwrite"
+    ).partitionBy("epoch", *partition_cols).parquet(path)
     meta = {
         "centroids": cents,
-        "cell_counts": {str(c): n for c, n in counts.items()},
+        "partition_cols": list(partition_cols),
+        "epochs": {"0": _ivf_epoch_counts(spark, path, 0, partition_cols)},
+    }
+    _write_ivf_meta(spark, path, meta)
+    return cents
+
+
+def _ivf_epoch_counts(
+    spark, path: str, epoch: int, partition_cols
+) -> dict:
+    """Per-epoch sidecar stats, recomputed from what is ON DISK for that
+    epoch (ground truth — replay-stable under the idempotent dynamic
+    partition overwrite)."""
+    idx = spark.read.parquet(path).filter(F.col("epoch") == epoch)
+    out = {
+        "cell_counts": {
+            str(int(r["cell"])): r["count"]
+            for r in idx.groupBy("cell").count().collect()
+        }
     }
     if len(partition_cols) > 1:
         # per-partition-tuple counts — the selectivity input the
         # filtered-probe rule reads driver-side (no cluster job at query
         # time); keys are "cell|v1|v2..." in partition_cols order.
-        meta["partition_cols"] = list(partition_cols)
-        meta["group_counts"] = {
+        out["group_counts"] = {
             "|".join(str(r[c]) for c in partition_cols): r["count"]
             for r in idx.groupBy(*partition_cols).count().collect()
         }
-    with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
-        json.dump(meta, f)
-    return cents
+    return out
+
+
+def _sum_counts(dicts) -> dict:
+    tot: dict = {}
+    for d in dicts:
+        for k, n in d.items():
+            tot[k] = tot.get(k, 0) + n
+    return tot
+
+
+def _write_ivf_meta(spark, path: str, meta: dict) -> None:
+    """Finalize cumulative totals + the commit record, then write the
+    sidecar ATOMICALLY through the Hadoop FS (the ADVICE r12 gate-store
+    lesson: driver-local open() silently misses remote stores). The meta
+    write IS the upsert's commit point — probes read committed_epochs."""
+    import json
+
+    from ..streaming.fsio import write_text_atomic
+
+    eps = meta["epochs"]
+    meta["committed_epochs"] = sorted(int(e) for e in eps)
+    meta["cell_counts"] = _sum_counts(e["cell_counts"] for e in eps.values())
+    if any("group_counts" in e for e in eps.values()):
+        meta["group_counts"] = _sum_counts(
+            e.get("group_counts", {}) for e in eps.values()
+        )
+    write_text_atomic(spark, f"{path}/_ivf_meta.json", json.dumps(meta))
+
+
+def _read_ivf_meta(spark, path: str) -> dict:
+    import json
+
+    from ..streaming.fsio import read_text
+
+    txt = read_text(spark, f"{path}/_ivf_meta.json")
+    if txt is None:
+        raise FileNotFoundError(f"no _ivf_meta.json under {path}")
+    return json.loads(txt)
+
+
+def upsert_ivf_index(new_emb: DataFrame, path: str, epoch: int) -> dict:
+    """Add a batch of vectors to a materialized IVF index WITHOUT a
+    rebuild — the serving-index freshness operation a 100 TB corpus
+    needs (a full re-shuffle of the index per ingest batch is the thing
+    this avoids; FAISS calls the same operation ``add``).
+
+    Contract:
+
+    - Assignment uses the index's FROZEN centroids (read from the
+      sidecar) — identical cell geometry for old and new rows, so every
+      probe rule (adaptive counts, filtered_nprobe selectivity) keeps
+      working; centroid drift is handled by periodic rebuild, not here.
+    - ``vec_id``s must be NEW (append-only, the training-corpus regime);
+      updating an existing id needs delete + rebuild/compaction.
+    - EXACTLY-ONCE by replay convergence: the batch lands under its own
+      ``epoch=N`` partition via dynamic partition overwrite (a replayed
+      epoch overwrites its own files and nothing else), per-epoch stats
+      are recomputed from disk, and the sidecar — the commit point — is
+      rewritten last through the atomic Hadoop-FS path. A crash between
+      data and sidecar leaves the epoch uncommitted: probes filter to
+      ``committed_epochs``, so readers never see half an upsert.
+
+    Returns the updated meta."""
+    spark = new_emb.sparkSession
+    meta = _read_ivf_meta(spark, path)
+    if str(epoch) in meta["epochs"]:
+        # replay of a committed epoch: idempotent no-op (the CDC replay
+        # contract — same batch content, already durable)
+        return meta
+    pcols = tuple(meta.get("partition_cols", ["cell"]))
+    ivf_assign(new_emb, meta["centroids"]).withColumn(
+        "epoch", F.lit(int(epoch))
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("epoch", *pcols).parquet(path)
+    meta["epochs"][str(epoch)] = _ivf_epoch_counts(spark, path, epoch, pcols)
+    _write_ivf_meta(spark, path, meta)
+    return meta
 
 
 def filtered_nprobe(
@@ -769,13 +862,10 @@ def probe_cells(
     (no cluster work). Fixed ``nprobe`` takes the nearest n cells;
     ``nprobe=None`` probes adaptively until the cumulative candidate count
     reaches ``candidate_factor × k``."""
-    import json
-    import os
-
     import numpy as np
+    from pyspark.sql import SparkSession
 
-    with open(os.path.join(path, "_ivf_meta.json")) as f:
-        meta = json.load(f)
+    meta = _read_ivf_meta(SparkSession.active(), path)
     cents = np.array(meta["centroids"])
     counts = {int(c): n for c, n in meta["cell_counts"].items()}
     q = np.array(query_vec, dtype=np.float64)
@@ -810,8 +900,13 @@ def ivf_index_topk(
     near the query cost extra probes, one huge cell stops early. A fixed
     ``nprobe`` overrides.
     """
+    meta = _read_ivf_meta(spark, path)
     probe = probe_cells(path, query_vec, k, nprobe, candidate_factor)
-    cand = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    cand = spark.read.parquet(path).filter(
+        F.col("cell").isin(probe)
+        # committed epochs only: a crashed upsert's files are invisible
+        & F.col("epoch").isin(meta["committed_epochs"])
+    )
     if exclude_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_id)
     return (
@@ -850,11 +945,7 @@ def filtered_ivf_index_topk(
     tests/test_ann_recall.py); non-qualifying files are never opened,
     which is what lets the rule probe 1/s more cells at the same bytes
     read."""
-    import json
-    import os
-
-    with open(os.path.join(path, "_ivf_meta.json")) as f:
-        meta = json.load(f)
+    meta = _read_ivf_meta(spark, path)
     pcols = meta.get("partition_cols", ["cell"])
     if label_col not in pcols:
         raise ValueError(
@@ -872,7 +963,9 @@ def filtered_ivf_index_topk(
     np_eff = filtered_nprobe(base_nprobe, total, qual, n_cells)
     probe = probe_cells(path, query_vec, k, nprobe=np_eff)
     cand = spark.read.parquet(path).filter(
-        F.col("cell").isin(probe) & (F.col(label_col) == label_value)
+        F.col("cell").isin(probe)
+        & (F.col(label_col) == label_value)
+        & F.col("epoch").isin(meta["committed_epochs"])
     )
     if exclude_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_id)

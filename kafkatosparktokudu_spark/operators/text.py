@@ -1790,19 +1790,42 @@ def build_bm25_index(
     (contract test: tx29 shares tx26's oracle verbatim).
 
     Build cost: one tokenize-explode scan + one (term, doc) groupBy — the
-    same shuffle tx26 pays PER QUERY, paid once."""
-    import json
-    import os
+    same shuffle tx26 pays PER QUERY, paid once.
 
+    INCREMENTAL layout (r13): postings live under an ``epoch=N``
+    partition prefix so ``append_bm25_index`` can add documents later
+    without re-tokenizing the corpus; the sidecar carries per-epoch
+    n_docs/total_dl plus the cumulative totals the probe scores with,
+    and ``committed_epochs`` is the commit record (sidecar-last — a
+    crashed append's files are invisible to probes). Bucket pruning is
+    unchanged: partition columns prune independently, and a term's
+    postings still all share one bucket VALUE across every epoch."""
     from ..functions.hashing import md5_hash32
 
     staged = docs.select(F.col(id_col), tokens(text_col).alias("arr"))
+    post = _bm25_postings(staged, id_col, n_buckets, md5_hash32)
+    # repartition ON the partition column first: without it every writer
+    # task can emit a file into every bucket directory (n_tasks × n_buckets
+    # small files — the gate-store lesson applied here too)
+    post.withColumn("epoch", F.lit(0)).repartition(
+        F.col("bucket")
+    ).write.mode("overwrite").partitionBy("epoch", "bucket").parquet(path)
+    meta = {
+        "n_buckets": int(n_buckets),
+        "id_col": id_col,
+        "epochs": {"0": _bm25_epoch_stats(staged)},
+    }
+    _write_bm25_meta(docs.sparkSession, path, meta)
+    return meta
+
+
+def _bm25_postings(staged, id_col: str, n_buckets: int, md5_hash32):
     toks = staged.select(
         F.col(id_col),
         F.size("arr").cast("bigint").alias("dl"),
         F.explode("arr").alias("term"),
     )
-    post = (
+    return (
         toks.groupBy("term", id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("tf"),
@@ -1810,24 +1833,77 @@ def build_bm25_index(
         )
         .withColumn("bucket", F.pmod(md5_hash32(F.col("term")), F.lit(n_buckets)))
     )
-    # repartition ON the partition column first: without it every writer
-    # task can emit a file into every bucket directory (n_tasks × n_buckets
-    # small files — the gate-store lesson applied here too)
-    post.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(path)
-    stats = staged.agg(
+
+
+def _bm25_epoch_stats(staged) -> dict:
+    row = staged.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.size("arr").cast("bigint")).cast("bigint").alias("total_dl"),
     ).collect()[0]
-    meta = {
-        "n_docs": int(stats["n_docs"]),
-        "total_dl": int(stats["total_dl"]),
-        "n_buckets": int(n_buckets),
-        "id_col": id_col,
-    }
-    with open(os.path.join(path, "_bm25_meta.json"), "w") as f:
-        json.dump(meta, f)
+    return {"n_docs": int(row["n_docs"]), "total_dl": int(row["total_dl"] or 0)}
+
+
+def _write_bm25_meta(spark, path: str, meta: dict) -> None:
+    """Cumulative totals + commit record, written atomically through the
+    Hadoop FS (remote-store safe — the ADVICE r12 gate-meta lesson)."""
+    import json
+
+    from ..streaming.fsio import write_text_atomic
+
+    eps = meta["epochs"]
+    meta["committed_epochs"] = sorted(int(e) for e in eps)
+    meta["n_docs"] = sum(e["n_docs"] for e in eps.values())
+    meta["total_dl"] = sum(e["total_dl"] for e in eps.values())
+    write_text_atomic(spark, f"{path}/_bm25_meta.json", json.dumps(meta))
+
+
+def _read_bm25_meta(spark, path: str) -> dict:
+    import json
+
+    from ..streaming.fsio import read_text
+
+    txt = read_text(spark, f"{path}/_bm25_meta.json")
+    if txt is None:
+        raise FileNotFoundError(f"no _bm25_meta.json under {path}")
+    return json.loads(txt)
+
+
+def append_bm25_index(
+    new_docs: DataFrame, path: str, epoch: int, text_col: str = "text"
+) -> dict:
+    """Add a batch of documents to a materialized BM25 postings index
+    WITHOUT re-tokenizing the corpus — index freshness as an O(batch)
+    operation (the build's tokenize shuffle runs over the NEW docs only;
+    at 100 TB a per-ingest rebuild is the thing this avoids).
+
+    Contract: ``doc_id``s must be NEW (append-only — the training-corpus
+    regime; updating a doc needs delete + rebuild/compaction). BM25's
+    corpus statistics are pure sums (n_docs, total_dl, per-term df
+    recounted from the pruned scan at probe time), so a probe over
+    build(A) + append(B) is BIT-IDENTICAL to build(A ∪ B) — pinned in
+    tests. EXACTLY-ONCE by replay convergence: the batch's postings land
+    under ``epoch=N`` via dynamic partition overwrite (a replay
+    overwrites only its own files), and the sidecar — rewritten last,
+    atomically — is the commit point; ``bm25_index_topk`` scans
+    committed epochs only, so a crashed append is invisible.
+
+    Returns the updated meta."""
+    from ..functions.hashing import md5_hash32
+
+    spark = new_docs.sparkSession
+    meta = _read_bm25_meta(spark, path)
+    if str(epoch) in meta["epochs"]:
+        return meta  # replay of a committed epoch: idempotent no-op
+    id_col, n_buckets = meta["id_col"], meta["n_buckets"]
+    staged = new_docs.select(F.col(id_col), tokens(text_col).alias("arr"))
+    post = _bm25_postings(staged, id_col, n_buckets, md5_hash32)
+    post.withColumn("epoch", F.lit(int(epoch))).repartition(
+        F.col("bucket")
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("epoch", "bucket").parquet(path)
+    meta["epochs"][str(epoch)] = _bm25_epoch_stats(staged)
+    _write_bm25_meta(spark, path, meta)
     return meta
 
 
@@ -1848,18 +1924,16 @@ def bm25_index_topk(
     over that pruned frame, scores, and takes the top-n via the
     TakeOrdered house helper. No corpus-wide work anywhere: cost is
     O(postings of the query terms), the inverted-index promise."""
-    import json
-    import os
-
     from pyspark.sql import Window
 
-    with open(os.path.join(path, "_bm25_meta.json")) as f:
-        meta = json.load(f)
+    meta = _read_bm25_meta(spark, path)
     id_col = meta["id_col"]
     buckets = sorted({term_bucket(t, meta["n_buckets"]) for t in query_terms})
     post = (
         spark.read.parquet(path)
         .filter(F.col("bucket").isin(buckets))
+        # committed epochs only: a crashed append's files are invisible
+        .filter(F.col("epoch").isin(meta["committed_epochs"]))
         .filter(F.col("term").isin(list(query_terms)))
     )
     wdf = Window.partitionBy("term")

@@ -6234,3 +6234,12 @@ ORACLE_SQL["cdc_kafka_emp_state"] = ORACLE_SQL["cdc_emp_state"]
 # contract; the full-probe index read round-trips embeddings exactly),
 # so the oracle IS ss21's, verbatim.
 ORACLE_SQL["ss22_hybrid_index_rrf"] = ORACLE_SQL["ss21_hybrid_rrf"]
+
+
+# ss23 twin: the hybrid RRF ranking served from INCREMENTALLY-MAINTAINED
+# indexes (append_bm25_index + upsert_ivf_index, half the corpus added
+# after the build) must reproduce ss21's inline fused ranking
+# bit-for-bit — BM25 corpus stats are pure sums and the dense side is a
+# full index read, so maintenance changes the physical layout only. The
+# oracle IS ss21's, verbatim.
+ORACLE_SQL["ss23_incremental_index_rrf"] = ORACLE_SQL["ss21_hybrid_rrf"]

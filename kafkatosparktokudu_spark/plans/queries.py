@@ -4738,6 +4738,84 @@ def ss22_hybrid_index_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def ss23_incremental_index_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ss21's hybrid RRF ranking served from INCREMENTALLY-MAINTAINED
+    indexes (r13): both serving indexes are built on half the corpus and
+    the other half is added WITHOUT a rebuild — ``append_bm25_index``
+    (per-epoch postings partitions, sidecar-last commit) on the lexical
+    side and ``upsert_ivf_index`` (frozen-centroid assignment into
+    ``epoch=1`` partitions) on the dense side — and the fused ranking
+    must still reproduce the inline full-corpus query bit-for-bit.
+    Shares ss21's oracle VERBATIM: the materialized-equals-inline
+    contract (ss22) extended to the index MAINTENANCE path, which is the
+    100 TB serving shape — a corpus that grows by ingest batches cannot
+    re-tokenize/re-shuffle the whole index per batch.
+
+    Exactness argument: BM25 corpus stats are pure sums (build(A) +
+    append(B) ≡ build(A ∪ B), pinned postings-file-for-postings-file in
+    tests), and the dense side is a FULL read of the index (probe width
+    is the exactness pin, the ss22 discipline — centroid geometry only
+    affects which files an approximate probe lists, not a full scan), so
+    epochs change the physical layout and nothing else."""
+    import shutil
+    import tempfile
+
+    from ..functions.topk import ranked_top_n
+    from ..functions.vectors import as_double, cosine_literal
+    from ..operators.similarity import (
+        _read_ivf_meta,
+        build_ivf_index,
+        rrf_fuse,
+        upsert_ivf_index,
+    )
+    from ..operators.text import (
+        append_bm25_index,
+        bm25_index_topk,
+        build_bm25_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    tmp = tempfile.mkdtemp(prefix="ss23_")
+    try:
+        # lexical: build on even doc_ids, append the odd half as epoch 1
+        build_bm25_index(docs.filter(F.col("doc_id") % 2 == 0), f"{tmp}/lex")
+        append_bm25_index(
+            docs.filter(F.col("doc_id") % 2 == 1), f"{tmp}/lex", epoch=1
+        )
+        # dense: train+build on even vec_ids, upsert the odd half frozen
+        build_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0), f"{tmp}/dense", n_cells=16
+        )
+        upsert_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 1), f"{tmp}/dense", epoch=1
+        )
+        lex = bm25_index_topk(
+            spark, f"{tmp}/lex", ["merge", "vector", "stream"], top_n=50
+        )
+        committed = _read_ivf_meta(spark, f"{tmp}/dense")["committed_epochs"]
+        scored = (
+            spark.read.parquet(f"{tmp}/dense")
+            .filter(F.col("epoch").isin(committed))
+            .filter(F.col("vec_id") != 0)
+            .select(
+                F.col("vec_id").alias("doc_id"),
+                F.round(
+                    cosine_literal(as_double(F.col("embedding")), qv), 6
+                ).alias("cos_sim"),
+            )
+        )
+        dense = ranked_top_n(
+            scored, [F.col("cos_sim").desc(), F.col("doc_id")], 50
+        )
+        res = rrf_fuse(lex, dense, top_n=20)
+        rows = res.collect()  # materialize before the temp indexes vanish
+        return local_frame(spark, rows, res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # kNN majority-vote labeling (operators/similarity.py::knn_label_vote) —
 # each low-id query vector takes the modal label of its ss05 neighbors
 # (votes DESC, label ASC tie-break); one (q_id,label) agg + one tiny
@@ -4950,7 +5028,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss06_kmeans_clusters": ss06_kmeans_clusters,
     "ss07_pq_encode": ss07_pq_encode,
     "ss08_pq_adc_topk": ss08_pq_adc_topk,
-    "ss09_int8_quantize": ss09_int8_quantize,
     "ss10_ivf_deploy_topk": ss10_ivf_deploy_topk,
     "ss11_mmr_rerank": ss11_mmr_rerank,
     "ss13_pq_rerank_topk": ss13_pq_rerank_topk,
@@ -4990,6 +5067,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NEW in r13: the same fused ranking served from the MATERIALIZED
     # postings + IVF indexes (index-only serving; shares ss21's oracle)
     "ss22_hybrid_index_rrf": ss22_hybrid_index_rrf,
+    # NEW in r13: the fused ranking after INCREMENTAL index maintenance —
+    # half the corpus appended/upserted without a rebuild (shares ss21's
+    # oracle verbatim; the maintenance-equals-rebuild contract)
+    "ss23_incremental_index_rrf": ss23_incremental_index_rrf,
     "dd05_embedding_neardup": dd05_embedding_neardup,
     "st04_ingest_shards": st04_ingest_shards,
     # NEW in r12: the same state through the kafka-shaped source (S1 face)
@@ -5001,7 +5082,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss05_knn_join": ss05_knn_join,
     "ss12_knn_label_vote": ss12_knn_label_vote,
     "ss14_radius_density": ss14_radius_density,
-    # displaced from the r13 window (unchanged, fresh green r12 rows):
+    # displaced from the r13 window (unchanged, fresh green r12 rows;
+    # ss09 yielded its slot to ss23_incremental_index_rrf late in r13):
+    "ss09_int8_quantize": ss09_int8_quantize,
     "q90_distributed_rank": q90_distributed_rank,
     "q91_compaction_bins": q91_compaction_bins,
     "sk01_cms_heavy_hitters": sk01_cms_heavy_hitters,

@@ -164,6 +164,10 @@ EXCLUDED = [
     # fusion ss21's <=100-row join — all three plan classes already
     # covered by their inline/index twins)
     "ss22_hybrid_index_rrf",
+    # ss23: ss22's shape over incrementally-maintained tempdir indexes
+    # (epoch partitions change the layout, not the plan classes — the
+    # probe/read/fusion plans are the same three ss22 defers to)
+    "ss23_incremental_index_rrf",
     # ss21: both fusion inputs are TakeOrdered <=50-row frames (tx26's
     # audited plan + an ss01-shaped scan); the fusion itself is a
     # <=100-row full-outer join — nothing scale-bearing to audit.

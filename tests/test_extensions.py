@@ -3472,3 +3472,179 @@ def test_ranked_top_n_matches_global_window(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bm25_append_equals_full_build(spark, tmp_path):
+    """Incremental postings maintenance (r13): BM25's corpus statistics
+    are pure sums, so build(A) + append(B) must be BIT-identical to
+    build(A ∪ B) — probe results and postings multiset both. Plus the
+    exactly-once contract: a crashed append (files written, sidecar not)
+    is invisible to probes, and replaying the same epoch converges."""
+    import copy
+
+    from kafkatosparktokudu_spark.operators.text import (
+        _read_bm25_meta,
+        _write_bm25_meta,
+        append_bm25_index,
+        bm25_index_topk,
+        build_bm25_index,
+    )
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = docs.filter(F.col("doc_id") < 250)
+    b = docs.filter(F.col("doc_id") >= 250)
+    terms = ["merge", "vector", "stream"]
+    full_path, inc_path = str(tmp_path / "full"), str(tmp_path / "inc")
+
+    def probe(path):
+        return [
+            tuple(r)
+            for r in bm25_index_topk(spark, path, terms, top_n=20).collect()
+        ]
+
+    build_bm25_index(docs, full_path)
+    build_bm25_index(a, inc_path)
+    pre_meta = copy.deepcopy(_read_bm25_meta(spark, inc_path))
+    base_probe = probe(inc_path)
+
+    append_bm25_index(b, inc_path, epoch=1)
+    want = probe(full_path)
+    assert probe(inc_path) == want
+    # postings multiset identical to the one-shot build
+    cols = ["term", "doc_id", "tf", "dl"]
+    fp = sorted(
+        tuple(r) for r in spark.read.parquet(full_path).select(*cols).collect()
+    )
+    ip = sorted(
+        tuple(r) for r in spark.read.parquet(inc_path).select(*cols).collect()
+    )
+    assert fp == ip
+    # cumulative sidecar == one-shot sidecar stats
+    m_full = _read_bm25_meta(spark, full_path)
+    m_inc = _read_bm25_meta(spark, inc_path)
+    assert (m_inc["n_docs"], m_inc["total_dl"]) == (
+        m_full["n_docs"],
+        m_full["total_dl"],
+    )
+    assert m_inc["committed_epochs"] == [0, 1]
+
+    # crash window: roll the sidecar back to the pre-append state — the
+    # epoch-1 files still exist on disk but the probe must not see them
+    _write_bm25_meta(spark, inc_path, copy.deepcopy(pre_meta))
+    assert probe(inc_path) == base_probe
+    # replay of the (now-uncommitted) epoch overwrites its own files and
+    # re-commits: converges to the full-build answer
+    append_bm25_index(b, inc_path, epoch=1)
+    assert probe(inc_path) == want
+    # replay of a COMMITTED epoch is an idempotent no-op
+    m = append_bm25_index(b, inc_path, epoch=1)
+    assert m["committed_epochs"] == [0, 1]
+    assert probe(inc_path) == want
+
+
+def test_ivf_upsert_equals_frozen_assignment(spark, tmp_path):
+    """Incremental IVF maintenance (r13): upsert assigns new vectors with
+    the index's FROZEN centroids, so index contents must equal a frozen-
+    centroid assignment of the union; probes (plain, adaptive-count, and
+    selectivity-scaled filtered) must see the new rows through the
+    updated sidecar; a crashed upsert is invisible; replay converges."""
+    import copy
+
+    from kafkatosparktokudu_spark.functions.vectors import (
+        as_double,
+        cosine_literal,
+    )
+    from kafkatosparktokudu_spark.operators.similarity import (
+        _read_ivf_meta,
+        _write_ivf_meta,
+        build_ivf_index,
+        filtered_ivf_index_topk,
+        ivf_assign,
+        ivf_index_topk,
+        ivf_topk,
+        upsert_ivf_index,
+    )
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "ivf")
+    cents = build_ivf_index(
+        base, path, n_cells=16, partition_cols=("cell", "label")
+    )
+    pre_meta = copy.deepcopy(_read_ivf_meta(spark, path))
+    qv = [
+        float(x)
+        for x in emb.filter("vec_id = 0").select("embedding").head()[0]
+    ]
+
+    def topk():
+        return [
+            (r["vec_id"], r["cos_sim"])
+            for r in ivf_index_topk(
+                spark, path, qv, k=10, nprobe=16, exclude_id=0
+            ).collect()
+        ]
+
+    base_topk = topk()
+    upsert_ivf_index(batch, path, epoch=1)
+
+    # contents == frozen-centroid assignment of the union
+    got = sorted(
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(path).select("vec_id", "cell").collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["cell"])
+        for r in ivf_assign(emb, cents).select("vec_id", "cell").collect()
+    )
+    assert got == want
+    meta = _read_ivf_meta(spark, path)
+    assert sum(meta["cell_counts"].values()) == emb.count()
+    assert meta["committed_epochs"] == [0, 1]
+
+    # full-probe search over the upserted index == index-free search over
+    # the union with the same frozen centroids (bit-exact: parquet
+    # round-trips float arrays)
+    union_topk = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ivf_topk(
+            emb, qv, 10, nprobe=16, exclude_id=0, centroids=cents
+        ).collect()
+    ]
+    assert topk() == union_topk
+
+    # filtered probe at full width == exact filtered brute force over the
+    # union (group_counts grew with the upsert; base_nprobe=16 caps at
+    # n_cells so the probe is exhaustive within the label)
+    res = [
+        (r["vec_id"], r["cos_sim"])
+        for r in filtered_ivf_index_topk(
+            spark, path, qv, k=5, base_nprobe=16, label_value=2, exclude_id=0
+        ).collect()
+    ]
+    brute = [
+        (r["vec_id"], r["cos_sim"])
+        for r in emb.filter((F.col("label") == 2) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            F.round(
+                cosine_literal(as_double(F.col("embedding")), qv), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(5)
+        .collect()
+    ]
+    assert res == brute
+
+    # crash window: sidecar rolled back — epoch-1 rows invisible
+    _write_ivf_meta(spark, path, copy.deepcopy(pre_meta))
+    assert topk() == base_topk
+    # replay converges, committed replay is a no-op
+    upsert_ivf_index(batch, path, epoch=1)
+    assert topk() == union_topk
+    m = upsert_ivf_index(batch, path, epoch=1)
+    assert m["committed_epochs"] == [0, 1]
