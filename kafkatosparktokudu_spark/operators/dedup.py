@@ -1675,3 +1675,101 @@ def containment_pairs(
         (F.greatest("cont_a_ppm", "cont_b_ppm") >= 900_000)
         & (F.col("jaccard_ppm") < 700_000),
     )
+
+
+def record_linkage_pairs(
+    recs: DataFrame,
+    key_col: str,
+    name_col: str,
+    block_cols: tuple[str, ...] = (),
+    band_col: str | None = None,
+    max_edit: int = 4,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Blocked ENTITY RESOLUTION candidate pairs within one record set —
+    the Fellegi-Sunter/merge-purge record-linkage shape (Hernandez &
+    Stolfo 1995: multi-pass blocking, then exact comparison on the
+    candidates only), distinct from document dedup: records are short
+    structured rows (catalog entries, parties, addresses) and the match
+    decision composes several attribute comparisons, not one text
+    similarity.
+
+    Blocking (what bounds the pair mass — never all-pairs):
+
+    - equality on every ``block_cols`` column (e.g. a category);
+    - MULTI-PASS name-token blocking: two candidates must share their
+      FIRST or their LAST name token (kind-matched; two exploded rows
+      per record). One token pass alone misses pairs that differ in
+      exactly that token — the classic multi-pass fix, and the recall
+      trade is measurable: on the sf0.01 part catalog the union pass
+      holds 2,604 of the 2,646 same-type-size-band pairs at edit<=4
+      (98.4%; the 42 missed differ in BOTH tokens);
+    - optional ±1 banding on an integer ``band_col`` (e.g. a size):
+      each record lands in slots {v, v+1}, so two records share a slot
+      iff |Δv| <= 1 — the pigeonhole band join, all hash joins, no
+      range join.
+
+    Verification: exact Levenshtein on ``name_col`` over candidates
+    only, kept at ``edit_dist <= max_edit``. ``carry_cols`` ride along
+    as ``<col>_a``/``<col>_b`` for downstream match scoring (the query
+    face composes the agreement weights — attribute semantics belong to
+    the caller).
+
+    Scale shape: pair mass = sum over blocks of |block|² with block =
+    (block_cols, token kind+value, band slot) — real catalogs make the
+    token dimension high-cardinality, which is what keeps this
+    sub-quadratic; a skewed block (one dominant token) is visible in
+    dq05's skew report and wants either a longer blocking key or
+    salting. Output: (key_a, key_b, name_a, name_b, edit_dist,
+    carries...), key_a < key_b.
+    """
+    toks = F.split(F.col(name_col), " ")
+    token = F.explode(
+        F.array(
+            F.struct(
+                F.lit(0).alias("tk"), F.element_at(toks, 1).alias("tv")
+            ),
+            F.struct(
+                F.lit(1).alias("tk"), F.element_at(toks, -1).alias("tv")
+            ),
+        )
+    ).alias("token")
+    keep = {key_col, name_col, *block_cols, *carry_cols}
+    if band_col is not None:
+        keep.add(band_col)
+    staged = recs.select(
+        *[F.col(c) for c in recs.columns if c in keep], token
+    ).select(
+        *[c for c in recs.columns if c in keep],
+        F.col("token.tk").alias("tk"),
+        F.col("token.tv").alias("tv"),
+    )
+    if band_col is not None:
+        staged = staged.withColumn(
+            "slot", F.explode(F.array(F.col(band_col), F.col(band_col) + 1))
+        )
+    join_keys = [*block_cols, "tk", "tv"] + (
+        ["slot"] if band_col is not None else []
+    )
+    sides = {}
+    for s in ("a", "b"):
+        sides[s] = staged.select(
+            *[F.col(k) for k in join_keys],
+            F.col(key_col).alias(f"key_{s}"),
+            F.col(name_col).alias(f"name_{s}"),
+            *[
+                F.col(c).alias(f"{c}_{s}")
+                for c in carry_cols
+                if c not in block_cols
+            ],
+        )
+    pairs = (
+        sides["a"]
+        .join(sides["b"], join_keys)
+        .filter(F.col("key_a") < F.col("key_b"))
+        .drop("tk", "tv", "slot")
+        .distinct()  # multi-pass/band slots propose a pair more than once
+    )
+    return pairs.withColumn(
+        "edit_dist", F.levenshtein("name_a", "name_b").cast("int")
+    ).filter(F.col("edit_dist") <= max_edit)

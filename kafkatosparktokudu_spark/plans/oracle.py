@@ -6243,3 +6243,51 @@ ORACLE_SQL["ss22_hybrid_index_rrf"] = ORACLE_SQL["ss21_hybrid_rrf"]
 # full index read, so maintenance changes the physical layout only. The
 # oracle IS ss21's, verbatim.
 ORACLE_SQL["ss23_incremental_index_rrf"] = ORACLE_SQL["ss21_hybrid_rrf"]
+
+
+# dd18: catalog entity resolution — the oracle replays the multi-pass
+# blocking (same p_type, shared first-OR-last name token, |Δp_size|<=1 —
+# the OR form is set-equal to the engine's pigeonhole slot join), exact
+# Levenshtein verify, and the integer Fellegi-Sunter agreement weights.
+# Cents go through DECIMAL(12,2) on both sides so the price comparison
+# is exact-integer (the functions/exact.py discipline).
+ORACLE_SQL["dd18_record_linkage"] = """
+    WITH p AS (
+        SELECT p_partkey, p_name, p_brand, p_type, p_size,
+               split_part(p_name, ' ', 1) AS tok1,
+               split_part(p_name, ' ', -1) AS tok2,
+               CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM part
+    ),
+    cand AS (
+        SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INTEGER)
+                   AS edit_dist,
+               CAST(abs(a.p_size - b.p_size) AS INTEGER) AS size_diff,
+               CAST(CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END
+                    AS INTEGER) AS same_brand,
+               abs(a.cents - b.cents) AS price_diff_cents
+        FROM p a JOIN p b
+          ON a.p_type = b.p_type
+         AND abs(a.p_size - b.p_size) <= 1
+         AND (a.tok1 = b.tok1 OR a.tok2 = b.tok2)
+         AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 4
+    ),
+    scored AS (
+        SELECT *,
+               CAST((CASE WHEN edit_dist <= 1 THEN 40
+                          WHEN edit_dist <= 2 THEN 30 ELSE 15 END)
+                  + (CASE WHEN size_diff = 0 THEN 20 ELSE 8 END)
+                  + (same_brand * 25)
+                  + (CASE WHEN price_diff_cents <= 50 THEN 15 ELSE 0 END)
+                  AS INTEGER) AS match_score
+        FROM cand
+    )
+    SELECT part_a, part_b, edit_dist, size_diff, same_brand,
+           price_diff_cents, match_score,
+           CAST(CASE WHEN match_score >= 60 THEN 1 ELSE 0 END AS INTEGER)
+               AS is_match
+    FROM scored
+"""

@@ -2283,6 +2283,59 @@ def tx29_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def dd18_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog ENTITY RESOLUTION (r13 — the cross-attribute record-
+    linkage shape, distinct from document dedup): part pairs proposed by
+    multi-pass blocking (same p_type, shared first-OR-last name token,
+    p_size within ±1 via pigeonhole slots — operators/dedup.py::
+    record_linkage_pairs), verified with exact Levenshtein ≤ 4, then
+    scored Fellegi-Sunter-style with INTEGER agreement weights over
+    four attributes: name distance (40/30/15), exact size (20/8), brand
+    agreement (25/0), retail price within 50 cents (15/0; cents via
+    DECIMAL(12,2) so both engines compare exact integers). is_match at
+    score ≥ 60. Everything integer → hash-exact."""
+    from ..operators.dedup import record_linkage_pairs
+
+    pairs = record_linkage_pairs(
+        _t(spark, sf_dir, "part"),
+        key_col="p_partkey",
+        name_col="p_name",
+        block_cols=("p_type",),
+        band_col="p_size",
+        max_edit=4,
+        carry_cols=("p_brand", "p_retailprice", "p_size"),
+    )
+
+    def cents(c: str) -> F.Column:
+        return (F.col(c).cast("decimal(12,2)") * 100).cast("bigint")
+
+    name_w = (
+        F.when(F.col("edit_dist") <= 1, 40)
+        .when(F.col("edit_dist") <= 2, 30)
+        .otherwise(15)
+    )
+    size_w = F.when(F.col("p_size_a") == F.col("p_size_b"), 20).otherwise(8)
+    brand_w = F.when(F.col("p_brand_a") == F.col("p_brand_b"), 25).otherwise(0)
+    price_diff = F.abs(cents("p_retailprice_a") - cents("p_retailprice_b"))
+    price_w = F.when(price_diff <= 50, 15).otherwise(0)
+    score = (name_w + size_w + brand_w + price_w).cast("int")
+    return pairs.select(
+        F.col("key_a").alias("part_a"),
+        F.col("key_b").alias("part_b"),
+        "edit_dist",
+        F.abs(F.col("p_size_a") - F.col("p_size_b")).cast("int").alias(
+            "size_diff"
+        ),
+        F.when(F.col("p_brand_a") == F.col("p_brand_b"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("same_brand"),
+        price_diff.alias("price_diff_cents"),
+        score.alias("match_score"),
+        F.when(score >= 60, 1).otherwise(0).cast("int").alias("is_match"),
+    )
+
+
 def dd07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import duplicate_clusters, neardup_pairs_jaccard
 
@@ -5019,6 +5072,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # consumer of the CC helper gets a fresh driver stamp); q90/q91/sk01/
     # ss01/ss02 — unchanged, fresh green r12 rows — yield these slots
     "dd07_dup_clusters": dd07_dup_clusters,
+    # NEW in r13: multi-pass-blocked entity resolution (record linkage)
+    "dd18_record_linkage": dd18_record_linkage,
     "dd15_soft_dedup_weights": dd15_soft_dedup_weights,
     "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,
     "px16_quality_aware_dedup": px16_quality_aware_dedup,
@@ -5030,7 +5085,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss08_pq_adc_topk": ss08_pq_adc_topk,
     "ss10_ivf_deploy_topk": ss10_ivf_deploy_topk,
     "ss11_mmr_rerank": ss11_mmr_rerank,
-    "ss13_pq_rerank_topk": ss13_pq_rerank_topk,
     "ss15_ivf_trained_topk": ss15_ivf_trained_topk,
     "ss16_ivfadc_topk": ss16_ivfadc_topk,
     "tx22_source_overlap": tx22_source_overlap,
@@ -5083,8 +5137,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss12_knn_label_vote": ss12_knn_label_vote,
     "ss14_radius_density": ss14_radius_density,
     # displaced from the r13 window (unchanged, fresh green r12 rows;
-    # ss09 yielded its slot to ss23_incremental_index_rrf late in r13):
+    # ss09/ss13 yielded their slots to ss23_incremental_index_rrf and
+    # dd18_record_linkage late in r13):
     "ss09_int8_quantize": ss09_int8_quantize,
+    "ss13_pq_rerank_topk": ss13_pq_rerank_topk,
     "q90_distributed_rank": q90_distributed_rank,
     "q91_compaction_bins": q91_compaction_bins,
     "sk01_cms_heavy_hitters": sk01_cms_heavy_hitters,

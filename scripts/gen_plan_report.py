@@ -101,6 +101,8 @@ HEADLINE = [
     "tx26_bm25_rank",
     "gr07_link_prediction",
     "q97_rolling_distinct",
+    # round-13 additions
+    "dd18_record_linkage",
 ]
 
 

@@ -3648,3 +3648,45 @@ def test_ivf_upsert_equals_frozen_assignment(spark, tmp_path):
     assert topk() == union_topk
     m = upsert_ivf_index(batch, path, epoch=1)
     assert m["committed_epochs"] == [0, 1]
+
+
+def test_record_linkage_multipass_blocking(spark):
+    """record_linkage_pairs (dd18): multi-pass token blocking must
+    propose a pair when EITHER name token matches (first-token pass
+    catches last-token edits and vice versa), the ±1 pigeonhole band
+    must exclude |Δband| >= 2, pairs differing in BOTH tokens are the
+    documented miss, and each pair appears once (key_a < key_b) even
+    when several passes propose it."""
+    from kafkatosparktokudu_spark.operators.dedup import (
+        record_linkage_pairs,
+    )
+
+    rows = [
+        # (key, name, cat, size)
+        (1, "red widget", "A", 10),
+        (2, "red widgets", "A", 10),   # last-token edit: tok1 pass
+        (3, "ted widget", "A", 11),    # first-token edit: tok2 pass, band +1
+        (4, "red widget", "A", 12),    # vs 1: band gap 2 → out; vs 3: in
+        (5, "blu gadget", "A", 10),    # both tokens differ from 1: no pair
+        (6, "red widget", "B", 10),    # other block: out
+    ]
+    recs = spark.createDataFrame(
+        rows, "key bigint, name string, cat string, size int"
+    )
+    got = {
+        (r["key_a"], r["key_b"]): r["edit_dist"]
+        for r in record_linkage_pairs(
+            recs,
+            key_col="key",
+            name_col="name",
+            block_cols=("cat",),
+            band_col="size",
+            max_edit=4,
+        ).collect()
+    }
+    # (2,3) differs in BOTH tokens (red/ted, widgets/widget) — the
+    # documented multi-pass miss even though lev("red widgets",
+    # "ted widget") = 2; (3,4) shares tok2 "widget" at band +1.
+    assert set(got) == {(1, 2), (1, 3), (3, 4)}, got
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(3, 4)] == 1
+    # (1,2) shares BOTH tokens' passes and both band slots — still one row
