@@ -357,6 +357,53 @@ def main() -> None:
     finally:
         shutil.rmtree(hy_tmp, ignore_errors=True)
 
+    # Incremental index maintenance (r13): appending a 10% ingest batch
+    # must cost ~the batch, not the corpus — keys bm25_append_batch vs
+    # bm25_rebuild_full (tokenize batch + dynamic epoch overwrite vs the
+    # full tokenize shuffle) and ivf_upsert_batch vs ivf_rebuild_full
+    # (frozen-centroid assign vs retrain + full rewrite). Batch = 10% of
+    # the corpus re-keyed past the id space (append-only contract).
+    from kafkatosparktokudu_spark.operators.similarity import (
+        build_ivf_index,
+        upsert_ivf_index,
+    )
+    from kafkatosparktokudu_spark.operators.text import append_bm25_index
+
+    inc_tmp = tempfile.mkdtemp(prefix="bench_incidx_")
+    try:
+        spark.catalog.clearCache()
+        n_docs = bm_docs.count()
+        doc_batch = bm_docs.filter(F.col("doc_id") < n_docs // 10).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+        grown_docs = bm_docs.select("doc_id", "text").unionByName(doc_batch)
+        build_bm25_index(bm_docs, f"{inc_tmp}/lex")  # untimed base
+        start = time.time()
+        append_bm25_index(doc_batch, f"{inc_tmp}/lex", epoch=1)
+        secondary["bm25_append_batch"] = round(time.time() - start, 3)
+        start = time.time()
+        build_bm25_index(grown_docs, f"{inc_tmp}/lex_rebuild")
+        secondary["bm25_rebuild_full"] = round(time.time() - start, 3)
+
+        n_vecs = hy_emb.count()
+        vec_batch = hy_emb.filter(F.col("vec_id") < n_vecs // 10).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        grown_emb = hy_emb.select("vec_id", "embedding", "label").unionByName(
+            vec_batch
+        )
+        build_ivf_index(hy_emb, f"{inc_tmp}/ivf", n_cells=16)  # untimed
+        start = time.time()
+        upsert_ivf_index(vec_batch, f"{inc_tmp}/ivf", epoch=1)
+        secondary["ivf_upsert_batch"] = round(time.time() - start, 3)
+        start = time.time()
+        build_ivf_index(grown_emb, f"{inc_tmp}/ivf_rebuild", n_cells=16)
+        secondary["ivf_rebuild_full"] = round(time.time() - start, 3)
+    finally:
+        shutil.rmtree(inc_tmp, ignore_errors=True)
+
     # CDC throughput: full parse→normalize→fold→MERGE of a synthetic batch
     from kafkatosparktokudu_spark.cdc import sync_batch
 

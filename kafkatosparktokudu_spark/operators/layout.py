@@ -639,3 +639,68 @@ def grouped_budget_selection(
             ).alias("selected"),
         )
     )
+
+
+def compact_epoch_partitions(
+    spark,
+    path: str,
+    committed: list[int],
+    partition_cols: tuple[str, ...],
+    repartition_col: str,
+) -> int:
+    """Fold the COMMITTED ``epoch=N`` partitions of an incrementally-
+    maintained index (text.build_bm25_index / similarity.build_ivf_index
+    layouts) into ONE fresh epoch directory — the lifecycle step after
+    many appends: epoch count and small-file count reset to one
+    build-shaped layout WITHOUT paying the build's tokenize/train cost
+    (rows are already bucketed/celled; this is one column-pruned scan of
+    the committed epochs + one repartition-on-the-partition-column
+    write).
+
+    Returns the new epoch id C = max(committed) + 1 after the data is IN
+    PLACE under ``epoch=C``; the CALLER then commits by rewriting the
+    sidecar with the folded per-epoch stats (sidecar-last, the same
+    commit discipline as append/upsert) and finally deletes the folded
+    epoch directories (``cleanup_foreign_epochs``).
+
+    Crash-safe by replay: the fold writes to a ``_compact`` staging
+    subtree (underscore-prefixed — invisible to parquet discovery), then
+    renames ``_compact/epoch=C`` into place. Every window re-runs clean:
+    stale staging and a half-landed ``epoch=C`` are deleted up front,
+    and until the caller's sidecar write, probes still read the old
+    committed set."""
+    from ..streaming.fsio import delete_dir, rename
+
+    new_epoch = max(committed) + 1
+    staging = f"{path}/_compact"
+    delete_dir(spark, staging)  # stale from a crashed prior run
+    delete_dir(spark, f"{path}/epoch={new_epoch}")  # half-landed rename
+    rows = spark.read.parquet(path).filter(F.col("epoch").isin(committed))
+    (
+        rows.withColumn("epoch", F.lit(int(new_epoch)))
+        .repartition(F.col(repartition_col))
+        .write.mode("overwrite")
+        .partitionBy("epoch", *partition_cols)
+        .parquet(staging)
+    )
+    rename(spark, f"{staging}/epoch={new_epoch}", f"{path}/epoch={new_epoch}")
+    delete_dir(spark, staging)
+    return new_epoch
+
+
+def cleanup_foreign_epochs(spark, path: str, committed: list[int]) -> int:
+    """Delete every ``epoch=N`` directory under ``path`` whose id is NOT
+    in the committed set — the final step of compaction (removes the
+    folded epochs) and the janitor for crashed appends (an uncommitted
+    epoch's files are invisible to probes but still occupy storage; a
+    replay after this cleanup simply rewrites them). Returns how many
+    directories were removed."""
+    from ..streaming.fsio import delete_dir, list_epochs
+
+    keep = set(committed)
+    n = 0
+    for e in list_epochs(spark, path):
+        if e not in keep:
+            delete_dir(spark, f"{path}/epoch={e}")
+            n += 1
+    return n

@@ -2144,3 +2144,34 @@ def knn_label_vote(
         .filter(F.col("_r") == 1)
         .select("q_id", F.col("label").alias("pred_label"), "n_votes")
     )
+
+
+def compact_ivf_index(spark, path: str) -> dict:
+    """Fold an upserted IVF index back to ONE epoch — the lifecycle step
+    after many ``upsert_ivf_index`` batches. Centroids, per-cell (and
+    per-(cell,label)) counts, and every row are preserved, so probes are
+    BIT-UNCHANGED; the fold is one cell-partitioned scan + repartition
+    write (layout.compact_epoch_partitions — no retrain). Same commit
+    discipline as upsert: staging+rename, sidecar rewrite is the commit
+    point, folded epoch dirs deleted last; every crash window re-runs
+    clean."""
+    from .layout import cleanup_foreign_epochs, compact_epoch_partitions
+
+    meta = _read_ivf_meta(spark, path)
+    committed = meta["committed_epochs"]
+    if len(committed) == 1:
+        cleanup_foreign_epochs(spark, path, committed)
+        return meta
+    pcols = tuple(meta.get("partition_cols", ["cell"]))
+    folded = {"cell_counts": dict(meta["cell_counts"])}
+    if "group_counts" in meta:
+        folded["group_counts"] = dict(meta["group_counts"])
+    new_epoch = compact_epoch_partitions(spark, path, committed, pcols, "cell")
+    meta2 = {
+        "centroids": meta["centroids"],
+        "partition_cols": list(pcols),
+        "epochs": {str(new_epoch): folded},
+    }
+    _write_ivf_meta(spark, path, meta2)
+    cleanup_foreign_epochs(spark, path, meta2["committed_epochs"])
+    return meta2

@@ -2039,3 +2039,34 @@ def gopher_rules(docs: DataFrame, min_stops: int = 2) -> DataFrame:
     for f in flags:
         passed = passed & F.col(f)
     return out.withColumn("passed", passed)
+
+
+def compact_bm25_index(spark, path: str) -> dict:
+    """Fold an appended postings index back to ONE epoch — the lifecycle
+    step after many ``append_bm25_index`` batches (epoch dirs and small
+    files accumulate per append; compaction resets both without the
+    build's tokenize shuffle — one bucket-pruned scan + one repartition
+    write, layout.compact_epoch_partitions). Probe results are
+    BIT-UNCHANGED (postings rows and sidecar sums are preserved; pinned
+    in tests). Crash-safe by replay: data folds into a fresh epoch via
+    staging+rename, the sidecar rewrite is the commit point, folded
+    epoch dirs are deleted last (a crash anywhere re-runs clean)."""
+    from .layout import cleanup_foreign_epochs, compact_epoch_partitions
+
+    meta = _read_bm25_meta(spark, path)
+    committed = meta["committed_epochs"]
+    if len(committed) == 1:
+        cleanup_foreign_epochs(spark, path, committed)
+        return meta
+    folded = {"n_docs": meta["n_docs"], "total_dl": meta["total_dl"]}
+    new_epoch = compact_epoch_partitions(
+        spark, path, committed, ("bucket",), "bucket"
+    )
+    meta2 = {
+        "n_buckets": meta["n_buckets"],
+        "id_col": meta["id_col"],
+        "epochs": {str(new_epoch): folded},
+    }
+    _write_bm25_meta(spark, path, meta2)
+    cleanup_foreign_epochs(spark, path, meta2["committed_epochs"])
+    return meta2

@@ -168,6 +168,30 @@ def delete_direct_files(
     return n
 
 
+def delete_dir(spark: SparkSession, dir_uri: str) -> bool:
+    """Recursively delete a directory (no-op returning False when it
+    does not exist) via the Hadoop FileSystem API — the cleanup step of
+    index compaction, remote-capable like every helper here."""
+    fs, path = _fs_and_path(spark, dir_uri)
+    if not fs.exists(path):
+        return False
+    return bool(fs.delete(path, True))
+
+
+def rename(spark: SparkSession, src_uri: str, dst_uri: str) -> None:
+    """Rename/move a file or directory via the Hadoop FileSystem API.
+    Fails loudly if the source is absent or the rename is refused (e.g.
+    destination exists) — callers stage-then-rename, so a refused rename
+    means a replayed step whose destination already landed: delete the
+    stale destination first if overwrite semantics are wanted."""
+    fs, src = _fs_and_path(spark, src_uri)
+    dst = spark._jvm.org.apache.hadoop.fs.Path(dst_uri)
+    if not fs.exists(src):
+        raise FileNotFoundError(f"rename source missing: {src_uri}")
+    if not fs.rename(src, dst):
+        raise OSError(f"rename {src_uri} -> {dst_uri} refused")
+
+
 def prune_epochs(
     spark: SparkSession, dir_uri: str, keep_latest: int
 ) -> list[int]:

@@ -3690,3 +3690,116 @@ def test_record_linkage_multipass_blocking(spark):
     assert set(got) == {(1, 2), (1, 3), (3, 4)}, got
     assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(3, 4)] == 1
     # (1,2) shares BOTH tokens' passes and both band slots — still one row
+
+
+def test_index_compaction_preserves_probes(spark, tmp_path):
+    """Compaction (r13 lifecycle step 3: build → append* → compact):
+    probe results BIT-unchanged for both indexes, epoch set folds to
+    one, folded dirs are gone, a crashed-append orphan dir is janitored,
+    appends continue after compaction (epoch ids keep growing), and a
+    re-run is a no-op."""
+    import copy
+
+    from kafkatosparktokudu_spark.operators.similarity import (
+        _read_ivf_meta,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_index_topk,
+        upsert_ivf_index,
+    )
+    from kafkatosparktokudu_spark.operators.text import (
+        _read_bm25_meta,
+        _write_bm25_meta,
+        append_bm25_index,
+        bm25_index_topk,
+        build_bm25_index,
+        compact_bm25_index,
+    )
+    from kafkatosparktokudu_spark.sources.batch import load_table
+    from kafkatosparktokudu_spark.streaming.fsio import list_epochs
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    lex = str(tmp_path / "lex")
+    build_bm25_index(docs.filter(F.col("doc_id") < 200), lex)
+    append_bm25_index(
+        docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 350)),
+        lex,
+        epoch=1,
+    )
+    append_bm25_index(docs.filter(F.col("doc_id") >= 350), lex, epoch=2)
+    # plant a crashed-append orphan: run a real append (proper epoch=5/
+    # bucket=N layout), then roll the sidecar back — files exist on disk
+    # but the epoch was never committed
+    committed_meta = copy.deepcopy(_read_bm25_meta(spark, lex))
+    append_bm25_index(
+        docs.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 8000000).alias("doc_id"), "text"
+        ),
+        lex,
+        epoch=5,
+    )
+    _write_bm25_meta(spark, lex, committed_meta)
+    terms = ["merge", "vector", "stream"]
+
+    def probe(path):
+        return [
+            tuple(r)
+            for r in bm25_index_topk(spark, path, terms, top_n=20).collect()
+        ]
+
+    before = probe(lex)
+    m = compact_bm25_index(spark, lex)
+    assert probe(lex) == before
+    assert len(m["committed_epochs"]) == 1 and m["committed_epochs"] == [3]
+    assert list_epochs(spark, lex) == [3]  # folded dirs AND orphan gone
+    # appends continue after compaction
+    extra = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 9000000).alias("doc_id"), "text"
+    )
+    append_bm25_index(extra, lex, epoch=4)
+    assert _read_bm25_meta(spark, lex)["committed_epochs"] == [3, 4]
+    assert len(probe(lex)) == 20
+    # re-compaction of a multi-epoch store folds again; compacting a
+    # single-epoch store is a cleanup-only no-op
+    compact_bm25_index(spark, lex)
+    m2 = compact_bm25_index(spark, lex)
+    assert len(m2["committed_epochs"]) == 1
+    assert probe(lex) == probe(lex)  # stable reads after the fold
+
+    # --- IVF side ---
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") < 300), ivf, n_cells=16,
+        partition_cols=("cell", "label"),
+    )
+    upsert_ivf_index(
+        emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)),
+        ivf,
+        epoch=1,
+    )
+    upsert_ivf_index(emb.filter(F.col("vec_id") >= 400), ivf, epoch=2)
+    qv = [
+        float(x)
+        for x in emb.filter("vec_id = 0").select("embedding").head()[0]
+    ]
+
+    def itopk():
+        return [
+            (r["vec_id"], r["cos_sim"])
+            for r in ivf_index_topk(
+                spark, ivf, qv, k=10, nprobe=16, exclude_id=0
+            ).collect()
+        ]
+
+    ibefore = itopk()
+    im = compact_ivf_index(spark, ivf)
+    assert itopk() == ibefore
+    assert im["committed_epochs"] == [3]
+    assert list_epochs(spark, ivf) == [3]
+    imeta = _read_ivf_meta(spark, ivf)
+    assert sum(imeta["cell_counts"].values()) == emb.count()
+    # the (cell,label) selectivity stats survive the fold
+    assert "group_counts" in imeta and sum(
+        imeta["group_counts"].values()
+    ) == emb.count()
