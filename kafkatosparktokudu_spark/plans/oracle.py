@@ -6291,3 +6291,10 @@ ORACLE_SQL["dd18_record_linkage"] = """
                AS is_match
     FROM scored
 """
+
+
+# st14 twin: the BM25 index maintained LIVE from a two-batch stream
+# (build + appended epoch) must serve tx26's inline ranking bit-for-bit
+# — append ≡ one-shot build (pure-sum corpus stats) composed with
+# bm25_index_topk ≡ bm25_rank (tx29). The oracle IS tx26's, verbatim.
+ORACLE_SQL["st14_stream_index_sync"] = ORACLE_SQL["tx26_bm25_rank"]

@@ -4523,6 +4523,48 @@ def st09_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def st14_stream_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming maintenance of the BM25 postings index (r13 —
+    streaming/pipeline.py::start_bm25_index_sync): the corpus arrives as
+    TWO micro-batches (two source files, maxFilesPerTrigger=1), the
+    first builds the index, the second appends its own committed epoch;
+    the probe over the streamed index must equal tx26's inline ranking
+    over the whole corpus bit-for-bit — shares tx26's oracle VERBATIM
+    (build+append ≡ one-shot build is the pinned append contract, and
+    bm25_index_topk ≡ bm25_rank is tx29's). Restart/replay parity is
+    pinned live in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from ..operators.text import bm25_index_topk
+    from ..streaming.pipeline import start_bm25_index_sync
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="st14_")
+    try:
+        src = f"{tmp}/src"
+        half = F.col("doc_id") % 2
+        docs.filter(half == 0).repartition(1).write.parquet(src)
+        docs.filter(half == 1).repartition(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_bm25_index_sync(
+            spark, stream, f"{tmp}/idx", f"{tmp}/ckpt", available_now=True
+        )
+        # returns False on timeout — never read a partial index (ADVICE r12)
+        assert q.awaitTermination(300), "streaming drain timed out after 300s"
+        res = bm25_index_topk(
+            spark, f"{tmp}/idx", ["merge", "vector", "stream"], top_n=20
+        )
+        rows = res.collect()  # materialize before the temp dirs vanish
+        return local_frame(spark, rows, res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Stateful streaming top-k leaderboard run LIVE (streaming/pipeline.py::
 # stream_topk_per_key, applyInPandasWithState): per event_type the
 # current top-3 (value DESC, event_id tie-break) — the
@@ -5068,6 +5110,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st11_stream_funnel": st11_stream_funnel,
     "st12_stream_sessionize": st12_stream_sessionize,
     "st13_stream_zscore": st13_stream_zscore,
+    # NEW in r13: live streaming BM25 index maintenance (tx26's oracle)
+    "st14_stream_index_sync": st14_stream_index_sync,
     # riders of the single-collect duplicate_clusters restructure (every
     # consumer of the CC helper gets a fresh driver stamp); q90/q91/sk01/
     # ss01/ss02 — unchanged, fresh green r12 rows — yield these slots
@@ -5081,7 +5125,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss03_ann_lsh_topk": ss03_ann_lsh_topk,
     "ss04_ivf_topk": ss04_ivf_topk,
     "ss06_kmeans_clusters": ss06_kmeans_clusters,
-    "ss07_pq_encode": ss07_pq_encode,
     "ss08_pq_adc_topk": ss08_pq_adc_topk,
     "ss10_ivf_deploy_topk": ss10_ivf_deploy_topk,
     "ss11_mmr_rerank": ss11_mmr_rerank,
@@ -5137,8 +5180,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss12_knn_label_vote": ss12_knn_label_vote,
     "ss14_radius_density": ss14_radius_density,
     # displaced from the r13 window (unchanged, fresh green r12 rows;
-    # ss09/ss13 yielded their slots to ss23_incremental_index_rrf and
-    # dd18_record_linkage late in r13):
+    # ss07/ss09/ss13 yielded their slots to ss23_incremental_index_rrf,
+    # dd18_record_linkage and st14_stream_index_sync late in r13):
+    "ss07_pq_encode": ss07_pq_encode,
     "ss09_int8_quantize": ss09_int8_quantize,
     "ss13_pq_rerank_topk": ss13_pq_rerank_topk,
     "q90_distributed_rank": q90_distributed_rank,

@@ -1511,3 +1511,66 @@ def stream_ohlc(
             "v_sum",
         )
     )
+
+
+def start_bm25_index_sync(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    n_buckets: int = 64,
+    available_now: bool = False,
+    trigger_interval: str = "5 seconds",
+) -> StreamingQuery:
+    """Keep a materialized BM25 postings index fresh FROM A STREAM — the
+    streaming face of ``operators.text.append_bm25_index`` (r13): each
+    micro-batch of documents tokenizes itself and lands as its own
+    committed epoch; the serving tier's probes (``bm25_index_topk``)
+    see every drained document with zero rebuild work.
+
+    Exactly-once shape, layered on the batch operators' own contracts:
+    the first batch (no sidecar yet) runs ``build_bm25_index``; every
+    later batch appends under ``epoch = streaming epoch id``. A replayed
+    epoch either (a) never committed — the dynamic partition overwrite
+    rewrites its own files and the sidecar commit lands once — or
+    (b) already committed — the append is an idempotent no-op. A crash
+    before the first sidecar re-runs the build (mode=overwrite of an
+    index only that batch populated). Streaming epoch ids are
+    monotonically increasing, so compaction's fresh-epoch rule (max+1)
+    can collide with a FUTURE streaming epoch — run
+    ``compact_bm25_index`` only while the sync is stopped (documented,
+    same as every store-rewrite op in this repo).
+
+    ``docs_stream`` must carry (doc_id, text); doc_ids must be new
+    across batches (the append-only contract). ``index_path`` and
+    ``checkpoint_dir`` live and die TOGETHER (the standard contract of
+    every epoch-id-idempotent foreachBatch sink here): starting a FRESH
+    checkpoint against an existing index restarts epoch ids at 0, whose
+    appends would no-op against the old commits."""
+    from ..operators.text import (
+        _read_bm25_meta,
+        append_bm25_index,
+        build_bm25_index,
+    )
+
+    def _sync(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        docs = batch_df.select("doc_id", "text")
+        try:
+            _read_bm25_meta(spark, index_path)
+        except FileNotFoundError:
+            build_bm25_index(docs, index_path, n_buckets=n_buckets)
+            return
+        append_bm25_index(docs, index_path, epoch=int(epoch_id))
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_sync)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("bm25_index_sync")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

@@ -170,6 +170,9 @@ EXCLUDED = [
     # (epoch partitions change the layout, not the plan classes — the
     # probe/read/fusion plans are the same three ss22 defers to)
     "ss23_incremental_index_rrf",
+    # st14: live streaming drain (foreachBatch index maintenance) +
+    # tx29's audited probe plan over the resulting tempdir index
+    "st14_stream_index_sync",
     # ss21: both fusion inputs are TakeOrdered <=50-row frames (tx26's
     # audited plan + an ss01-shaped scan); the fusion itself is a
     # <=100-row full-outer join — nothing scale-bearing to audit.

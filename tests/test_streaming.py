@@ -2405,3 +2405,61 @@ def test_enrich_epoch_bucket_pruning_equivalence(spark, tmp_path):
     enrich_epoch(batch, 1, store, out, "user_id", how="full_outer")
     fo = spark.read.parquet(f"{out}/epoch=1")
     assert fo.select("user_id").distinct().count() == 501  # 500 dims + 9999
+
+
+def test_stream_bm25_index_sync_restart_parity(spark, tmp_path):
+    """start_bm25_index_sync (r13): the index maintained across a STOP +
+    RESTART (file 1 drained, query stopped, file 2 drained on the same
+    checkpoint) must serve the one-shot build's ranking bit-for-bit —
+    the append epoch-commit contract carried through Structured
+    Streaming's epoch-id replay machinery."""
+    import pyspark.sql.functions as F
+
+    from kafkatosparktokudu_spark.operators.text import (
+        bm25_index_topk,
+        build_bm25_index,
+    )
+    from kafkatosparktokudu_spark.sources.batch import load_table
+    from kafkatosparktokudu_spark.streaming.pipeline import (
+        start_bm25_index_sync,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter(F.col("doc_id") < 250).repartition(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_bm25_index_sync(spark, stream, idx, ckpt, available_now=True)
+    assert q.awaitTermination(300)
+
+    # second file lands AFTER the first drain; same checkpoint resumes
+    docs.filter(F.col("doc_id") >= 250).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = start_bm25_index_sync(spark, stream2, idx, ckpt, available_now=True)
+    assert q2.awaitTermination(300)
+
+    oneshot = str(tmp_path / "oneshot")
+    build_bm25_index(docs, oneshot)
+    terms = ["merge", "vector", "stream"]
+    got = [
+        tuple(r) for r in bm25_index_topk(spark, idx, terms, 20).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in bm25_index_topk(spark, oneshot, terms, 20).collect()
+    ]
+    assert got == want and len(got) == 20
