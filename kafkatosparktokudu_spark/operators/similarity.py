@@ -384,6 +384,7 @@ def rrf_fuse(
     id_col: str = "doc_id",
     k_rrf: int = 60,
     top_n: int = 20,
+    weights: tuple[int, int] = (1, 1),
 ) -> DataFrame:
     """Reciprocal-Rank Fusion (ss21 — Cormack et al. SIGIR'09, the
     standard hybrid-retrieval combiner): fuse a lexical ranking (BM25,
@@ -400,8 +401,19 @@ def rrf_fuse(
     Inputs are each side's top-N frame with a ``rank`` column (both are
     TakeOrdered products — bounded), so the full-outer fusion join is a
     ≤2N-row broadcast-scale operation regardless of corpus size; the
-    final top-n is the ranked_top_n house helper."""
-    side = f"{10**9} div ({int(k_rrf)} + %s)"
+    final top-n is the ranked_top_n house helper.
+
+    ``weights`` (r13 — the weighted-RRF variant of Cormack et al.'s
+    uniform rule) scales each side's reciprocal by an INTEGER weight
+    BEFORE the integer division is applied per-side and summed —
+    ``w * 10^9 div (k+rank)`` — so the exactness contract survives any
+    weighting (no float mixture parameter; express 0.7/0.3 as (7, 3)).
+    The default (1, 1) is bit-identical to the historical unweighted
+    fusion (pinned in tests)."""
+    wl, wd = (int(weights[0]), int(weights[1]))
+    if wl < 0 or wd < 0:
+        raise ValueError(f"weights must be non-negative ints, got {weights}")
+    side = f"%s * ({10**9} div ({int(k_rrf)} + %s))"
     l = lex.select(F.col(id_col), F.col("rank").alias("lex_rank"))
     d = dense.select(F.col(id_col), F.col("rank").alias("dense_rank"))
     fused = l.join(d, id_col, "full_outer").select(
@@ -411,11 +423,11 @@ def rrf_fuse(
         (
             F.expr(
                 "CASE WHEN lex_rank IS NULL THEN CAST(0 AS BIGINT) "
-                f"ELSE {side % 'lex_rank'} END"
+                f"ELSE {side % (wl, 'lex_rank')} END"
             )
             + F.expr(
                 "CASE WHEN dense_rank IS NULL THEN CAST(0 AS BIGINT) "
-                f"ELSE {side % 'dense_rank'} END"
+                f"ELSE {side % (wd, 'dense_rank')} END"
             )
         )
         .cast("bigint")

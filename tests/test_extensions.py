@@ -3803,3 +3803,37 @@ def test_index_compaction_preserves_probes(spark, tmp_path):
     assert "group_counts" in imeta and sum(
         imeta["group_counts"].values()
     ) == emb.count()
+
+
+def test_rrf_fuse_integer_weights(spark):
+    """Weighted RRF (r13): integer side weights scale each reciprocal
+    AFTER the integer division, so (1,1) is bit-identical to the
+    historical unweighted fusion and any weighting keeps the no-float
+    exactness contract; a planted disagreement flips with the weights."""
+    from kafkatosparktokudu_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 101), (2, 102), (3, 103)], "rank int, doc_id bigint"
+    ).select("doc_id", "rank")
+    dense = spark.createDataFrame(
+        [(1, 103), (2, 102), (3, 101)], "rank int, doc_id bigint"
+    ).select("doc_id", "rank")
+
+    def fused(**kw):
+        return [
+            (r["rank"], r["doc_id"], r["rrf_ppb"])
+            for r in rrf_fuse(lex, dense, top_n=3, **kw).collect()
+        ]
+
+    assert fused() == fused(weights=(1, 1))  # default == explicit unit
+    # symmetric rankings: (1,1) ties 101/103 (both rank 1+3), id breaks
+    assert [d for _, d, _ in fused()][0] == 101
+    # lexical-heavy: 101 (lex rank 1) must lead; dense-heavy: 103
+    assert [d for _, d, _ in fused(weights=(3, 1))][0] == 101
+    assert [d for _, d, _ in fused(weights=(1, 3))][0] == 103
+    # exactness shape: every score is w_l*(1e9 div (60+r_l)) +
+    # w_d*(1e9 div (60+r_d)) — check one row arithmetically
+    top = fused(weights=(2, 5))[0]
+    by_doc = {101: (1, 3), 102: (2, 2), 103: (3, 1)}
+    rl, rd = by_doc[top[1]]
+    assert top[2] == 2 * (10**9 // (60 + rl)) + 5 * (10**9 // (60 + rd))
