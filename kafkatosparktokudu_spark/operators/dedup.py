@@ -1713,7 +1713,9 @@ def record_linkage_pairs(
     only, kept at ``edit_dist <= max_edit``. ``carry_cols`` ride along
     as ``<col>_a``/``<col>_b`` for downstream match scoring (the query
     face composes the agreement weights — attribute semantics belong to
-    the caller).
+    the caller); a block column listed in ``carry_cols`` survives as ONE
+    unsuffixed copy (it is equal on both sides by construction), other
+    block columns are dropped with the rest of the blocking artifacts.
 
     Scale shape: pair mass = sum over blocks of |block|² with block =
     (block_cols, token kind+value, band slot) — real catalogs make the
@@ -1767,7 +1769,16 @@ def record_linkage_pairs(
         sides["a"]
         .join(sides["b"], join_keys)
         .filter(F.col("key_a") < F.col("key_b"))
-        .drop("tk", "tv", "slot")
+        # drop every blocking artifact — including the unsuffixed block
+        # columns — so the output matches the documented schema exactly
+        # (a block col the caller also lists in carry_cols survives as
+        # one unsuffixed copy: it is equal on both sides by construction)
+        .drop(
+            "tk",
+            "tv",
+            "slot",
+            *[c for c in block_cols if c not in carry_cols],
+        )
         .distinct()  # multi-pass/band slots propose a pair more than once
     )
     return pairs.withColumn(

@@ -657,11 +657,18 @@ def compact_epoch_partitions(
     the committed epochs + one repartition-on-the-partition-column
     write).
 
-    Returns the new epoch id C = max(committed) + 1 after the data is IN
-    PLACE under ``epoch=C``; the CALLER then commits by rewriting the
-    sidecar with the folded per-epoch stats (sidecar-last, the same
-    commit discipline as append/upsert) and finally deletes the folded
-    epoch directories (``cleanup_foreign_epochs``).
+    Returns the new epoch id C = min(0, min(committed)) - 1 — compacted
+    epochs live in a NEGATIVE namespace so they can never collide with
+    an appender's epoch id (appenders require epoch >= 0; streaming
+    epoch ids grow monotonically, so any non-negative choice here could
+    equal a crashed append's replay id or the next post-restart
+    streaming batch and silently no-op it — the folded-epoch memory in
+    the callers' sidecars covers the complementary replay-of-folded
+    case). Data is IN PLACE under ``epoch=C`` on return; the CALLER
+    then commits by rewriting the sidecar with the folded per-epoch
+    stats (sidecar-last, the same commit discipline as append/upsert)
+    and finally deletes the folded epoch directories
+    (``cleanup_foreign_epochs``).
 
     Crash-safe by replay: the fold writes to a ``_compact`` staging
     subtree (underscore-prefixed — invisible to parquet discovery), then
@@ -671,7 +678,7 @@ def compact_epoch_partitions(
     committed set."""
     from ..streaming.fsio import delete_dir, rename
 
-    new_epoch = max(committed) + 1
+    new_epoch = min(0, min(committed)) - 1
     staging = f"{path}/_compact"
     delete_dir(spark, staging)  # stale from a crashed prior run
     delete_dir(spark, f"{path}/epoch={new_epoch}")  # half-landed rename

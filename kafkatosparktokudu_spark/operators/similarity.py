@@ -405,8 +405,9 @@ def rrf_fuse(
 
     ``weights`` (r13 — the weighted-RRF variant of Cormack et al.'s
     uniform rule) scales each side's reciprocal by an INTEGER weight
-    BEFORE the integer division is applied per-side and summed —
-    ``w * 10^9 div (k+rank)`` — so the exactness contract survives any
+    to each side's integer reciprocal — ``w * (10^9 div (k+rank))``,
+    weight applied AFTER the division so (1,1) reproduces the historical
+    integers exactly — and the exactness contract survives any
     weighting (no float mixture parameter; express 0.7/0.3 as (7, 3)).
     The default (1, 1) is bit-identical to the historical unweighted
     fusion (pinned in tests)."""
@@ -743,6 +744,7 @@ def _write_ivf_meta(spark, path: str, meta: dict) -> None:
 
     eps = meta["epochs"]
     meta["committed_epochs"] = sorted(int(e) for e in eps)
+    meta.setdefault("folded_epochs", [])
     meta["cell_counts"] = _sum_counts(e["cell_counts"] for e in eps.values())
     if any("group_counts" in e for e in eps.values()):
         meta["group_counts"] = _sum_counts(
@@ -786,10 +788,18 @@ def upsert_ivf_index(new_emb: DataFrame, path: str, epoch: int) -> dict:
 
     Returns the updated meta."""
     spark = new_emb.sparkSession
+    if int(epoch) < 0:
+        raise ValueError(
+            f"appender epochs must be >= 0 (negative ids are the "
+            f"compaction namespace), got {epoch}"
+        )
     meta = _read_ivf_meta(spark, path)
-    if str(epoch) in meta["epochs"]:
-        # replay of a committed epoch: idempotent no-op (the CDC replay
-        # contract — same batch content, already durable)
+    if str(epoch) in meta["epochs"] or int(epoch) in meta.get(
+        "folded_epochs", []
+    ):
+        # replay of a committed epoch — possibly one compaction has
+        # since folded away — is an idempotent no-op either way (the
+        # CDC replay contract: same batch content, already durable)
         return meta
     pcols = tuple(meta.get("partition_cols", ["cell"]))
     ivf_assign(new_emb, meta["centroids"]).withColumn(
@@ -869,15 +879,19 @@ def probe_cells(
     k: int = 10,
     nprobe: int | None = None,
     candidate_factor: int = 8,
+    meta: dict | None = None,
 ) -> list[int]:
     """Which cells a query visits — driver-side, from the sidecar only
     (no cluster work). Fixed ``nprobe`` takes the nearest n cells;
     ``nprobe=None`` probes adaptively until the cumulative candidate count
-    reaches ``candidate_factor × k``."""
+    reaches ``candidate_factor × k``. Pass an already-read ``meta`` to
+    skip the sidecar read (the index-probe entry points do — one remote
+    read per query, not two)."""
     import numpy as np
     from pyspark.sql import SparkSession
 
-    meta = _read_ivf_meta(SparkSession.active(), path)
+    if meta is None:
+        meta = _read_ivf_meta(SparkSession.active(), path)
     cents = np.array(meta["centroids"])
     counts = {int(c): n for c, n in meta["cell_counts"].items()}
     q = np.array(query_vec, dtype=np.float64)
@@ -913,7 +927,7 @@ def ivf_index_topk(
     ``nprobe`` overrides.
     """
     meta = _read_ivf_meta(spark, path)
-    probe = probe_cells(path, query_vec, k, nprobe, candidate_factor)
+    probe = probe_cells(path, query_vec, k, nprobe, candidate_factor, meta=meta)
     cand = spark.read.parquet(path).filter(
         F.col("cell").isin(probe)
         # committed epochs only: a crashed upsert's files are invisible
@@ -973,7 +987,7 @@ def filtered_ivf_index_topk(
     )
     n_cells = len(meta["centroids"])
     np_eff = filtered_nprobe(base_nprobe, total, qual, n_cells)
-    probe = probe_cells(path, query_vec, k, nprobe=np_eff)
+    probe = probe_cells(path, query_vec, k, nprobe=np_eff, meta=meta)
     cand = spark.read.parquet(path).filter(
         F.col("cell").isin(probe)
         & (F.col(label_col) == label_value)
@@ -2183,6 +2197,12 @@ def compact_ivf_index(spark, path: str) -> dict:
         "centroids": meta["centroids"],
         "partition_cols": list(pcols),
         "epochs": {str(new_epoch): folded},
+        # remember every appender (>= 0) epoch this fold absorbed — a
+        # replayed upsert with a folded id must no-op, not double-insert
+        "folded_epochs": sorted(
+            set(meta.get("folded_epochs", []))
+            | {e for e in committed if e >= 0}
+        ),
     }
     _write_ivf_meta(spark, path, meta2)
     cleanup_foreign_epochs(spark, path, meta2["committed_epochs"])

@@ -1772,6 +1772,7 @@ def build_bm25_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 64,
+    folded_epochs: tuple[int, ...] = (),
 ) -> dict:
     """Materialize the BM25 inverted index (tx29, VERDICT r11 #4): the
     (term → postings) table every retrieval pipeline ships, so repeated
@@ -1814,6 +1815,11 @@ def build_bm25_index(
         "n_buckets": int(n_buckets),
         "id_col": id_col,
         "epochs": {"0": _bm25_epoch_stats(staged)},
+        # appender epochs whose data this build already contains — a
+        # replayed append with one of these ids must no-op (the
+        # streaming sync passes its building micro-batch's epoch id
+        # here so a crash-replay of that batch cannot double-insert)
+        "folded_epochs": sorted(int(e) for e in folded_epochs),
     }
     _write_bm25_meta(docs.sparkSession, path, meta)
     return meta
@@ -1852,6 +1858,7 @@ def _write_bm25_meta(spark, path: str, meta: dict) -> None:
 
     eps = meta["epochs"]
     meta["committed_epochs"] = sorted(int(e) for e in eps)
+    meta.setdefault("folded_epochs", [])
     meta["n_docs"] = sum(e["n_docs"] for e in eps.values())
     meta["total_dl"] = sum(e["total_dl"] for e in eps.values())
     write_text_atomic(spark, f"{path}/_bm25_meta.json", json.dumps(meta))
@@ -1891,9 +1898,18 @@ def append_bm25_index(
     from ..functions.hashing import md5_hash32
 
     spark = new_docs.sparkSession
+    if int(epoch) < 0:
+        raise ValueError(
+            f"appender epochs must be >= 0 (negative ids are the "
+            f"compaction namespace), got {epoch}"
+        )
     meta = _read_bm25_meta(spark, path)
-    if str(epoch) in meta["epochs"]:
-        return meta  # replay of a committed epoch: idempotent no-op
+    if str(epoch) in meta["epochs"] or int(epoch) in meta.get(
+        "folded_epochs", []
+    ):
+        # replay of a committed epoch — possibly one compaction has
+        # since folded away — is an idempotent no-op either way
+        return meta
     id_col, n_buckets = meta["id_col"], meta["n_buckets"]
     staged = new_docs.select(F.col(id_col), tokens(text_col).alias("arr"))
     post = _bm25_postings(staged, id_col, n_buckets, md5_hash32)
@@ -2066,6 +2082,13 @@ def compact_bm25_index(spark, path: str) -> dict:
         "n_buckets": meta["n_buckets"],
         "id_col": meta["id_col"],
         "epochs": {str(new_epoch): folded},
+        # remember every appender (>= 0) epoch this fold absorbed, plus
+        # whatever earlier folds absorbed — a replayed append with a
+        # folded id must no-op, not double-insert
+        "folded_epochs": sorted(
+            set(meta.get("folded_epochs", []))
+            | {e for e in committed if e >= 0}
+        ),
     }
     _write_bm25_meta(spark, path, meta2)
     cleanup_foreign_epochs(spark, path, meta2["committed_epochs"])

@@ -1560,7 +1560,19 @@ def start_bm25_index_sync(
         try:
             _read_bm25_meta(spark, index_path)
         except FileNotFoundError:
-            build_bm25_index(docs, index_path, n_buckets=n_buckets)
+            # Bind the built index to THIS micro-batch's epoch id via the
+            # sidecar's folded-epoch memory (one atomic write): if the
+            # building batch had epoch_id > 0 (e.g. earlier batches were
+            # empty) and the driver dies after the sidecar commit but
+            # before the checkpoint commit, the replay of this batch
+            # finds its id folded and no-ops instead of double-inserting
+            # every document as a fresh append epoch.
+            build_bm25_index(
+                docs,
+                index_path,
+                n_buckets=n_buckets,
+                folded_epochs=(int(epoch_id),) if int(epoch_id) > 0 else (),
+            )
             return
         append_bm25_index(docs, index_path, epoch=int(epoch_id))
 

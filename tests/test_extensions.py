@@ -3750,15 +3750,31 @@ def test_index_compaction_preserves_probes(spark, tmp_path):
     before = probe(lex)
     m = compact_bm25_index(spark, lex)
     assert probe(lex) == before
-    assert len(m["committed_epochs"]) == 1 and m["committed_epochs"] == [3]
-    assert list_epochs(spark, lex) == [3]  # folded dirs AND orphan gone
-    # appends continue after compaction
+    # compacted epochs live in the NEGATIVE namespace so they can never
+    # collide with an appender's (>= 0) epoch id
+    assert m["committed_epochs"] == [-1]
+    assert list_epochs(spark, lex) == [-1]  # folded dirs AND orphan gone
+    assert m["folded_epochs"] == [0, 1, 2]
+    # replay of an epoch the fold ABSORBED must no-op, not double-insert
+    append_bm25_index(
+        docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 350)),
+        lex,
+        epoch=1,
+    )
+    assert probe(lex) == before
+    assert _read_bm25_meta(spark, lex)["committed_epochs"] == [-1]
+    # appends with FRESH ids continue after compaction
     extra = docs.filter(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 9000000).alias("doc_id"), "text"
     )
     append_bm25_index(extra, lex, epoch=4)
-    assert _read_bm25_meta(spark, lex)["committed_epochs"] == [3, 4]
+    assert _read_bm25_meta(spark, lex)["committed_epochs"] == [-1, 4]
     assert len(probe(lex)) == 20
+    # appender ids are the non-negative namespace — enforce it
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compaction namespace"):
+        append_bm25_index(extra, lex, epoch=-7)
     # re-compaction of a multi-epoch store folds again; compacting a
     # single-epoch store is a cleanup-only no-op
     compact_bm25_index(spark, lex)
@@ -3795,8 +3811,16 @@ def test_index_compaction_preserves_probes(spark, tmp_path):
     ibefore = itopk()
     im = compact_ivf_index(spark, ivf)
     assert itopk() == ibefore
-    assert im["committed_epochs"] == [3]
-    assert list_epochs(spark, ivf) == [3]
+    assert im["committed_epochs"] == [-1]
+    assert im["folded_epochs"] == [0, 1, 2]
+    assert list_epochs(spark, ivf) == [-1]
+    # replay of a folded upsert epoch: idempotent no-op
+    upsert_ivf_index(
+        emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)),
+        ivf,
+        epoch=1,
+    )
+    assert itopk() == ibefore
     imeta = _read_ivf_meta(spark, ivf)
     assert sum(imeta["cell_counts"].values()) == emb.count()
     # the (cell,label) selectivity stats survive the fold
