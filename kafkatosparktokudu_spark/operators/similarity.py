@@ -664,6 +664,7 @@ def build_ivf_index(
     n_cells: int = 16,
     iters: int = 5,
     partition_cols: tuple[str, ...] = ("cell",),
+    folded_epochs: tuple[int, ...] = (),
 ) -> list[list[float]]:
     """Materialize the IVF index: train centroids, assign cells, write the
     table partitioned by ``partition_cols``, and store centroids + per-cell
@@ -686,7 +687,14 @@ def build_ivf_index(
     probes scan only committed epochs, so a crashed upsert (files
     written, sidecar not) is invisible until its replay completes. The
     extra partition level costs nothing at probe time: cell/label
-    pruning is unchanged (all partition columns prune independently)."""
+    pruning is unchanged (all partition columns prune independently).
+
+    ``folded_epochs`` pre-seeds the sidecar's folded-epoch memory — the
+    streaming-sync binding (the BM25 twin's r13 fix): when the BUILDING
+    micro-batch has epoch_id > 0 and the driver dies between the sidecar
+    commit and the checkpoint commit, the replayed batch finds its id
+    folded and no-ops instead of re-inserting every vector as a fresh
+    append epoch."""
     spark = emb.sparkSession
     cents = train_ivf_centroids(emb, n_cells, iters)
     ivf_assign(emb, cents).withColumn("epoch", F.lit(0)).write.mode(
@@ -695,6 +703,7 @@ def build_ivf_index(
     meta = {
         "centroids": cents,
         "partition_cols": list(partition_cols),
+        "folded_epochs": sorted(int(e) for e in folded_epochs),
         "epochs": {"0": _ivf_epoch_counts(spark, path, 0, partition_cols)},
     }
     _write_ivf_meta(spark, path, meta)

@@ -6298,3 +6298,11 @@ ORACLE_SQL["dd18_record_linkage"] = """
 # — append ≡ one-shot build (pure-sum corpus stats) composed with
 # bm25_index_topk ≡ bm25_rank (tx29). The oracle IS tx26's, verbatim.
 ORACLE_SQL["st14_stream_index_sync"] = ORACLE_SQL["tx26_bm25_rank"]
+
+# st15 twin: the IVF index maintained LIVE from a two-batch stream
+# (build + upserted epoch) serves brute-force cosine top-10 bit-for-bit
+# under a FULL-probe read — committed epochs cover exactly the drained
+# corpus, parquet round-trips floats bit-exactly, and (approximate,
+# numpy) cell assignment only picks each row's FILE, which a full scan
+# reads anyway. The oracle IS ss01's, verbatim.
+ORACLE_SQL["st15_stream_ivf_sync"] = ORACLE_SQL["ss01_knn_cosine"]

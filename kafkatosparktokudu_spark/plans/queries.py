@@ -4565,6 +4565,68 @@ def st14_stream_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def st15_stream_ivf_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming maintenance of the IVF index (r13 — streaming/
+    pipeline.py::start_ivf_index_sync, the dense twin of st14): the
+    embedding corpus arrives as TWO micro-batches (two source files,
+    maxFilesPerTrigger=1); the first batch builds the index (training
+    the centroids on itself), the second upserts into the frozen
+    geometry as its own committed epoch. The FULL-probe read of the
+    streamed index, scored against query vector 0, must equal ss01's
+    brute-force cosine top-10 bit-for-bit — shares ss01's oracle
+    VERBATIM. Exactness: committed epochs cover exactly the drained
+    corpus, parquet round-trips the float arrays bit-exactly, and cell
+    assignment (numpy, approximate) only picks each row's FILE — a full
+    scan reads every file, so centroid geometry cannot influence the
+    result (the ss22/ss23 full-probe discipline applied to the
+    streaming-maintained index). Restart/replay parity is pinned live
+    in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from ..functions.vectors import as_double, cosine_literal
+    from ..operators.similarity import _read_ivf_meta
+    from ..streaming.pipeline import start_ivf_index_sync
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    tmp = tempfile.mkdtemp(prefix="st15_")
+    try:
+        src = f"{tmp}/src"
+        half = F.col("vec_id") % 2
+        emb.filter(half == 0).repartition(1).write.parquet(src)
+        emb.filter(half == 1).repartition(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_ivf_index_sync(
+            spark, stream, f"{tmp}/idx", f"{tmp}/ckpt", available_now=True
+        )
+        # returns False on timeout — never read a partial index (ADVICE r12)
+        assert q.awaitTermination(300), "streaming drain timed out after 300s"
+        committed = _read_ivf_meta(spark, f"{tmp}/idx")["committed_epochs"]
+        res = (
+            spark.read.parquet(f"{tmp}/idx")
+            .filter(F.col("epoch").isin(committed))
+            .filter(F.col("vec_id") != 0)
+            .select(
+                "vec_id",
+                "label",
+                F.round(
+                    cosine_literal(as_double(F.col("embedding")), qv), 6
+                ).alias("cos_sim"),
+            )
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+            .limit(10)
+        )
+        rows = res.collect()  # materialize before the temp dirs vanish
+        return local_frame(spark, rows, res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Stateful streaming top-k leaderboard run LIVE (streaming/pipeline.py::
 # stream_topk_per_key, applyInPandasWithState): per event_type the
 # current top-3 (value DESC, event_id tie-break) — the
@@ -5083,45 +5145,76 @@ def tx20_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-13 front section (the driver verifies the FIRST 50 keys;
-    # computed by scripts/check_rotation.py): leads with the 7-query
-    # r12 rotation OVERFLOW (VERDICT r12 #1 — their freshest driver
-    # stamp predates r12's churn; all 7 re-proven at sf0.01 twice at
-    # the r12 HEAD, but the driver stamp is the authoritative record),
-    # then this round's work targets (filtered deploy-path ANN, hybrid
-    # index serving, incremental ingest-gate CC, tau-aware two-level
-    # IVF) and the queries check_rotation attributes to their churn.
-    "cdc_stream_emp_state": cdc_stream_emp_state,
-    "dd16_lsh_band_plan": dd16_lsh_band_plan,
-    "dd17_containment_pairs": dd17_containment_pairs,
-    "q87_weighted_sample": q87_weighted_sample,
-    "tx19_bpe_merges": tx19_bpe_merges,
-    "tx27_gopher_rules": tx27_gopher_rules,
-    "tx28_hashed_tfidf": tx28_hashed_tfidf,
-    # r13-affected (check_rotation at HEAD): px06 rides the gate-store
-    # meta/migration hardening in dedup.py (ADVICE r12), st08–st13 the
-    # awaitTermination fail-loud fix shared by every live streaming face.
-    # Displaced to the back for these slots: dd03/dd04/dd06/dd08/dd10/
-    # dd11/px09 — all unchanged with fresh green r12 driver rows.
-    "px06_incremental_ingest": px06_incremental_ingest,
-    "st08_stream_interval_join": st08_stream_interval_join,
-    "st09_stream_dedup": st09_stream_dedup,
-    "st10_stream_topk": st10_stream_topk,
-    "st11_stream_funnel": st11_stream_funnel,
-    "st12_stream_sessionize": st12_stream_sessionize,
-    "st13_stream_zscore": st13_stream_zscore,
-    # NEW in r13: live streaming BM25 index maintenance (tx26's oracle)
-    "st14_stream_index_sync": st14_stream_index_sync,
-    # riders of the single-collect duplicate_clusters restructure (every
-    # consumer of the CC helper gets a fresh driver stamp); q90/q91/sk01/
-    # ss01/ss02 — unchanged, fresh green r12 rows — yield these slots
-    "dd07_dup_clusters": dd07_dup_clusters,
-    # NEW in r13: multi-pass-blocked entity resolution (record linkage)
-    "dd18_record_linkage": dd18_record_linkage,
-    "dd15_soft_dedup_weights": dd15_soft_dedup_weights,
-    "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,
-    "px16_quality_aware_dedup": px16_quality_aware_dedup,
-    "px20_leakage_safe_split": px20_leakage_safe_split,
+    # --- round-13 front section (the driver verifies the FIRST 50
+    # keys; scripts/check_rotation.py is the mechanical authority).
+    # Session-3 closure: the front 48 are EXACTLY the queries the
+    # round's code churn implicates (sessions 1-3: gate-store meta/
+    # migration + incremental CC in dedup.py, probe/meta/rrf churn in
+    # similarity.py, BM25 index family + compaction in text.py, the
+    # awaitTermination fail-loud fix shared by every live streaming
+    # face, epoch-id collision fixes in the index stores) PLUS the
+    # five queries new this round (dd18, ss22, ss23, st14, st15) and
+    # the r12 rotation overflow re-stamps (cdc_stream, dd16, dd17,
+    # q87, tx19, tx27, tx28) — every entry ordered by its r12-HEAD
+    # position so the displaced remainder (from slot 49 on) sits in
+    # EXACT base order: check_rotation diff-matches it as unmoved,
+    # closing the move-only displacement fixpoint at zero violations.
+    "dd03_minhash_bands": dd03_minhash_bands,
+    "dd04_neardup_pairs": dd04_neardup_pairs,
+    "dd06_simhash": dd06_simhash,
+    "dd08_char_neardup_pairs": dd08_char_neardup_pairs,
+    "dd10_simhash_neardup": dd10_simhash_neardup,
+    "dd11_jaccard_estimate": dd11_jaccard_estimate,
+    "px09_semdedup": px09_semdedup,
+    "ss07_pq_encode": ss07_pq_encode,  # r13-affected
+    "ss09_int8_quantize": ss09_int8_quantize,  # r13-affected
+    "ss13_pq_rerank_topk": ss13_pq_rerank_topk,  # r13-affected
+    "tx21_zipf_stats": tx21_zipf_stats,  # r13-affected
+    "tx26_bm25_rank": tx26_bm25_rank,  # r13-affected
+    "tx29_bm25_postings": tx29_bm25_postings,  # r13-affected
+    "ss18_filtered_topk": ss18_filtered_topk,  # r13-affected
+    "ss19_filtered_scaled_topk": ss19_filtered_scaled_topk,  # r13-affected
+    "ss20_filtered_index_topk": ss20_filtered_index_topk,  # r13-affected
+    "ss21_hybrid_rrf": ss21_hybrid_rrf,  # r13-affected
+    "ss22_hybrid_index_rrf": ss22_hybrid_index_rrf,  # new in r13
+    "ss23_incremental_index_rrf": ss23_incremental_index_rrf,  # new in r13
+    "dd05_embedding_neardup": dd05_embedding_neardup,  # r13-affected
+    "st04_ingest_shards": st04_ingest_shards,  # r13-affected
+    "cdc_kafka_emp_state": cdc_kafka_emp_state,  # r13-affected
+    "ss05_knn_join": ss05_knn_join,  # r13-affected
+    "ss12_knn_label_vote": ss12_knn_label_vote,  # r13-affected
+    "ss14_radius_density": ss14_radius_density,  # r13-affected
+    "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,  # r13-affected
+    "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,  # r13-affected
+    "px16_quality_aware_dedup": px16_quality_aware_dedup,  # r13-affected
+    "px06_incremental_ingest": px06_incremental_ingest,  # r13-affected
+    "dd07_dup_clusters": dd07_dup_clusters,  # r13-affected
+    "dd18_record_linkage": dd18_record_linkage,  # new in r13
+    "dd15_soft_dedup_weights": dd15_soft_dedup_weights,  # r13-affected
+    "dd16_lsh_band_plan": dd16_lsh_band_plan,  # r12-overflow re-stamp
+    "dd17_containment_pairs": dd17_containment_pairs,  # r12-overflow re-stamp
+    "tx27_gopher_rules": tx27_gopher_rules,  # r12-overflow re-stamp
+    "tx28_hashed_tfidf": tx28_hashed_tfidf,  # r12-overflow re-stamp
+    "tx19_bpe_merges": tx19_bpe_merges,  # r12-overflow re-stamp
+    "st08_stream_interval_join": st08_stream_interval_join,  # r13-affected
+    "st09_stream_dedup": st09_stream_dedup,  # r13-affected
+    "st10_stream_topk": st10_stream_topk,  # r13-affected
+    "st11_stream_funnel": st11_stream_funnel,  # r13-affected
+    "st12_stream_sessionize": st12_stream_sessionize,  # r13-affected
+    "st13_stream_zscore": st13_stream_zscore,  # r13-affected
+    "st14_stream_index_sync": st14_stream_index_sync,  # new in r13
+    "st15_stream_ivf_sync": st15_stream_ivf_sync,  # new in r13
+    "q87_weighted_sample": q87_weighted_sample,  # r12-overflow re-stamp
+    "cdc_stream_emp_state": cdc_stream_emp_state,  # r12-overflow re-stamp
+    "px20_leakage_safe_split": px20_leakage_safe_split,  # r13-affected
+    # --- end of the affected set: slots 49-50 and everything below
+    # are the unchanged remainder in exact r12-HEAD order (fresh
+    # green driver rows; unaffected by this round's churn).
+    "q90_distributed_rank": q90_distributed_rank,
+    "q91_compaction_bins": q91_compaction_bins,
+    "sk01_cms_heavy_hitters": sk01_cms_heavy_hitters,
+    "ss01_knn_cosine": ss01_knn_cosine,
+    "ss02_label_centroids": ss02_label_centroids,
     "ss03_ann_lsh_topk": ss03_ann_lsh_topk,
     "ss04_ivf_topk": ss04_ivf_topk,
     "ss06_kmeans_clusters": ss06_kmeans_clusters,
@@ -5131,87 +5224,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss15_ivf_trained_topk": ss15_ivf_trained_topk,
     "ss16_ivfadc_topk": ss16_ivfadc_topk,
     "tx22_source_overlap": tx22_source_overlap,
-    # link prediction over the co-purchase graph (support>=2)
     "gr07_link_prediction": gr07_link_prediction,
-    # personalized PageRank (random walk with restart, integer exact)
     "gr08_personalized_pagerank": gr08_personalized_pagerank,
     "st05_hll_monitor": st05_hll_monitor,
     "sk07_histogram_quantiles": sk07_histogram_quantiles,
-    # F2 / self-join size (key-skew diagnostic from the CMS)
     "sk09_cms_self_join_size": sk09_cms_self_join_size,
-    # NEW in r11: trained-codebook PQ ADC (the oracle retrains the
-    # per-subspace Lloyd's bit-for-bit -- ss15's graduation recipe
-    # applied to PQ, retiring the last numpy-only trained claim)
     "ss17_pq_trained_adc": ss17_pq_trained_adc,
-    # NEW in r11: streaming quantile monitor (the distribution sibling of
-    # st05's cardinality monitor — sum-merged registers via cumulative
-    # per-epoch snapshots)
     "st07_quantile_monitor": st07_quantile_monitor,
-    # --- new in round 8 ---
-    "tx21_zipf_stats": tx21_zipf_stats,
-    # BM25 lexical retrieval — shared-expression float contract
-    "tx26_bm25_rank": tx26_bm25_rank,
-    # NEW in r12: BM25 over the materialized postings index (tx26 twin)
-    "tx29_bm25_postings": tx29_bm25_postings,
-    # filtered ANN (pre-filter semantics over probed IVF cells)
-    "ss18_filtered_topk": ss18_filtered_topk,
-    # NEW in r12: selectivity-scaled filtered ANN (integer probe rule)
-    "ss19_filtered_scaled_topk": ss19_filtered_scaled_topk,
-    # NEW in r12: ss19 driven through the materialized (cell,label) index
-    "ss20_filtered_index_topk": ss20_filtered_index_topk,
-    # NEW in r12: hybrid BM25+dense retrieval via integer RRF
-    "ss21_hybrid_rrf": ss21_hybrid_rrf,
-    # NEW in r13: the same fused ranking served from the MATERIALIZED
-    # postings + IVF indexes (index-only serving; shares ss21's oracle)
-    "ss22_hybrid_index_rrf": ss22_hybrid_index_rrf,
-    # NEW in r13: the fused ranking after INCREMENTAL index maintenance —
-    # half the corpus appended/upserted without a rebuild (shares ss21's
-    # oracle verbatim; the maintenance-equals-rebuild contract)
-    "ss23_incremental_index_rrf": ss23_incremental_index_rrf,
-    "dd05_embedding_neardup": dd05_embedding_neardup,
-    "st04_ingest_shards": st04_ingest_shards,
-    # NEW in r12: the same state through the kafka-shaped source (S1 face)
-    "cdc_kafka_emp_state": cdc_kafka_emp_state,
-    # px03 rides the tau-aware two-level default in embedding_neardup_pairs
-    # (the helper it calls changed); ss05 — unchanged, fresh green r12
-    # row — yields its slot
-    "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,
-    "ss05_knn_join": ss05_knn_join,
-    "ss12_knn_label_vote": ss12_knn_label_vote,
-    "ss14_radius_density": ss14_radius_density,
-    # displaced from the r13 window (unchanged, fresh green r12 rows;
-    # ss07/ss09/ss13 yielded their slots to ss23_incremental_index_rrf,
-    # dd18_record_linkage and st14_stream_index_sync late in r13):
-    "ss07_pq_encode": ss07_pq_encode,
-    "ss09_int8_quantize": ss09_int8_quantize,
-    "ss13_pq_rerank_topk": ss13_pq_rerank_topk,
-    "q90_distributed_rank": q90_distributed_rank,
-    "q91_compaction_bins": q91_compaction_bins,
-    "sk01_cms_heavy_hitters": sk01_cms_heavy_hitters,
-    "ss01_knn_cosine": ss01_knn_cosine,
-    "ss02_label_centroids": ss02_label_centroids,
-    "dd03_minhash_bands": dd03_minhash_bands,
-    "dd04_neardup_pairs": dd04_neardup_pairs,
-    "dd06_simhash": dd06_simhash,
-    "dd08_char_neardup_pairs": dd08_char_neardup_pairs,
-    "dd10_simhash_neardup": dd10_simhash_neardup,
-    "dd11_jaccard_estimate": dd11_jaccard_estimate,
-    "px09_semdedup": px09_semdedup,
-    # real PCM decimation (rate normalization), integer-exact
     "mm13_audio_decimate": mm13_audio_decimate,
-    # CMS inner-product join-size estimate (planner cardinality input)
     "sk08_cms_join_size": sk08_cms_join_size,
-    # right-to-be-forgotten delete cascade + audit
     "px23_delete_propagation": px23_delete_propagation,
-    # functional-dependency census (exact + approximate-FD ppm)
     "dq07_fd_profile": dq07_fd_profile,
-    # real multi-frame video sampling (container parse + frame decode)
     "mm14_video_frame_sample": mm14_video_frame_sample,
-    # rolling distinct-count window (no native COUNT(DISTINCT) OVER)
     "q97_rolling_distinct": q97_rolling_distinct,
-    # NEW in r11: unicode sanitization pass (noise constructed in-plan by
-    # BOTH engines -- the mm12 recipe -- then cleaned by the shared
-    # SANITIZE_SRC/DST translate table)
     "tx25_unicode_sanitize": tx25_unicode_sanitize,
     "st06_state_enriched_events": st06_state_enriched_events,
     "cdc_dept_rollup": cdc_dept_rollup,
@@ -5224,41 +5249,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "px19_stratified_shards": px19_stratified_shards,
     "px21_budget_selection": px21_budget_selection,
     "px22_grouped_budget": px22_grouped_budget,
-    # --- round-10 front section: new queries lead (mm11 real resize,
-    # mm12 exact byte stats, ss15 trained IVF); every query whose
-    # implementing code changed this round sits < 50 for a fresh driver
-    # row — st04/st05 (fsio epoch discovery + crash-safe snapshots),
-    # px21/px22 + q90/q91/px15/px17 (two_stage_offsets integer div),
-    # ss06/px03/px09 (_kmeans_fit extraction), mm02/mm03/ss10
-    # (twin-pointer docstrings), dd05 (threshold-band docstring) ---
     "mm11_resize_real": mm11_resize_real,
     "mm12_byte_stats": mm12_byte_stats,
     "tx23_hashed_features": tx23_hashed_features,
     "tx24_hashed_linear_score": tx24_hashed_linear_score,
-    # --- round-9 front section ---
     "gr06_label_propagation": gr06_label_propagation,
     "mm08_real_codec_roundtrip": mm08_real_codec_roundtrip,
     "mm09_audio_frame_energy": mm09_audio_frame_energy,
     "mm10_image_pixel_stats": mm10_image_pixel_stats,
-    # ss08 rotated UP for r10 (_adc_distance_col extraction reaches
-    # pq_adc_topk); q96 — unchanged, fresh green r9 row — yields its slot
     "dq06_fk_integrity": dq06_fk_integrity,
     "st03_ohlc_windows": st03_ohlc_windows,
     "mm07_inference_batches": mm07_inference_batches,
     "px18_mixture_epoch_plan": px18_mixture_epoch_plan,
-    # --- round-8 front section: queries whose implementing code changed
-    # this round (the seed_cell_assign/kmeans_assign generated-SQL rebuild
-    # in similarity.py reaches dd05/px03/ss05/px09/ss06/ss02; char_shingles'
-    # NULL contract reaches dd06/dd10/dd11) — rotated into the driver's
-    # 50-query window for fresh green rows; unchanged entries below yield
-    # their slots ---
     "tx20_bpe_encode": tx20_bpe_encode,
-    # q90/q91 rotated UP into the window for r10 (two_stage_offsets'
-    # integer-div change reaches both); sk07/q95 — unchanged, fresh
-    # green r8/r9 rows — yield their slots
-    # dd07/tx19 rotated UP for r10 (local_frame conversion reaches
-    # duplicate_clusters' union-find frame and the BPE merge-table frame);
-    # gr04/q94 — unchanged, fresh green rows — yield their slots
     "sk06_kmv_overlap": sk06_kmv_overlap,
     "sk04_hll_distinct": sk04_hll_distinct,
     "sk05_hll_union_daily": sk05_hll_union_daily,
@@ -5268,15 +5271,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q93_rolling_zscore": q93_rolling_zscore,
     "q92_hilbert_layout": q92_hilbert_layout,
     "q95_ohlc_candles": q95_ohlc_candles,
-    # --- round-7 front section: every query whose implementing code (or
-    # oracle) changed this round sits inside the driver's 50-query window
-    # — q91 (oracle CAST), ss04/ss07/ss08/ss10 (IVF + PQ generated-SQL
-    # rebuilds + twin pin), tx05/tx10/tx15 (staged-token bigram fix),
-    # dd03/dd04/dd08/dd11/px02/tx12/px06/px08 (arrays_zip shingle
-    # rebuild), gr02 (degree-ordered orientation), q90/q91
-    # (two_stage_offsets), px12 (N<2 guard), dq05 (DECIMAL ratios).
-    # Displaced to the back: q74-q77, dd13, tx16, dq04, q85, q87-q89 —
-    # all unchanged with fresh green r06 (or r07-informal) rows. ---
     "tx10_repetition_stats": tx10_repetition_stats,
     "tx05_top_bigrams": tx05_top_bigrams,
     "gr02_triangle_stats": gr02_triangle_stats,
@@ -5290,27 +5284,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd14_event_debounce": dd14_event_debounce,
     "sk03_cms_expr": sk03_cms_expr,
     "px08_decontaminated_split": px08_decontaminated_split,
-    # --- round-5 front section (VERDICT.md r4 "Next round" #1/#4): queries
-    # whose implementing code was rewritten in round 4 (cdc.py/merge.py/
-    # ogg.py fused merge; streaming/pipeline.py event-time cast) but whose
-    # last green driver rows predate the rewrite, plus px03 (module changed
-    # additively), plus q62 (was hash-green on an EMPTY result — predicate
-    # loosened this round so the driver verifies actual aggregation rows),
-    # plus queries new in round 5 ---
     "cdc_emp_state": cdc_emp_state,
     "cdc_dept_state": cdc_dept_state,
     "cdc_pub_event": cdc_pub_event,
     "q96_weighted_median": q96_weighted_median,
-    # --- new in round 5 ---
     "dd09_dup_spans": dd09_dup_spans,
     "px05_exactsubstr_scrub": px05_exactsubstr_scrub,
-    # changed-this-round queries stay INSIDE the driver's 50-query
-    # window (tx15 persist fix, dq01/dq03 guards, scd2.py persist+purge
-    # behind the three cdc_emp_history* rows); ss06/px09/gr02/dq02 are
-    # unchanged with fresh green r05 rows, so they yield their slots
     "tx15_bigram_surprisal": tx15_bigram_surprisal,
-    # q80-q83 + q73 displaced below the window by the round-7 additions
-    # (tx19/q94/sk06/tx20/sk07): unchanged since their green r06 rows.
     "q73_session_overlap": q73_session_overlap,
     "q83_locf_gapfill": q83_locf_gapfill,
     "q78_customer_cohorts": q78_customer_cohorts,
@@ -5330,8 +5310,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd12_repeated_chunks": dd12_repeated_chunks,
     "st01_sliding_rollup": st01_sliding_rollup,
     "st02_session_rollup": st02_session_rollup,
-    # ss03 gained a full hash oracle late in round 5 (shared plane
-    # literals) — rotated forward for a fresh driver row
     "q85_sampled_quantiles": q85_sampled_quantiles,
     "q74_rollup_revenue": q74_rollup_revenue,
     "q75_pivot_priority": q75_pivot_priority,
@@ -5353,13 +5331,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_lateral_topk": q64_lateral_topk,
     "q65_median_stats": q65_median_stats,
     "q66_recursive_month_spine": q66_recursive_month_spine,
-    # --- round-4 front section: fresh green driver rows in r04 ---
     "q59_approx_percentiles": q59_approx_percentiles,
     "tx11_pii_scrub": tx11_pii_scrub,
     "tx13_domain_mixture": tx13_domain_mixture,
     "px04_pretraining_curation": px04_pretraining_curation,
     "q63_next_purchase_asof": q63_next_purchase_asof,
-    # --- driver-unverified as of round 1 (VERDICT.md "Next round" #1) ---
     "q27_above_nation_avg": q27_above_nation_avg,
     "q28_hash_sample": q28_hash_sample,
     "q29_segment_lists": q29_segment_lists,
@@ -5401,7 +5377,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx09_packing_index": tx09_packing_index,
     "px01_curation_pipeline": px01_curation_pipeline,
     "gr01_pagerank_neardup": gr01_pagerank_neardup,
-    # --- green driver rows in CORRECTNESS_r01.json ---
     "tx01_token_stats": tx01_token_stats,
     "tx02_quality_scores": tx02_quality_scores,
     "tx03_lang_id": tx03_lang_id,

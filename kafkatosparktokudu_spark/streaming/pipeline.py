@@ -1586,3 +1586,78 @@ def start_bm25_index_sync(
     else:
         writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()
+
+
+def start_ivf_index_sync(
+    spark: SparkSession,
+    emb_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    n_cells: int = 16,
+    iters: int = 5,
+    partition_cols: tuple[str, ...] = ("cell",),
+    available_now: bool = False,
+    trigger_interval: str = "5 seconds",
+) -> StreamingQuery:
+    """Keep a materialized IVF index fresh FROM A STREAM — the dense
+    twin of ``start_bm25_index_sync`` (r13), completing the serving-index
+    lifecycle symmetry: both index families now have build / append-or-
+    upsert / compact / stream-sync. Each micro-batch of embeddings lands
+    as its own committed epoch via ``upsert_ivf_index``; serving probes
+    (``ivf_index_topk``) see every drained vector with zero rebuild work.
+
+    Exactly-once shape (identical to the BM25 twin, layered on the batch
+    operators' contracts): the first batch (no sidecar yet) runs
+    ``build_ivf_index`` — TRAINING THE CENTROIDS ON THAT BATCH; all
+    later batches assign into the frozen geometry (``upsert_ivf_index``
+    under ``epoch = streaming epoch id``). Centroid drift as the corpus
+    grows is handled by periodic rebuild while the sync is stopped —
+    probe RECALL degrades gracefully with drift, and full-probe reads
+    (the verification shape) are unaffected entirely, because cell
+    assignment only chooses each row's file, never its value. A replayed
+    epoch either never committed (dynamic partition overwrite rewrites
+    its own files; sidecar commit lands once) or already committed /
+    was folded by a compaction (idempotent no-op). The building batch's
+    epoch id is bound through ``folded_epochs`` in the same atomic
+    sidecar write, so a crash between sidecar and checkpoint commits
+    cannot double-insert the first batch. Run ``compact_ivf_index``
+    only while the sync is stopped (streaming epoch ids grow
+    monotonically; the store-rewrite rule shared by every epoch store
+    here). ``index_path`` and ``checkpoint_dir`` live and die together.
+
+    ``emb_stream`` must carry ``embedding`` plus whatever id/payload
+    columns the index serves (``vec_id``, ``label``, ...); vec_ids must
+    be new across batches (the append-only ingest regime)."""
+    from ..operators.similarity import (
+        _read_ivf_meta,
+        build_ivf_index,
+        upsert_ivf_index,
+    )
+
+    def _sync(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        try:
+            _read_ivf_meta(spark, index_path)
+        except FileNotFoundError:
+            build_ivf_index(
+                batch_df,
+                index_path,
+                n_cells=n_cells,
+                iters=iters,
+                partition_cols=partition_cols,
+                folded_epochs=(int(epoch_id),) if int(epoch_id) > 0 else (),
+            )
+            return
+        upsert_ivf_index(batch_df, index_path, epoch=int(epoch_id))
+
+    writer = (
+        emb_stream.writeStream.foreachBatch(_sync)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("ivf_index_sync")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

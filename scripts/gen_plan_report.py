@@ -173,6 +173,9 @@ EXCLUDED = [
     # st14: live streaming drain (foreachBatch index maintenance) +
     # tx29's audited probe plan over the resulting tempdir index
     "st14_stream_index_sync",
+    # st15: the dense twin — live streaming drain (foreachBatch IVF
+    # maintenance) + an ss01-shaped full scan of the tempdir index
+    "st15_stream_ivf_sync",
     # ss21: both fusion inputs are TakeOrdered <=50-row frames (tx26's
     # audited plan + an ss01-shaped scan); the fusion itself is a
     # <=100-row full-outer join — nothing scale-bearing to audit.

@@ -2463,3 +2463,113 @@ def test_stream_bm25_index_sync_restart_parity(spark, tmp_path):
         for r in bm25_index_topk(spark, oneshot, terms, 20).collect()
     ]
     assert got == want and len(got) == 20
+
+
+def test_stream_ivf_index_sync_restart_parity(spark, tmp_path):
+    """start_ivf_index_sync (r13): the IVF index maintained across a
+    STOP + RESTART (file 1 drained — builds the index and trains the
+    centroids, query stopped, file 2 drained on the same checkpoint —
+    upserts into the frozen geometry) must serve brute-force cosine
+    top-k bit-for-bit under a full-probe read: committed epochs cover
+    exactly the drained corpus and cell assignment only chooses files,
+    never values."""
+    import pyspark.sql.functions as F
+
+    from kafkatosparktokudu_spark.functions.vectors import (
+        as_double,
+        cosine_literal,
+    )
+    from kafkatosparktokudu_spark.operators.similarity import (
+        _read_ivf_meta,
+        brute_force_topk,
+    )
+    from kafkatosparktokudu_spark.sources.batch import load_table
+    from kafkatosparktokudu_spark.streaming.pipeline import (
+        start_ivf_index_sync,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    emb.filter(F.col("vec_id") % 2 == 0).repartition(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_ivf_index_sync(spark, stream, idx, ckpt, available_now=True)
+    assert q.awaitTermination(300)
+
+    # second file lands AFTER the first drain; same checkpoint resumes
+    emb.filter(F.col("vec_id") % 2 == 1).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream2 = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = start_ivf_index_sync(spark, stream2, idx, ckpt, available_now=True)
+    assert q2.awaitTermination(300)
+
+    meta = _read_ivf_meta(spark, idx)
+    # two drains, two committed epochs (0 = the build, N>0 = the upsert)
+    assert len(meta["committed_epochs"]) == 2
+    got = [
+        tuple(r)
+        for r in spark.read.parquet(idx)
+        .filter(F.col("epoch").isin(meta["committed_epochs"]))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                cosine_literal(as_double(F.col("embedding")), qv), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+        .collect()
+    ]
+    want = [
+        tuple(r) for r in brute_force_topk(emb, qv, k=10, exclude_id=0).collect()
+    ]
+    assert got == want and len(got) == 10
+
+
+def test_ivf_build_folded_epoch_binding(spark, tmp_path):
+    """The building micro-batch's epoch id is bound into the sidecar's
+    folded-epoch memory (the BM25 twin's r13 crash-window fix, applied
+    to build_ivf_index): when the building batch had epoch_id > 0 and
+    the driver died between the sidecar commit and the checkpoint
+    commit, the REPLAYED batch must no-op instead of re-inserting every
+    vector as a fresh append epoch."""
+    import pyspark.sql.functions as F
+
+    from kafkatosparktokudu_spark.operators.similarity import (
+        _read_ivf_meta,
+        build_ivf_index,
+        upsert_ivf_index,
+    )
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") < 200
+    )
+    idx = str(tmp_path / "idx")
+    # the building batch ran under streaming epoch id 3
+    build_ivf_index(emb, idx, n_cells=4, folded_epochs=(3,))
+    m = _read_ivf_meta(spark, idx)
+    assert m["folded_epochs"] == [3]
+    n_before = spark.read.parquet(idx).count()
+    # crash replay: the same batch re-arrives as an upsert under id 3
+    upsert_ivf_index(emb, idx, epoch=3)
+    m2 = _read_ivf_meta(spark, idx)
+    assert m2["committed_epochs"] == [0]  # no new epoch committed
+    assert spark.read.parquet(idx).count() == n_before
