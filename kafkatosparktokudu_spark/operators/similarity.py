@@ -1088,6 +1088,75 @@ def knn_join(
     )
 
 
+def cross_set_decontaminate(
+    emb: DataFrame,
+    eval_ids: DataFrame,
+    tau: float = 0.35,
+    n_cells: int | None = None,
+    nprobe: int = 8,
+) -> DataFrame:
+    """EMBEDDING-based eval-set decontamination (px24): flag every train
+    vector whose cosine against ANY eval vector clears ``tau`` — the
+    semantic sibling of the n-gram decontamination in
+    ``text.py::decontaminated_split`` (px08), catching paraphrased or
+    re-rendered eval leakage that shingle overlap misses. Completes the
+    decontamination matrix: lexical n-gram (px08), split-level leakage
+    (px20), within-set semantic dedup (px09) — this is the CROSS-set
+    semantic check between a training corpus and a benchmark set.
+
+    Same deterministic seed-cell blocking contract as dd05/ss05 (so the
+    DuckDB oracle reproduces the exact candidate set), but with
+    ``nprobe=8`` by default — decontamination optimizes RECALL (a
+    missed contamination poisons an eval), and at the fixture geometry
+    nprobe=8 recovers ~100% of brute-force hits where dd05's nprobe=4
+    sits near 75% (measured; candidates scale nprobe²·n_t·n_e/n_cells,
+    still sub-quadratic). Train side = emb minus ``eval_ids``; both
+    sides are sliced from ONE corpus-wide cell assignment (the
+    queries_are-subset discipline of knn_join — no second seed scoring
+    pass).
+
+    Returns one row per CONTAMINATED train vector:
+    ``(vec_id, eval_id, cos_sim)`` — the closest offending eval vector
+    (ties → lowest eval_id). Clean rows are absent (the flag-join form:
+    a pipeline left-anti-joins this output to drop contaminated docs).
+
+    Scale shape: one generated-SQL seed scoring over the corpus, one
+    cell-keyed train×eval join (eval is the small side — at 100 TB train
+    vs a benchmark suite of 10^4-10^6 rows the per-cell eval slice is
+    broadcast-class), exact cosine only on candidates, one keyed
+    top-1 window. n_cells grows ~√n exactly as in knn_join."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import dot, norm
+
+    if n_cells is None:
+        n_cells = auto_n_cells(emb)
+    cells = seed_cell_assign(emb, n_cells=n_cells, nprobe=nprobe).persist()
+    ev = cells.join(
+        eval_ids.select("vec_id"), "vec_id", "left_semi"
+    ).withColumnRenamed("vec_id", "eval_id")
+    tr = cells.join(
+        eval_ids.select("vec_id"), "vec_id", "left_anti"
+    ).withColumnRenamed("vec_id", "t_id")
+    cand = tr.join(ev, "cell").select("t_id", "eval_id").distinct()
+    e = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    sim = dot(F.col("x.v"), F.col("y.v")) / (F.col("x.nrm") * F.col("y.nrm"))
+    scored = (
+        cand.join(e.alias("x"), F.col("t_id") == F.col("x.vec_id"))
+        .join(e.alias("y"), F.col("eval_id") == F.col("y.vec_id"))
+        .select("t_id", "eval_id", F.round(sim, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= F.lit(float(tau)))
+    )
+    w = W.partitionBy("t_id").orderBy(F.col("cos_sim").desc(), F.col("eval_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("t_id").alias("vec_id"), "eval_id", "cos_sim")
+    )
+
+
 def radius_density(
     emb: DataFrame,
     tau: float = 0.3,

@@ -6306,3 +6306,48 @@ ORACLE_SQL["st14_stream_index_sync"] = ORACLE_SQL["tx26_bm25_rank"]
 # numpy) cell assignment only picks each row's FILE, which a full scan
 # reads anyway. The oracle IS ss01's, verbatim.
 ORACLE_SQL["st15_stream_ivf_sync"] = ORACLE_SQL["ss01_knn_cosine"]
+
+# px24: embedding-based eval-set decontamination — dd05's seed-cell
+# blocking mirror (32 lowest-vec_id seeds, rounded-6 cosine, tie cell
+# ASC) with nprobe=8 (recall-first, see cross_set_decontaminate),
+# cross-set candidates (train = vec_id % 17 <> 0, eval = the rest
+# sharing >= 1 probe cell), exact rounded cosine >= 0.35, then the
+# closest offending eval vector per contaminated train vector
+# (cos DESC, eval_id ASC).
+ORACLE_SQL["px24_embedding_decontam"] = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS sv
+        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 32)
+    ),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, s.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, s.sv), 6) DESC,
+                                s.cell
+                   ) AS rn
+            FROM e CROSS JOIN seeds s
+        ) WHERE rn <= 8
+    ),
+    cand AS (
+        SELECT DISTINCT t.vec_id AS t_id, ev.vec_id AS eval_id
+        FROM assigned t JOIN assigned ev ON t.cell = ev.cell
+        WHERE t.vec_id % 17 <> 0 AND ev.vec_id % 17 = 0
+    ),
+    hits AS (
+        SELECT t_id, eval_id,
+               round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
+        FROM cand JOIN e x ON x.vec_id = cand.t_id
+                  JOIN e y ON y.vec_id = cand.eval_id
+        WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.35
+    )
+    SELECT t_id AS vec_id, eval_id, cos_sim FROM (
+        SELECT t_id, eval_id, cos_sim,
+               row_number() OVER (
+                   PARTITION BY t_id ORDER BY cos_sim DESC, eval_id
+               ) AS rn
+        FROM hits
+    ) WHERE rn = 1
+"""

@@ -4275,6 +4275,23 @@ def px20_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(docs, neardup_pairs_jaccard(docs, threshold=0.2))
 
 
+# Embedding-based eval-set decontamination (operators/similarity.py::
+# cross_set_decontaminate) — flag train vectors within cosine tau of any
+# benchmark vector (eval set = vec_id % 17 == 0 here), the semantic
+# sibling of px08's n-gram decontamination: catches paraphrased eval
+# leakage shingles miss. dd05's deterministic seed-cell blocking, but
+# nprobe=8 (recall-first: ~100% of brute-force hits at this geometry vs
+# ~75% at dd05's nprobe=4 — measured; the candidate set stays
+# sub-quadratic). One row per contaminated train doc with its closest
+# offending eval doc.
+def px24_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cross_set_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 17 == 0).select("vec_id")
+    return cross_set_decontaminate(emb, ev, tau=0.35, n_cells=32, nprobe=8)
+
+
 # Quality-greedy selection under a token budget (operators/layout.py::
 # budget_selection) — docs taken in (p_keep DESC, id) order while the
 # inclusive running token sum fits 12k tokens (prefix-greedy, no
@@ -5207,6 +5224,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87_weighted_sample": q87_weighted_sample,  # r12-overflow re-stamp
     "cdc_stream_emp_state": cdc_stream_emp_state,  # r12-overflow re-stamp
     "px20_leakage_safe_split": px20_leakage_safe_split,  # r13-affected
+    "px24_embedding_decontam": px24_embedding_decontam,  # new in r13
     # --- end of the affected set: slots 49-50 and everything below
     # are the unchanged remainder in exact r12-HEAD order (fresh
     # green driver rows; unaffected by this round's churn).

@@ -69,6 +69,8 @@ HEADLINE = [
     # round-8 additions (the rebuilt heavy similarity family + new surface)
     "dd05_embedding_neardup",
     "ss05_knn_join",
+    # r13 session-3: the cross-set decontamination candidate join
+    "px24_embedding_decontam",
     "ss06_kmeans_clusters",
     "tx21_zipf_stats",
     "px16_quality_aware_dedup",

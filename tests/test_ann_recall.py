@@ -590,3 +590,59 @@ def test_filtered_index_partition_pruning(spark, corpus, tmp_path):
         if int(ids[j]) != qid and labels[int(ids[j])] == label
     ][:K]
     assert got == want, (got, want)
+
+
+def test_cross_set_decontaminate_recall_vs_brute_force(spark):
+    """px24's recall-first contract: at nprobe=8 the seed-cell blocking
+    must recover (near-)all brute-force contamination hits — a missed
+    contamination poisons an eval, so unlike dd05 (dedup tolerates
+    misses) the decontamination default buys recall with a wider probe.
+    Pinned: 100% at sf0.001 (measured 20/20; also 29/29 at sf0.01,
+    404/405 at sf0.1), and the nprobe=4 geometry is strictly worse —
+    the wider-probe default is doing real work."""
+    import pyspark.sql.functions as F
+
+    from kafkatosparktokudu_spark.functions.vectors import (
+        as_double,
+        dot,
+        norm,
+    )
+    from kafkatosparktokudu_spark.operators.similarity import (
+        cross_set_decontaminate,
+    )
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    ev = emb.filter(F.col("vec_id") % 17 == 0).select("vec_id")
+
+    # brute-force truth: every train vector with any eval cosine >= tau
+    e = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    tr = e.filter(F.col("vec_id") % 17 != 0).alias("x")
+    evv = e.filter(F.col("vec_id") % 17 == 0).alias("y")
+    sim = dot(F.col("x.v"), F.col("y.v")) / (F.col("x.nrm") * F.col("y.nrm"))
+    truth = {
+        r["vec_id"]
+        for r in tr.crossJoin(evv)  # sf0.001 truth harness: 470x30 pairs
+        .select(F.col("x.vec_id").alias("vec_id"), F.round(sim, 6).alias("c"))
+        .filter(F.col("c") >= 0.35)
+        .select("vec_id")
+        .distinct()
+        .collect()
+    }
+    got8 = {
+        r["vec_id"]
+        for r in cross_set_decontaminate(
+            emb, ev, tau=0.35, n_cells=32, nprobe=8
+        ).collect()
+    }
+    got4 = {
+        r["vec_id"]
+        for r in cross_set_decontaminate(
+            emb, ev, tau=0.35, n_cells=32, nprobe=4
+        ).collect()
+    }
+    assert got8 <= truth and got4 <= truth  # blocking never invents hits
+    assert got8 == truth  # nprobe=8: full recall at this geometry
+    assert len(got4) < len(truth)  # nprobe=4 provably misses here
