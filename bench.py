@@ -66,6 +66,8 @@ SECONDARY_QUERIES = [
     # r12 additions (regression-trackable from r13)
     "ss19_filtered_scaled_topk",  # selectivity-scaled filtered ANN
     "ss21_hybrid_rrf",            # integer-RRF hybrid retrieval
+    # r13 session-3 addition (regression-trackable from r14)
+    "px24_embedding_decontam",    # cross-set eval decontamination, nprobe=8
 ]
 
 
