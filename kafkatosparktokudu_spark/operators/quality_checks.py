@@ -843,3 +843,57 @@ def fd_profile(
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("table_name", "lhs", "rhs")
+
+
+def embedding_drift(
+    baseline: DataFrame, current: DataFrame, n_dims: int = 8
+) -> DataFrame:
+    """EMBEDDING-space drift between a baseline and a current slice —
+    the dense sibling of ``distribution_drift`` (dq03): per (label,
+    dimension), how far the per-label centroid has moved. The
+    ML-ops check behind "did the upstream encoder / corpus mix shift
+    under my ANN index or classifier?" — categorical TVD can't see a
+    drift that keeps label frequencies constant but moves WHERE each
+    label's vectors sit.
+
+    Exactness contract (the ss02 recipe, applied twice): per slice the
+    centroid component is ``CAST(SUM(DECIMAL(18,9)) AS DOUBLE) /
+    COUNT`` — exact decimal aggregation, then ONE IEEE double division,
+    bit-identical in Spark and DuckDB; drift = |base − cur| is one
+    IEEE subtraction of bit-equal operands, so the whole report is
+    hash-stable with no rounding step at all.
+
+    Returns one row per (label, pos): ``(label, pos, n_baseline,
+    n_current, base_centroid, cur_centroid, drift)`` — bounded output
+    (|labels| × n_dims rows). Scale shape: two posexplode hash-aggs
+    (map-side partial over n·n_dims rows) + one small join; row counts
+    never leave the cluster."""
+
+    from ..functions.vectors import as_double
+
+    def _cents(df: DataFrame, n_col: str, c_col: str) -> DataFrame:
+        e = df.select(
+            "label",
+            F.posexplode(F.slice(as_double(F.col("embedding")), 1, n_dims)),
+        ).select(
+            "label",
+            F.col("pos"),
+            F.col("col").cast("decimal(18,9)").alias("val"),
+        )
+        return e.groupBy("label", "pos").agg(
+            F.count("val").cast("bigint").alias(n_col),
+            (F.sum("val").cast("double") / F.count("val")).alias(c_col),
+        )
+
+    j = _cents(baseline, "n_baseline", "base_centroid").join(
+        _cents(current, "n_current", "cur_centroid"), ["label", "pos"]
+    )
+    return j.select(
+        "label",
+        F.col("pos").cast("int").alias("pos"),
+        "n_baseline",
+        "n_current",
+        "base_centroid",
+        "cur_centroid",
+        F.abs(F.col("base_centroid") - F.col("cur_centroid")).alias("drift"),
+    ).orderBy("label", "pos")

@@ -6351,3 +6351,30 @@ ORACLE_SQL["px24_embedding_decontam"] = """
         FROM hits
     ) WHERE rn = 1
 """
+
+# dq08: embedding-space drift — per-(label, dim) centroid movement
+# between the even/odd vec_id slices. The ss02 exactness recipe per
+# slice (exact DECIMAL(18,9) sums, ONE double division), one IEEE
+# subtraction for the drift — no rounding anywhere, so the doubles
+# hash-match bit-for-bit.
+ORACLE_SQL["dq08_embedding_drift"] = """
+    WITH ex AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cents AS (
+        SELECT (vec_id % 2) AS slice, label, CAST(pos AS INTEGER) AS pos,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(v[pos + 1] AS DECIMAL(18,9))) AS DOUBLE)
+                   / COUNT(*) AS c
+        FROM ex, range(8) t(pos)
+        GROUP BY slice, label, pos
+    )
+    SELECT b.label, b.pos,
+           b.n AS n_baseline, c.n AS n_current,
+           b.c AS base_centroid, c.c AS cur_centroid,
+           abs(b.c - c.c) AS drift
+    FROM cents b JOIN cents c
+      ON b.label = c.label AND b.pos = c.pos
+    WHERE b.slice = 0 AND c.slice = 1
+    ORDER BY b.label, b.pos
+"""

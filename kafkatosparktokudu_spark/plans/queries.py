@@ -2180,6 +2180,24 @@ def dq07_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Embedding-space drift monitor (operators/quality_checks.py::
+# embedding_drift) — the dense sibling of dq03's categorical TVD:
+# per-(label, dim) centroid movement between the even-vec_id baseline
+# and the odd-vec_id current slice. Exactness = the ss02 recipe twice
+# (exact DECIMAL sums, ONE IEEE double division per centroid, one IEEE
+# subtraction) — hash-stable with no rounding step. Catches encoder /
+# corpus-mix shifts that keep label frequencies flat but move where
+# each label's vectors sit (the failure mode a TVD monitor can't see).
+def dq08_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality_checks import embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+
+
 # Compliance delete propagation (operators/merge.py::propagate_deletes)
 # — right-to-be-forgotten: customers with c_custkey % 20 = 3 are erased
 # from customer and orders directly, and from lineitem by FK CASCADE
@@ -5225,6 +5243,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_stream_emp_state": cdc_stream_emp_state,  # r12-overflow re-stamp
     "px20_leakage_safe_split": px20_leakage_safe_split,  # r13-affected
     "px24_embedding_decontam": px24_embedding_decontam,  # new in r13
+    "dq08_embedding_drift": dq08_embedding_drift,  # new in r13
     # --- end of the affected set: slots 49-50 and everything below
     # are the unchanged remainder in exact r12-HEAD order (fresh
     # green driver rows; unaffected by this round's churn).

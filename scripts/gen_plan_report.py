@@ -243,6 +243,9 @@ EXCLUDED = [
     "dd14_event_debounce",
     "dq02_column_profile",
     "dq03_distribution_drift",
+    # dq08: two ss02-class posexplode aggs + one bounded (|labels|×dims)
+    # join — both plan classes covered by ss02's exclusion rationale.
+    "dq08_embedding_drift",
     "gr01_pagerank_neardup",
     "gr04_kcore",
     # gr06: iterative localCheckpoint rounds — final plan is checkpoint-

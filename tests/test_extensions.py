@@ -3861,3 +3861,41 @@ def test_rrf_fuse_integer_weights(spark):
     by_doc = {101: (1, 3), 102: (2, 2), 103: (3, 1)}
     rl, rd = by_doc[top[1]]
     assert top[2] == 2 * (10**9 // (60 + rl)) + 5 * (10**9 // (60 + rd))
+
+
+def test_embedding_drift_detects_planted_shift(spark):
+    """dq08's operator: shifting ONE label's vectors by a constant in
+    the current slice must surface as drift concentrated on that label
+    (every dim, ~the planted delta), while unshifted labels stay at
+    their sampling-noise floor; identical slices report exactly 0.0
+    drift (bit-equal centroids — the no-rounding contract)."""
+    import pyspark.sql.functions as F
+
+    from kafkatosparktokudu_spark.operators.quality_checks import (
+        embedding_drift,
+    )
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1)
+    target = base.select(F.min("label")).collect()[0][0]
+
+    # identical slices → exactly zero drift on every row
+    same = embedding_drift(base, base).collect()
+    assert same and all(r["drift"] == 0.0 for r in same)
+
+    shifted = cur.withColumn(
+        "embedding",
+        F.when(
+            F.col("label") == target,
+            F.transform("embedding", lambda x: x + F.lit(0.5)),
+        ).otherwise(F.col("embedding")),
+    )
+    rows = embedding_drift(base, shifted).collect()
+    hit = [r for r in rows if r["label"] == target]
+    rest = [r for r in rows if r["label"] != target]
+    assert hit and all(r["drift"] > 0.3 for r in hit)
+    # unshifted labels: sampling noise between even/odd halves, well
+    # below the planted 0.5 shift
+    assert rest and all(r["drift"] < 0.3 for r in rest)
