@@ -647,6 +647,8 @@ def compact_epoch_partitions(
     committed: list[int],
     partition_cols: tuple[str, ...],
     repartition_col: str,
+    exclude_ids=None,
+    exclude_col: str | None = None,
 ) -> int:
     """Fold the COMMITTED ``epoch=N`` partitions of an incrementally-
     maintained index (text.build_bm25_index / similarity.build_ivf_index
@@ -683,6 +685,11 @@ def compact_epoch_partitions(
     delete_dir(spark, staging)  # stale from a crashed prior run
     delete_dir(spark, f"{path}/epoch={new_epoch}")  # half-landed rename
     rows = spark.read.parquet(path).filter(F.col("epoch").isin(committed))
+    if exclude_ids is not None:
+        # tombstoned rows are PHYSICALLY dropped by the fold (the LSM
+        # major-compaction move); the caller clears its tombstone list
+        # in the same sidecar commit
+        rows = rows.join(F.broadcast(exclude_ids), exclude_col, "left_anti")
     (
         rows.withColumn("epoch", F.lit(int(new_epoch)))
         .repartition(F.col(repartition_col))

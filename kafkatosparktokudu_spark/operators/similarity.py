@@ -742,6 +742,19 @@ def _sum_counts(dicts) -> dict:
     return tot
 
 
+def _sub_counts(tot: dict, minus: dict) -> dict:
+    """tot − minus per key, keys with nothing left dropped (both inputs
+    come from disk scans, so the difference is exact, never negative)."""
+    out = dict(tot)
+    for k, n in minus.items():
+        left = out.get(k, 0) - n
+        if left > 0:
+            out[k] = left
+        else:
+            out.pop(k, None)
+    return out
+
+
 def _write_ivf_meta(spark, path: str, meta: dict) -> None:
     """Finalize cumulative totals + the commit record, then write the
     sidecar ATOMICALLY through the Hadoop FS (the ADVICE r12 gate-store
@@ -754,10 +767,21 @@ def _write_ivf_meta(spark, path: str, meta: dict) -> None:
     eps = meta["epochs"]
     meta["committed_epochs"] = sorted(int(e) for e in eps)
     meta.setdefault("folded_epochs", [])
-    meta["cell_counts"] = _sum_counts(e["cell_counts"] for e in eps.values())
+    # tombstones (delete_from_ivf_index): cumulative counts go NET of
+    # committed deletions so the adaptive/filtered probe planners see
+    # the surviving population (delete-equals-rebuild, the BM25 twin's
+    # contract)
+    tombs = meta.setdefault("tombstones", {})
+    meta["tombstone_epochs"] = sorted(int(e) for e in tombs)
+    meta.setdefault("folded_tombstone_epochs", [])
+    meta["cell_counts"] = _sub_counts(
+        _sum_counts(e["cell_counts"] for e in eps.values()),
+        _sum_counts(t.get("cell_counts", {}) for t in tombs.values()),
+    )
     if any("group_counts" in e for e in eps.values()):
-        meta["group_counts"] = _sum_counts(
-            e.get("group_counts", {}) for e in eps.values()
+        meta["group_counts"] = _sub_counts(
+            _sum_counts(e.get("group_counts", {}) for e in eps.values()),
+            _sum_counts(t.get("group_counts", {}) for t in tombs.values()),
         )
     write_text_atomic(spark, f"{path}/_ivf_meta.json", json.dumps(meta))
 
@@ -817,6 +841,88 @@ def upsert_ivf_index(new_emb: DataFrame, path: str, epoch: int) -> dict:
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("epoch", *pcols).parquet(path)
     meta["epochs"][str(epoch)] = _ivf_epoch_counts(spark, path, epoch, pcols)
+    _write_ivf_meta(spark, path, meta)
+    return meta
+
+
+def _read_ivf_tombstones(spark, path: str, meta: dict):
+    """Committed tombstoned vec_ids as a 1-column frame, or None when
+    the index has no committed deletions (probes then keep their exact
+    pre-delete plan — no anti-join node at all)."""
+    eps = sorted(int(e) for e in meta.get("tombstones", {}))
+    if not eps:
+        return None
+    return (
+        spark.read.parquet(f"{path}/_tombstones")
+        .filter(F.col("epoch").isin(eps))
+        .select("vec_id")
+        .distinct()
+    )
+
+
+def delete_from_ivf_index(
+    spark, path: str, vec_ids: DataFrame, epoch: int
+) -> dict:
+    """Delete vectors from a materialized IVF index WITHOUT a rebuild —
+    the dense twin of ``delete_from_bm25_index``, completing the
+    forget-path symmetry of the serving-index lifecycle (and the
+    index-side half of right-to-be-forgotten: a table delete that
+    leaves the ANN index still RETURNING the forgotten vector has not
+    forgotten it). Same tombstone design:
+
+    - net-new ids (minus already-tombstoned — double deletes subtract
+      nothing twice) land under ``{path}/_tombstones/epoch=N``
+      (underscore-prefixed: invisible to the index scan's listing);
+    - the removed rows' per-cell (and per-partition-tuple) counts, read
+      from the index itself in one semi-join scan, are recorded per
+      tombstone epoch in the sidecar — the commit point — so the
+      cumulative counts the adaptive/filtered probe planners read go
+      NET, exactly a rebuild-on-survivors' sidecar;
+    - probes anti-join committed tombstone ids (broadcast; absent
+      entirely on an index with no deletes), so every search result
+      equals the rebuilt index's (delete-equals-rebuild, pinned by the
+      ss25 oracle);
+    - ``compact_ivf_index`` reclaims the space: tombstoned rows are
+      physically dropped by the fold, the list cleared, absorbed delete
+      epochs remembered in ``folded_tombstone_epochs`` for replay.
+
+    Crash-safe by replay (files-then-sidecar, the upsert discipline).
+    A tombstoned vec_id must not be re-upserted before a compaction has
+    cleared it (the anti-join would hide the new row too)."""
+    if int(epoch) < 0:
+        raise ValueError(f"delete epochs must be >= 0, got {epoch}")
+    meta = _read_ivf_meta(spark, path)
+    if str(epoch) in meta.get("tombstones", {}) or int(epoch) in meta.get(
+        "folded_tombstone_epochs", []
+    ):
+        return meta  # replay of a committed (possibly folded) delete
+    pcols = tuple(meta.get("partition_cols", ["cell"]))
+    ids = vec_ids.select(
+        F.col(vec_ids.columns[0]).cast("bigint").alias("vec_id")
+    ).distinct()
+    prev = _read_ivf_tombstones(spark, path, meta)
+    if prev is not None:
+        ids = ids.join(prev, "vec_id", "left_anti")
+    gone = (
+        spark.read.parquet(path)
+        .filter(F.col("epoch").isin(meta["committed_epochs"]))
+        .join(F.broadcast(ids), "vec_id", "left_semi")
+    )
+    stats = {
+        "cell_counts": {
+            str(int(r["cell"])): r["count"]
+            for r in gone.groupBy("cell").count().collect()
+        }
+    }
+    if len(pcols) > 1:
+        stats["group_counts"] = {
+            "|".join(str(r[c]) for c in pcols): r["count"]
+            for r in gone.groupBy(*pcols).count().collect()
+        }
+    ids.repartition(1).write.mode("overwrite").parquet(
+        f"{path}/_tombstones/epoch={int(epoch)}"
+    )
+    meta.setdefault("tombstones", {})[str(epoch)] = stats
     _write_ivf_meta(spark, path, meta)
     return meta
 
@@ -942,6 +1048,11 @@ def ivf_index_topk(
         # committed epochs only: a crashed upsert's files are invisible
         & F.col("epoch").isin(meta["committed_epochs"])
     )
+    # committed deletions: broadcast anti-join (absent on a delete-free
+    # index — no extra plan node), so results equal a rebuilt index's
+    tomb = _read_ivf_tombstones(spark, path, meta)
+    if tomb is not None:
+        cand = cand.join(F.broadcast(tomb), "vec_id", "left_anti")
     if exclude_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_id)
     return (
@@ -1002,6 +1113,10 @@ def filtered_ivf_index_topk(
         & (F.col(label_col) == label_value)
         & F.col("epoch").isin(meta["committed_epochs"])
     )
+    # committed deletions (the ivf_index_topk anti-join, same contract)
+    tomb = _read_ivf_tombstones(spark, path, meta)
+    if tomb is not None:
+        cand = cand.join(F.broadcast(tomb), "vec_id", "left_anti")
     if exclude_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_id)
     return (
@@ -2261,16 +2376,29 @@ def compact_ivf_index(spark, path: str) -> dict:
     clean."""
     from .layout import cleanup_foreign_epochs, compact_epoch_partitions
 
+    from ..streaming.fsio import delete_dir
+
     meta = _read_ivf_meta(spark, path)
     committed = meta["committed_epochs"]
-    if len(committed) == 1:
+    tombs = meta.get("tombstones", {})
+    if len(committed) == 1 and not tombs:
         cleanup_foreign_epochs(spark, path, committed)
         return meta
     pcols = tuple(meta.get("partition_cols", ["cell"]))
+    # cumulative counts are already NET of committed deletions
     folded = {"cell_counts": dict(meta["cell_counts"])}
     if "group_counts" in meta:
         folded["group_counts"] = dict(meta["group_counts"])
-    new_epoch = compact_epoch_partitions(spark, path, committed, pcols, "cell")
+    tomb_ids = _read_ivf_tombstones(spark, path, meta)
+    new_epoch = compact_epoch_partitions(
+        spark,
+        path,
+        committed,
+        pcols,
+        "cell",
+        exclude_ids=tomb_ids,
+        exclude_col="vec_id",
+    )
     meta2 = {
         "centroids": meta["centroids"],
         "partition_cols": list(pcols),
@@ -2281,7 +2409,14 @@ def compact_ivf_index(spark, path: str) -> dict:
             set(meta.get("folded_epochs", []))
             | {e for e in committed if e >= 0}
         ),
+        # tombstoned rows were physically dropped by the fold; absorbed
+        # delete-epoch ids are remembered so a replayed delete no-ops
+        "folded_tombstone_epochs": sorted(
+            set(meta.get("folded_tombstone_epochs", []))
+            | {int(e) for e in tombs}
+        ),
     }
     _write_ivf_meta(spark, path, meta2)
     cleanup_foreign_epochs(spark, path, meta2["committed_epochs"])
+    delete_dir(spark, f"{path}/_tombstones")  # after the sidecar commit
     return meta2

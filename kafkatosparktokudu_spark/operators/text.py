@@ -1859,8 +1859,19 @@ def _write_bm25_meta(spark, path: str, meta: dict) -> None:
     eps = meta["epochs"]
     meta["committed_epochs"] = sorted(int(e) for e in eps)
     meta.setdefault("folded_epochs", [])
-    meta["n_docs"] = sum(e["n_docs"] for e in eps.values())
-    meta["total_dl"] = sum(e["total_dl"] for e in eps.values())
+    # tombstones (delete_from_bm25_index): cumulative corpus stats are
+    # NET of committed deletions — probes score with the post-delete
+    # n_docs/avgdl, exactly what a rebuild on the surviving docs would
+    # use (the delete-equals-rebuild contract).
+    tombs = meta.setdefault("tombstones", {})
+    meta["tombstone_epochs"] = sorted(int(e) for e in tombs)
+    meta.setdefault("folded_tombstone_epochs", [])
+    meta["n_docs"] = sum(e["n_docs"] for e in eps.values()) - sum(
+        t["n_docs"] for t in tombs.values()
+    )
+    meta["total_dl"] = sum(e["total_dl"] for e in eps.values()) - sum(
+        t["total_dl"] for t in tombs.values()
+    )
     write_text_atomic(spark, f"{path}/_bm25_meta.json", json.dumps(meta))
 
 
@@ -1923,6 +1934,94 @@ def append_bm25_index(
     return meta
 
 
+def _read_bm25_tombstones(spark, path: str, meta: dict):
+    """Committed tombstoned doc ids as a 1-column frame, or None when the
+    index has no committed deletions (the common case — probes then keep
+    their exact pre-delete plan, no anti-join node at all)."""
+    eps = sorted(int(e) for e in meta.get("tombstones", {}))
+    if not eps:
+        return None
+    return (
+        spark.read.parquet(f"{path}/_tombstones")
+        .filter(F.col("epoch").isin(eps))
+        .select(meta["id_col"])
+        .distinct()
+    )
+
+
+def delete_from_bm25_index(
+    spark, path: str, doc_ids: DataFrame, epoch: int
+) -> dict:
+    """Delete documents from a materialized BM25 postings index WITHOUT
+    a rebuild — the missing lifecycle piece next to append/compact (and
+    the index-side half of px23's right-to-be-forgotten: a table delete
+    that leaves the serving index still ranking the forgotten doc has
+    not forgotten it). Tombstone design, the LSM idiom:
+
+    - the batch's NET-NEW ids (minus anything already tombstoned, so a
+      double delete subtracts nothing twice) land as parquet under
+      ``{path}/_tombstones/epoch=N`` — the underscore prefix keeps them
+      out of the postings scan's file listing entirely;
+    - corpus stats for the removed docs — (n_docs, total_dl), read from
+      the INDEX itself (one semi-join scan per delete batch; dl is a
+      column of every posting, so no corpus access is needed) — are
+      recorded per tombstone epoch in the sidecar, whose rewrite is the
+      commit point: cumulative n_docs/total_dl go NET, and probes
+      anti-join the committed tombstone ids while recounting df from
+      the surviving postings, which is EXACTLY the ranking a rebuild on
+      the surviving corpus produces (delete-equals-rebuild, pinned in
+      tests and by the tx30 oracle);
+    - physical space is reclaimed by ``compact_bm25_index``, which
+      drops tombstoned rows during the fold and clears the tombstone
+      list (``folded_tombstone_epochs`` remembers absorbed delete
+      epochs so a replayed delete no-ops).
+
+    Crash-safe by replay: files-then-sidecar — a crashed delete's
+    tombstone files are invisible (probes read committed tombstone
+    epochs only) and its replay overwrites them. Tombstone epoch ids
+    are their own namespace (>= 0, disjoint from appender ids by
+    bookkeeping, not by value). A tombstoned doc_id must not be
+    re-appended before a compaction has cleared it — the anti-join
+    would hide the new rows too (documented, same family as the
+    append-only id contract)."""
+    if int(epoch) < 0:
+        raise ValueError(f"delete epochs must be >= 0, got {epoch}")
+    meta = _read_bm25_meta(spark, path)
+    if str(epoch) in meta.get("tombstones", {}) or int(epoch) in meta.get(
+        "folded_tombstone_epochs", []
+    ):
+        return meta  # replay of a committed (possibly folded) delete
+    id_col = meta["id_col"]
+    ids = doc_ids.select(
+        F.col(doc_ids.columns[0]).cast("bigint").alias(id_col)
+    ).distinct()
+    prev = _read_bm25_tombstones(spark, path, meta)
+    if prev is not None:
+        ids = ids.join(prev, id_col, "left_anti")
+    # stats of the net-new deleted docs, from the index (ground truth):
+    # dl is constant per doc across its postings rows
+    gone = (
+        spark.read.parquet(path)
+        .filter(F.col("epoch").isin(meta["committed_epochs"]))
+        .join(F.broadcast(ids), id_col, "left_semi")
+        .select(id_col, "dl")
+        .distinct()
+    )
+    row = gone.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("dl"),
+    ).collect()[0]
+    ids.repartition(1).write.mode("overwrite").parquet(
+        f"{path}/_tombstones/epoch={int(epoch)}"
+    )
+    meta.setdefault("tombstones", {})[str(epoch)] = {
+        "n_docs": int(row["n"]),
+        "total_dl": int(row["dl"] or 0),
+    }
+    _write_bm25_meta(spark, path, meta)
+    return meta
+
+
 def bm25_index_topk(
     spark,
     path: str,
@@ -1952,6 +2051,14 @@ def bm25_index_topk(
         .filter(F.col("epoch").isin(meta["committed_epochs"]))
         .filter(F.col("term").isin(list(query_terms)))
     )
+    # committed deletions: drop tombstoned docs BEFORE the df recount, so
+    # idf and the sidecar's net n_docs/avgdl agree with a rebuild on the
+    # surviving corpus (delete-equals-rebuild); broadcast — tombstone
+    # sets are small next to the corpus, and absent entirely (no extra
+    # plan node) on an index with no deletes
+    tomb = _read_bm25_tombstones(spark, path, meta)
+    if tomb is not None:
+        post = post.join(F.broadcast(tomb), id_col, "left_anti")
     wdf = Window.partitionBy("term")
     scored = (
         post.withColumn("df", F.count(F.lit(1)).over(wdf).cast("bigint"))
@@ -2069,14 +2176,26 @@ def compact_bm25_index(spark, path: str) -> dict:
     epoch dirs are deleted last (a crash anywhere re-runs clean)."""
     from .layout import cleanup_foreign_epochs, compact_epoch_partitions
 
+    from ..streaming.fsio import delete_dir
+
     meta = _read_bm25_meta(spark, path)
     committed = meta["committed_epochs"]
-    if len(committed) == 1:
+    tombs = meta.get("tombstones", {})
+    if len(committed) == 1 and not tombs:
         cleanup_foreign_epochs(spark, path, committed)
         return meta
+    # cumulative stats are already NET of committed deletions, so the
+    # folded epoch's stats equal a rebuild on the surviving corpus
     folded = {"n_docs": meta["n_docs"], "total_dl": meta["total_dl"]}
+    tomb_ids = _read_bm25_tombstones(spark, path, meta)
     new_epoch = compact_epoch_partitions(
-        spark, path, committed, ("bucket",), "bucket"
+        spark,
+        path,
+        committed,
+        ("bucket",),
+        "bucket",
+        exclude_ids=tomb_ids,
+        exclude_col=meta["id_col"],
     )
     meta2 = {
         "n_buckets": meta["n_buckets"],
@@ -2089,7 +2208,15 @@ def compact_bm25_index(spark, path: str) -> dict:
             set(meta.get("folded_epochs", []))
             | {e for e in committed if e >= 0}
         ),
+        # the fold PHYSICALLY dropped every tombstoned row, so the
+        # tombstone list resets; absorbed delete-epoch ids are
+        # remembered so a replayed delete no-ops instead of re-deleting
+        "folded_tombstone_epochs": sorted(
+            set(meta.get("folded_tombstone_epochs", []))
+            | {int(e) for e in tombs}
+        ),
     }
     _write_bm25_meta(spark, path, meta2)
     cleanup_foreign_epochs(spark, path, meta2["committed_epochs"])
+    delete_dir(spark, f"{path}/_tombstones")  # after the sidecar commit
     return meta2

@@ -6378,3 +6378,27 @@ ORACLE_SQL["dq08_embedding_drift"] = """
     WHERE b.slice = 0 AND c.slice = 1
     ORDER BY b.label, b.pos
 """
+
+# tx30: BM25 over an index that tombstone-deleted doc_id % 7 == 3 —
+# delete-equals-rebuild means the oracle is tx26's ranking computed
+# over the SURVIVING corpus: the same SQL with the deletion predicate
+# applied to both corpus CTEs (stats and df shrink exactly as the
+# probe's net sidecar + post-anti-join recount do).
+ORACLE_SQL["tx30_bm25_forget"] = ORACLE_SQL["tx26_bm25_rank"].replace(
+    "FROM documents", "FROM documents WHERE doc_id % 7 <> 3"
+)
+
+# ss24: full-width probe of an IVF index that tombstone-deleted
+# vec_id % 7 == 3 — brute-force cosine top-10 over the survivors
+# (ss01's SQL with the deletion predicate; vec 0 — the query vector —
+# survives 0 % 7 <> 3).
+ORACLE_SQL["ss24_ivf_forget"] = """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id % 7 <> 3),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id, label, round(list_cosine_similarity(v, qv), 6) AS cos_sim
+    FROM e, q
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+"""

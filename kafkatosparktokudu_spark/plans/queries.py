@@ -4558,6 +4558,84 @@ def st09_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def tx30_bm25_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 serving over an index that has FORGOTTEN part of its corpus
+    (r13 session 3 — operators/text.py::delete_from_bm25_index): build
+    on all documents, tombstone-delete doc_id % 7 == 3 (no rebuild),
+    probe. The ranking must equal tx26's inline ranking over the
+    SURVIVING corpus bit-for-bit — delete-equals-rebuild is the
+    contract: the probe anti-joins committed tombstones before the df
+    recount and scores with the sidecar's NET n_docs/total_dl, which is
+    exactly the rebuilt index's arithmetic. Oracle = tx26's SQL with
+    the deletion predicate applied to the corpus. Physical reclamation
+    (compaction drops tombstoned rows) is pinned in
+    tests/test_extensions.py."""
+    import shutil
+    import tempfile
+
+    from ..operators.text import (
+        bm25_index_topk,
+        build_bm25_index,
+        delete_from_bm25_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="tx30_")
+    try:
+        build_bm25_index(docs, f"{tmp}/idx")
+        delete_from_bm25_index(
+            spark,
+            f"{tmp}/idx",
+            docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"),
+            epoch=1,
+        )
+        res = bm25_index_topk(
+            spark, f"{tmp}/idx", ["merge", "vector", "stream"], top_n=20
+        )
+        rows = res.collect()  # materialize before the temp dirs vanish
+        return local_frame(spark, rows, res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def ss24_ivf_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving over an IVF index that has FORGOTTEN part of its
+    corpus (r13 session 3 — similarity.py::delete_from_ivf_index, the
+    dense twin of tx30): build on all embeddings, tombstone-delete
+    vec_id % 7 == 3 (no rebuild), probe at full width through the
+    PROBE path (nprobe = n_cells — the exactness pin, exercising the
+    committed-tombstone anti-join production probes run). Must equal
+    brute-force cosine top-10 over the surviving vectors bit-for-bit —
+    oracle = ss01's SQL with the deletion predicate applied."""
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        ivf_index_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    tmp = tempfile.mkdtemp(prefix="ss24_")
+    try:
+        build_ivf_index(emb, f"{tmp}/idx", n_cells=16)
+        delete_from_ivf_index(
+            spark,
+            f"{tmp}/idx",
+            emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"),
+            epoch=1,
+        )
+        res = ivf_index_topk(
+            spark, f"{tmp}/idx", qv, k=10, nprobe=16, exclude_id=0
+        )
+        rows = res.collect()  # materialize before the temp dirs vanish
+        return local_frame(spark, rows, res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def st14_stream_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE streaming maintenance of the BM25 postings index (r13 —
     streaming/pipeline.py::start_bm25_index_sync): the corpus arrives as
@@ -5198,9 +5276,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd04_neardup_pairs": dd04_neardup_pairs,
     "dd06_simhash": dd06_simhash,
     "dd08_char_neardup_pairs": dd08_char_neardup_pairs,
-    "dd10_simhash_neardup": dd10_simhash_neardup,
-    "dd11_jaccard_estimate": dd11_jaccard_estimate,
-    "px09_semdedup": px09_semdedup,
     "ss07_pq_encode": ss07_pq_encode,  # r13-affected
     "ss09_int8_quantize": ss09_int8_quantize,  # r13-affected
     "ss13_pq_rerank_topk": ss13_pq_rerank_topk,  # r13-affected
@@ -5239,6 +5314,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st13_stream_zscore": st13_stream_zscore,  # r13-affected
     "st14_stream_index_sync": st14_stream_index_sync,  # new in r13
     "st15_stream_ivf_sync": st15_stream_ivf_sync,  # new in r13
+    "tx30_bm25_forget": tx30_bm25_forget,  # new in r13
+    "ss24_ivf_forget": ss24_ivf_forget,  # new in r13
     "q87_weighted_sample": q87_weighted_sample,  # r12-overflow re-stamp
     "cdc_stream_emp_state": cdc_stream_emp_state,  # r12-overflow re-stamp
     "px20_leakage_safe_split": px20_leakage_safe_split,  # r13-affected
@@ -5247,6 +5324,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- end of the affected set: slots 49-50 and everything below
     # are the unchanged remainder in exact r12-HEAD order (fresh
     # green driver rows; unaffected by this round's churn).
+    "dd10_simhash_neardup": dd10_simhash_neardup,
+    "dd11_jaccard_estimate": dd11_jaccard_estimate,
+    "px09_semdedup": px09_semdedup,
     "q90_distributed_rank": q90_distributed_rank,
     "q91_compaction_bins": q91_compaction_bins,
     "sk01_cms_heavy_hitters": sk01_cms_heavy_hitters,

@@ -178,6 +178,11 @@ EXCLUDED = [
     # st15: the dense twin — live streaming drain (foreachBatch IVF
     # maintenance) + an ss01-shaped full scan of the tempdir index
     "st15_stream_ivf_sync",
+    # tx30/ss24: forget-path faces — tx29/ss20-class probe plans over
+    # tempdir indexes plus one broadcast anti-join (the tombstone
+    # exclusion); collected-rows frames, nothing new to audit
+    "tx30_bm25_forget",
+    "ss24_ivf_forget",
     # ss21: both fusion inputs are TakeOrdered <=50-row frames (tx26's
     # audited plan + an ss01-shaped scan); the fusion itself is a
     # <=100-row full-outer join — nothing scale-bearing to audit.

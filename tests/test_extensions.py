@@ -3899,3 +3899,173 @@ def test_embedding_drift_detects_planted_shift(spark):
     # unshifted labels: sampling noise between even/odd halves, well
     # below the planted 0.5 shift
     assert rest and all(r["drift"] < 0.3 for r in rest)
+
+
+def test_bm25_index_delete_lifecycle(spark, tmp_path):
+    """delete_from_bm25_index (r13): tombstone-delete ≡ rebuild on the
+    surviving corpus — probe ranking AND net sidecar stats; a double
+    delete subtracts nothing twice; a replayed delete epoch no-ops;
+    compaction physically drops tombstoned rows, keeps the probe
+    bit-stable and remembers the absorbed delete epoch; an append AFTER
+    a delete composes (stats stay net + new docs rank)."""
+    import pyspark.sql.functions as F
+
+    from kafkatosparktokudu_spark.operators.text import (
+        _read_bm25_meta,
+        append_bm25_index,
+        bm25_index_topk,
+        build_bm25_index,
+        compact_bm25_index,
+        delete_from_bm25_index,
+    )
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    idx, rebuilt = str(tmp_path / "idx"), str(tmp_path / "rebuilt")
+    terms = ["merge", "vector", "stream"]
+    build_bm25_index(docs, idx)
+    ids = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    m1 = delete_from_bm25_index(spark, idx, ids, epoch=1)
+
+    build_bm25_index(docs.filter(F.col("doc_id") % 7 != 3), rebuilt)
+    mr = _read_bm25_meta(spark, rebuilt)
+    assert (m1["n_docs"], m1["total_dl"]) == (mr["n_docs"], mr["total_dl"])
+    got = [tuple(r) for r in bm25_index_topk(spark, idx, terms, 20).collect()]
+    want = [
+        tuple(r) for r in bm25_index_topk(spark, rebuilt, terms, 20).collect()
+    ]
+    assert got == want and len(got) == 20
+
+    # double delete (overlapping ids, new epoch): subtracts nothing twice
+    m2 = delete_from_bm25_index(spark, idx, ids, epoch=2)
+    assert (m2["n_docs"], m2["total_dl"]) == (m1["n_docs"], m1["total_dl"])
+    # replay of a committed delete epoch: no-op
+    assert delete_from_bm25_index(spark, idx, ids, epoch=1)["n_docs"] == m1[
+        "n_docs"
+    ]
+
+    # compaction: physical drop + bit-stable probe + folded memory
+    m3 = compact_bm25_index(spark, idx)
+    assert not m3.get("tombstones")
+    assert m3["folded_tombstone_epochs"] == [1, 2]
+    assert (
+        spark.read.parquet(idx).join(ids, "doc_id", "left_semi").count() == 0
+    )
+    assert [
+        tuple(r) for r in bm25_index_topk(spark, idx, terms, 20).collect()
+    ] == want
+    # replayed delete of a folded epoch: no-op
+    assert not delete_from_bm25_index(spark, idx, ids, epoch=1).get(
+        "tombstones"
+    )
+
+    # delete then append composes: stats stay net, the new doc ranks
+    m4 = delete_from_bm25_index(
+        spark, idx, docs.filter(F.col("doc_id") % 7 == 5).select("doc_id"), 3
+    )
+    new = docs.limit(1).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    m5 = append_bm25_index(new, idx, epoch=4)
+    assert m5["n_docs"] == m4["n_docs"] + 1
+
+
+def test_ivf_index_delete_lifecycle(spark, tmp_path):
+    """delete_from_ivf_index (r13, the dense twin): full-width probe
+    after a tombstone delete ≡ brute force over survivors; net sidecar
+    counts equal a rebuild's; replay/double-delete no-ops; compaction
+    physically drops tombstoned rows with the probe bit-stable."""
+    import pyspark.sql.functions as F
+
+    from kafkatosparktokudu_spark.operators.similarity import (
+        _read_ivf_meta,
+        brute_force_topk,
+        build_ivf_index,
+        compact_ivf_index,
+        delete_from_ivf_index,
+        ivf_index_topk,
+    )
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    idx = str(tmp_path / "idx")
+    build_ivf_index(emb, idx, n_cells=16)
+    ids = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    m1 = delete_from_ivf_index(spark, idx, ids, epoch=1)
+    surv = emb.filter(F.col("vec_id") % 7 != 3)
+    assert sum(m1["cell_counts"].values()) == surv.count()
+
+    got = [
+        tuple(r)
+        for r in ivf_index_topk(
+            spark, idx, qv, k=10, nprobe=16, exclude_id=0
+        ).collect()
+    ]
+    want = [
+        tuple(r) for r in brute_force_topk(surv, qv, k=10, exclude_id=0).collect()
+    ]
+    assert got == want and len(got) == 10
+
+    assert delete_from_ivf_index(spark, idx, ids, epoch=1)[
+        "cell_counts"
+    ] == m1["cell_counts"]  # replay no-op
+    m2 = delete_from_ivf_index(spark, idx, ids, epoch=2)  # double delete
+    assert m2["cell_counts"] == m1["cell_counts"]
+
+    m3 = compact_ivf_index(spark, idx)
+    assert not m3.get("tombstones")
+    assert m3["folded_tombstone_epochs"] == [1, 2]
+    assert (
+        spark.read.parquet(idx).join(ids, "vec_id", "left_semi").count() == 0
+    )
+    assert [
+        tuple(r)
+        for r in ivf_index_topk(
+            spark, idx, qv, k=10, nprobe=16, exclude_id=0
+        ).collect()
+    ] == want
+
+
+def test_index_delete_crash_window_invisible(spark, tmp_path):
+    """The delete's commit point is the sidecar: tombstone FILES written
+    without the sidecar update (driver died mid-delete) must leave every
+    probe bit-unchanged, and the replayed delete completes normally."""
+    import pyspark.sql.functions as F
+
+    from kafkatosparktokudu_spark.operators.text import (
+        bm25_index_topk,
+        build_bm25_index,
+        delete_from_bm25_index,
+    )
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "idx")
+    terms = ["merge", "vector", "stream"]
+    build_bm25_index(docs, idx)
+    before = [
+        tuple(r) for r in bm25_index_topk(spark, idx, terms, 20).collect()
+    ]
+    ids = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    # simulate the crash: files land, sidecar never rewritten
+    ids.repartition(1).write.mode("overwrite").parquet(
+        f"{idx}/_tombstones/epoch=1"
+    )
+    assert [
+        tuple(r) for r in bm25_index_topk(spark, idx, terms, 20).collect()
+    ] == before
+    # replay completes and the deletion takes effect
+    m = delete_from_bm25_index(spark, idx, ids, epoch=1)
+    assert m["tombstone_epochs"] == [1]
+    after = [
+        tuple(r) for r in bm25_index_topk(spark, idx, terms, 20).collect()
+    ]
+    assert after != before
