@@ -340,6 +340,11 @@ def migrate_gate_store(spark, store_dir: str, n_buckets: int) -> None:
     # directory read would sweep into the flat-schema scan
     old = spark.read.parquet(f"{store_dir}/*.parquet")
     id_col = next(c for c in old.columns if c not in {"hs"} and not c.startswith("band"))
+    # revoked docs are dropped by the rewrite — migration doubles as the
+    # flat layout's physical reclamation (revoke_from_gate_store)
+    revoked = _read_gate_revoked(spark, store_dir, id_col)
+    if revoked is not None:
+        old = old.join(F.broadcast(revoked), id_col, "left_anti")
     bands_dir, payload_dir = f"{store_dir}/bands", f"{store_dir}/payload"
     (
         _explode_bands(old, id_col)
@@ -359,6 +364,166 @@ def migrate_gate_store(spark, store_dir: str, n_buckets: int) -> None:
     )
     _write_gate_meta(spark, store_dir, int(n_buckets))
     delete_direct_files(spark, store_dir, suffix=".parquet")
+    if revoked is not None:
+        # the rewrite physically dropped the revoked rows; clear the
+        # tombstones last (a crash here leaves tombstones over already-
+        # purged rows — the anti-join treats them as a no-op)
+        from ..streaming.fsio import delete_dir
+
+        delete_dir(spark, f"{store_dir.rstrip('/')}/_revoked")
+
+
+def _read_gate_revoked(spark, store_dir: str, id_col: str):
+    """Revoked doc ids as a 1-column frame, or None when the store has
+    no revocations (the common case — the gate's probe then keeps its
+    exact pre-revocation plan, no anti-join node)."""
+    from ..streaming.fsio import dir_nonempty
+
+    rev_dir = f"{store_dir.rstrip('/')}/_revoked"
+    if not dir_nonempty(spark, rev_dir):
+        return None
+    return spark.read.parquet(rev_dir).select(id_col).distinct()
+
+
+def revoke_from_gate_store(
+    spark, store_dir: str, doc_ids: DataFrame, epoch: int, id_col: str = "doc_id"
+) -> None:
+    """REVOKE previously-accepted documents from the ingest-gate's
+    signature store — the gate-side half of right-to-be-forgotten
+    (VERDICT-r13-continuity #4): after a compliance delete removes a
+    document from the corpus, a gate still holding its signatures keeps
+    suppressing future near-duplicates of a document that no longer
+    exists (and keeps DERIVED DATA of the forgotten document — the
+    shingle hashes — alive). The serving-index tombstone recipe,
+    simplified to the gate's needs:
+
+    - revoked ids land as parquet under ``{store}/_revoked/epoch=N``
+      (underscore prefix: invisible to both layouts' store scans; the
+      epoch dir makes a replayed revocation an idempotent overwrite);
+      no sidecar is needed — the gate keeps no corpus stats — and the
+      failure direction of a crashed write is CONSERVATIVE: missing
+      tombstones mean the gate keeps suppressing, never re-admits;
+    - both probe arms anti-join the revoked ids out of the accepted
+      history (flat: the root scan; bucketed: the band-bucket scan —
+      a revoked doc then can't become an LSH candidate, so the payload
+      read needs no second join); a store with no revocations keeps
+      its exact prior plan;
+    - physical reclamation: ``purge_revoked_gate_store`` (bucketed —
+      partition-pruned rewrite) or ``migrate_gate_store`` (flat→
+      bucketed migration drops revoked rows in the same pass).
+
+    Semantics note (the bounded-state trade extended): docs REJECTED
+    earlier because they matched a now-revoked doc were never stored —
+    revocation re-opens the door for FUTURE arrivals only."""
+    ids = doc_ids.select(
+        F.col(doc_ids.columns[0]).cast("bigint").alias(id_col)
+    ).distinct()
+    ids.repartition(1).write.mode("overwrite").parquet(
+        f"{store_dir.rstrip('/')}/_revoked/epoch={int(epoch)}"
+    )
+
+
+def purge_revoked_gate_store(spark, store_dir: str, id_col: str = "doc_id") -> int:
+    """Physically remove revoked documents' rows from a BUCKETED gate
+    store and clear the tombstones — the reclamation step after
+    ``revoke_from_gate_store`` (a FLAT store reclaims by
+    ``migrate_gate_store``, which drops revoked rows during the
+    rewrite). Partition-pruned: the payload read for the revoked ids
+    (pruned to their ``idb`` buckets) recovers their shingle sets, the
+    band expressions recompute exactly which ``bucket`` partitions hold
+    their band rows, and only those partitions are rewritten via
+    dynamic partition overwrite. Crash-safe by replay: partition
+    rewrites converge (a second pass removes nothing more) and
+    ``_revoked`` is deleted LAST — a crash leaves tombstones over
+    already-purged rows, which the anti-join treats as a no-op.
+    Returns the number of revoked ids purged."""
+    from ..streaming.fsio import delete_dir
+
+    meta = _gate_meta(spark, store_dir)
+    if meta is None:
+        raise ValueError(
+            f"gate store {store_dir} is FLAT — physical reclamation of "
+            "revoked rows happens via migrate_gate_store (the rewrite "
+            "drops them); purge_revoked_gate_store needs the bucketed "
+            "layout's partition pruning"
+        )
+    rev = _read_gate_revoked(spark, store_dir, id_col)
+    if rev is None:
+        return 0
+    n_buckets = int(meta["n_buckets"])
+    rev = rev.persist()
+    n_rev = rev.count()
+    bands_dir, payload_dir = f"{store_dir}/bands", f"{store_dir}/payload"
+    # payload: revoked ids pin their idb partitions directly
+    idbs = sorted(
+        r["idb"]
+        for r in rev.select(
+            F.pmod(F.col(id_col), F.lit(n_buckets)).cast("int").alias("idb")
+        )
+        .distinct()
+        .collect()
+    )
+    if idbs:
+        payload = spark.read.parquet(payload_dir).filter(
+            F.col("idb").isin(idbs)
+        )
+        # recompute the revoked docs' band hashes FROM their stored hs —
+        # exactly the rows the band side holds for them — to pin the
+        # touched band buckets without scanning the whole band table
+        rev_payload = payload.join(F.broadcast(rev), id_col, "left_semi")
+        rev_bands = (
+            _explode_bands(
+                _bands_from_hashed(rev_payload.select(id_col, "hs"), id_col),
+                id_col,
+            )
+            .withColumn("bucket", _band_bucket(F.col("h"), n_buckets))
+        )
+        touched = sorted(
+            r["bucket"] for r in rev_bands.select("bucket").distinct().collect()
+        )
+        if touched:
+            # localCheckpoint: cut lineage BEFORE overwriting the dir the
+            # frame reads from (Spark refuses a write over its own input
+            # otherwise), same rationale as the gate's flags frame
+            kept_bands = (
+                spark.read.parquet(bands_dir)
+                .filter(F.col("bucket").isin(touched))
+                .join(F.broadcast(rev), id_col, "left_anti")
+                .select(id_col, "band_idx", "h", "bucket")
+                .localCheckpoint()
+            )
+            kept_bands.repartition(F.col("bucket")).write.mode(
+                "overwrite"
+            ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                "bucket"
+            ).parquet(bands_dir)
+            # dynamic overwrite only rewrites partitions PRESENT in the
+            # output — a touched bucket left with zero kept rows must be
+            # deleted explicitly or its revoked rows survive
+            kept_bkts = {
+                r["bucket"]
+                for r in kept_bands.select("bucket").distinct().collect()
+            }
+            for b in set(touched) - kept_bkts:
+                delete_dir(spark, f"{bands_dir}/bucket={b}")
+        kept_payload = (
+            payload.join(F.broadcast(rev), id_col, "left_anti")
+            .select(id_col, "hs", "idb")
+            .localCheckpoint()
+        )
+        kept_payload.repartition(F.col("idb")).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "idb"
+        ).parquet(payload_dir)
+        kept_idbs = {
+            r["idb"] for r in kept_payload.select("idb").distinct().collect()
+        }
+        for b in set(idbs) - kept_idbs:
+            delete_dir(spark, f"{payload_dir}/idb={b}")
+    rev.unpersist()
+    delete_dir(spark, f"{store_dir.rstrip('/')}/_revoked")
+    return n_rev
 
 
 def _band_bucket(h: Column, n_buckets: int) -> Column:
@@ -469,6 +634,12 @@ def incremental_neardup_ingest(
         # crashed before its meta write leaves bands/payload subdirs that
         # must not be swept into the flat-schema scan
         old = spark.read.parquet(f"{store_dir}/*.parquet")
+        # revoked docs leave the accepted history (right-to-be-forgotten;
+        # broadcast anti-join, absent entirely on a store with no
+        # revocations)
+        revoked = _read_gate_revoked(spark, store_dir, id_col)
+        if revoked is not None:
+            old = old.join(F.broadcast(revoked), id_col, "left_anti")
         cand = (
             _explode_bands(bands_new.alias("n"), id_col)
             .withColumnRenamed(id_col, "new_id")
@@ -576,6 +747,15 @@ def _ingest_gate_bucketed(
         old_bands = spark.read.parquet(bands_dir).filter(
             F.col("bucket").isin(touched)
         )
+        # revoked docs leave the accepted history (right-to-be-forgotten):
+        # one anti-join on the band side suffices — a revoked doc then
+        # can't become an LSH candidate, so the payload read (driven by
+        # candidate old_ids) never sees it either
+        revoked = _read_gate_revoked(spark, store_dir, id_col)
+        if revoked is not None:
+            old_bands = old_bands.join(
+                F.broadcast(revoked), id_col, "left_anti"
+            )
         cand = (
             en.select("new_id", "band_idx", "h")
             .join(

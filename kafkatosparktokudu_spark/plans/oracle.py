@@ -6402,3 +6402,14 @@ ORACLE_SQL["ss24_ivf_forget"] = """
     ORDER BY cos_sim DESC, vec_id
     LIMIT 10
 """
+
+# px25: the ingest gate after REVOKING batch-1's accepted docs with
+# doc_id % 5 == 0 — px06's two-phase recomputation with the revocation
+# predicate applied to the accepted-history CTE (acc1): batch-2 keepers
+# are screened against the reduced history only
+# (revoke-equals-never-stored).
+ORACLE_SQL["px25_gate_revoke"] = ORACLE_SQL["px06_incremental_ingest"].replace(
+    "JOIN half h ON h.doc_id = k.doc_id AND h.h = 1",
+    "JOIN half h ON h.doc_id = k.doc_id AND h.h = 1\n"
+    "            WHERE k.doc_id % 5 <> 0",
+)

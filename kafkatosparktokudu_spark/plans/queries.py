@@ -4558,6 +4558,54 @@ def st09_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def px25_gate_revoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest gate FORGETTING accepted documents (r13 session 3 —
+    operators/dedup.py::revoke_from_gate_store): batch 1 ingests and its
+    accepted docs with doc_id % 5 == 0 are then revoked (tombstoned out
+    of the signature store — the gate-side half of right-to-be-
+    forgotten); batch 2's keepers are screened against the REDUCED
+    history, so near-duplicates of revoked docs are re-admitted where
+    px06 rejects them. Oracle = px06's two-phase SQL with the
+    revocation predicate applied to the accepted-history CTE
+    (revoke-equals-never-stored, the gate twin of the index families'
+    delete-equals-rebuild). Physical reclamation (partition-pruned
+    purge / revocation-aware migration) is pinned in
+    tests/test_extensions.py."""
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import (
+        incremental_neardup_ingest,
+        revoke_from_gate_store,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = lo + (hi - lo) // 2
+    tmp = tempfile.mkdtemp(prefix="px25_")
+    try:
+        store = f"{tmp}/sigs"
+        f1 = incremental_neardup_ingest(
+            docs.filter(F.col("doc_id") < cut), store
+        )
+        rows1 = f1.collect()  # pin batch-1 flags before the store changes
+        revoke_from_gate_store(
+            spark,
+            store,
+            f1.filter(~F.col("is_dup"))
+            .filter(F.col("doc_id") % 5 == 0)
+            .select("doc_id"),
+            epoch=1,
+        )
+        f2 = incremental_neardup_ingest(
+            docs.filter(F.col("doc_id") >= cut), store
+        )
+        rows = rows1 + f2.collect()
+        return local_frame(spark, rows, f2.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def tx30_bm25_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 serving over an index that has FORGOTTEN part of its corpus
     (r13 session 3 — operators/text.py::delete_from_bm25_index): build
@@ -5275,7 +5323,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd03_minhash_bands": dd03_minhash_bands,
     "dd04_neardup_pairs": dd04_neardup_pairs,
     "dd06_simhash": dd06_simhash,
-    "dd08_char_neardup_pairs": dd08_char_neardup_pairs,
     "ss07_pq_encode": ss07_pq_encode,  # r13-affected
     "ss09_int8_quantize": ss09_int8_quantize,  # r13-affected
     "ss13_pq_rerank_topk": ss13_pq_rerank_topk,  # r13-affected
@@ -5316,6 +5363,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st15_stream_ivf_sync": st15_stream_ivf_sync,  # new in r13
     "tx30_bm25_forget": tx30_bm25_forget,  # new in r13
     "ss24_ivf_forget": ss24_ivf_forget,  # new in r13
+    "px25_gate_revoke": px25_gate_revoke,  # new in r13
     "q87_weighted_sample": q87_weighted_sample,  # r12-overflow re-stamp
     "cdc_stream_emp_state": cdc_stream_emp_state,  # r12-overflow re-stamp
     "px20_leakage_safe_split": px20_leakage_safe_split,  # r13-affected
@@ -5324,6 +5372,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- end of the affected set: slots 49-50 and everything below
     # are the unchanged remainder in exact r12-HEAD order (fresh
     # green driver rows; unaffected by this round's churn).
+    "dd08_char_neardup_pairs": dd08_char_neardup_pairs,
     "dd10_simhash_neardup": dd10_simhash_neardup,
     "dd11_jaccard_estimate": dd11_jaccard_estimate,
     "px09_semdedup": px09_semdedup,

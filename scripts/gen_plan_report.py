@@ -183,6 +183,9 @@ EXCLUDED = [
     # exclusion); collected-rows frames, nothing new to audit
     "tx30_bm25_forget",
     "ss24_ivf_forget",
+    # px25: px06's audited two-phase gate shape + one broadcast
+    # anti-join (the revocation exclusion); collected-rows frame
+    "px25_gate_revoke",
     # ss21: both fusion inputs are TakeOrdered <=50-row frames (tx26's
     # audited plan + an ss01-shaped scan); the fusion itself is a
     # <=100-row full-outer join — nothing scale-bearing to audit.

@@ -4069,3 +4069,109 @@ def test_index_delete_crash_window_invisible(spark, tmp_path):
         tuple(r) for r in bm25_index_topk(spark, idx, terms, 20).collect()
     ]
     assert after != before
+
+
+def test_gate_revoke_readmission_and_layout_parity(spark, tmp_path):
+    """revoke_from_gate_store (r13): after revoking batch-1's accepted
+    docs (doc_id % 5 == 0), batch-2 near-dups whose only match was a
+    revoked doc are RE-ADMITTED (revoke-equals-never-stored), other
+    flags unchanged; the flat and bucketed arms agree flag-for-flag
+    with revocations present; and a revocation is probe-invisible
+    after physical reclamation (purge) — a third epoch sees identical
+    flags either way."""
+    import pyspark.sql.functions as F
+
+    from kafkatosparktokudu_spark.operators.dedup import (
+        incremental_neardup_ingest,
+        purge_revoked_gate_store,
+        revoke_from_gate_store,
+    )
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = lo + (hi - lo) // 2
+    b1 = docs.filter(F.col("doc_id") < cut)
+    b2 = docs.filter(F.col("doc_id") >= cut)
+    # batch 3 = re-keyed copies of batch 1: every doc an exact dup of its
+    # batch-1 twin, so its fate depends purely on the store's history
+    b3 = b1.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+
+    def run(store, bucketed_n=None, revoke=False, purge=False):
+        f1 = incremental_neardup_ingest(b1, store, bucketed_n=bucketed_n)
+        f1.count()
+        if revoke:
+            revoke_from_gate_store(
+                spark,
+                store,
+                f1.filter(~F.col("is_dup"))
+                .filter(F.col("doc_id") % 5 == 0)
+                .select("doc_id"),
+                epoch=1,
+            )
+        if purge:
+            assert purge_revoked_gate_store(spark, store) > 0
+        f2 = incremental_neardup_ingest(b2, store)
+        f2.count()
+        f3 = incremental_neardup_ingest(b3, store)
+        return {tuple(r) for r in f2.collect()}, {
+            tuple(r) for r in f3.collect()
+        }
+
+    _, f3_base = run(str(tmp_path / "s0"))
+    f2_flat, f3_flat = run(str(tmp_path / "s1"), revoke=True)
+    # copies of revoked batch-1 keepers are RE-ADMITTED; nothing moves
+    # the other way (re-admission is strictly FROM dup TO admitted)
+    base_dups = {t[0] for t in f3_base if t[1]}
+    rev_dups = {t[0] for t in f3_flat if t[1]}
+    assert rev_dups < base_dups
+    f2_buck, f3_buck = run(str(tmp_path / "s2"), bucketed_n=8, revoke=True)
+    assert f2_flat == f2_buck  # layout parity under revocation
+    # purge is probe-invisible: third epoch identical with/without it
+    f2_purged, f3_purged = run(
+        str(tmp_path / "s3"), bucketed_n=8, revoke=True, purge=True
+    )
+    assert f2_purged == f2_buck and f3_purged == f3_buck
+
+
+def test_gate_purge_empties_partitions(spark, tmp_path):
+    """purge_revoked_gate_store's empty-partition edge: revoking EVERY
+    accepted doc leaves every touched bands/payload partition with zero
+    kept rows — dynamic overwrite alone would leave the old files, so
+    the explicit partition deletes must fire and the store must read
+    back empty."""
+    import pyspark.sql.functions as F
+
+    from kafkatosparktokudu_spark.operators.dedup import (
+        incremental_neardup_ingest,
+        purge_revoked_gate_store,
+        revoke_from_gate_store,
+    )
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 100)
+    )
+    store = str(tmp_path / "s")
+    f1 = incremental_neardup_ingest(docs, store, bucketed_n=4)
+    accepted = f1.filter(~F.col("is_dup")).select("doc_id")
+    revoke_from_gate_store(spark, store, accepted, epoch=1)
+    n = purge_revoked_gate_store(spark, store)
+    assert n == accepted.count()
+    import os
+
+    for sub in ("bands", "payload"):
+        p = f"{store}/{sub}"
+        if os.path.exists(p):
+            assert (
+                spark.read.option("basePath", p).parquet(p).count() == 0
+                if any(
+                    e.startswith(("bucket=", "idb="))
+                    for e in os.listdir(p)
+                )
+                else True
+            )
