@@ -974,15 +974,16 @@ def duplicate_clusters(
     union-find — the same runtime size-switch AQE applies to joins.
 
     Job shape (VERDICT r12 #6 — this is the per-epoch CC cost inside the
-    ingest gate, so every driver job counts): the small-graph probe is a
-    SINGLE bounded ``limit(N+1).collect()`` of the raw verified pairs —
-    no symmetrize/distinct shuffle, no localCheckpoint write, no
-    separate count job (union-find needs neither symmetric edges nor
-    dedup; the accepted keepers' "cluster ids" are definitionally their
-    own ids, so there is no cross-epoch CC state to persist — the
-    per-epoch cost IS the LSH evaluation plus this probe). ``pairs`` is
-    persisted first so the rare large-graph fallback reuses the cached
-    verify output instead of re-running the LSH join.
+    ingest gate, so every driver job counts): the small-graph probe is
+    ONE fully-parallel ``count()`` of the persisted verified pairs plus a
+    cache-served ``collect()`` on the small arm — no symmetrize/distinct
+    shuffle, no localCheckpoint write (union-find needs neither symmetric
+    edges nor dedup; the accepted keepers' "cluster ids" are
+    definitionally their own ids, so there is no cross-epoch CC state to
+    persist — the per-epoch cost IS the LSH evaluation plus this probe).
+    ``pairs`` is persisted first so both the collect and the rare
+    large-graph fallback reuse the cached verify output instead of
+    re-running the LSH join.
     """
     from ..functions.localframe import local_frame
 
@@ -992,8 +993,20 @@ def duplicate_clusters(
     pinned = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).persist()
-    probe = pinned.limit(max_pairs + 1).collect()
-    if len(probe) <= max_pairs:
+    # Size-probe via count(), NOT limit(N+1).collect() (guide §2.6/§1):
+    # CollectLimit executes the plan in sequential ramp-up waves (1
+    # partition, then scaleUpFactor× more per wave), so the expensive
+    # upstream pair-verification ran at 1-task parallelism in wave one and
+    # only reached full width on the last wave — measured on px02 at sf0.1
+    # this was the difference between a 2.9s and an 18.1s rep (the wave
+    # boundaries land differently run to run). count() evaluates every
+    # partition of the SAME persisted frame in one fully-parallel job and
+    # populates the cache; the small-graph collect below then reads cached
+    # rows only, and the large-graph arm skips the driver transfer
+    # entirely (limit(N+1) always shipped max_pairs+1 rows).
+    n_pairs = pinned.count()
+    if n_pairs <= max_pairs:
+        probe = pinned.collect()
         parent: dict = {}
 
         def find(x):
@@ -1216,16 +1229,50 @@ def embedding_neardup_pairs(
             emb, cells, n_subcells=n_subcells, nprobe_sub=nprobe_sub
         )
         join_keys = ["cell", "sub"]
-    a, b = cells.alias("ca"), cells.alias("cb")
-    on = F.col("ca.vec_id") < F.col("cb.vec_id")
-    for k in join_keys:
-        on = (F.col(f"ca.{k}") == F.col(f"cb.{k}")) & on
+    # CHUNKED cell self-join (r13, guide §2.5): the naive join on bare
+    # join_keys has only n_cells (x n_subcells) distinct keys — a handful
+    # of values hashed into the shuffle partitions, so (a) a hot cell is
+    # ONE task doing that cell's whole |cell|² candidate cartesian (the
+    # straggler that made px03 reps swing 7.5s→50.6s on identical input)
+    # and (b) AQE coalesces the exchange by its INPUT bytes (n·nprobe tiny
+    # rows), blind to the fan-out — the pair explosion plus the 64-dim
+    # cosine verify ran ~5-wide on 32 cores. Splitting each cell into
+    # n_chunks id-hash chunks and joining on (cell[,sub], bi, bj) block
+    # pairs raises key cardinality ~n_chunks²/2-fold and caps per-task
+    # work at (|cell|/n_chunks)²; the explicit width pin (repartition to
+    # the session's shuffle partitions, the scale knob AQE would
+    # otherwise shrink) keeps the compute-dense stage wide. Each
+    # unordered pair matches EXACTLY one block: (bi<bj) picks the
+    # orientation when chunks differ, id-order inside the diagonal
+    # blocks; least/greatest then restores the vec_a<vec_b contract.
+    n_chunks = 8
+    width = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    blk_keys = join_keys + ["bi", "bj"]
+    cc = cells.withColumn(
+        "chk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_chunks)).cast("int")
+    )
+    lhs = cc.select(
+        *join_keys,
+        F.col("vec_id").alias("vec_a"),
+        F.col("chk").alias("bi"),
+        F.explode(F.sequence(F.col("chk"), F.lit(n_chunks - 1))).alias("bj"),
+    ).repartition(width, *blk_keys)
+    rhs = cc.select(
+        *join_keys,
+        F.col("vec_id").alias("vec_b"),
+        F.explode(F.sequence(F.lit(0), F.col("chk"))).alias("bi"),
+        F.col("chk").alias("bj"),
+    ).repartition(width, *blk_keys)
     cand = (
-        a.join(b, on)
-        .select(
-            F.col("ca.vec_id").alias("vec_a"), F.col("cb.vec_id").alias("vec_b")
+        lhs.join(rhs, blk_keys)
+        .where(
+            (F.col("bi") < F.col("bj"))
+            | ((F.col("bi") == F.col("bj")) & (F.col("vec_a") < F.col("vec_b")))
         )
-        .distinct()
+        .select(
+            F.least("vec_a", "vec_b").alias("vec_a"),
+            F.greatest("vec_a", "vec_b").alias("vec_b"),
+        )
     )
     # norms precomputed once per VECTOR (n rows) instead of per PAIR —
     # same expression tree as cosine(a,b), so results stay bit-identical,
@@ -1234,11 +1281,20 @@ def embedding_neardup_pairs(
         "nrm", norm(F.col("v"))
     )
     sim = dot(F.col("x.v"), F.col("y.v")) / (F.col("x.nrm") * F.col("y.nrm"))
+    # Verify BEFORE dedup (r13, guide §2.3/§2.4): candidates sharing
+    # several probed cells used to be dedup'd with a distinct over the
+    # FULL candidate set (a ~n·nprobe²-row exchange that AQE coalesced to
+    # near-serial width) before the cosine join. Scoring duplicates is
+    # cheaper than shuffling everything: cosine is deterministic per
+    # pair, so filter-then-distinct emits the identical row set while the
+    # exchange shrinks to the τ-survivors (~1.6× extra verify compute on
+    # the measured sf0.1 dup factor vs a 60× smaller distinct).
     return (
         cand.join(e.alias("x"), F.col("vec_a") == F.col("x.vec_id"))
         .join(e.alias("y"), F.col("vec_b") == F.col("y.vec_id"))
         .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
+        .distinct()
     )
 
 
