@@ -357,6 +357,14 @@ def seed_cell_assign(
         .collect()
     )
     seed_vecs = [[float(x) for x in r["embedding"]] for r in seeds]
+    # The per-row scoring below is n_cells×dims of interpreted HOF math; a
+    # small parquet arrives in 1-2 scan partitions, so spread the rows
+    # first or the whole assignment runs ~1-wide (the hashed_shingles
+    # width rule, guide §2 — a no-op at real scale where the scan already
+    # yields ≥ defaultParallelism partitions).
+    sc = emb.sparkSession.sparkContext
+    if emb.rdd.getNumPartitions() < sc.defaultParallelism:
+        emb = emb.repartition(sc.defaultParallelism)
     # Row norm staged ONCE (the n_cells per-seed expressions all divide by
     # it); seed norms computed driver-side exactly as cosine_literal's qn.
     # Scoring is ONE generated SQL string over the literal seed matrix —
@@ -469,7 +477,7 @@ def seeded_probe_cells(
         f"transform(slice(array_sort({scored}), 1, {int(nprobe)}), s -> s.cell)"
     )
     spark = emb.sparkSession
-    row = spark.range(1).select(F.expr(probe_sql).alias("p")).collect()[0]
+    row = spark.range(0, 1, 1, 1).select(F.expr(probe_sql).alias("p")).collect()[0]
     return [int(c) for c in row["p"]]
 
 
@@ -594,10 +602,14 @@ def ivf_topk_seeded(
     literal array-of-arrays scored with `transform`/`zip_with`/
     `aggregate` HOFs (interpreted lambdas: no giant Janino method; the
     fold order 0D+t1+t2... is IEEE-identical to the old left-assoc
-    reduce), and (c) the query's probe set is a fully-literal
-    subexpression constant-folded INSIDE the main plan's filter
-    (`array_contains(probe_cells, cell)`), so the whole search is ONE
-    job after the O(n_cells) seed collect.
+    reduce), and (c — revised r13) the query's probe set is evaluated
+    ONCE on a one-row frame and embedded as literal ids: lambda-bearing
+    HOFs are NOT constant-foldable, so the earlier in-plan
+    `array_contains(probe_cells_sql, cell)` re-scored every seed
+    against the query PER CORPUS ROW — as expensive as the assignment
+    pass itself. The one-row evaluation runs the identical interpreted
+    float path (the seeded_probe_cells/ss20 equivalence), so the probe
+    set — and the hash — cannot change.
     """
     import math
 
@@ -628,13 +640,26 @@ def ivf_topk_seeded(
         f"transform(slice(array_sort({_scored(qv_lit, q_norm_sql)}), 1, {nprobe}), "
         f"s -> s.cell)"
     )
+    # r13 (guide §1.2/§4): lambda-bearing HOFs are NOT constant-foldable,
+    # so an in-plan `array_contains(probe_cells_sql, cell)` re-evaluates
+    # the whole n_cells×n_dims scoring+sort PER CORPUS ROW — measured as
+    # expensive as the assignment pass itself. Evaluate the identical
+    # expression ONCE on a 1-row frame (the seeded_probe_cells/ss20
+    # equivalence: same interpreted float path → same probe set) and
+    # filter with the literal ids instead.
+    probe = [
+        int(c)
+        for c in emb.sparkSession.range(0, 1, 1, 1)
+        .select(F.expr(probe_cells_sql).alias("p"))
+        .collect()[0]["p"]
+    ]
 
     staged = emb.select(
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
     ).select("vec_id", "label", "v", norm(F.col("v")).alias("nv"))
     cand = staged.withColumn(
         "cell", F.expr(f"element_at(array_sort({_scored('v', 'nv')}), 1).cell")
-    ).filter(F.expr(f"array_contains({probe_cells_sql}, cell)"))
+    ).filter(F.col("cell").isin(probe))
     if exclude_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_id)
     if predicate is not None:
@@ -1180,11 +1205,22 @@ def knn_join(
             nprobe=nprobe,
             seeds_from=emb,  # anchors MUST come from the corpus side
         ).withColumnRenamed("vec_id", "q_id")
+    # ONE exchange serves dedup, verify and the top-k window (r13, guide
+    # §2.4): a pinned-width hash repartition on q_id (a) opts the
+    # compute-dense verify out of AQE's byte-based coalescing (candidate
+    # rows are 2 longs but cost a 64-dim interpreted cosine each), (b)
+    # satisfies dropDuplicates' (q_id, n_id) clustering — hash(q_id) is a
+    # subset — so the dedup adds NO exchange where distinct() used to
+    # shuffle the full candidate set, and (c) is exactly the window's
+    # partitionBy(q_id) requirement, so the rank pass adds no exchange
+    # either (3 exchanges → 1 on the candidate path).
+    width = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     cand = (
         qc.join(cc, "cell")
         .filter(F.col("q_id") != F.col("n_id"))
         .select("q_id", "n_id")
-        .distinct()
+        .repartition(width, "q_id")
+        .dropDuplicates(["q_id", "n_id"])
     )
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("v")).withColumn(
         "nrm", norm(F.col("v"))
@@ -1253,7 +1289,17 @@ def cross_set_decontaminate(
     tr = cells.join(
         eval_ids.select("vec_id"), "vec_id", "left_anti"
     ).withColumnRenamed("vec_id", "t_id")
-    cand = tr.join(ev, "cell").select("t_id", "eval_id").distinct()
+    # Same one-exchange candidate path as knn_join (r13, guide §2.4):
+    # pinned-width repartition on t_id serves the dedup, keeps the
+    # compute-dense cosine verify out of AQE byte-coalescing, and matches
+    # the top-1 window's partitionBy(t_id).
+    width = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cand = (
+        tr.join(ev, "cell")
+        .select("t_id", "eval_id")
+        .repartition(width, "t_id")
+        .dropDuplicates(["t_id", "eval_id"])
+    )
     e = emb.select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     ).withColumn("nrm", norm(F.col("v")))
@@ -1303,11 +1349,16 @@ def radius_density(
     cells = seed_cell_assign(emb, n_cells=n_cells, nprobe=nprobe).persist()
     qc = cells.withColumnRenamed("vec_id", "q_id")
     cc = cells.withColumnRenamed("vec_id", "n_id")
+    # Same one-exchange candidate path as knn_join (r13, guide §2.4):
+    # pinned-width repartition on q_id serves the dedup, the verify AND
+    # the per-vector neighbor aggregation (groupBy q_id).
+    width = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     cand = (
         qc.join(cc, "cell")
         .filter(F.col("q_id") != F.col("n_id"))
         .select("q_id", "n_id")
-        .distinct()
+        .repartition(width, "q_id")
+        .dropDuplicates(["q_id", "n_id"])
     )
     e = emb.select(
         "vec_id", as_double(F.col("embedding")).alias("v")
@@ -1363,6 +1414,12 @@ def _kmeans_fit(
     covers both callers)."""
     from ..functions.vectors import norm_flat
 
+    # Spread a narrow scan before the per-row k×n_dims scoring (the
+    # seed_cell_assign width rule — every assign() pass below would
+    # otherwise run ~1-wide on a single-file local corpus; no-op at scale).
+    sc = emb.sparkSession.sparkContext
+    if emb.rdd.getNumPartitions() < sc.defaultParallelism:
+        emb = emb.repartition(sc.defaultParallelism)
     staged = emb.select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     ).select("vec_id", "v", norm_flat(F.col("v"), n_dims).alias("nv"))
@@ -1548,7 +1605,17 @@ def ivf_topk_trained(
         f"transform(slice(array_sort({scored}), 1, {int(nprobe)}), "
         f"s -> s.cluster)"
     )
-    cand = assign(cents).filter(F.expr(f"array_contains({probe_sql}, cluster)"))
+    # r13: same one-row-frame probe evaluation as ivf_topk_seeded (lambda
+    # HOFs don't constant-fold; the in-plan filter re-scored all trained
+    # centroids per corpus row). Identical engine arithmetic → identical
+    # probe set → identical rows.
+    probe = [
+        int(c)
+        for c in emb.sparkSession.range(0, 1, 1, 1)
+        .select(F.expr(probe_sql).alias("p"))
+        .collect()[0]["p"]
+    ]
+    cand = assign(cents).filter(F.col("cluster").isin(probe))
     if exclude_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_id)
     staged = cand.select(
@@ -2107,12 +2174,20 @@ def ivfadc_topk(
         f"transform(slice(array_sort({_scored(qv_lit, q_norm_sql)}), 1, "
         f"{int(nprobe)}), s -> s.cell)"
     )
+    # r13: one-row-frame probe evaluation (see ivf_topk_seeded) — the
+    # in-plan array_contains re-scored all seeds per corpus row.
+    probe = [
+        int(c)
+        for c in emb.sparkSession.range(0, 1, 1, 1)
+        .select(F.expr(probe_cells_sql).alias("p"))
+        .collect()[0]["p"]
+    ]
     staged = emb.select(
         "vec_id", "embedding", as_double(F.col("embedding")).alias("v")
     ).select("vec_id", "embedding", "v", norm(F.col("v")).alias("nv"))
     cand = staged.withColumn(
         "cell", F.expr(f"element_at(array_sort({_scored('v', 'nv')}), 1).cell")
-    ).filter(F.expr(f"array_contains({probe_cells_sql}, cell)"))
+    ).filter(F.col("cell").isin(probe))
     if exclude_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_id)
     cb = codebooks if codebooks is not None else pq_codebooks(emb)

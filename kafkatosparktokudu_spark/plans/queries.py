@@ -5308,6 +5308,9 @@ def tx20_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-13 front section (the driver verifies the FIRST 50
     # keys; scripts/check_rotation.py is the mechanical authority).
+    # Optimization-round update: px09/ss06/ss15 rotated IN (the
+    # _kmeans_fit/seed_cell_assign width rule implicates them),
+    # dd03/dd04/dd06 rotated OUT to the remainder head in base order.
     # Session-3 closure: the front 48 are EXACTLY the queries the
     # round's code churn implicates (sessions 1-3: gate-store meta/
     # migration + incremental CC in dedup.py, probe/meta/rrf churn in
@@ -5320,9 +5323,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # position so the displaced remainder (from slot 49 on) sits in
     # EXACT base order: check_rotation diff-matches it as unmoved,
     # closing the move-only displacement fixpoint at zero violations.
-    "dd03_minhash_bands": dd03_minhash_bands,
-    "dd04_neardup_pairs": dd04_neardup_pairs,
-    "dd06_simhash": dd06_simhash,
+    "px09_semdedup": px09_semdedup,  # r13-affected (opt: width rule)
+    "ss06_kmeans_clusters": ss06_kmeans_clusters,  # r13-affected (opt)
+    "ss15_ivf_trained_topk": ss15_ivf_trained_topk,  # r13-affected (opt)
+    "ss04_ivf_topk": ss04_ivf_topk,  # r13-affected (opt: probe literal)
+    "ss16_ivfadc_topk": ss16_ivfadc_topk,  # r13-affected (opt: probe literal)
     "ss07_pq_encode": ss07_pq_encode,  # r13-affected
     "ss09_int8_quantize": ss09_int8_quantize,  # r13-affected
     "ss13_pq_rerank_topk": ss13_pq_rerank_topk,  # r13-affected
@@ -5372,23 +5377,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- end of the affected set: slots 49-50 and everything below
     # are the unchanged remainder in exact r12-HEAD order (fresh
     # green driver rows; unaffected by this round's churn).
+    "dd03_minhash_bands": dd03_minhash_bands,
+    "dd04_neardup_pairs": dd04_neardup_pairs,
+    "dd06_simhash": dd06_simhash,
     "dd08_char_neardup_pairs": dd08_char_neardup_pairs,
     "dd10_simhash_neardup": dd10_simhash_neardup,
     "dd11_jaccard_estimate": dd11_jaccard_estimate,
-    "px09_semdedup": px09_semdedup,
     "q90_distributed_rank": q90_distributed_rank,
     "q91_compaction_bins": q91_compaction_bins,
     "sk01_cms_heavy_hitters": sk01_cms_heavy_hitters,
     "ss01_knn_cosine": ss01_knn_cosine,
     "ss02_label_centroids": ss02_label_centroids,
     "ss03_ann_lsh_topk": ss03_ann_lsh_topk,
-    "ss04_ivf_topk": ss04_ivf_topk,
-    "ss06_kmeans_clusters": ss06_kmeans_clusters,
     "ss08_pq_adc_topk": ss08_pq_adc_topk,
     "ss10_ivf_deploy_topk": ss10_ivf_deploy_topk,
     "ss11_mmr_rerank": ss11_mmr_rerank,
-    "ss15_ivf_trained_topk": ss15_ivf_trained_topk,
-    "ss16_ivfadc_topk": ss16_ivfadc_topk,
     "tx22_source_overlap": tx22_source_overlap,
     "gr07_link_prediction": gr07_link_prediction,
     "gr08_personalized_pagerank": gr08_personalized_pagerank,
