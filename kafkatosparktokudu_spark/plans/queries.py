@@ -37,6 +37,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _wide(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan to defaultParallelism before compute-dense
+    work (the dedup/similarity width rule applied to the relational
+    surface; guide §2.5 input-skew fix — "one huge unsplittable file …
+    repartition immediately after the read"). The fixture parquets are
+    single-row-group files, so scan-side compute (decimal aggregation,
+    join probes, per-doc array HOFs) runs ~1-wide on local[N]; the
+    conditional round-robin repartition parallelizes it. At real scale
+    the scan already yields >= defaultParallelism splits and NO plan
+    node is added (the condition is checked at plan-build time).
+    Filters still reach the parquet scan: Catalyst pushes predicates
+    through Repartition (PushedFilters asserted in plans/r13)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # S7/S20/S21 analog — the flagship "per-batch sync report" over events:
 # count, exact sum, distinct users per event type (the reference logs count +
@@ -58,7 +76,11 @@ def q01_sync_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # TPC-H Q1 shape: scan-heavy grouped aggregation with derived measures.
 def q02_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1997-09-01")
+    # _wide: the 10-decimal-aggregate partial agg is scan-side compute
+    # (r13, guide §2.5; 1.49->0.82s at sf0.1; no-op at scale)
+    li = _wide(_t(spark, sf_dir, "lineitem")).filter(
+        F.col("l_shipdate") <= "1997-09-01"
+    )
     disc_price = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"), RATE)
     charge = disc_price.cast("decimal(18,8)") * dec(F.lit(1) + F.col("l_tax"), RATE)
     return (
@@ -100,7 +122,9 @@ def q03_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nation/region are tiny → broadcast (no shuffle for the dim side); the
 # orders⋈customer⋈lineitem joins shuffle on their keys and AQE coalesces.
 def q04_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # _wide on the fact side only: the 4 join probes + revenue decimal
+    # run scan-side (r13, guide §2.5; 2.66->1.35s at sf0.1; no-op at scale)
+    li = _wide(_t(spark, sf_dir, "lineitem"))
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
@@ -1064,7 +1088,8 @@ def tx01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tx02_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import quality_scores
 
-    return quality_scores(_t(spark, sf_dir, "documents"))
+    # _wide: the per-doc array-HOF battery is scan-side compute (r13)
+    return quality_scores(_wide(_t(spark, sf_dir, "documents")))
 
 
 def tx03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1094,7 +1119,8 @@ def tx06_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tx07_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import keyterms
 
-    return keyterms(_t(spark, sf_dir, "documents"))
+    # _wide: tokenize + explode are scan-side compute (r13)
+    return keyterms(_wide(_t(spark, sf_dir, "documents")))
 
 
 # Unpivot/melt: the wide→long reshape (Spark DataFrame.unpivot; oracle is
@@ -1612,7 +1638,8 @@ def q52_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nation and region carry broadcast hints; customer/supplier are left to
 # AQE so the plan degrades to shuffle joins instead of OOM at sf100+.
 def q54_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # _wide on the fact side (r13, guide §2.5 — same rationale as q04)
+    li = _wide(_t(spark, sf_dir, "lineitem"))
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate").between("1996-01-01", "1997-12-31")
     )
@@ -1771,6 +1798,9 @@ def px01_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     content fingerprint; nothing materializes between stages."""
     from ..operators.text import quality_scores
 
+    # NOT _wide (r13): measured 1.15->2.53s — the md5-window exchange
+    # already redistributes before the heavy compute; adding a scan-side
+    # repartition just shuffles the full text twice.
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", "n_chars", "source"
     )
