@@ -1986,6 +1986,34 @@ def tx25_unicode_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sanitize_unicode(noisy)
 
 
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gr04–gr08 co-purchase graph fixture: support>=2 part pairs
+    from lineitem. One-exchange pair generation (r13, guide §2.4):
+    hash(o) satisfies both the (o,p) dedup (subset clustering — identical
+    (o,p) rows land together) and the self-join on o, so one pinned-width
+    exchange replaces the distinct's (o,p) exchange plus the 33 MB
+    broadcast build of the 600k-row join side the old plan chose. The
+    merge hint keeps the join on the co-partitioned data (SMJ is also the
+    only strategy that survives sf100, where neither side broadcasts);
+    width pinned so AQE cannot byte-coalesce the pair fan-out."""
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .repartition(width, "o")
+        .dropDuplicates(["o", "p"])
+    )
+    return (
+        li.withColumnRenamed("p", "pa")
+        .hint("merge")
+        .join(li.withColumnRenamed("p", "pb"), "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= 2)
+    )
+
+
 # Common-neighbor link prediction (operators/graph.py::link_prediction)
 # over the gr04/gr05 support>=2 co-purchase graph: ranks NON-adjacent
 # part pairs with shared co-purchase neighbors — "parts bought with the
@@ -1998,19 +2026,8 @@ def tx25_unicode_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gr07_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import link_prediction
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    pairs = (
-        li.withColumnRenamed("p", "pa")
-        .join(li.withColumnRenamed("p", "pb"), "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("supp"))
-        .filter(F.col("supp") >= 2)
-        .select(F.col("pa").alias("doc_a"), F.col("pb").alias("doc_b"))
+    pairs = _copurchase_pairs(spark, sf_dir).select(
+        F.col("pa").alias("doc_a"), F.col("pb").alias("doc_b")
     )
     return link_prediction(pairs, top_n=20)
 
@@ -2115,19 +2132,7 @@ def st12_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gr08_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import personalized_pagerank_fixed_point
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    pairs = (
-        li.withColumnRenamed("p", "pa")
-        .join(li.withColumnRenamed("p", "pb"), "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("supp"))
-        .filter(F.col("supp") >= 2)
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     edges = pairs.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionByName(
@@ -4114,19 +4119,8 @@ def q93_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gr04_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import kcore_peel
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    pairs = (
-        li.withColumnRenamed("p", "pa")
-        .join(li.withColumnRenamed("p", "pb"), "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("supp"))
-        .filter(F.col("supp") >= 2)
-        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    pairs = _copurchase_pairs(spark, sf_dir).select(
+        F.col("pa").alias("a"), F.col("pb").alias("b")
     )
     return kcore_peel(pairs, k=3, rounds=12)
 
@@ -5240,19 +5234,8 @@ def px17_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gr05_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import bfs_hops
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    pairs = (
-        li.withColumnRenamed("p", "pa")
-        .join(li.withColumnRenamed("p", "pb"), "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("supp"))
-        .filter(F.col("supp") >= 2)
-        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    pairs = _copurchase_pairs(spark, sf_dir).select(
+        F.col("pa").alias("a"), F.col("pb").alias("b")
     )
     # the BFS root: the graph's minimum node id — one scalar collect
     src = pairs.agg(F.min("a").alias("m")).collect()[0]["m"]
@@ -5267,19 +5250,8 @@ def gr05_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gr06_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import label_propagation
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    pairs = (
-        li.withColumnRenamed("p", "pa")
-        .join(li.withColumnRenamed("p", "pb"), "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("supp"))
-        .filter(F.col("supp") >= 2)
-        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    pairs = _copurchase_pairs(spark, sf_dir).select(
+        F.col("pa").alias("a"), F.col("pb").alias("b")
     )
     return label_propagation(pairs, rounds=6)
 
