@@ -1555,54 +1555,69 @@ def remove_repeated_chunks(
     with a full chunk's (different word counts => different strings under
     single-space joining), so the anti join may key on chunk text alone.
 
-    Scale shape: posexplode + per-(doc, chunk_id) agg (one shuffle keyed
-    on the doc id), a chunk-frequency agg with map-side partial combine,
-    an anti join keyed on chunk text (AQE broadcasts the repeated-chunk
-    side when small — boilerplate tables usually are), and one final
-    per-doc agg. Nothing is quadratic in corpus size; no driver state.
+    Scale shape (r13 rewrite, guide §2.4): chunks are built PER ROW with
+    array HOFs (slice over the staged token array — one scan, no
+    shuffle) instead of posexplode + a (doc, chunk_id) collect_list
+    re-aggregation, which paid a full doc-keyed shuffle just to
+    reconstruct strings the row already had; and the base/clean/final
+    three-way split is fused into ONE per-doc agg over repeat-flagged
+    chunk rows. 7 exchanges / 3 document scans → 3 exchanges / 2 scans
+    (the chunk-frequency agg, the flag join — AQE broadcasts the
+    repeated side when small, boilerplate tables usually are — and the
+    single per-doc agg). Chunk text, order, and the md5 reconstruction
+    are bit-identical: slice preserves token order and concat_ws
+    grouping is unchanged.
     """
-    chunks = (
-        docs.select(F.col(id_col), F.posexplode(tokens("text")).alias("pos0", "tok"))
-        .groupBy(id_col, (F.col("pos0") / chunk_tokens).cast("int").alias("chunk_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos0", "tok"))),
-                    lambda s: s["tok"],
-                ),
-            ).alias("chunk"),
-        )
+    ct = int(chunk_tokens)
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)  # width rule
+    staged = docs.select(
+        F.col(id_col), tokens("text").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    chunk_arr = (
+        f"case when n <= 0 then array() else "
+        f"transform(sequence(0, (n + {ct - 1}) div {ct} - 1), i -> struct("
+        f"i as chunk_id, "
+        f"least({ct}, n - i * {ct}) as n_words, "
+        f"concat_ws(' ', slice(toks, i * {ct} + 1, {ct})) as chunk)) end"
     )
+    chunks = staged.select(
+        F.col(id_col), F.explode(F.expr(chunk_arr)).alias("c")
+    ).select(id_col, "c.chunk_id", "c.n_words", "c.chunk")
     repeated = (
         chunks.filter(F.col("n_words") == chunk_tokens)
         .groupBy("chunk")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
-        .select("chunk")
+        .select("chunk", F.lit(1).alias("rep"))
     )
-    kept = chunks.join(repeated, "chunk", "left_anti")
-    clean = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    flagged = chunks.join(repeated, "chunk", "left")
+    out = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count("rep").alias("n_removed"),
         F.md5(
             F.concat_ws(
                 " ",
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("chunk_id", "chunk"))),
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rep").isNull(),
+                                F.struct("chunk_id", "chunk"),
+                            )
+                        )
+                    ),
                     lambda s: s["chunk"],
                 ),
             )
         ).alias("clean_md5"),
     )
-    base = chunks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
-    return base.join(clean, id_col, "left").select(
+    return out.select(
         F.col(id_col),
         F.col("n_chunks").cast("int").alias("n_chunks"),
-        (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0)))
-        .cast("int")
-        .alias("n_removed"),
-        F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+        F.col("n_removed").cast("int").alias("n_removed"),
+        "clean_md5",
     )
 
 

@@ -493,9 +493,37 @@ def build_seeded_filtered_index(
     a physical partition column next to the predicate column, so a
     filtered probe (ss20) prunes files on BOTH. Embeddings round-trip
     parquet bit-exactly (float arrays), so a probe over the index
-    reproduces the in-plan query's hashes."""
-    cells = seed_cell_assign(emb, n_cells=n_cells, nprobe=1)
-    emb.join(cells, "vec_id").write.mode("overwrite").partitionBy(
+    reproduces the in-plan query's hashes.
+
+    r13: the assignment is computed INLINE on the embedding row (the
+    same staged v/nv + generated-SQL argmax seed_cell_assign evaluates,
+    so the cell ids are bit-identical) instead of joining the (vec_id,
+    cell) frame back on vec_id — that join cost two hash(vec_id)
+    exchanges of the full vector payload for what is a per-row
+    expression. The write repartitions ON the partition columns first
+    (the bm25/gate-store small-files rule): without it every scan task
+    emits a file into every (cell, label) directory."""
+    from ..functions.vectors import as_double, norm
+
+    seeds = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(n_cells).collect()
+    )
+    seed_vecs = [[float(x) for x in r["embedding"]] for r in seeds]
+    sc = emb.sparkSession.sparkContext
+    if emb.rdd.getNumPartitions() < sc.defaultParallelism:
+        # spread the narrow scan before the n_cells×dims per-row scoring
+        # (no-op at real scale — the seed_cell_assign width rule)
+        emb = emb.repartition(sc.defaultParallelism)
+    scored = _scored_cells_sql(
+        _sql_vecs(seed_vecs), _sql_arr(_anchor_norms(seed_vecs)), "v", "nv"
+    )
+    assigned = (
+        emb.withColumn("v", as_double(F.col("embedding")))
+        .withColumn("nv", norm(F.col("v")))
+        .withColumn("cell", F.expr(f"slice(array_sort({scored}), 1, 1)[0].cell"))
+        .drop("v", "nv")
+    )
+    assigned.repartition("cell", label_col).write.mode("overwrite").partitionBy(
         "cell", label_col
     ).parquet(path)
 
@@ -722,9 +750,17 @@ def build_ivf_index(
     append epoch."""
     spark = emb.sparkSession
     cents = train_ivf_centroids(emb, n_cells, iters)
-    ivf_assign(emb, cents).withColumn("epoch", F.lit(0)).write.mode(
-        "overwrite"
-    ).partitionBy("epoch", *partition_cols).parquet(path)
+    sc = spark.sparkContext
+    if emb.rdd.getNumPartitions() < sc.defaultParallelism:
+        # spread a narrow scan before the per-batch matmul assignment
+        # (r13 width rule; no-op at real scale)
+        emb = emb.repartition(sc.defaultParallelism)
+    # repartition ON the partition columns before the partitioned write
+    # (r13, the bm25 small-files rule): without it every assignment task
+    # emits a file into every cell directory
+    ivf_assign(emb, cents).withColumn("epoch", F.lit(0)).repartition(
+        *partition_cols
+    ).write.mode("overwrite").partitionBy("epoch", *partition_cols).parquet(path)
     meta = {
         "centroids": cents,
         "partition_cols": list(partition_cols),
@@ -860,9 +896,13 @@ def upsert_ivf_index(new_emb: DataFrame, path: str, epoch: int) -> dict:
         # CDC replay contract: same batch content, already durable)
         return meta
     pcols = tuple(meta.get("partition_cols", ["cell"]))
+    sc = spark.sparkContext
+    if new_emb.rdd.getNumPartitions() < sc.defaultParallelism:
+        new_emb = new_emb.repartition(sc.defaultParallelism)  # r13 width rule
+    # repartition on the partition columns first (r13 small-files rule)
     ivf_assign(new_emb, meta["centroids"]).withColumn(
         "epoch", F.lit(int(epoch))
-    ).write.mode("overwrite").option(
+    ).repartition(*pcols).write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("epoch", *pcols).parquet(path)
     meta["epochs"][str(epoch)] = _ivf_epoch_counts(spark, path, epoch, pcols)

@@ -1814,7 +1814,11 @@ def build_bm25_index(
     meta = {
         "n_buckets": int(n_buckets),
         "id_col": id_col,
-        "epochs": {"0": _bm25_epoch_stats(staged)},
+        # stats from the written postings + a pruned count — no second
+        # tokenize scan (r13; see _bm25_epoch_stats_from_index)
+        "epochs": {
+            "0": _bm25_epoch_stats_from_index(docs.sparkSession, path, 0, staged)
+        },
         # appender epochs whose data this build already contains — a
         # replayed append with one of these ids must no-op (the
         # streaming sync passes its building micro-batch's epoch id
@@ -1841,12 +1845,27 @@ def _bm25_postings(staged, id_col: str, n_buckets: int, md5_hash32):
     )
 
 
-def _bm25_epoch_stats(staged) -> dict:
-    row = staged.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.size("arr").cast("bigint")).cast("bigint").alias("total_dl"),
-    ).collect()[0]
-    return {"n_docs": int(row["n_docs"]), "total_dl": int(row["total_dl"] or 0)}
+def _bm25_epoch_stats_from_index(spark, path: str, epoch: int, staged) -> dict:
+    """Epoch corpus stats WITHOUT a second tokenize scan (r13, guide
+    §1.2/§2.3): the old ``_bm25_epoch_stats(staged)`` aggregate re-ran
+    ``tokens()`` over the whole corpus — the build's dominant cost paid
+    twice. Instead: ``n_docs`` is a column-pruned count (Catalyst prunes
+    the deterministic ``tokens()`` projection under ``count(1)``, so no
+    text is read), and ``total_dl`` is Σ tf over the postings just
+    written — exact, because every token instance lands in exactly one
+    (term, doc) posting, so Σ tf == Σ size(arr) including the empty- and
+    null-text edge cases (both contribute 0 to both sides). The explicit
+    tf-only schema keeps the read-back cheap and safe on an empty index
+    (no postings files → empty frame → 0, which IS the true total)."""
+    n_docs = staged.count()
+    tf_sum = (
+        spark.read.schema("tf BIGINT, epoch INT")
+        .parquet(path)
+        .filter(F.col("epoch") == int(epoch))
+        .agg(F.sum("tf").alias("s"))
+        .collect()[0]["s"]
+    )
+    return {"n_docs": int(n_docs), "total_dl": int(tf_sum or 0)}
 
 
 def _write_bm25_meta(spark, path: str, meta: dict) -> None:
@@ -1929,7 +1948,10 @@ def append_bm25_index(
     ).write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("epoch", "bucket").parquet(path)
-    meta["epochs"][str(epoch)] = _bm25_epoch_stats(staged)
+    # no second tokenize of the batch (r13; see _bm25_epoch_stats_from_index)
+    meta["epochs"][str(epoch)] = _bm25_epoch_stats_from_index(
+        spark, path, int(epoch), staged
+    )
     _write_bm25_meta(spark, path, meta)
     return meta
 
