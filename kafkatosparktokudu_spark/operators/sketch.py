@@ -363,16 +363,9 @@ def hll_union_by_group(
     semantics. Same estimator as ``hll_expr_estimate`` (small-range
     linear counting included); same exact-dyadic cross-engine argument.
 
-    Scale shape (r13 rewrite): ONE scan -> one (group, value) dedup —
-    identical registers, because max-rho over duplicate values equals
-    max-rho over distinct values, and the hash/bucket/rho are pure
-    functions of the value — then every downstream branch (per-group
-    registers, bucket-wise union re-agg, the exact-compare counts) reads
-    the bounded dedup, not the input. The old plan re-scanned the input
-    four times (the two exact countDistincts each expanded into a
-    2-phase dedup of their own); now the exact columns are plain counts
-    over the shared dedup. The union NEVER rescans the input — that is
-    the point.
+    Scale shape: one scan -> (group, bucket) hash agg (bounded by
+    |groups|·2^p) -> per-group 1-row aggs + one bucket-wise re-agg. The
+    union NEVER rescans the input — that is the point.
     """
     from ..functions.hashing import md5_hash32
 
@@ -389,9 +382,7 @@ def hll_union_by_group(
         group_alias, "_val", "bucket", F.expr(f"_h div {m}").alias("suffix")
     )
     rho = F.expr(f"{w + 1} - {_bitlen_case_sql('suffix', w)}")
-    # bucket/suffix (and so rho) are functions of _val, so deduping on
-    # (group, _val) preserves every per-bucket max below bit-exactly
-    base = keyed.withColumn("rho", rho).dropDuplicates([group_alias, "_val"])
+    base = keyed.withColumn("rho", rho)
     per_group_regs = base.groupBy(group_alias, "bucket").agg(
         F.max("rho").alias("reg")
     )
@@ -420,23 +411,13 @@ def hll_union_by_group(
             F.count(F.lit(1)).alias("_nb"),
         )
     )
-    # base is already (group, value)-distinct: the exact-compare columns
-    # are plain counts (no countDistinct Expand, no input rescans).
-    # count(_val), not count(1): countDistinct skipped NULL values while
-    # still emitting the group — count over the non-null deduped values
-    # preserves that exactly (an all-NULL group keeps its n_exact=0 row)
     exact_groups = base.groupBy(group_alias).agg(
-        F.count("_val").cast("bigint").alias("n_exact")
+        F.countDistinct("_val").cast("bigint").alias("n_exact")
     )
-    exact_union = (
-        base.select("_val")
-        .distinct()
-        .agg(
-            F.count("_val").cast("bigint").alias("n_exact"),
-            F.lit("__union__").alias(group_alias),
-        )
-        .select(group_alias, "n_exact")
-    )
+    exact_union = base.agg(
+        F.countDistinct("_val").cast("bigint").alias("n_exact"),
+        F.lit("__union__").alias(group_alias),
+    ).select(group_alias, "n_exact")
     exact = exact_groups.unionByName(exact_union)
     return ests.join(exact, group_alias).select(
         group_alias, "n_exact", "hll_estimate"
