@@ -112,8 +112,13 @@ def test_wholestage_codegen_on_hot_path(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     # '*(n)' prefixes are the WholeStageCodegen stage markers; both the
-    # scan-side partial agg and the final agg must be inside codegen stages
-    assert "*(1) HashAggregate" in plan and "*(2) HashAggregate" in plan
+    # scan-side partial agg and the final agg must be inside codegen
+    # stages. Match by count, not stage NUMBER: the r13 width-rule
+    # repartition legitimately sits between the scan and the partial
+    # agg, shifting the numbering without leaving codegen.
+    import re
+
+    assert len(re.findall(r"\*\(\d+\) HashAggregate", plan)) >= 2
 
 
 def test_cdc_fold_is_single_aggregation(spark):
@@ -278,10 +283,12 @@ def test_scd2_history_single_exchange(spark):
 
 def test_dd12_repeated_chunk_anti_join_broadcasts(spark):
     """The repeated-chunk (boilerplate) table is small by construction;
-    the anti join that removes those chunks must broadcast it, not
-    shuffle the whole chunk table."""
+    the join that flags those chunks must broadcast it, not shuffle the
+    whole chunk table. (r13: the anti join became a LeftOuter flag join
+    feeding one fused per-doc agg — same broadcast requirement, fewer
+    exchanges; OPTIMIZATION_r13.md §7.)"""
     plan = _plan(spark, "dd12_repeated_chunks")
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan, plan
 
 
 def test_pq_encode_is_shuffle_free(spark):
