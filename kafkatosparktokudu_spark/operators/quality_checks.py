@@ -737,53 +737,77 @@ def fk_integrity_report(
     dq01's per-column constraints; run on every CDC sink to catch
     out-of-order parent/child application.
 
-    Scale shape per relation: one left-anti join on the key (AQE
-    broadcasts small parents) + one distinct-key semi join for
-    coverage; each relation reduces to ONE row before the union, so the
-    result assembly is trivial. All counts BIGINT.
+    Scale shape per relation (r13 restructure, guide §2.4/§1.2): ONE
+    key census — child keys tagged (1,0) unioned with parent keys
+    tagged (0,1), groupBy(key) summing both tags (map-side partial agg:
+    the exchange carries one narrow (key, c_cnt, p_cnt) row per
+    distinct key per map task, never a payload), then a 1-row
+    conditional rollup derives every report column. Each table is
+    scanned ONCE per relation and there are NO joins — the previous
+    shape (anti-join for orphans + distinct/semi-join for coverage +
+    three scalar-count cross joins) scanned the child 3x and the
+    parent 3x and degraded to multi-pass shuffle joins whenever the
+    parent outgrew the broadcast threshold. NULL semantics carry
+    unchanged: all NULL keys (child and parent) land in the single
+    NULL census group, whose c_cnt is exactly n_null_keys and whose
+    p_cnt can never be referenced (SQL equality never matches NULL).
+    All counts BIGINT; empty inputs yield zero rows in the census, so
+    every sum is COALESCEd to 0 (the COUNT(*)-of-empty contract).
     """
     if not relations:
         raise ValueError("relations must be non-empty")
     outs = []
     for name, child, ckey, parent, pkey in relations:
-        keys = child.select(F.col(ckey).alias("_k"))
-        pk = parent.select(F.col(pkey).alias("_k"))
-        orphans = keys.filter(F.col("_k").isNotNull()).join(
-            pk, "_k", "left_anti"
-        )
-        referenced = pk.join(
-            keys.filter(F.col("_k").isNotNull()).distinct(), "_k", "left_semi"
-        )
-        stats = (
-            keys.agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_child"),
-                F.sum(F.when(F.col("_k").isNull(), 1).otherwise(0))
-                .cast("bigint")
-                .alias("n_null_keys"),
+        # UNION (not join) aligns the key types through the analyzer's
+        # set-operation widening — the same coercion the old join got.
+        census = (
+            child.select(
+                F.col(ckey).alias("_k"),
+                F.lit(1).cast("bigint").alias("_c"),
+                F.lit(0).cast("bigint").alias("_p"),
             )
-            .crossJoin(
-                orphans.agg(
-                    F.count(F.lit(1)).cast("bigint").alias("n_orphans")
+            .unionAll(
+                parent.select(
+                    F.col(pkey).alias("_k"),
+                    F.lit(0).cast("bigint").alias("_c"),
+                    F.lit(1).cast("bigint").alias("_p"),
                 )
             )
-            .crossJoin(
-                referenced.agg(
-                    F.count(F.lit(1)).cast("bigint").alias("_n_ref")
-                )
+            .groupBy("_k")
+            .agg(F.sum("_c").alias("_cc"), F.sum("_p").alias("_pc"))
+        )
+        k_null = F.col("_k").isNull()
+        stats = census.agg(
+            F.coalesce(F.sum("_cc"), F.lit(0)).cast("bigint").alias("n_child"),
+            F.coalesce(F.sum(F.when(k_null, F.col("_cc"))), F.lit(0))
+            .cast("bigint")
+            .alias("n_null_keys"),
+            F.coalesce(
+                F.sum(
+                    F.when(~k_null & (F.col("_pc") == 0), F.col("_cc"))
+                ),
+                F.lit(0),
             )
-            .crossJoin(
-                pk.agg(F.count(F.lit(1)).cast("bigint").alias("_n_parent"))
+            .cast("bigint")
+            .alias("n_orphans"),
+            F.coalesce(
+                F.sum(F.when(~k_null & (F.col("_cc") > 0), F.col("_pc"))),
+                F.lit(0),
             )
-            .select(
-                F.lit(name).alias("relation"),
-                "n_child",
-                "n_null_keys",
-                "n_orphans",
-                F.expr(
-                    "CASE WHEN _n_parent = 0 THEN CAST(0 AS BIGINT) "
-                    "ELSE _n_ref * CAST(1000000 AS BIGINT) div _n_parent END"
-                ).alias("parent_coverage_ppm"),
-            )
+            .cast("bigint")
+            .alias("_n_ref"),
+            F.coalesce(F.sum("_pc"), F.lit(0))
+            .cast("bigint")
+            .alias("_n_parent"),
+        ).select(
+            F.lit(name).alias("relation"),
+            "n_child",
+            "n_null_keys",
+            "n_orphans",
+            F.expr(
+                "CASE WHEN _n_parent = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE _n_ref * CAST(1000000 AS BIGINT) div _n_parent END"
+            ).alias("parent_coverage_ppm"),
         )
         outs.append(stats)
     out = outs[0]
