@@ -375,21 +375,38 @@ def contamination_check(
     side is one explode + distinct + per-doc agg, never a shuffle keyed on
     anything hotter than doc_id."""
     t = tokens("text")
+    # explode_OUTER + null guard: the inner explode makes
+    # InferFiltersFromGenerate add a size>0 filter whose alias-substituted
+    # form (the whole tokenize+shingle expression) is pushed below the
+    # width repartition and re-evaluated per doc on the narrow scan
+    # (the dd09 pathology; measured 12-15x on the window-hash pass).
+    # Shingle strings are never null, so dropping the null rows the outer
+    # variant adds for shingle-less docs is bit-identical to the inner.
     sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(_token_shingles(t, k))).alias("g")
-    )
+        "doc_id",
+        F.explode_outer(F.array_distinct(_token_shingles(t, k))).alias("g"),
+    ).filter(F.col("g").isNotNull())
     bench = (
         sh.filter((F.col("doc_id") % bench_mod) == 0).select("g").distinct()
     )
     corpus = sh.filter((F.col("doc_id") % bench_mod) != 0)
-    n_sh = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        corpus.join(F.broadcast(bench), "g")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-    )
+    # ONE corpus shingle pass (r13): a broadcast LEFT join + conditional
+    # agg replaces the old two-branch shape (separate n_shingles agg +
+    # inner-join hits agg), which evaluated the tokenize+shingle explode
+    # twice. bench is distinct, so each corpus row matches at most one
+    # bench row: count(hit) == the old inner-join count, and the
+    # n_contaminated >= 1 filter reproduces the old inner join's
+    # drop-uncontaminated-docs semantics exactly.
     return (
-        n_sh.join(hits, "doc_id")
+        corpus.join(
+            F.broadcast(bench.withColumn("_hit", F.lit(1))), "g", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+        .filter(F.col("n_contaminated") >= 1)
         .select(
             "doc_id",
             "n_shingles",
@@ -493,11 +510,15 @@ def decontaminated_split(
 
     is_eval = (md5_hash32(F.col("doc_id").cast("string")) % eval_mod) == 0
     base = docs.select("doc_id", "source", "text", is_eval.alias("is_eval"))
+    # explode_OUTER + null guard: see contamination_check (the dd09
+    # inferred-filter pathology; shingles are never null)
     sh = base.select(
         "doc_id",
         "is_eval",
-        F.explode(F.array_distinct(_token_shingles(tokens("text"), k))).alias("g"),
-    )
+        F.explode_outer(
+            F.array_distinct(_token_shingles(tokens("text"), k))
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
     eval_sh = sh.filter("is_eval").select("g").distinct()
     contaminated = (
         sh.filter(~F.col("is_eval"))

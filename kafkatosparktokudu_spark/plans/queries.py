@@ -1168,7 +1168,10 @@ def tx11_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tx12_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import contamination_check
 
-    return contamination_check(_t(spark, sf_dir, "documents"))
+    # _wide: the k-shingle HOF battery is scan-side compute (r13; the
+    # benchmark side filters to ~1/97 of docs before tokenizing, so the
+    # corpus-side shingle pass is the whole cost)
+    return contamination_check(_wide(_t(spark, sf_dir, "documents")))
 
 
 def tx13_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3305,7 +3308,10 @@ def px08_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py::decontaminated_split)."""
     from ..operators.text import decontaminated_split
 
-    return decontaminated_split(_t(spark, sf_dir, "documents"))
+    # _wide: the 4-shingle HOF battery is scan-side compute (r13; the
+    # eval side filters to ~1/10 of docs before tokenizing, so the
+    # train-side shingle pass is the whole cost)
+    return decontaminated_split(_wide(_t(spark, sf_dir, "documents")))
 
 
 def q64_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

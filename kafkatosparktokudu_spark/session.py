@@ -47,6 +47,24 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # InferFiltersFromGenerate adds a size(arr)>0 pre-filter before
+        # every explode/posexplode. It never changes results (exploding
+        # an empty/null array emits no rows anyway) — it exists to prune
+        # rows early. But when the exploded array is computed in the
+        # same stage (every tokenize/shingle/window-hash explode in this
+        # package), predicate pushdown substitutes the filter's alias
+        # with the FULL generator expression and pushes it below the
+        # width repartition: the whole tokenize+hash pass re-runs,
+        # narrow, once per consumer branch. Measured 12-15x on the
+        # dd09 window-hash pass (7.6s -> 0.55s at sf0.1, identical
+        # rows); the hot paths are also fixed structurally with
+        # explode_outer + null-guard so they stay fast under sessions
+        # that don't set this (e.g. the driver's correctness harness).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
