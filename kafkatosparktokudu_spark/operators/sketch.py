@@ -823,6 +823,12 @@ def ams_f2_estimate(
             for r in range(depth)
         ]
     )
+    # width rule (r13): the 2·depth md5s per row are scan-side compute —
+    # a narrow fixture scan ran them 1-3 wide (the simhash/
+    # hashed_shingles idiom; no-op at real scale)
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     t = (
         df.select(F.explode(cells).alias("rb"))
         .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))

@@ -4038,7 +4038,10 @@ def q91_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q92_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.layout import hilbert_layout_stats
 
-    li = _t(spark, sf_dir, "lineitem").select(
+    # _wide: the 16-level Hilbert bit chain is scan-side compute (r13,
+    # guide §2.5 — the q02/q04 class; the fixture scan yields 1-3
+    # partitions, so the chain ran ~2-wide on local[32])
+    li = _wide(_t(spark, sf_dir, "lineitem")).select(
         "l_partkey",
         F.datediff(
             F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
