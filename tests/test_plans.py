@@ -503,3 +503,43 @@ def test_px15_epoch_shuffle_no_global_sort(spark):
     assert "Exchange rangepartitioning" not in plan, plan
     assert "Exchange hashpartitioning(_rng" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_session_excludes_infer_filters_from_generate(spark):
+    """The r13 §10 session rule: InferFiltersFromGenerate's size>0
+    pre-filter gets alias-substituted with the FULL generator expression
+    and pushed below the width repartition, re-running the tokenize/
+    shingle/window-hash pass narrow (measured 12-15x on dd09's window
+    hashing). get_spark must keep the rule excluded."""
+    excluded = spark.conf.get("spark.sql.optimizer.excludedRules", "")
+    assert "InferFiltersFromGenerate" in excluded
+
+
+def test_no_inferred_generate_filter_duplicates_tokenize(spark):
+    """Structural half of the r13 §10 fix, asserted under a session
+    WITHOUT the excluded rule (a fresh optimizer run with the rule
+    forced back on): duplicated_spans' outer-explode + pos-guard must
+    keep the window-hash transform out of every Filter condition — the
+    pathology plan had a Filter whose condition embedded
+    size(CASE WHEN ... transform(sequence ... md5 ...)) below the
+    repartition."""
+    from kafkatosparktokudu_spark.operators.dedup import duplicated_spans
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    # force the rule back ON for this one plan: the structural fix must
+    # hold even where the session exclusion is absent (the driver's
+    # correctness harness runs a plain session)
+    old = spark.conf.get("spark.sql.optimizer.excludedRules", "")
+    spark.conf.set("spark.sql.optimizer.excludedRules", "")
+    try:
+        df = duplicated_spans(load_table(spark, SF, "documents"))
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            stripped = line.strip()
+            if stripped.startswith(("Filter", "+- Filter")) or " Filter " in line:
+                assert "transform(" not in line, (
+                    "inferred generate filter re-embeds the window-hash "
+                    "transform: " + line[:200]
+                )
+    finally:
+        spark.conf.set("spark.sql.optimizer.excludedRules", old)
