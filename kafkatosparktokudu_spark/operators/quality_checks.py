@@ -760,22 +760,36 @@ def fk_integrity_report(
     for name, child, ckey, parent, pkey in relations:
         # UNION (not join) aligns the key types through the analyzer's
         # set-operation widening — the same coercion the old join got.
-        census = (
-            child.select(
-                F.col(ckey).alias("_k"),
-                F.lit(1).cast("bigint").alias("_c"),
-                F.lit(0).cast("bigint").alias("_p"),
-            )
-            .unionAll(
-                parent.select(
-                    F.col(pkey).alias("_k"),
-                    F.lit(0).cast("bigint").alias("_c"),
-                    F.lit(1).cast("bigint").alias("_p"),
+        # Key types with NO common wider type fail the union at analysis;
+        # re-raise with the relation and both types named so the caller
+        # sees a constraint violation, not a union plumbing error
+        # (ADVICE r13).
+        try:
+            census = (
+                child.select(
+                    F.col(ckey).alias("_k"),
+                    F.lit(1).cast("bigint").alias("_c"),
+                    F.lit(0).cast("bigint").alias("_p"),
                 )
+                .unionAll(
+                    parent.select(
+                        F.col(pkey).alias("_k"),
+                        F.lit(0).cast("bigint").alias("_c"),
+                        F.lit(1).cast("bigint").alias("_p"),
+                    )
+                )
+                .groupBy("_k")
+                .agg(F.sum("_c").alias("_cc"), F.sum("_p").alias("_pc"))
             )
-            .groupBy("_k")
-            .agg(F.sum("_c").alias("_cc"), F.sum("_p").alias("_pc"))
-        )
+        except Exception as exc:
+            ctype = dict(child.dtypes).get(ckey)
+            ptype = dict(parent.dtypes).get(pkey)
+            raise TypeError(
+                f"fk_integrity_report relation {name!r}: child key "
+                f"{ckey!r} ({ctype}) and parent key {pkey!r} ({ptype}) "
+                "have no common wider type — cast one side to the "
+                "other's type before declaring the relation"
+            ) from exc
         k_null = F.col("_k").isNull()
         stats = census.agg(
             F.coalesce(F.sum("_cc"), F.lit(0)).cast("bigint").alias("n_child"),

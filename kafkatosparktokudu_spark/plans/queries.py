@@ -1088,8 +1088,12 @@ def tx01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tx02_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import quality_scores
 
-    # _wide: the per-doc array-HOF battery is scan-side compute (r13)
-    return quality_scores(_wide(_t(spark, sf_dir, "documents")))
+    # _wide REMOVED (r14, VERDICT r13 #1): the round-robin shuffle of the
+    # full text payload cost more than the per-doc HOF parallelism it
+    # bought — driver record r12→r13 0.79x, 8-core ratio 0.78 (less width
+    # = faster), and the r14 interleaved A/B reads wide 0.553 / plain
+    # 0.526 median. Same failure mode as the rejected px01 _wide.
+    return quality_scores(_t(spark, sf_dir, "documents"))
 
 
 def tx03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1119,8 +1123,12 @@ def tx06_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tx07_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import keyterms
 
-    # _wide: tokenize + explode are scan-side compute (r13)
-    return keyterms(_wide(_t(spark, sf_dir, "documents")))
+    # _wide REMOVED (r14, VERDICT r13 #1): the tf groupBy(doc_id, term)
+    # exchange already redistributes right after the tokenize, so the
+    # round-robin text shuffle was pure overhead — driver record 0.54x
+    # (spreads disjoint), 8-core ratio 0.75, r14 interleaved A/B wide
+    # 1.368 / plain 0.809 median.
+    return keyterms(_t(spark, sf_dir, "documents"))
 
 
 # Unpivot/melt: the wide→long reshape (Spark DataFrame.unpivot; oracle is
@@ -1641,8 +1649,12 @@ def q52_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nation and region carry broadcast hints; customer/supplier are left to
 # AQE so the plan degrades to shuffle joins instead of OOM at sf100+.
 def q54_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # _wide on the fact side (r13, guide §2.5 — same rationale as q04)
-    li = _wide(_t(spark, sf_dir, "lineitem"))
+    # _wide REMOVED (r14, VERDICT r13 #1): unlike q04, every probe here
+    # hangs off broadcast/AQE-broadcast dims and the orders join exchange
+    # redistributes anyway, so the added round-robin shuffle of the fact
+    # payload regressed — driver record 0.79x, r14 interleaved A/B wide
+    # 2.010 / plain 1.116 median.
+    li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate").between("1996-01-01", "1997-12-31")
     )

@@ -37,6 +37,20 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
 
+    # Merge with (never overwrite) excluded rules supplied via
+    # spark-defaults.conf / SPARK_CONF_DIR (ADVICE r13): an operator may
+    # legitimately exclude other rules per deployment.
+    from pyspark import SparkConf
+
+    _infer = (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    )
+    _pre = SparkConf().get("spark.sql.optimizer.excludedRules", None)
+    if _pre and _infer not in [r.strip() for r in _pre.split(",")]:
+        _excluded = f"{_pre},{_infer}"
+    else:
+        _excluded = _pre or _infer
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -60,11 +74,7 @@ def get_spark(
         # rows); the hot paths are also fixed structurally with
         # explode_outer + null-guard so they stay fast under sessions
         # that don't set this (e.g. the driver's correctness harness).
-        .config(
-            "spark.sql.optimizer.excludedRules",
-            "org.apache.spark.sql.catalyst.optimizer."
-            "InferFiltersFromGenerate",
-        )
+        .config("spark.sql.optimizer.excludedRules", _excluded)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )

@@ -529,17 +529,40 @@ def test_no_inferred_generate_filter_duplicates_tokenize(spark):
     # force the rule back ON for this one plan: the structural fix must
     # hold even where the session exclusion is absent (the driver's
     # correctness harness runs a plain session)
+    def _walk(node):
+        # generic Catalyst TreeNode walker (plans and expressions both
+        # expose children(): Seq[TreeNode]) — ADVICE r13: assert on the
+        # TREE, not on rendered plan lines, so a format change or an
+        # unrelated transform() elsewhere can't flip the test
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            yield n
+            ch = n.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+
     old = spark.conf.get("spark.sql.optimizer.excludedRules", "")
     spark.conf.set("spark.sql.optimizer.excludedRules", "")
     try:
         df = duplicated_spans(load_table(spark, SF, "documents"))
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-        for line in plan.splitlines():
-            stripped = line.strip()
-            if stripped.startswith(("Filter", "+- Filter")) or " Filter " in line:
-                assert "transform(" not in line, (
-                    "inferred generate filter re-embeds the window-hash "
-                    "transform: " + line[:200]
-                )
+        plan = df._jdf.queryExecution().optimizedPlan()
+        filters = [
+            n for n in _walk(plan)
+            if n.getClass().getSimpleName() == "Filter"
+        ]
+        assert filters, "expected at least one Filter in the plan"
+        for flt in filters:
+            bad = [
+                e.getClass().getSimpleName()
+                for e in _walk(flt.condition())
+                if e.getClass().getSimpleName()
+                in ("ArrayTransform", "Sequence")
+            ]
+            assert not bad, (
+                "inferred generate filter re-embeds the window-hash "
+                f"generator expression ({bad}) in: "
+                + flt.condition().toString()[:200]
+            )
     finally:
         spark.conf.set("spark.sql.optimizer.excludedRules", old)
