@@ -168,14 +168,23 @@ def minhash_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, id_col: str = "doc_id", hs_df: DataFrame | None = None
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    hs_df: DataFrame | None = None,
+    bands_df: DataFrame | None = None,
 ) -> DataFrame:
     """Sub-quadratic candidate generation: explode band hashes, shuffle on
-    (band_idx, band_hash), emit distinct (a < b) pairs per bucket."""
-    if hs_df is None:
-        hs_df = hashed_shingles(docs, id_col)
-    bands = _bands_from_hashed(hs_df, id_col)
-    exploded = bands.select(
+    (band_idx, band_hash), emit distinct (a < b) pairs per bucket.
+
+    ``bands_df``: a pre-built (id, band0..bandN) frame — pass the PINNED
+    band frame when the caller reuses it across jobs (r14: the self-join
+    otherwise evaluates the 16-permutation minhash + band md5 once PER
+    SIDE, even over a cached ``hs``)."""
+    if bands_df is None:
+        if hs_df is None:
+            hs_df = hashed_shingles(docs, id_col)
+        bands_df = _bands_from_hashed(hs_df, id_col)
+    exploded = bands_df.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -208,6 +217,7 @@ def neardup_pairs_jaccard(
     id_col: str = "doc_id",
     shingle_col: Column | None = None,
     hs_df: DataFrame | None = None,
+    bands_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact n-gram Jaccard over the
     HASHED shingle sets; only candidate pairs pay the set-intersection
@@ -217,14 +227,30 @@ def neardup_pairs_jaccard(
     payload shrinks ~10× and string GC churn disappears. The hashed frame
     is persisted once and reused by all four consumers (both band-join
     sides, both jaccard sides); callers that already hold a persisted
-    hashed frame pass it via ``hs_df``."""
+    hashed frame pass it via ``hs_df`` (and a pinned band frame via
+    ``bands_df`` — the gate's idiom).
+
+    r14: the BAND frame is pinned too. The band self-join used to
+    evaluate the 16-permutation minhash + band-md5 chain once per join
+    SIDE (the hs cache stops at the shingle hashes); one count() on the
+    persisted bands materializes hs AND bands in a single job — same
+    job count as before, two fewer minhash passes per call."""
     if hs_df is None:
         hs_df = hashed_shingles(docs, id_col, shingle_col=shingle_col).persist()
-        # materialize the cache BEFORE the self-join: otherwise the band
-        # join's two sides race to populate it and the shingle+md5 work
-        # runs twice
-        hs_df.count()
-    cands = lsh_candidate_pairs(docs, id_col, hs_df=hs_df)
+        if bands_df is None:
+            bands_df = _bands_from_hashed(hs_df, id_col).persist()
+            # ONE materialization job pins BOTH caches: computing the band
+            # partitions pulls the hs partitions through the cache layer
+            # (the pre-r14 hs_df.count() populated hs only, and the band
+            # join's two sides then re-ran minhash from the cached hs)
+            bands_df.count()
+        else:
+            # caller-pinned bands over a caller-built hs: materialize hs
+            # before the self-join (the pre-r14 race rationale)
+            hs_df.count()
+    elif bands_df is None:
+        bands_df = _bands_from_hashed(hs_df, id_col)
+    cands = lsh_candidate_pairs(docs, id_col, hs_df=hs_df, bands_df=bands_df)
     joined = (
         cands.join(hs_df.withColumnRenamed(id_col, "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")
         .join(hs_df.withColumnRenamed(id_col, "doc_b").withColumnRenamed("hs", "hs_b"), "doc_b")
@@ -585,21 +611,36 @@ def incremental_neardup_ingest(
     id-buckets), one append. Nothing rescans the accepted corpus' text."""
     spark = batch.sparkSession
     hs_new = hashed_shingles(batch, id_col).persist()
-    hs_new.count()  # pin before the self-join (same rationale as dd04)
+    # Pin the BAND frame alongside hs (r14): the epoch's minhash + band
+    # md5 chain used to evaluate up to FOUR times — once per LSH
+    # self-join side, once in the store probe, once in the append — all
+    # from the cached hs. One count() on the persisted bands
+    # materializes hs AND bands in a single job (computing a band
+    # partition pulls its hs partition through the cache layer), so the
+    # chain now runs exactly once per epoch.
+    bands_all = _bands_from_hashed(hs_new, id_col).persist()
+    bands_all.count()
     # (1) within-batch: pairs → clusters → min-id keeper
-    pairs = neardup_pairs_jaccard(batch, threshold, id_col, hs_df=hs_new)
+    pairs = neardup_pairs_jaccard(
+        batch, threshold, id_col, hs_df=hs_new, bands_df=bands_all
+    )
     clusters = duplicate_clusters(pairs)  # (doc_id, cluster_id = min label)
     in_dup = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(
         F.col(id_col), F.col("cluster_id").alias("matched_in")
     )
     keepers = hs_new.join(in_dup.select(id_col), id_col, "left_anti")
-    bands_new = _bands_from_hashed(keepers, id_col)
+    # same rows as _bands_from_hashed(keepers): the band columns are a
+    # deterministic per-row function of hs, and the anti-join filters
+    # the identical id set — but served from the pinned band cache
+    bands_new = bands_all.join(in_dup.select(id_col), id_col, "left_anti")
     meta = _gate_meta(spark, store_dir)
     if meta is not None:
-        return _ingest_gate_bucketed(
+        flags = _ingest_gate_bucketed(
             spark, store_dir, int(meta["n_buckets"]), threshold, id_col,
             hs_new, in_dup, keepers, bands_new,
         )
+        bands_all.unpersist()
+        return flags
     if bucketed_n is not None:
         # Refuse to bucket OVER an existing flat history (ADVICE r12):
         # writing the meta here would switch every later probe to the
@@ -616,10 +657,12 @@ def incremental_neardup_ingest(
                 "without bucketed_n — the meta routes the layout"
             )
         _write_gate_meta(spark, store_dir, int(bucketed_n))
-        return _ingest_gate_bucketed(
+        flags = _ingest_gate_bucketed(
             spark, store_dir, int(bucketed_n), threshold, id_col,
             hs_new, in_dup, keepers, bands_new,
         )
+        bands_all.unpersist()
+        return flags
     # (2) keepers vs the accepted history. The existence probe goes through
     # the Hadoop FileSystem API (fsio), NOT os.listdir: the store is read
     # and appended via spark.read/write, so on an HDFS/S3 sig_dir a
@@ -632,8 +675,19 @@ def incremental_neardup_ingest(
     if store_exists:
         # root-level glob, not a directory read: a migrate_gate_store run
         # crashed before its meta write leaves bands/payload subdirs that
-        # must not be swept into the flat-schema scan
-        old = spark.read.parquet(f"{store_dir}/*.parquet")
+        # must not be swept into the flat-schema scan.
+        # Explicit schema (r14): the flat store's layout is this
+        # function's own append contract (id, band0..bandN, hs), so
+        # schema inference — a per-epoch driver pass over every store
+        # file's footer, measured in the 0.5-0.9s "probe frame built"
+        # phase — buys nothing. Parquet resolves columns by name, so
+        # column order in older files is irrelevant.
+        store_schema = T.StructType(
+            [batch.schema[id_col]]
+            + [T.StructField(f"band{b}", T.StringType()) for b in range(N_BANDS)]
+            + [T.StructField("hs", T.ArrayType(T.LongType()))]
+        )
+        old = spark.read.schema(store_schema).parquet(f"{store_dir}/*.parquet")
         # revoked docs leave the accepted history (right-to-be-forgotten;
         # broadcast anti-join, absent entirely on a store with no
         # revocations)
@@ -700,6 +754,7 @@ def incremental_neardup_ingest(
     )
     accepted.write.mode("append").parquet(store_dir)
     hs_new.unpersist()
+    bands_all.unpersist()
     return flags
 
 
@@ -1922,8 +1977,14 @@ def containment_pairs(
     and shared across the band join and both verify sides."""
     if hs_df is None:
         hs_df = hashed_shingles(docs, id_col).persist()
-        hs_df.count()
-    cands = lsh_candidate_pairs(docs, id_col, hs_df=hs_df)
+        # pin bands next to hs — one job materializes both, and the band
+        # self-join stops re-running the minhash chain per side (r14,
+        # the neardup_pairs_jaccard rationale)
+        bands_df = _bands_from_hashed(hs_df, id_col).persist()
+        bands_df.count()
+    else:
+        bands_df = _bands_from_hashed(hs_df, id_col)
+    cands = lsh_candidate_pairs(docs, id_col, hs_df=hs_df, bands_df=bands_df)
     joined = cands.join(
         hs_df.withColumnRenamed(id_col, "doc_a").withColumnRenamed("hs", "hs_a"),
         "doc_a",

@@ -243,26 +243,45 @@ def constraint_report(
                 )
             )
         elif isinstance(c, ForeignKey):
-            # DataFrame-qualified references (parent_keys[...]) so a child
-            # table that happens to carry a column by the same name can't
-            # shadow the parent key and corrupt the orphan count.
-            pk = "__dq_parent_pk__"
-            parent_keys = (
-                tables[c.parent]
-                .select(F.col(c.parent_key).alias(pk))
-                .distinct()
+            # Join-free key census (r14, the dq06 fk_integrity_report
+            # recipe — guide §2.4): child keys tagged (1,0) unionAll
+            # parent keys tagged (0,1), one groupBy(key) with map-side
+            # partial agg, then a 1-row rollup. The old shape (parent
+            # distinct + left join + conditional agg) shuffled the child
+            # by the FK and degraded to a multi-pass shuffle join once
+            # the parent outgrew the broadcast threshold. Semantics
+            # carry exactly: n_rows = Σ child tags (every child row is
+            # one census contribution, NULL keys included in the NULL
+            # group); orphans = Σ child tags over non-null keys no
+            # parent key matches (NULL parent keys can never match —
+            # they stay in the NULL group).
+            census = (
+                tables[c.table]
+                .select(
+                    F.col(c.column).alias("_k"),
+                    F.lit(1).cast("bigint").alias("_c"),
+                    F.lit(0).cast("bigint").alias("_p"),
+                )
+                .unionAll(
+                    tables[c.parent].select(
+                        F.col(c.parent_key).alias("_k"),
+                        F.lit(0).cast("bigint").alias("_c"),
+                        F.lit(1).cast("bigint").alias("_p"),
+                    )
+                )
+                .groupBy("_k")
+                .agg(F.sum("_c").alias("_cc"), F.sum("_p").alias("_pc"))
             )
-            joined = tables[c.table].join(
-                parent_keys, F.col(c.column) == parent_keys[pk], "left"
-            )
-            one = joined.agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(
-                    F.when(
-                        F.col(c.column).isNotNull()
-                        & parent_keys[pk].isNull(),
-                        1,
-                    ).otherwise(0)
+            one = census.agg(
+                F.coalesce(F.sum("_cc"), F.lit(0)).alias("n_rows"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("_k").isNotNull() & (F.col("_pc") == 0),
+                            F.col("_cc"),
+                        )
+                    ),
+                    F.lit(0),
                 ).alias("n_violations"),
             )
             parts.append(

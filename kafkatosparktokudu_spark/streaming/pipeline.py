@@ -478,11 +478,12 @@ def ingest_shards_epoch(
         ),
     )
     flags.write.mode("overwrite").parquet(f"{out_dir}/flags/epoch={epoch_id}")
+    # reuse the flags frame directly (r14): it hangs off a
+    # localCheckpoint, so this is a cache read, not a recompute — the
+    # old parquet read-back of the file just written re-paid schema
+    # inference + a scan every epoch for identical rows
     accepted = batch_df.join(
-        spark.read.parquet(f"{out_dir}/flags/epoch={epoch_id}")
-        .filter(~F.col("is_dup"))
-        .select("doc_id"),
-        "doc_id",
+        flags.filter(~F.col("is_dup")).select("doc_id"), "doc_id"
     )
     banded = quality_classifier_scores(accepted).select(
         "doc_id",
