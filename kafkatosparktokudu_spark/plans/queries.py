@@ -5329,83 +5329,103 @@ def tx20_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-13 front section (the driver verifies the FIRST 50
+    # --- round-14 front section (the driver verifies the FIRST 50
     # keys; scripts/check_rotation.py is the mechanical authority).
-    # Optimization-round update: px09/ss06/ss15 rotated IN (the
-    # _kmeans_fit/seed_cell_assign width rule implicates them),
-    # dd03/dd04/dd06 rotated OUT to the remainder head in base order.
-    # Session-3 closure: the front 48 are EXACTLY the queries the
-    # round's code churn implicates (sessions 1-3: gate-store meta/
-    # migration + incremental CC in dedup.py, probe/meta/rrf churn in
-    # similarity.py, BM25 index family + compaction in text.py, the
-    # awaitTermination fail-loud fix shared by every live streaming
-    # face, epoch-id collision fixes in the index stores) PLUS the
-    # five queries new this round (dd18, ss22, ss23, st14, st15) and
-    # the r12 rotation overflow re-stamps (cdc_stream, dd16, dd17,
-    # q87, tx19, tx27, tx28) — every entry ordered by its r12-HEAD
-    # position so the displaced remainder (from slot 49 on) sits in
-    # EXACT base order: check_rotation diff-matches it as unmoved,
-    # closing the move-only displacement fixpoint at zero violations.
-    "px09_semdedup": px09_semdedup,  # r13-affected (opt: width rule)
-    "ss06_kmeans_clusters": ss06_kmeans_clusters,  # r13-affected (opt)
-    "ss15_ivf_trained_topk": ss15_ivf_trained_topk,  # r13-affected (opt)
-    "ss04_ivf_topk": ss04_ivf_topk,  # r13-affected (opt: probe literal)
-    "ss16_ivfadc_topk": ss16_ivfadc_topk,  # r13-affected (opt: probe literal)
-    "ss07_pq_encode": ss07_pq_encode,  # r13-affected
-    "ss09_int8_quantize": ss09_int8_quantize,  # r13-affected
-    "ss13_pq_rerank_topk": ss13_pq_rerank_topk,  # r13-affected
-    "tx21_zipf_stats": tx21_zipf_stats,  # r13-affected
-    "tx26_bm25_rank": tx26_bm25_rank,  # r13-affected
-    "tx29_bm25_postings": tx29_bm25_postings,  # r13-affected
-    "ss18_filtered_topk": ss18_filtered_topk,  # r13-affected
-    "ss19_filtered_scaled_topk": ss19_filtered_scaled_topk,  # r13-affected
-    "ss20_filtered_index_topk": ss20_filtered_index_topk,  # r13-affected
-    "ss21_hybrid_rrf": ss21_hybrid_rrf,  # r13-affected
-    "ss22_hybrid_index_rrf": ss22_hybrid_index_rrf,  # new in r13
-    "ss23_incremental_index_rrf": ss23_incremental_index_rrf,  # new in r13
-    "dd05_embedding_neardup": dd05_embedding_neardup,  # r13-affected
-    "st04_ingest_shards": st04_ingest_shards,  # r13-affected
-    "cdc_kafka_emp_state": cdc_kafka_emp_state,  # r13-affected
-    "ss05_knn_join": ss05_knn_join,  # r13-affected
-    "ss12_knn_label_vote": ss12_knn_label_vote,  # r13-affected
-    "ss14_radius_density": ss14_radius_density,  # r13-affected
-    "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,  # r13-affected
-    "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,  # r13-affected
-    "px16_quality_aware_dedup": px16_quality_aware_dedup,  # r13-affected
-    "px06_incremental_ingest": px06_incremental_ingest,  # r13-affected
-    "dd07_dup_clusters": dd07_dup_clusters,  # r13-affected
-    "dd18_record_linkage": dd18_record_linkage,  # new in r13
-    "dd15_soft_dedup_weights": dd15_soft_dedup_weights,  # r13-affected
-    "dd16_lsh_band_plan": dd16_lsh_band_plan,  # r12-overflow re-stamp
-    "dd17_containment_pairs": dd17_containment_pairs,  # r12-overflow re-stamp
-    "tx27_gopher_rules": tx27_gopher_rules,  # r12-overflow re-stamp
-    "tx28_hashed_tfidf": tx28_hashed_tfidf,  # r12-overflow re-stamp
-    "tx19_bpe_merges": tx19_bpe_merges,  # r12-overflow re-stamp
-    "st08_stream_interval_join": st08_stream_interval_join,  # r13-affected
-    "st09_stream_dedup": st09_stream_dedup,  # r13-affected
-    "st10_stream_topk": st10_stream_topk,  # r13-affected
-    "st11_stream_funnel": st11_stream_funnel,  # r13-affected
-    "st12_stream_sessionize": st12_stream_sessionize,  # r13-affected
-    "st13_stream_zscore": st13_stream_zscore,  # r13-affected
-    "st14_stream_index_sync": st14_stream_index_sync,  # new in r13
-    "st15_stream_ivf_sync": st15_stream_ivf_sync,  # new in r13
-    "tx30_bm25_forget": tx30_bm25_forget,  # new in r13
-    "ss24_ivf_forget": ss24_ivf_forget,  # new in r13
-    "px25_gate_revoke": px25_gate_revoke,  # new in r13
-    "q87_weighted_sample": q87_weighted_sample,  # r12-overflow re-stamp
-    "cdc_stream_emp_state": cdc_stream_emp_state,  # r12-overflow re-stamp
-    "px20_leakage_safe_split": px20_leakage_safe_split,  # r13-affected
-    "px24_embedding_decontam": px24_embedding_decontam,  # new in r13
-    "dq08_embedding_drift": dq08_embedding_drift,  # new in r13
-    # --- end of the affected set: slots 49-50 and everything below
-    # are the unchanged remainder in exact r12-HEAD order (fresh
-    # green driver rows; unaffected by this round's churn).
-    "dd03_minhash_bands": dd03_minhash_bands,
-    "dd04_neardup_pairs": dd04_neardup_pairs,
+    # Slots 1-23: the r13 rotation overflow, verbatim from NOTES.md —
+    # every operator rewritten in the r13 optimization round gets its
+    # driver stamp FIRST (VERDICT r13 #2). Slots 24-44: every query
+    # whose code changed in THIS round (the check_rotation affected
+    # set: the _wide trio removal, the gate band-frame pin + store
+    # schema + flags reuse, the dq01 FK census, px09's HOF pair cosine,
+    # the _ivf_epoch_counts fusion), in prior-HEAD relative order.
+    # Slots 45-50: unaffected fillers held over from the r13 window
+    # (freshest stamps). The displaced remainder keeps its exact
+    # r13-HEAD relative order so check_rotation diff-matches it as
+    # unmoved.
     "dd06_simhash": dd06_simhash,
-    "dd08_char_neardup_pairs": dd08_char_neardup_pairs,
+    "dd09_dup_spans": dd09_dup_spans,
     "dd10_simhash_neardup": dd10_simhash_neardup,
+    "dd12_repeated_chunks": dd12_repeated_chunks,
+    "dq06_fk_integrity": dq06_fk_integrity,
+    "dq07_fd_profile": dq07_fd_profile,
+    "dq08_embedding_drift": dq08_embedding_drift,
+    "gr04_kcore": gr04_kcore,
+    "gr05_bfs_hops": gr05_bfs_hops,
+    "gr06_label_propagation": gr06_label_propagation,
+    "gr07_link_prediction": gr07_link_prediction,
+    "gr08_personalized_pagerank": gr08_personalized_pagerank,
+    "px01_curation_pipeline": px01_curation_pipeline,
+    "px05_exactsubstr_scrub": px05_exactsubstr_scrub,
+    "px08_decontaminated_split": px08_decontaminated_split,
+    "q02_pricing_summary": q02_pricing_summary,
+    "q04_revenue_by_nation": q04_revenue_by_nation,
+    "q54_market_share": q54_market_share,
+    "tx02_quality_scores": tx02_quality_scores,
+    "tx07_keyterms": tx07_keyterms,
+    "tx12_contamination": tx12_contamination,
+    "q92_hilbert_layout": q92_hilbert_layout,
+    "sk09_cms_self_join_size": sk09_cms_self_join_size,
+    # --- r14-affected set (this round's code churn) ---
+    "px09_semdedup": px09_semdedup,
+    "ss23_incremental_index_rrf": ss23_incremental_index_rrf,
+    "st04_ingest_shards": st04_ingest_shards,
+    "px02_cluster_dedup_pipeline": px02_cluster_dedup_pipeline,
+    "px16_quality_aware_dedup": px16_quality_aware_dedup,
+    "px06_incremental_ingest": px06_incremental_ingest,
+    "dd07_dup_clusters": dd07_dup_clusters,
+    "dd15_soft_dedup_weights": dd15_soft_dedup_weights,
+    "dd16_lsh_band_plan": dd16_lsh_band_plan,
+    "dd17_containment_pairs": dd17_containment_pairs,
+    "st15_stream_ivf_sync": st15_stream_ivf_sync,
+    "ss24_ivf_forget": ss24_ivf_forget,
+    "px25_gate_revoke": px25_gate_revoke,
+    "px20_leakage_safe_split": px20_leakage_safe_split,
+    "dd04_neardup_pairs": dd04_neardup_pairs,
+    "dd08_char_neardup_pairs": dd08_char_neardup_pairs,
     "dd11_jaccard_estimate": dd11_jaccard_estimate,
+    "gr02_triangle_stats": gr02_triangle_stats,
+    "gr03_pagerank_fixed_point": gr03_pagerank_fixed_point,
+    "dq01_constraint_report": dq01_constraint_report,
+    "gr01_pagerank_neardup": gr01_pagerank_neardup,
+    # --- unaffected fillers (held-over r13 stamps) ---
+    "ss06_kmeans_clusters": ss06_kmeans_clusters,
+    "ss15_ivf_trained_topk": ss15_ivf_trained_topk,
+    "ss04_ivf_topk": ss04_ivf_topk,
+    "ss16_ivfadc_topk": ss16_ivfadc_topk,
+    "ss07_pq_encode": ss07_pq_encode,
+    "ss09_int8_quantize": ss09_int8_quantize,
+    # --- end of window: unchanged remainder in exact r13-HEAD order ---
+    "ss13_pq_rerank_topk": ss13_pq_rerank_topk,
+    "tx21_zipf_stats": tx21_zipf_stats,
+    "tx26_bm25_rank": tx26_bm25_rank,
+    "tx29_bm25_postings": tx29_bm25_postings,
+    "ss18_filtered_topk": ss18_filtered_topk,
+    "ss19_filtered_scaled_topk": ss19_filtered_scaled_topk,
+    "ss20_filtered_index_topk": ss20_filtered_index_topk,
+    "ss21_hybrid_rrf": ss21_hybrid_rrf,
+    "ss22_hybrid_index_rrf": ss22_hybrid_index_rrf,
+    "dd05_embedding_neardup": dd05_embedding_neardup,
+    "cdc_kafka_emp_state": cdc_kafka_emp_state,
+    "ss05_knn_join": ss05_knn_join,
+    "ss12_knn_label_vote": ss12_knn_label_vote,
+    "ss14_radius_density": ss14_radius_density,
+    "px03_semantic_dedup_pipeline": px03_semantic_dedup_pipeline,
+    "dd18_record_linkage": dd18_record_linkage,
+    "tx27_gopher_rules": tx27_gopher_rules,
+    "tx28_hashed_tfidf": tx28_hashed_tfidf,
+    "tx19_bpe_merges": tx19_bpe_merges,
+    "st08_stream_interval_join": st08_stream_interval_join,
+    "st09_stream_dedup": st09_stream_dedup,
+    "st10_stream_topk": st10_stream_topk,
+    "st11_stream_funnel": st11_stream_funnel,
+    "st12_stream_sessionize": st12_stream_sessionize,
+    "st13_stream_zscore": st13_stream_zscore,
+    "st14_stream_index_sync": st14_stream_index_sync,
+    "tx30_bm25_forget": tx30_bm25_forget,
+    "q87_weighted_sample": q87_weighted_sample,
+    "cdc_stream_emp_state": cdc_stream_emp_state,
+    "px24_embedding_decontam": px24_embedding_decontam,
+    "dd03_minhash_bands": dd03_minhash_bands,
     "q90_distributed_rank": q90_distributed_rank,
     "q91_compaction_bins": q91_compaction_bins,
     "sk01_cms_heavy_hitters": sk01_cms_heavy_hitters,
@@ -5416,17 +5436,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ss10_ivf_deploy_topk": ss10_ivf_deploy_topk,
     "ss11_mmr_rerank": ss11_mmr_rerank,
     "tx22_source_overlap": tx22_source_overlap,
-    "gr07_link_prediction": gr07_link_prediction,
-    "gr08_personalized_pagerank": gr08_personalized_pagerank,
     "st05_hll_monitor": st05_hll_monitor,
     "sk07_histogram_quantiles": sk07_histogram_quantiles,
-    "sk09_cms_self_join_size": sk09_cms_self_join_size,
     "ss17_pq_trained_adc": ss17_pq_trained_adc,
     "st07_quantile_monitor": st07_quantile_monitor,
     "mm13_audio_decimate": mm13_audio_decimate,
     "sk08_cms_join_size": sk08_cms_join_size,
     "px23_delete_propagation": px23_delete_propagation,
-    "dq07_fd_profile": dq07_fd_profile,
     "mm14_video_frame_sample": mm14_video_frame_sample,
     "q97_rolling_distinct": q97_rolling_distinct,
     "tx25_unicode_sanitize": tx25_unicode_sanitize,
@@ -5435,7 +5451,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_emp_history_incr": cdc_emp_history_incr,
     "q23_range_join_tiers": q23_range_join_tiers,
     "mm06_webdataset_roundtrip": mm06_webdataset_roundtrip,
-    "gr05_bfs_hops": gr05_bfs_hops,
     "px15_epoch_shuffle": px15_epoch_shuffle,
     "px17_sequence_packing": px17_sequence_packing,
     "px19_stratified_shards": px19_stratified_shards,
@@ -5445,11 +5460,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm12_byte_stats": mm12_byte_stats,
     "tx23_hashed_features": tx23_hashed_features,
     "tx24_hashed_linear_score": tx24_hashed_linear_score,
-    "gr06_label_propagation": gr06_label_propagation,
     "mm08_real_codec_roundtrip": mm08_real_codec_roundtrip,
     "mm09_audio_frame_energy": mm09_audio_frame_energy,
     "mm10_image_pixel_stats": mm10_image_pixel_stats,
-    "dq06_fk_integrity": dq06_fk_integrity,
     "st03_ohlc_windows": st03_ohlc_windows,
     "mm07_inference_batches": mm07_inference_batches,
     "px18_mixture_epoch_plan": px18_mixture_epoch_plan,
@@ -5461,27 +5474,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "px14_quality_classifier": px14_quality_classifier,
     "tx18_ngram_novelty": tx18_ngram_novelty,
     "q93_rolling_zscore": q93_rolling_zscore,
-    "q92_hilbert_layout": q92_hilbert_layout,
     "q95_ohlc_candles": q95_ohlc_candles,
     "tx10_repetition_stats": tx10_repetition_stats,
     "tx05_top_bigrams": tx05_top_bigrams,
-    "gr02_triangle_stats": gr02_triangle_stats,
     "px12_negative_pairs": px12_negative_pairs,
     "dq05_skew_report": dq05_skew_report,
     "q86_zorder_layout": q86_zorder_layout,
-    "tx12_contamination": tx12_contamination,
-    "gr03_pagerank_fixed_point": gr03_pagerank_fixed_point,
     "px10_rag_corpus": px10_rag_corpus,
     "px11_dsir_selection": px11_dsir_selection,
     "dd14_event_debounce": dd14_event_debounce,
     "sk03_cms_expr": sk03_cms_expr,
-    "px08_decontaminated_split": px08_decontaminated_split,
     "cdc_emp_state": cdc_emp_state,
     "cdc_dept_state": cdc_dept_state,
     "cdc_pub_event": cdc_pub_event,
     "q96_weighted_median": q96_weighted_median,
-    "dd09_dup_spans": dd09_dup_spans,
-    "px05_exactsubstr_scrub": px05_exactsubstr_scrub,
     "tx15_bigram_surprisal": tx15_bigram_surprisal,
     "q73_session_overlap": q73_session_overlap,
     "q83_locf_gapfill": q83_locf_gapfill,
@@ -5491,7 +5497,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q80_event_funnel": q80_event_funnel,
     "q81_retention_cohorts": q81_retention_cohorts,
     "q82_event_transitions": q82_event_transitions,
-    "dq01_constraint_report": dq01_constraint_report,
     "dq03_distribution_drift": dq03_distribution_drift,
     "cdc_emp_history": cdc_emp_history,
     "cdc_emp_asof_enrich": cdc_emp_asof_enrich,
@@ -5499,7 +5504,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_twap": q89_twap,
     "dq02_column_profile": dq02_column_profile,
     "q62_exclusive_parts": q62_exclusive_parts,
-    "dd12_repeated_chunks": dd12_repeated_chunks,
     "st01_sliding_rollup": st01_sliding_rollup,
     "st02_session_rollup": st02_session_rollup,
     "q85_sampled_quantiles": q85_sampled_quantiles,
@@ -5543,7 +5547,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_string_functions": q39_string_functions,
     "q40_array_functions": q40_array_functions,
     "q41_map_functions": q41_map_functions,
-    "gr04_kcore": gr04_kcore,
     "q94_snapshot_diff": q94_snapshot_diff,
     "q42_volume_shipping": q42_volume_shipping,
     "q43_priority_case_agg": q43_priority_case_agg,
@@ -5557,20 +5560,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_top_supplier": q51_top_supplier,
     "q52_stratified_sample": q52_stratified_sample,
     "q53_gapfill_hourly": q53_gapfill_hourly,
-    "q54_market_share": q54_market_share,
     "q55_returned_revenue": q55_returned_revenue,
     "q56_unpivot_metrics": q56_unpivot_metrics,
     "q57_rolling_7day": q57_rolling_7day,
     "q58_event_transitions": q58_event_transitions,
     "q60_revenue_share": q60_revenue_share,
     "q61_global_suppliers": q61_global_suppliers,
-    "tx07_keyterms": tx07_keyterms,
     "tx08_denylist_scrub": tx08_denylist_scrub,
     "tx09_packing_index": tx09_packing_index,
-    "px01_curation_pipeline": px01_curation_pipeline,
-    "gr01_pagerank_neardup": gr01_pagerank_neardup,
     "tx01_token_stats": tx01_token_stats,
-    "tx02_quality_scores": tx02_quality_scores,
     "tx03_lang_id": tx03_lang_id,
     "tx04_fingerprints": tx04_fingerprints,
     "tx06_subword_counts": tx06_subword_counts,
@@ -5581,9 +5579,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm02_byte_features": mm02_byte_features,
     "mm03_decode_resize": mm03_decode_resize,
     "q01_sync_report": q01_sync_report,
-    "q02_pricing_summary": q02_pricing_summary,
     "q03_filter_project": q03_filter_project,
-    "q04_revenue_by_nation": q04_revenue_by_nation,
     "q05_order_priority": q05_order_priority,
     "q06_customer_order_coverage": q06_customer_order_coverage,
     "q07_top_customers": q07_top_customers,
@@ -5606,3 +5602,4 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q25_corr_stats": q25_corr_stats,
     "q26_grouping_sets": q26_grouping_sets,
 }
+
