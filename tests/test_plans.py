@@ -566,3 +566,41 @@ def test_no_inferred_generate_filter_duplicates_tokenize(spark):
             )
     finally:
         spark.conf.set("spark.sql.optimizer.excludedRules", old)
+
+
+def test_dq01_fk_checks_are_join_free(spark):
+    """r14: the ForeignKey checks compile into the dq06-style key census
+    (unionAll tags + one groupBy) — no join operator anywhere in the
+    report plan, so a parent outgrowing the broadcast threshold can
+    never degrade the report to a multi-pass shuffle join."""
+    plan = _plan(spark, "dq01_constraint_report")
+    for node in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, f"{node} in dq01 plan:\n{plan[:800]}"
+
+
+def test_neardup_pairs_band_pin_is_transparent(spark):
+    """r14: a caller-pinned band frame must leave the pair set
+    bit-identical (the gate's reuse idiom — bands are a deterministic
+    per-row function of hs, so serving them from cache cannot change
+    candidates or scores)."""
+    from kafkatosparktokudu_spark.operators.dedup import (
+        _bands_from_hashed,
+        hashed_shingles,
+        neardup_pairs_jaccard,
+    )
+    from kafkatosparktokudu_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    hs = hashed_shingles(docs).persist()
+    bands = _bands_from_hashed(hs).persist()
+    bands.count()
+    pinned = sorted(
+        map(tuple, neardup_pairs_jaccard(
+            docs, 0.2, hs_df=hs, bands_df=bands).collect())
+    )
+    plain = sorted(
+        map(tuple, neardup_pairs_jaccard(docs, 0.2).collect())
+    )
+    hs.unpersist(), bands.unpersist()
+    assert pinned == plain and pinned, f"{len(pinned)} vs {len(plain)}"
